@@ -1,0 +1,71 @@
+"""Query registry backing the driver contract in ``__spark_entry__.py``.
+
+Every implemented operator from SURVEY.md §2 registers itself here with a
+Spark callable ``(spark, sf_dir) -> DataFrame`` and (when SQL-expressible) an
+equivalent ANSI-SQL oracle string for DuckDB. The driver compares the two at
+sf=0.01 (row count + schema + order-insensitive value hash), so:
+
+  - every computed column is aliased identically on both sides;
+  - float aggregates are computed exactly (decimal casts) then cast to
+    DOUBLE at the end, so both engines produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: register a query under ``name`` with its DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    _load_operator_modules()
+    return dict(_REGISTRY)
+
+
+_LOADED = False
+
+
+def _load_operator_modules() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Imports for side effect of @register decorators.
+    import pgcp_spark.functions.dedup  # noqa: F401
+    import pgcp_spark.functions.multimodal  # noqa: F401
+    import pgcp_spark.functions.similarity  # noqa: F401
+    import pgcp_spark.functions.text  # noqa: F401
+    import pgcp_spark.operators.aggregates  # noqa: F401
+    import pgcp_spark.operators.joins  # noqa: F401
+    import pgcp_spark.operators.scalar  # noqa: F401
+    import pgcp_spark.operators.setops  # noqa: F401
+    import pgcp_spark.operators.tpch  # noqa: F401
+    import pgcp_spark.operators.windows  # noqa: F401
+
+    _LOADED = True
