@@ -1,0 +1,192 @@
+"""Aggregation operators: hash aggregate, distinct counts, rollup/cube,
+having, approximate aggregates.
+
+Reference parity note: pgcp itself has no aggregation (SURVEY.md §2a "does
+NOT have"); these are the extension-layer operators (§2b) replacing the SQL
+the reference would push into PostgreSQL via CTAS (postgres.rb:80-91).
+
+Scale notes: all groupBys here partial-aggregate map-side before one shuffle
+on the group keys; rollup/cube expand grouping sets before the same single
+shuffle. approx_count_distinct is the 100 TB path for distinct counts (HLL,
+no per-key state explosion) and is registered rows-only because DuckDB's
+approx algorithm differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcp_spark.operators._decimal import dec, dsum, sql_dsum
+from pgcp_spark.registry import register
+from pgcp_spark.sources import load_table
+
+
+@register(
+    "agg_orders_by_status_priority",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       {sql_dsum("o_totalprice")} AS sum_total,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_total,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_total
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+""",
+)
+def agg_orders_by_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate with count / count-distinct / sum / min / max."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum("o_totalprice").alias("sum_total"),
+            F.min(dec("o_totalprice")).cast("double").alias("min_total"),
+            F.max(dec("o_totalprice")).cast("double").alias("max_total"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+""",
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy (subtotals + grand total)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("sum_acctbal"),
+        )
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+@register(
+    "agg_cube_returnflag_linestatus",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       {sql_dsum("l_quantity")} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def agg_cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations of (returnflag, linestatus)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+@register(
+    "agg_having_big_customers",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+ORDER BY total_spent DESC, o_custkey
+""",
+)
+def agg_having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_spent"))
+        .filter(F.col("n_orders") >= 12)
+        .orderBy(F.desc("total_spent"), "o_custkey")
+    )
+
+
+@register(
+    "agg_distinct_parts_per_supplier",
+    oracle="""
+SELECT l_suppkey,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+""",
+)
+def agg_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate (expand-based plan)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+@register(
+    "agg_approx_distinct_customers",
+    oracle=None,  # HLL sketch: algorithm-specific, driver records rows-only
+    doc="approx_count_distinct (HLL) — the 100 TB path for distinct counts",
+)
+def agg_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct estimate per order priority (rows-only check;
+    exactness cross-checked in tests against the true distinct within 5%)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_avg_order_gap_days",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_avg_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp min/max aggregates (temporal extremes per group)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .orderBy("o_orderstatus")
+    )

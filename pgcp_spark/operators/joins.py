@@ -1,0 +1,218 @@
+"""Join operators: equi (broadcast + shuffle), outer, semi, anti, range.
+
+Extension layer (SURVEY.md §2b): pgcp has no joins; PostgreSQL executed them
+via the CTAS seam (postgres.rb:80-91). Spark-first design notes:
+
+  - Small dims are broadcast (`F.broadcast`) so the fact side never shuffles.
+  - The orders⋈lineitem equi-join shuffles both sides on orderkey — at 100 TB
+    this is the join to co-locate via bucketing; AQE handles skew splits.
+  - The range join keeps an equi-conjunct (same orderkey) so Catalyst plans a
+    sort-merge/hash join with a residual predicate instead of a BNLJ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcp_spark.operators._decimal import dsum, sql_dsum
+from pgcp_spark.registry import register
+from pgcp_spark.sources import load_table
+
+
+@register(
+    "join_customer_nation_region",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+ORDER BY c.c_custkey
+""",
+)
+def join_customer_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join chain: fact side never shuffles (both dims are
+    broadcast; check: plan shows two BroadcastHashJoin, zero Exchange on
+    customer)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_left_outer_order_counts",
+    oracle="""
+SELECT c.c_custkey,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+""",
+)
+def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders (COUNT(col)
+    skips nulls; SUM coalesced to 0 so both engines agree)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_full_outer_supplier_part_usage",
+    oracle="""
+SELECT s.s_suppkey, u.l_suppkey AS used_suppkey, s.s_name,
+       COALESCE(u.n_lines, 0) AS n_lines
+FROM supplier s
+FULL OUTER JOIN (
+    SELECT l_suppkey, COUNT(*) AS n_lines FROM lineitem WHERE l_quantity > 45 GROUP BY l_suppkey
+) u ON s.s_suppkey = u.l_suppkey
+ORDER BY s.s_suppkey NULLS LAST, used_suppkey NULLS LAST
+""",
+)
+def join_full_outer_supplier_part_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: suppliers with no high-quantity lines and vice versa
+    both survive with nulls."""
+    s = load_table(spark, sf_dir, "supplier")
+    u = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_lines"))
+    )
+    return (
+        s.join(u, s.s_suppkey == u.l_suppkey, "full_outer")
+        .select(
+            "s_suppkey",
+            F.col("l_suppkey").alias("used_suppkey"),
+            "s_name",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        )
+        .orderBy(F.asc_nulls_last("s_suppkey"), F.asc_nulls_last("used_suppkey"))
+    )
+
+
+@register(
+    "join_semi_customers_with_urgent_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+""",
+)
+def join_semi_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = EXISTS: no row multiplication, probe side streamed."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti_parts_never_shipped",
+    oracle="""
+SELECT p_partkey, p_name, p_brand
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49
+)
+ORDER BY p_partkey
+""",
+)
+def join_anti_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join = NOT EXISTS: parts never shipped in near-max
+    quantity (the quantity filter keeps the result non-empty at every sf)."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        p.join(l, p.p_partkey == l.l_partkey, "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "join_range_events_near_order",
+    oracle="""
+SELECT o.o_orderkey, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM orders o
+JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts <  o.o_orderdate + INTERVAL 10950 DAY
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
+""",
+)
+def join_range_events_near_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join with an equi-conjunct: events by the order's customer
+    within a time window after the order date. The user_id=custkey equality
+    lets Catalyst use a hash join with the range as residual predicate —
+    never a broadcast-nested-loop. (Events are 2024; orders 1995-2001, so the
+    30-year window makes the result non-empty on synthetic data.)"""
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    cond = (
+        (e.user_id == o.o_custkey)
+        & (e.ts >= o.o_orderdate)
+        & (e.ts < o.o_orderdate + F.expr("INTERVAL 10950 DAY"))
+    )
+    return (
+        o.join(e, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "join_partsupp_revenue",
+    oracle=f"""
+SELECT p.p_brand, s.s_name,
+       COUNT(*) AS n_lines,
+       {sql_dsum("l.l_extendedprice")} AS sum_price
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY p.p_brand, s.s_name
+ORDER BY p_brand, s_name
+""",
+)
+def join_partsupp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two broadcast joins into the fact table, then aggregate — the
+    canonical star-schema pattern (fact shuffles once, on the group keys)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(F.count("*").alias("n_lines"), dsum("l_extendedprice").alias("sum_price"))
+        .orderBy("p_brand", "s_name")
+    )

@@ -1,0 +1,207 @@
+"""Window-function operators: ranking, analytic (lag/lead), frames, ntile.
+
+Extension layer (SURVEY.md §2b). Scale notes: every window here partitions by
+a high-cardinality key (custkey/suppkey/orderkey) so state per partition
+stays small; none uses a global (unpartitioned) window, which would funnel
+100 TB through one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgcp_spark.operators._decimal import dec
+from pgcp_spark.registry import register
+from pgcp_spark.sources import load_table
+
+
+@register(
+    "window_top3_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number window + filter (the distributed
+    top-k pattern: one shuffle on the partition key, no global sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            dec("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "window_rank_dense_rank_suppliers",
+    oracle="""
+SELECT l_suppkey, n_lines,
+       RANK() OVER (ORDER BY n_lines DESC, l_suppkey) AS rnk,
+       DENSE_RANK() OVER (ORDER BY n_lines DESC, l_suppkey) AS drnk
+FROM (SELECT l_suppkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_suppkey)
+ORDER BY rnk
+""",
+)
+def window_rank_dense_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank over an aggregated input. The unpartitioned window is
+    safe here because the input is one row per supplier (post-aggregation),
+    not the raw fact table."""
+    l = load_table(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_suppkey").agg(F.count("*").alias("n_lines"))
+    w = Window.orderBy(F.desc("n_lines"), F.asc("l_suppkey"))
+    return (
+        agg.withColumn("rnk", F.rank().over(w).cast("long"))
+        .withColumn("drnk", F.dense_rank().over(w).cast("long"))
+        .orderBy("rnk")
+    )
+
+
+@register(
+    "window_lag_lead_order_dates",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       LAG(o_orderdate) OVER w AS prev_date,
+       LEAD(o_orderdate) OVER w AS next_date,
+       CAST(DATE_DIFF('day', LAG(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+)
+def window_lag_lead_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: previous/next order date per customer and the
+    day gap between consecutive orders."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lag("o_orderdate").over(w).alias("prev_date"),
+            F.lead("o_orderdate").over(w).alias("next_date"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            )
+            .cast("long")
+            .alias("days_since_prev"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@register(
+    "window_running_total_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+)
+def window_running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum with an explicit ROWS frame (exact decimal inside the
+    frame so the running values match the oracle bit-for-bit)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@register(
+    "window_ntile_customer_value",
+    oracle="""
+SELECT quartile, COUNT(*) AS n_customers,
+       CAST(MIN(CAST(total_spent AS DECIMAL(18,2))) AS DOUBLE) AS min_spent,
+       CAST(MAX(CAST(total_spent AS DECIMAL(18,2))) AS DOUBLE) AS max_spent
+FROM (
+  SELECT o_custkey, total_spent,
+         NTILE(4) OVER (ORDER BY total_spent DESC, o_custkey) AS quartile
+  FROM (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_spent
+    FROM orders GROUP BY o_custkey
+  )
+)
+GROUP BY quartile
+ORDER BY quartile
+""",
+)
+def window_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles of customer lifetime value, then per-quartile stats.
+    (ntile runs on the small aggregated relation, not the fact table.)"""
+    o = load_table(spark, sf_dir, "orders")
+    spent = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("total_spent"))
+    w = Window.orderBy(F.desc("total_spent"), F.asc("o_custkey"))
+    tiles = spent.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+    return (
+        tiles.groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min(F.col("total_spent").cast("decimal(18,2)")).cast("double").alias("min_spent"),
+            F.max(F.col("total_spent").cast("decimal(18,2)")).cast("double").alias("max_spent"),
+        )
+        .orderBy("quartile")
+    )
+
+
+@register(
+    "window_first_last_value",
+    oracle="""
+SELECT DISTINCT l_orderkey,
+       FIRST_VALUE(l_partkey) OVER w AS first_part,
+       LAST_VALUE(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_part,
+       COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey)
+ORDER BY l_orderkey
+""",
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with full-partition frame + count over
+    partition (no ORDER BY → whole-partition frame)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    # l_linenumber ties exist in the synthetic data — l_partkey tiebreak
+    # makes first/last deterministic.
+    w_ord = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    w_full = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_part = Window.partitionBy("l_orderkey")
+    return (
+        l.select(
+            "l_orderkey",
+            F.first("l_partkey").over(w_ord).alias("first_part"),
+            F.last("l_partkey").over(w_full).alias("last_part"),
+            F.count("*").over(w_part).alias("n_lines"),
+        )
+        .distinct()
+        .orderBy("l_orderkey")
+    )

@@ -38,7 +38,28 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str):
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw int64 nanoseconds via the
+    legacy conf and convert to a microsecond timestamp (Spark's native
+    precision) JVM-side — still a vectorized columnar scan, no Python path.
+    """
+    from pyspark.sql import functions as F
+
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
