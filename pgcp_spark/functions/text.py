@@ -1,0 +1,228 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language-ID heuristics, document fingerprinting.
+
+These are the training-data-pipeline text ops (BASELINE.json north star).
+Everything is built-in Spark SQL expressions — JVM-side, codegen'd, no
+Python UDFs — so the same pipeline runs unchanged over 100 TB of documents:
+per-row narrow transforms, no shuffle except the final aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcp_spark.registry import register
+from pgcp_spark.sources import load_table
+
+# Shared stopword list (tiny, deterministic; see oracle strings below).
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+_SW_SQL = "', '".join(STOPWORDS)
+
+# A BPE-ish word/number/punctuation segmenter: runs of letters, runs of
+# digits, or single non-alphanumeric marks — the classic pre-tokenizer split.
+BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_REGEX}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    segmenter (letter runs / digit runs / single marks)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.split("text", " ")
+    bpe_tokens = F.regexp_extract_all(F.lower("text"), F.lit(BPE_REGEX), 0)
+    return (
+        d.select(
+            "doc_id",
+            F.size(ws_tokens).cast("long").alias("n_ws_tokens"),
+            F.size(bpe_tokens).cast("long").alias("n_bpe_tokens"),
+            F.length("text").cast("long").alias("n_chars"),
+            (F.length("text").cast("double") / F.size(ws_tokens)).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+SELECT doc_id, n_tokens, stopword_ratio, mean_token_len,
+       0.5 * stopword_ratio + 0.5 * (mean_token_len / 10.0) AS quality_score
+FROM (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, t -> t IN ('{_SW_SQL}'))) AS DOUBLE) / len(toks) AS stopword_ratio,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS mean_token_len
+  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents)
+)
+ORDER BY doc_id
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from stopword ratio + mean token length — the
+    fastText-style cheap quality filter shape. Both engines evaluate the
+    identical IEEE expression tree, so doubles match exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double") / n_tokens
+    )
+    mean_tok_len = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tokens
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_tokens.cast("long").alias("n_tokens"),
+            stop_ratio.alias("stopword_ratio"),
+            mean_tok_len.alias("mean_token_len"),
+            (F.lit(0.5) * stop_ratio + F.lit(0.5) * (mean_tok_len / F.lit(10.0))).alias(
+                "quality_score"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Marker vocabularies for the n-gram/stopword language-ID heuristic. The
+# synthetic corpus is English-vocab word salad, so real-language markers are
+# illustrative; the *operator shape* (per-language marker hit count → argmax
+# with deterministic precedence) is what a production langid does.
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "y", "una"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    marks = "', '".join(LANG_MARKERS[lang])
+    return f"CAST(len(list_filter(toks, t -> t IN ('{marks}'))) AS BIGINT)"
+
+
+@register(
+    "text_langid_markers",
+    oracle=f"""
+SELECT doc_id, lang AS labeled_lang, en_hits, de_hits, fr_hits, es_hits,
+       CASE
+         WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+         WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+         WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+         WHEN es_hits > 0 THEN 'es'
+         ELSE 'und'
+       END AS predicted_lang
+FROM (
+  SELECT doc_id, lang,
+         {_marker_sql("en")} AS en_hits,
+         {_marker_sql("de")} AS de_hits,
+         {_marker_sql("fr")} AS fr_hits,
+         {_marker_sql("es")} AS es_hits
+  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents)
+)
+ORDER BY doc_id
+""",
+)
+def text_langid_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via per-language marker-word hit counts with a fixed
+    argmax precedence (en > de > fr > es, 'und' when no hits)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+
+    def hits(lang: str):
+        marks = F.array([F.lit(m) for m in LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(marks, t))).cast("long")
+
+    base = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits("en").alias("en_hits"),
+        hits("de").alias("de_hits"),
+        hits("fr").alias("fr_hits"),
+        hits("es").alias("es_hits"),
+    )
+    pred = (
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits"))
+            & (F.col("en_hits") >= F.col("es_hits"))
+            & (F.col("en_hits") > 0),
+            "en",
+        )
+        .when(
+            (F.col("de_hits") >= F.col("fr_hits"))
+            & (F.col("de_hits") >= F.col("es_hits"))
+            & (F.col("de_hits") > 0),
+            "de",
+        )
+        .when((F.col("fr_hits") >= F.col("es_hits")) & (F.col("fr_hits") > 0), "fr")
+        .when(F.col("es_hits") > 0, "es")
+        .otherwise("und")
+    )
+    return base.withColumn("predicted_lang", pred).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint_groups",
+    oracle="""
+SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+FROM (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+GROUP BY fingerprint
+HAVING COUNT(*) >= 1
+ORDER BY n_docs DESC, fingerprint
+""",
+)
+def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercase
+    text, grouped into identity clusters (the exact-dedup fingerprint).
+    md5 is identical across engines, so the oracle checks real hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    return (
+        d.select("doc_id", F.md5(normalized).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
+        .orderBy(F.desc("n_docs"), "fingerprint")
+    )
+
+
+@register(
+    "text_source_lang_profile",
+    oracle="""
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+""",
+)
+def text_source_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: per (source, lang) doc counts and size stats —
+    the first query every pipeline runs on a new crawl dump."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        )
+        .orderBy("source", "lang")
+    )
