@@ -1,0 +1,79 @@
+"""CLI: ``pgcp-spark cp -s SRC -d DEST -t schema.table [-c config] [-f schema] [-l log]``.
+
+Reference parity: lib/pgcp_runner.rb:7-53 + bin/pgcp (O20) — same flags,
+same YAML config resolution (-c or ~/.pgcp.yml), same glob validation
+(pattern must be schema-qualified with exactly one '.'), same logging
+surface (O21: stdout or --log file, lib/pgcp.rb:3-17).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pgcp-spark", description="Copy Postgres tables via Spark")
+    sub = p.add_subparsers(dest="command")
+    cp = sub.add_parser("cp", help="copy table(s) from source to destination database")
+    cp.add_argument("-s", "--source", required=True, help="source database alias")
+    cp.add_argument("-d", "--dest", required=True, help="destination database alias")
+    cp.add_argument("-t", "--table", required=True, help="schema.table or schema.glob")
+    cp.add_argument("-c", "--config", default=None, help="config path (default ~/.pgcp.yml)")
+    cp.add_argument("-f", "--force-schema", default=None, help="override destination schema")
+    cp.add_argument("-l", "--log", default=None, help="log file (default stdout)")
+    cp.add_argument("--skip-indexes", action="store_true", help="skip index replay")
+    cp.add_argument("--no-create-schema", action="store_true")
+    cp.add_argument("--num-partitions", type=int, default=16)
+    return p
+
+
+def validate_table_arg(table: str) -> None:
+    """pgcp_runner.rb:28-31 — globs must be schema-qualified with exactly
+    one dot."""
+    if table.count(".") != 1 or table.startswith("."):
+        raise SystemExit(f"table must be schema-qualified as schema.table, got {table!r}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command != "cp":
+        build_parser().print_help()
+        return 1
+    validate_table_arg(args.table)
+
+    handlers = [logging.FileHandler(args.log)] if args.log else [logging.StreamHandler(sys.stdout)]
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s", handlers=handlers
+    )
+
+    from pgcp_spark.config import load_config
+    from pgcp_spark.session import get_spark
+    from pgcp_spark.transport import CopyOptions, Transport
+
+    try:
+        cfg = load_config(args.config)
+    except FileNotFoundError as e:
+        raise SystemExit(f"config file not found: {e.filename} (pass -c or create ~/.pgcp.yml)")
+    try:
+        cfg.database(args.source), cfg.database(args.dest)
+    except KeyError as e:
+        raise SystemExit(f"error: {e.args[0]}")
+    spark = get_spark("pgcp_spark_cp")
+    tr = Transport(spark, cfg.database(args.source), cfg.database(args.dest))
+    options = CopyOptions(
+        force_schema=args.force_schema,
+        create_schema=not args.no_create_schema,
+        skip_indexes=args.skip_indexes,
+        num_partitions=args.num_partitions,
+    )
+    if "*" in args.table or "?" in args.table or "[" in args.table:
+        tr.copy_tables(args.table, options)  # pgcp_runner.rb:27
+    else:
+        tr.copy_table(args.table, None, options)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
