@@ -24,6 +24,11 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "window_top3_orders_per_customer",
+    "dedup_minhash_lsh_candidates",
+    "sim_cosine_bruteforce_topk",
+    "text_quality_score",
+    "streaming_tumbling_event_counts",
 ]
 
 

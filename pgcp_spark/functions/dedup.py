@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgcp_spark.registry import register
-from pgcp_spark.sources import load_table
+from pgcp_spark.sources import load_table, load_table_parallel
 
 JACCARD_THRESHOLD = 0.3
 SHINGLE_WIDTH = 3
@@ -43,7 +43,8 @@ def _shingles(toks: Column, width: int = SHINGLE_WIDTH) -> Column:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # shingling + hashing dominates: spread docs across all cores
+    d = load_table_parallel(spark, sf_dir, "documents")
     toks = F.split(_normalized(), " ")
     return d.select("doc_id", F.explode(_shingles(toks)).alias("shingle"))
 
@@ -141,13 +142,15 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: no pairwise work outside hash-equal buckets — two shuffles
     (signature groupBy, band self-join) regardless of corpus size.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    # hash each shingle STRING once (the expensive part), then derive the
+    # k signature hashes from the cheap 8-byte value — 1 string hash + k
+    # fixed-width hashes per shingle instead of k string hashes
+    sh = _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.xxhash64("shingle").alias("g")
+    )
     # k min-hashes per doc in one aggregation pass
     sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(MINHASH_K)
-        ]
+        *[F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}") for i in range(MINHASH_K)]
     )
     sig_arr = F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)])
     sigs = sigs.select("doc_id", sig_arr.alias("sig"))
@@ -215,7 +218,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signature into four 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at
     least one chunk identical — candidates come from chunk equi-joins).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")  # 64-wide bit votes per row
     toks = F.array_distinct(F.split(_normalized(), " "))
 
     # per-token ±1 votes per bit, summed across tokens: fold token hashes

@@ -1,0 +1,171 @@
+"""UDF surface: vectorized pandas_udf (scalar), applyInPandas (grouped map
+= UDAF-shaped), plus pivot and percentile operators.
+
+Extension layer (SURVEY.md §2b). The UDF examples deliberately compute
+things with exact integer/decimal results so the Python paths are still
+oracle-checkable against DuckDB SQL. Row-at-a-time Python UDFs are
+intentionally absent — Arrow-batched pandas UDFs are the only sanctioned
+Python path (10-100× less serde overhead; SNIPPETS.md patterns).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcp_spark.operators._decimal import dsum
+from pgcp_spark.registry import register
+from pgcp_spark.sources import load_table
+
+
+@register(
+    "udf_pandas_price_tier",
+    oracle="""
+SELECT tier, COUNT(*) AS n_orders
+FROM (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) / 50000 AS BIGINT) AS raw_tier,
+         LEAST(CAST(FLOOR(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) / 50000) AS BIGINT), 9) AS tier
+  FROM orders
+)
+GROUP BY tier
+ORDER BY tier
+""",
+)
+def udf_pandas_price_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf (Arrow-vectorized): price → tier bucket, then
+    aggregate. The udf computes floor(price/50000) capped at 9 on pandas
+    Series — numpy-vectorized, applied per Arrow batch."""
+    o = load_table(spark, sf_dir, "orders")
+
+    @F.pandas_udf("long")
+    def tier(price: pd.Series) -> pd.Series:
+        import numpy as np
+
+        p = np.round(price.to_numpy(), 2)  # normalize like DECIMAL(12,2)
+        return pd.Series(np.minimum(np.floor(p / 50000).astype("int64"), 9))
+
+    return (
+        o.select(tier("o_totalprice").alias("tier"))
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("tier")
+    )
+
+
+@register(
+    "udf_grouped_map_customer_order_stats",
+    oracle="""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) - MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_range
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+)
+def udf_grouped_map_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map (UDAF-shaped): per-customer order stats
+    computed on the group's pandas frame. Decimal-normalized in pandas so
+    results match the exact SQL aggregation."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cents = np.round(pdf["o_totalprice"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "total_spent": [cents.sum() / 100.0],
+                "price_range": [(cents.max() - cents.min()) / 100.0],
+            }
+        )
+
+    out = o.groupBy("o_custkey").applyInPandas(
+        stats, schema="o_custkey long, n_orders long, total_spent double, price_range double"
+    )
+    return out.orderBy("o_custkey")
+
+
+@register(
+    "pivot_segment_by_priority",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def pivot_segment_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per market segment × priority (explicit pivot
+    value list keeps the plan a single aggregation — no extra distinct
+    pass at scale)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "c_mktsegment",
+            F.col("1-URGENT").alias("urgent"),
+            F.col("3-MEDIUM").alias("medium"),
+            F.col("5-LOW").alias("low"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "percentile_exact_quantity",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.75) AS p75_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def percentile_exact_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — same definition in Spark
+    `percentile` and DuckDB `quantile_cont`). Quantiles 0.5/0.75 are exact
+    binary fractions, so interpolation is bit-identical over the integral
+    quantity values regardless of each engine's formula arrangement."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_quantity, 0.75)").alias("p75_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "percentile_approx_price",
+    oracle=None,  # t-digest/GK sketch differs across engines → rows-only
+    doc="approx percentile sketch — the 100 TB path (single pass, bounded memory)",
+)
+def percentile_approx_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (GK sketch): constant-memory quantiles — the
+    scale path where exact percentiles would need a full sort. Accuracy vs
+    the exact percentile is asserted in tests."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
+            F.percentile_approx("o_totalprice", 0.99, 1000).alias("approx_p99"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1,0 +1,59 @@
+"""Physical-plan inspection helpers — the engine's "did Catalyst do what we
+designed for" toolkit. Used by tests/test_plans.py to pin down plan
+properties that matter at 100 TB: broadcast vs shuffle joins, parquet
+filter/column pushdown, top-k compilation, whole-stage codegen coverage.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def count_occurrences(df: DataFrame, node: str) -> int:
+    return len(re.findall(re.escape(node), physical_plan(df)))
+
+
+def has_broadcast_hash_join(df: DataFrame, at_least: int = 1) -> bool:
+    return count_occurrences(df, "BroadcastHashJoin") >= at_least
+
+
+def has_sort_merge_or_shuffle_hash_join(df: DataFrame) -> bool:
+    plan = physical_plan(df)
+    return "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def has_nested_loop_join(df: DataFrame) -> bool:
+    return "NestedLoop" in physical_plan(df) or "CartesianProduct" in physical_plan(df)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters lists from every parquet scan in the plan."""
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", physical_plan(df))
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema (pruned column sets) from every parquet scan."""
+    return re.findall(r"ReadSchema: struct<([^>]*)>", physical_plan(df))
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in physical_plan(df)
+
+
+def shuffle_exchange_count(df: DataFrame) -> int:
+    """Shuffle exchanges only (hashpartitioning/rangepartitioning), not
+    BroadcastExchange."""
+    plan = physical_plan(df)
+    return len(re.findall(r"Exchange (hash|range)partitioning", plan))

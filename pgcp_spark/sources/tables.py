@@ -44,6 +44,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like load_table, but repartitioned to the session's parallelism.
+
+    The testdata tables are single parquet files with one row group, so
+    Spark gives them ONE input partition — any compute-heavy per-row
+    pipeline (shingling, hashing, Arrow UDFs) would run on one core. A
+    round-robin repartition costs one tiny shuffle and unlocks every core.
+    On a real lake (many files) the scan is already parallel and this
+    becomes a no-op choice; the operators that call this do so because
+    their per-row work dominates scan cost at any scale.
+    """
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _load_events(spark: SparkSession, path: str):
     """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw int64 nanoseconds via the

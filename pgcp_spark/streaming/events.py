@@ -1,0 +1,182 @@
+"""Structured Streaming over the ``events`` table: tumbling / sliding /
+session windows, watermarks, streaming dedup.
+
+Each registered query REALLY executes as a stream — ``readStream`` over the
+events parquet, windowed aggregation, memory sink, ``availableNow`` trigger
+(process-everything-then-stop) — and returns the materialized result, so the
+driver's DuckDB oracle can check streaming semantics end-to-end. In
+production the same code reads a file/Kafka source continuously; only the
+trigger changes.
+
+Oracle comparability: events.ts is nanosecond-precision in parquet; Spark
+truncates to µs, so every oracle truncates with date_trunc('microseconds')
+BEFORE any window math (gap comparisons must see the same instants).
+
+Scale notes: windowed aggs with watermarks bound state (late data beyond
+the watermark is dropped); session windows merge per-key state only;
+``complete`` output mode is used here because the harness wants the full
+result at termination — a production sink would use append+watermark.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcp_spark.operators._decimal import dsum
+from pgcp_spark.registry import register
+
+RAW_EVENT_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+# every oracle reads events through this µs-truncation CTE
+_EVENTS_US = (
+    "SELECT event_id, CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts, "
+    "user_id, event_type, value, props FROM events"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the events parquet (ns → µs conversion as in
+    sources.tables._load_events, but with an explicit schema because
+    streaming sources cannot infer)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the streaming file source wants a directory: stream the sf_dir with a
+    # glob filter selecting just the events file
+    sdf = (
+        spark.readStream.schema(RAW_EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
+    """Execute the streaming plan to completion into a memory sink and
+    return the materialized table."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
+@register(
+    "streaming_tumbling_event_counts",
+    oracle=f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM ({_EVENTS_US})
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def streaming_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type, executed as a real stream
+    (readStream → window agg → memory sink, availableNow)."""
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+    return _run_to_memory(agg, "complete").orderBy("window_start", "event_type")
+
+
+@register(
+    "streaming_sliding_window_value",
+    oracle=f"""
+SELECT window_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT UNNEST([CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR,
+                 CAST(date_trunc('hour', ts) AS TIMESTAMP)]) AS window_start,
+         value
+  FROM ({_EVENTS_US})
+)
+GROUP BY window_start
+ORDER BY window_start
+""",
+)
+def streaming_sliding_window_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding every hour (each event lands in two windows),
+    as a real stream."""
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    return _run_to_memory(agg, "complete").orderBy("window_start")
+
+
+@register(
+    "streaming_session_windows",
+    oracle=f"""
+WITH ev AS ({_EVENTS_US}),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user, as a real
+    stream with a watermark. The oracle reproduces Spark's session
+    semantics relationally: a new session starts when the gap is ≥ the
+    timeout (session windows are half-open [ts, ts+gap))."""
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+        .select("user_id", "session_start", "n_events")
+    )
+    return _run_to_memory(agg, "complete").orderBy("user_id", "session_start")
+
+
+@register(
+    "streaming_dedup_user_event_types",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type
+""",
+)
+def streaming_dedup_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: dropDuplicatesWithinWatermark on (user_id,
+    event_type) — the keys-only projection makes the surviving set
+    deterministic and oracle-checkable (equals DISTINCT over the batch)."""
+    s = read_events_stream(spark, sf_dir)
+    dedup = (
+        s.withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(dedup, "append").orderBy("user_id", "event_type")

@@ -1,0 +1,73 @@
+"""Physical-plan property tests: pin down the plan shapes that matter at
+100 TB. A regression here means a query got slower by design, even if its
+results still match the oracle."""
+
+from __future__ import annotations
+
+from pgcp_spark.plans import explain as ex
+from pgcp_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+QS = all_queries()
+
+
+def q(name, spark):
+    return QS[name].fn(spark, SF_DIR)
+
+
+def test_q1_filter_and_columns_pushed_to_parquet(spark):
+    df = q("q1_pricing_summary", spark)
+    filters = ex.pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), f"shipdate not pushed: {filters}"
+    schemas = ex.read_schemas(df)
+    # 11-column table: the scan must read only the 7 referenced columns
+    assert all("l_orderkey" not in s and "l_partkey" not in s for s in schemas), schemas
+
+
+def test_dimension_joins_broadcast_no_fact_shuffle(spark):
+    df = q("join_customer_nation_region", spark)
+    assert ex.has_broadcast_hash_join(df, at_least=2)
+    assert not ex.has_sort_merge_or_shuffle_hash_join(df)
+
+
+def test_q3_broadcasts_dim_and_shuffles_fact_once(spark):
+    df = q("q3_shipping_priority", spark)
+    assert ex.has_broadcast_hash_join(df, at_least=1)  # customer side
+    assert ex.has_take_ordered(df), "orderBy+limit must compile to TakeOrderedAndProject"
+
+
+def test_star_join_q5_broadcasts_all_dims(spark):
+    df = q("q5_local_supplier_volume", spark)
+    # customer/supplier/nation/region broadcast; only orders⋈lineitem shuffles
+    assert ex.has_broadcast_hash_join(df, at_least=4)
+    assert not ex.has_nested_loop_join(df)
+
+
+def test_global_topk_never_global_sorts(spark):
+    df = q("sort_global_top_orders", spark)
+    assert ex.has_take_ordered(df)
+
+
+def test_semi_anti_joins_stay_hash_based(spark):
+    for name in ["join_semi_customers_with_urgent_orders", "join_anti_parts_never_shipped"]:
+        df = q(name, spark)
+        assert not ex.has_nested_loop_join(df), f"{name} degraded to nested loop"
+
+
+def test_range_join_keeps_equi_conjunct_hash_join(spark):
+    df = q("join_range_events_near_order", spark)
+    assert not ex.has_nested_loop_join(df), "range join must hash-join on the equi conjunct"
+
+
+def test_dedup_candidate_joins_are_equi(spark):
+    for name in ["dedup_ngram_jaccard_pairs", "dedup_simhash_pairs"]:
+        df = q(name, spark)
+        assert not ex.has_nested_loop_join(df), f"{name} must bucket-join, not nested-loop"
+
+
+def test_q6_single_stage_aggregate(spark):
+    df = q("q6_forecast_revenue", spark)
+    filters = ex.pushed_filters(df)
+    assert any("l_discount" in f for f in filters), filters
+    # global agg: only a SinglePartition exchange, no hash shuffle
+    assert ex.shuffle_exchange_count(df) == 0
