@@ -63,6 +63,7 @@ def _load_operator_modules() -> None:
     import pgcp_spark.functions.text  # noqa: F401
     import pgcp_spark.operators.aggregates  # noqa: F401
     import pgcp_spark.operators.joins  # noqa: F401
+    import pgcp_spark.operators.misc  # noqa: F401
     import pgcp_spark.operators.scalar  # noqa: F401
     import pgcp_spark.operators.setops  # noqa: F401
     import pgcp_spark.operators.tpch  # noqa: F401
