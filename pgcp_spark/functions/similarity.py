@@ -180,6 +180,109 @@ def sim_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_LISTS = 16  # coarse-quantizer cells (≈ sqrt(corpus) at this scale)
+IVF_NPROBE = 4  # cells probed per query
+
+
+@register(
+    "sim_cosine_ivf_topk",
+    oracle=None,  # approximate (probes a subset of cells); recall vs the
+    # brute-force baseline asserted in tests/test_similarity.py
+    doc="IVF ANN: k-means coarse quantizer + nprobe cell search (rows-only check)",
+)
+def sim_cosine_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: train a k-means coarse quantizer (pyspark.ml, the
+    distributed trainer), assign every corpus vector to its nearest
+    centroid's inverted list, probe the ``IVF_NPROBE`` nearest lists per
+    query, and score ONLY those lists' vectors (exact cosine, JVM-side).
+
+    Scale: the index build is one k-means fit + one transform (both
+    shuffle-light); queries touch nprobe/k of the corpus instead of all of
+    it, and the candidate join is an equi-join on list_id — the classic
+    IVF trade: recall vs fraction of corpus scanned. Centroids (k×dim
+    floats) broadcast to every task.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vecs = e.withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
+    model = KMeans(
+        k=IVF_LISTS, seed=42, maxIter=10, featuresCol="features", predictionCol="list_id"
+    ).fit(vecs)
+    corpus = model.transform(vecs).select("vec_id", "embedding", "list_id")
+
+    centroids = np.stack(model.clusterCenters())  # k × dim, driver-side
+    b_cent = spark.sparkContext.broadcast(centroids)
+
+    def probe(batches):
+        cent = b_cent.value
+        cnorm = np.sqrt((cent * cent).sum(axis=1))
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            q = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            qnorm = np.sqrt((q * q).sum(axis=1))
+            sims = (q @ cent.T) / (qnorm[:, None] * cnorm[None, :] + 1e-12)
+            nearest = np.argsort(-sims, axis=1)[:, :IVF_NPROBE]
+            out = {
+                "vec_id": np.repeat(batch["vec_id"].to_numpy(), IVF_NPROBE),
+                "embedding": batch["embedding"].repeat(IVF_NPROBE).to_numpy(),
+                "list_id": nearest.ravel().astype(np.int32),
+            }
+            yield pd.DataFrame(out)
+
+    queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    probes = queries.mapInPandas(
+        probe, schema="vec_id long, embedding array<float>, list_id int"
+    )
+
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q.embedding"),
+            F.col("c.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _norm(side: str):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(f"{side}.embedding"), lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    from pyspark.sql import Window
+
+    q, c = probes.alias("q"), corpus.alias("c")
+    scored = (
+        q.join(
+            c,
+            (F.col("q.list_id") == F.col("c.list_id"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("vec_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.round(dot / (_norm("q") * _norm("c")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["vec_id", "neighbor_id"])  # a neighbor can appear via 2 probes
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+        .orderBy("vec_id", "rank")
+    )
+
+
 @register(
     "sim_label_profile",
     oracle="""

@@ -162,6 +162,68 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stateful_user_stats",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: applyInPandasWithState keeps
+    arbitrary per-user state (event count, exact cent-sum, distinct type
+    set) across micro-batches and emits the updated stats per batch.
+
+    This is the escape hatch for stateful logic Spark's built-in windowed
+    aggs can't express (cross-batch custom accumulators). State is
+    per-key and partition-local — at scale it shards across executors on
+    the groupBy hash, with RocksDB-backed state stores in production.
+    Values are summed in integer cents inside pandas so the result is
+    order-independent and the DuckDB oracle hash-matches.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = read_events_stream(spark, sf_dir)
+
+    def update_stats(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, cents, types = state.get if state.exists else (0, 0, [])
+        types = set(types)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            types |= set(pdf["event_type"])
+        state.update((n, cents, sorted(types)))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_events": n,
+                    "sum_value": cents / 100.0,
+                    "n_types": len(types),
+                }
+            ]
+        )
+
+    out = (
+        s.groupBy("user_id")
+        .applyInPandasWithState(
+            update_stats,
+            outputStructType="user_id long, n_events long, sum_value double, n_types long",
+            stateStructType="n long, cents long, types array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(out, "append").orderBy("user_id")
+
+
+@register(
     "streaming_dedup_user_event_types",
     oracle="""
 SELECT DISTINCT user_id, event_type FROM events

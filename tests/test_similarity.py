@@ -17,6 +17,27 @@ def test_lsh_pairs_are_high_similarity(spark):
         assert r.cos_sim >= 0.4
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4/16 cells must recover most of the exact top-k.
+
+    Random 64-dim corpora are adversarial for ANN (no cluster structure),
+    so the bar is deliberately moderate; structured real embeddings do far
+    better at the same nprobe fraction.
+    """
+    qs = all_queries()
+    exact = {
+        (r.vec_id, r.neighbor_id)
+        for r in qs["sim_cosine_bruteforce_topk"].fn(spark, SF_DIR_CORRECTNESS).collect()
+    }
+    approx = {
+        (r.vec_id, r.neighbor_id)
+        for r in qs["sim_cosine_ivf_topk"].fn(spark, SF_DIR_CORRECTNESS).collect()
+    }
+    assert exact, "brute-force baseline returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} below floor"
+
+
 def test_multimodal_features_shape(spark):
     qs = all_queries()
     df = qs["multimodal_feature_extract"].fn(spark, SF_DIR_CORRECTNESS)
