@@ -65,6 +65,53 @@ def test_dedup_candidate_joins_are_equi(spark):
         assert not ex.has_nested_loop_join(df), f"{name} must bucket-join, not nested-loop"
 
 
+def test_q4_exists_decorrelates_to_semi_join(spark):
+    df = q("q4_priority_with_late_line", spark)
+    plan = ex.physical_plan(df)
+    assert "LeftSemi" in plan, "EXISTS must decorrelate to a left-semi join"
+    assert not ex.has_nested_loop_join(df)
+
+
+def test_q17_correlated_scalar_decorrelates_to_join(spark):
+    df = q("q17_small_quantity_order_revenue", spark)
+    # the per-partkey average must come from ONE aggregate joined back,
+    # never a per-row re-execution (which would show as a nested loop)
+    assert not ex.has_nested_loop_join(df)
+
+
+def test_q19_disjunction_keeps_hash_join(spark):
+    df = q("q19_disjunctive_join_revenue", spark)
+    assert ex.has_broadcast_hash_join(df, at_least=1)
+    assert not ex.has_nested_loop_join(df)
+
+
+def test_q18_semi_join_and_topk(spark):
+    df = q("q18_large_volume_customers", spark)
+    plan = ex.physical_plan(df)
+    assert "LeftSemi" in plan
+    assert ex.has_take_ordered(df)
+
+
+def test_q2_min_lookup_broadcasts_aggregate(spark):
+    df = q("q2_cheapest_part_per_type", spark)
+    assert ex.has_broadcast_hash_join(df, at_least=1)
+    assert not ex.has_sort_merge_or_shuffle_hash_join(df)
+
+
+def test_q22_not_exists_is_hash_anti_join(spark):
+    df = q("q22_idle_rich_customers", spark)
+    plan = ex.physical_plan(df)
+    assert "LeftAnti" in plan
+    # the 1-row scalar broadcast is the only nested-loop-shaped node allowed
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_spreads_key_space(spark):
+    df = q("join_salted_skew_events_per_user", spark)
+    # salting must not degrade the join to nested-loop
+    assert not ex.has_nested_loop_join(df)
+
+
 def test_q6_single_stage_aggregate(spark):
     df = q("q6_forecast_revenue", spark)
     filters = ex.pushed_filters(df)
