@@ -104,7 +104,9 @@ ORDER BY doc_a, doc_b
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-{3}-gram Jaccard ≥ threshold via a shingle
     inverted-index self-join (the exactness oracle for MinHash)."""
-    sh = _doc_shingles(spark, sf_dir)
+    # The inverted index feeds three plan branches (sizes + both join sides);
+    # materialize it once instead of re-shingling per branch.
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -153,7 +155,12 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}") for i in range(MINHASH_K)]
     )
     sig_arr = F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)])
-    sigs = sigs.select("doc_id", sig_arr.alias("sig"))
+    # Materialize the signatures (n_docs × k longs — tiny next to the corpus)
+    # before the band self-join: without this the whole shingle→hash→min
+    # pipeline runs TWICE, once per join side. localCheckpoint stores the
+    # blocks executor-side and truncates lineage; production would persist
+    # the signature table to the lake for reuse across dedup runs.
+    sigs = sigs.select("doc_id", sig_arr.alias("sig")).localCheckpoint()
 
     rows_per_band = MINHASH_K // LSH_BANDS
     bands = sigs.select(
@@ -248,7 +255,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"c{c}")
         for c in range(4)
     ]
-    sigs = d.select("doc_id", bits.alias("bits"), *chunk)
+    # materialize: the 64-hash-per-token vote fold is the expensive part and
+    # feeds both sides of the chunk self-join
+    sigs = d.select("doc_id", bits.alias("bits"), *chunk).localCheckpoint()
 
     # explode to (doc_id, chunk_idx, chunk_val) so candidates come from an
     # EQUI-join on (chunk_idx, chunk_val) — an OR-of-chunk-equalities join

@@ -136,9 +136,11 @@ def sim_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.concat(frames, ignore_index=True)
 
+    # materialize the bucket assignments: the self-join would otherwise run
+    # the Python bucketize pass once per side
     bucketed = e.mapInPandas(
         bucketize, schema="vec_id long, embedding array<float>, table_id int, bucket long"
-    )
+    ).localCheckpoint()
 
     def norm(side: str):
         return F.sqrt(
