@@ -216,3 +216,55 @@ def join_partsupp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_lines"), dsum("l_extendedprice").alias("sum_price"))
         .orderBy("p_brand", "s_name")
     )
+
+
+@register(
+    "join_cross_grid_nation_priority",
+    oracle="""
+WITH grid AS (
+  SELECT n.n_nationkey, n.n_name, p.o_orderpriority
+  FROM nation n CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+),
+counts AS (
+  SELECT c.c_nationkey, o.o_orderpriority, COUNT(*) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT g.n_nationkey, g.n_name, g.o_orderpriority, COALESCE(cn.n, 0) AS n_orders
+FROM grid g LEFT JOIN counts cn
+  ON g.n_nationkey = cn.c_nationkey AND g.o_orderpriority = cn.o_orderpriority
+ORDER BY g.n_nationkey, g.o_orderpriority
+""",
+)
+def join_cross_grid_nation_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN: the dense-grid pattern (every nation × every
+    priority, zero-filled) so downstream consumers see no missing cells.
+
+    Scale: cross joins are only ever safe dim × dim — here 25 × 5 rows. The
+    fact-side counts aggregate BEFORE joining the grid, so the cross product
+    never touches fact cardinality."""
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    prios = o.select("o_orderpriority").distinct()
+    grid = n.select("n_nationkey", "n_name").crossJoin(prios)
+    counts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        grid.join(
+            counts,
+            (grid.n_nationkey == counts.c_nationkey)
+            & (grid.o_orderpriority == counts.o_orderpriority),
+            "left",
+        )
+        .select(
+            "n_nationkey",
+            "n_name",
+            grid.o_orderpriority,
+            F.coalesce(counts.n, F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("n_nationkey", "o_orderpriority")
+    )

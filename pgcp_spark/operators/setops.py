@@ -155,3 +155,83 @@ def dedup_orders_by_customer_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "o_orderdate", "o_orderkey")
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
+
+
+@register(
+    "setop_exceptall_priority_bags",
+    oracle="""
+SELECT o_orderpriority FROM (
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+)
+ORDER BY o_orderpriority
+""",
+)
+def setop_exceptall_priority_bags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): multiplicity-aware difference of the
+    open-order vs finished-order priority multisets — each surviving row
+    represents one excess occurrence, not a distinct value."""
+    o = load_table(spark, sf_dir, "orders")
+    open_p = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    done_p = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return open_p.exceptAll(done_p).orderBy("o_orderpriority")
+
+
+@register(
+    "setop_intersectall_segment_nations",
+    oracle="""
+SELECT c_nationkey FROM (
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT ALL
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+ORDER BY c_nationkey
+""",
+)
+def setop_intersectall_segment_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): per-nation min(multiplicity) across
+    two market segments."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return a.intersectAll(b).orderBy("c_nationkey")
+
+
+@register(
+    "setop_union_by_name_mixed_schemas",
+    oracle="""
+SELECT entity_id, name, acctbal, segment FROM (
+  SELECT c_custkey AS entity_id, c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment
+  FROM customer WHERE c_custkey < 50
+  UNION ALL BY NAME
+  SELECT s_name AS name, s_suppkey AS entity_id, s_acctbal AS acctbal, NULL AS segment
+  FROM supplier WHERE s_suppkey < 50
+)
+ORDER BY entity_id, name
+""",
+)
+def setop_union_by_name_mixed_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns: aligns differently-ordered
+    schemas by NAME (positional union would silently mismatch columns) and
+    null-fills columns one side lacks."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 50)
+        .select(
+            F.col("c_custkey").alias("entity_id"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 50)
+        .select(
+            F.col("s_name").alias("name"),
+            F.col("s_suppkey").alias("entity_id"),
+            F.col("s_acctbal").alias("acctbal"),
+        )
+    )
+    return c.unionByName(s, allowMissingColumns=True).orderBy("entity_id", "name")

@@ -205,3 +205,65 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("l_orderkey")
     )
+
+
+@register(
+    "window_range_frame_30day_revenue",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_30d_revenue
+FROM orders
+WHERE o_custkey < 200
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+)
+def window_range_frame_30day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a time axis: per-customer trailing-30-day revenue.
+
+    Unlike a ROWS frame, RANGE bounds are data values — every order sums all
+    orders whose date falls in [date-30d, date]. Spark expresses interval
+    range frames via SQL window syntax (the DataFrame rangeBetween API takes
+    only numeric offsets, so the window is declared in expr())."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    trailing = F.expr(
+        """
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+        """
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_orderdate", trailing.alias("trailing_30d_revenue"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@register(
+    "window_percent_rank_cume_dist",
+    oracle="""
+SELECT s_suppkey, s_acctbal,
+       PERCENT_RANK() OVER (ORDER BY s_acctbal, s_suppkey) AS pct_rank,
+       CUME_DIST() OVER (ORDER BY s_acctbal, s_suppkey) AS cume
+FROM supplier
+ORDER BY s_suppkey
+""",
+)
+def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (percent_rank, cume_dist) across the supplier
+    balance ladder. The unpartitioned window is safe ONLY because supplier
+    is a bounded dimension; fact-sized inputs must partition first (see
+    module docstring)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return (
+        s.select(
+            "s_suppkey",
+            "s_acctbal",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("s_suppkey")
+    )

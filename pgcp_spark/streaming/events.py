@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from pgcp_spark.operators._decimal import dsum
 from pgcp_spark.registry import register
+from pgcp_spark.sources import load_table
 
 RAW_EVENT_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
@@ -159,6 +160,33 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "n_events")
     )
     return _run_to_memory(agg, "complete").orderBy("user_id", "session_start")
+
+
+@register(
+    "streaming_static_join_segment_value",
+    oracle=f"""
+SELECT c.c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM ({_EVENTS_US}) e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def streaming_static_join_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer
+    dimension (broadcast) before a streaming aggregate per segment.
+
+    The static side is re-read per micro-batch (fresh dim snapshot) and
+    broadcast, so the stream never shuffles for the join — the canonical
+    streaming-enrichment topology at any scale."""
+    s = read_events_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        s.join(F.broadcast(c), s.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+    )
+    return _run_to_memory(agg, "complete").orderBy("c_mktsegment")
 
 
 @register(
