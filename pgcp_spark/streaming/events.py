@@ -46,13 +46,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources.tables._load_events, but with an explicit schema because
     streaming sources cannot infer)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the streaming file source wants a directory: stream the sf_dir with a
-    # glob filter selecting just the events file
-    sdf = (
-        spark.readStream.schema(RAW_EVENT_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # the file stream source requires a DIRECTORY basePath. Two layouts:
+    # a real lake / tools/make_scale.py output has events.parquet/ as a
+    # directory of part-files (stream it directly); the driver testdata has
+    # a single events.parquet file (stream the parent with a glob filter —
+    # which would silently match nothing in the directory layout).
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        reader = spark.readStream.schema(RAW_EVENT_SCHEMA)
+    else:
+        path = sf_dir
+        reader = spark.readStream.schema(RAW_EVENT_SCHEMA).option(
+            "pathGlobFilter", "events.parquet"
+        )
+    sdf = reader.parquet(path)
     return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
