@@ -190,3 +190,31 @@ def agg_avg_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "agg_histogram_order_value",
+    oracle="""
+SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def agg_histogram_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via integer bucketing (floor-divide), the
+    shuffle-one-row-per-bucket pattern — the distributed histogram that
+    works at any scale (bucket count is data-independent)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(dec("o_totalprice")).cast("double").alias("min_price"),
+            F.max(dec("o_totalprice")).cast("double").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )

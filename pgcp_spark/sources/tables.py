@@ -56,7 +56,13 @@ def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     their per-row work dominates scan cost at any scale.
     """
     df = load_table(spark, sf_dir, name)
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    want = spark.sparkContext.defaultParallelism
+    # multi-file layouts (real lakes, tools/make_scale.py) already scan in
+    # parallel — skip the shuffle when the scan supplies at least half the
+    # target parallelism
+    if df.rdd.getNumPartitions() * 2 >= want:
+        return df
+    return df.repartition(want)
 
 
 def _load_events(spark: SparkSession, path: str):
