@@ -268,3 +268,74 @@ def join_cross_grid_nation_priority(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("n_nationkey", "o_orderpriority")
     )
+
+
+@register(
+    "join_asof_click_attribution",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+  FROM events
+),
+clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM ev WHERE event_type = 'click' GROUP BY 1, 2
+),
+purch AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.ts, c.click_id AS attributed_click
+FROM purch p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id
+""",
+)
+def join_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (Spark has no native one): attribute each purchase to the
+    user's most recent click at-or-before it.
+
+    Spark-first implementation — the union-and-carry-forward technique:
+    stack both sides into one frame tagged by side, sort within user by
+    (ts, side), and carry the last non-null click forward with a
+    last(ignorenulls) running window. ONE shuffle on user_id and linear
+    work — versus the naive inequality join which is quadratic per user.
+    Clicks are pre-deduped to one per (user, instant) (max event_id, the
+    same tiebreak DuckDB's ASOF sees) so the match is deterministic.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            "ts",
+            "click_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.lit(0).alias("side"),
+        )
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("side"),
+    )
+    # side 0 (click) sorts before side 1 (purchase) at equal ts → the >= of
+    # an inclusive as-of
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purch)
+        .withColumn("attributed_click", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("purchase_id", "user_id", "ts", "attributed_click")
+        .orderBy("purchase_id")
+    )
