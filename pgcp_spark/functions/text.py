@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgcp_spark.registry import register
-from pgcp_spark.sources import load_table
+from pgcp_spark.sources import load_table, load_table_parallel
 
 # Shared stopword list (tiny, deterministic; see oracle strings below).
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
@@ -225,4 +225,81 @@ def text_source_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
         )
         .orderBy("source", "lang")
+    )
+
+
+WINNOW_GRAM = 3  # token k-gram width
+WINNOW_WINDOW = 4  # minima window over consecutive gram hashes
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t) - {WINNOW_GRAM - 2}),
+                        i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+  FROM toks WHERE len(t) >= {WINNOW_GRAM + WINNOW_WINDOW - 1}
+),
+winnow AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(range(1, len(g) - {WINNOW_WINDOW - 2}),
+                                             j -> list_min(g[j:j+{WINNOW_WINDOW - 1}])))) AS fp
+  FROM grams
+)
+SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+FROM winnow
+GROUP BY fp
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, fp
+""",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the rolling-hash document-fingerprint
+    scheme): hash every token 3-gram, slide a 4-wide window over the hash
+    sequence keeping each window's minimum, and dedupe — a document is
+    represented by its set of local-minimum hashes, so two documents
+    sharing ANY sufficiently-long run share a fingerprint regardless of
+    offset. Output = fingerprints shared by ≥2 docs (the plagiarism /
+    near-dup index).
+
+    All array ops are JVM expressions (transform/slice/array_min); md5 hex
+    strings order identically in both engines, so the winnow minima are
+    cross-engine exact. Scale: per-doc work is linear; the only shuffle is
+    the fingerprint groupBy, and hot fingerprints (boilerplate) would get
+    a document-frequency cap like hot shingles in dedup.py.
+    """
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
+    d = d.select("doc_id", toks.alias("t")).filter(
+        F.size("t") >= WINNOW_GRAM + WINNOW_WINDOW - 1
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (WINNOW_GRAM - 1)),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at("t", i),
+                F.element_at("t", i + 1),
+                F.element_at("t", i + 2),
+            )
+        ),
+    )
+    d = d.select("doc_id", grams.alias("g"))
+    winnow = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("g") - (WINNOW_WINDOW - 1)),
+            lambda j: F.array_min(F.slice("g", j, WINNOW_WINDOW)),
+        )
+    )
+    return (
+        d.select("doc_id", F.explode(winnow).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "fp")
     )
