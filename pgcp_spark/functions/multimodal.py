@@ -158,3 +158,57 @@ def multimodal_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("nb").alias("total_bytes"))
         .orderBy("fmt")
     )
+
+
+N_FRAMES = 4
+FRAME_BYTES = 16
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(((length(text) - {FRAME_BYTES}) * frame_idx) // {N_FRAMES - 1} AS BIGINT) AS frame_offset,
+       md5(substring(text,
+                     CAST(((length(text) - {FRAME_BYTES}) * frame_idx) // {N_FRAMES - 1} AS BIGINT) + 1,
+                     {FRAME_BYTES})) AS frame_md5
+FROM (SELECT doc_id, text, UNNEST(range({N_FRAMES})) AS frame_idx FROM documents)
+ORDER BY doc_id, frame_idx
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media payloads — the UDTF shape (one
+    media row → N_FRAMES frame rows) via mapInPandas: uniform temporal
+    sampling at offsets i*(len-frame)/(N-1), each frame fingerprinted.
+
+    A real video pipeline swaps the byte-slice for a decoder frame-grab
+    (decode_media stub); offsets, fan-out, Arrow batching, and the output
+    schema are exactly what the production path uses. The oracle replays
+    the same offset arithmetic relationally (payload text is ASCII, so
+    byte slices == char slices).
+    """
+    import hashlib
+
+    p = _payload_df(spark, sf_dir).select("doc_id", "payload")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_md5": []}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                raw = bytes(payload)
+                for i in range(N_FRAMES):
+                    off = (len(raw) - FRAME_BYTES) * i // (N_FRAMES - 1)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_md5"].append(
+                        hashlib.md5(raw[off : off + FRAME_BYTES]).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    out = p.mapInPandas(
+        sample, schema="doc_id long, frame_idx int, frame_offset long, frame_md5 string"
+    )
+    return out.orderBy("doc_id", "frame_idx")
