@@ -466,3 +466,43 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "q16_brand_supplier_counts_not_in",
+    oracle="""
+SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_size IN (1, 4, 7)
+  AND p.p_partkey NOT IN (
+    SELECT l2.l_partkey FROM lineitem l2 WHERE l2.l_quantity >= 49
+  )
+GROUP BY p.p_brand, p.p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+""",
+)
+def q16_brand_supplier_counts_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery — the null-aware anti join, a
+    DIFFERENT decorrelation than NOT EXISTS (NOT IN must reject everything
+    if the subquery yields any NULL; Catalyst compiles it to a
+    null-aware anti join). Written literally in spark.sql; the l_partkey
+    column is non-null here so the result matches set-difference semantics,
+    but the plan is the null-aware one.
+
+    Scale: the NOT IN keyset is a projected/filtered lineitem scan; the
+    main join shuffles lineitem⋈part on partkey once; count(distinct)
+    adds the standard two-phase expand-aggregate.
+    """
+    register_views(spark, sf_dir, ("part", "lineitem"))
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_size IN (1, 4, 7)
+          AND p.p_partkey NOT IN (
+            SELECT l2.l_partkey FROM lineitem l2 WHERE l2.l_quantity >= 49
+          )
+        GROUP BY p.p_brand, p.p_type
+        ORDER BY supplier_cnt DESC, p_brand, p_type
+        """
+    )

@@ -106,6 +106,15 @@ def test_q22_not_exists_is_hash_anti_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q16_not_in_is_hash_anti_join(spark):
+    df = q("q16_brand_supplier_counts_not_in", spark)
+    plan = ex.physical_plan(df)
+    # Catalyst proves the NOT IN keys non-null and plans a hash anti join
+    # (the null-aware BNLJ fallback would be quadratic)
+    assert "LeftAnti" in plan
+    assert not ex.has_nested_loop_join(df)
+
+
 def test_salted_join_spreads_key_space(spark):
     df = q("join_salted_skew_events_per_user", spark)
     # salting must not degrade the join to nested-loop
