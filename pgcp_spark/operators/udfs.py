@@ -169,3 +169,74 @@ def percentile_approx_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "udf_map_in_arrow_doc_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_arrow,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+FROM documents
+ORDER BY doc_id
+""",
+)
+def udf_map_in_arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy end of the UDF surface — RecordBatches in,
+    RecordBatches out, no pandas materialization at all. Right choice when
+    the Python work is itself Arrow-native (pyarrow.compute, DuckDB-wasm,
+    polars); here pa.compute string kernels compute doc stats columnar-ly.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(
+                        pc.utf8_length(pc.replace_substring(text, " ", "")), pa.int64()
+                    ),
+                ],
+                names=["doc_id", "n_chars_arrow", "n_nonspace"],
+            )
+
+    out = d.mapInArrow(stats, schema="doc_id long, n_chars_arrow long, n_nonspace long")
+    return out.orderBy("doc_id")
+
+
+@register(
+    "udf_sql_registered_priority_class",
+    oracle="""
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'expedite' ELSE 'standard' END AS klass,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+ORDER BY klass
+""",
+)
+def udf_sql_registered_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-callable registered UDF: spark.udf.register makes a Python
+    function usable from spark.sql text — the surface ad-hoc SQL users
+    hit. Kept off the hot path by design (row-at-a-time serde; the pandas
+    variants above are the sanctioned bulk path) and used here on a
+    5-distinct-value column after pushdown-friendly projection.
+    """
+    from pyspark.sql.types import StringType
+
+    def classify(p: str) -> str:
+        return "expedite" if p in ("1-URGENT", "2-HIGH") else "standard"
+
+    spark.udf.register("priority_class", classify, StringType())
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_udf")
+    return spark.sql(
+        """
+        SELECT priority_class(o_orderpriority) AS klass, COUNT(*) AS n_orders
+        FROM orders_udf GROUP BY 1 ORDER BY klass
+        """
+    )
