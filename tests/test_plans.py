@@ -106,6 +106,15 @@ def test_q22_not_exists_is_hash_anti_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q7_q8_broadcast_all_dims_single_fact_shuffle(spark):
+    # nation appears twice (two roles) — every dim side must broadcast;
+    # the only shuffle pair is lineitem⋈orders
+    for name, dims in [("q7_nation_pair_volume", 4), ("q8_market_share", 5)]:
+        df = q(name, spark)
+        assert ex.has_broadcast_hash_join(df, at_least=dims), name
+        assert not ex.has_nested_loop_join(df), name
+
+
 def test_q16_not_in_is_hash_anti_join(spark):
     df = q("q16_brand_supplier_counts_not_in", spark)
     plan = ex.physical_plan(df)
