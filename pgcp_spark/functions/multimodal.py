@@ -172,7 +172,8 @@ SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
        md5(substring(text,
                      CAST(((length(text) - {FRAME_BYTES}) * frame_idx) // {N_FRAMES - 1} AS BIGINT) + 1,
                      {FRAME_BYTES})) AS frame_md5
-FROM (SELECT doc_id, text, UNNEST(range({N_FRAMES})) AS frame_idx FROM documents)
+FROM (SELECT doc_id, text, UNNEST(range({N_FRAMES})) AS frame_idx FROM documents
+      WHERE length(text) >= {FRAME_BYTES})
 ORDER BY doc_id, frame_idx
 """,
 )
@@ -189,7 +190,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import hashlib
 
-    p = _payload_df(spark, sf_dir).select("doc_id", "payload")
+    # payloads shorter than one frame have no valid offsets (negative
+    # offsets would slice from the END in Python but clamp in SQL); the
+    # oracle carries the same guard
+    p = (
+        _payload_df(spark, sf_dir)
+        .select("doc_id", "payload")
+        .filter(F.octet_length("payload") >= FRAME_BYTES)
+    )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

@@ -30,6 +30,34 @@ TOP_K = 3
 QUERY_STRIDE = 50  # every 50th vector is a "query"; full table is the corpus
 
 
+def _pair_dot(left: str, right: str) -> F.Column:
+    """Exact float64 dot product of two aliased embedding columns,
+    evaluated JVM-side (zip_with + aggregate) — shared by every candidate
+    scorer so LSH and IVF can never score the same pair differently."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(f"{left}.embedding"),
+            F.col(f"{right}.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _vec_norm(side: str) -> F.Column:
+    """L2 norm of an aliased embedding column (JVM-side)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col(f"{side}.embedding"), lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
 @register(
     "sim_cosine_bruteforce_topk",
     oracle=f"""
@@ -142,27 +170,7 @@ def sim_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketize, schema="vec_id long, embedding array<float>, table_id int, bucket long"
     ).localCheckpoint()
 
-    def norm(side: str):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(
-                    F.col(f"{side}.embedding"), lambda x: x.cast("double") * x.cast("double")
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("a.embedding"),
-            F.col("b.embedding"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (norm("a") * norm("b"))
+    cos = _pair_dot("a", "b") / (_vec_norm("a") * _vec_norm("b"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(
@@ -239,27 +247,6 @@ def sim_cosine_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe, schema="vec_id long, embedding array<float>, list_id int"
     )
 
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("q.embedding"),
-            F.col("c.embedding"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-    def _norm(side: str):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(
-                    F.col(f"{side}.embedding"), lambda x: x.cast("double") * x.cast("double")
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-
     from pyspark.sql import Window
 
     q, c = probes.alias("q"), corpus.alias("c")
@@ -272,7 +259,7 @@ def sim_cosine_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("q.vec_id").alias("vec_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            F.round(dot / (_norm("q") * _norm("c")), 6).alias("cos_sim"),
+            F.round(_pair_dot("q", "c") / (_vec_norm("q") * _vec_norm("c")), 6).alias("cos_sim"),
         )
         .dropDuplicates(["vec_id", "neighbor_id"])  # a neighbor can appear via 2 probes
     )

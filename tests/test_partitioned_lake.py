@@ -38,19 +38,27 @@ def test_partition_filter_prunes_at_plan_time(spark, partitioned_orders):
     assert df.count() == expected
 
 
-def test_dynamic_partition_overwrite_replaces_one_partition(spark, partitioned_orders):
+def test_dynamic_partition_overwrite_replaces_one_partition(spark, partitioned_orders, tmp_path):
     from pyspark.sql import functions as F
 
+    # work on a private copy so the module fixture stays pristine
+    lake = str(tmp_path / "lake_copy")
+    spark.read.parquet(partitioned_orders).write.partitionBy("o_year").parquet(lake)
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    one_year = spark.read.parquet(partitioned_orders).filter(F.col("o_year") == 1997)
-    before_other = spark.read.parquet(partitioned_orders).filter(F.col("o_year") == 1998).count()
-    # rewrite 1997 with a filtered subset; dynamic mode must leave 1998 alone
-    one_year.filter(F.col("o_orderstatus") == "F").write.mode("overwrite").partitionBy(
-        "o_year"
-    ).parquet(partitioned_orders)
-    after = spark.read.parquet(partitioned_orders)
-    assert after.filter(F.col("o_year") == 1998).count() == before_other
-    assert (
-        after.filter(F.col("o_year") == 1997).select("o_orderstatus").distinct().collect()[0][0]
-        == "F"
-    )
+    try:
+        one_year = spark.read.parquet(lake).filter(F.col("o_year") == 1997)
+        before_other = spark.read.parquet(lake).filter(F.col("o_year") == 1998).count()
+        # rewrite 1997 with a filtered subset; dynamic mode must leave 1998 alone
+        one_year.filter(F.col("o_orderstatus") == "F").write.mode("overwrite").partitionBy(
+            "o_year"
+        ).parquet(lake)
+        after = spark.read.parquet(lake)
+        assert after.filter(F.col("o_year") == 1998).count() == before_other
+        assert (
+            after.filter(F.col("o_year") == 1997).select("o_orderstatus").distinct().collect()[0][0]
+            == "F"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
