@@ -303,3 +303,80 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), "fp")
     )
+
+
+TFIDF_TOP = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS n,
+         CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tf
+  FROM toks GROUP BY doc_id, tok
+),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+scored AS (
+  SELECT t.doc_id, t.tok,
+         ROUND(t.tf * ln((SELECT n FROM n_docs) / CAST(d.df AS DOUBLE)), 6) AS tfidf
+  FROM tf t JOIN df d ON t.tok = d.tok
+),
+ranked AS (
+  SELECT doc_id, tok, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk
+  FROM scored
+)
+SELECT doc_id, tok, tfidf, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {TFIDF_TOP} AND doc_id < 100
+ORDER BY doc_id, rnk
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational TF-IDF: term frequency per doc (window-normalized),
+    document frequency per term (one aggregate), idf = ln(N/df), top-3
+    terms per doc. Scores round to 1e-6 before ranking so ties and hashes
+    agree across engines.
+
+    Scale: two shuffles (doc-term aggregate, term df) + a broadcast of the
+    df table (|vocab| rows) back onto the term stream; the per-doc top-k is
+    the standard window + filter. No Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")).alias(
+            "tok"
+        ),
+    )
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "tf",
+            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("doc_id")),
+        )
+    )
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = toks.select("doc_id").distinct().count()
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= TFIDF_TOP) & (F.col("doc_id") < 100))
+        .select("doc_id", "tok", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
