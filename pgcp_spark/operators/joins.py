@@ -339,3 +339,64 @@ def join_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("purchase_id", "user_id", "ts", "attributed_click")
         .orderBy("purchase_id")
     )
+
+
+BAND_SECONDS = 30
+
+
+@register(
+    "join_band_time_bucketed",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, event_type, user_id,
+         CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+  FROM events
+),
+e AS (SELECT * FROM ev WHERE event_type = 'error' AND event_id % 10 = 0),
+p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+SELECT e.event_id AS error_id, p.event_id AS purchase_id,
+       CAST(date_diff('microsecond', e.ts, p.ts) AS BIGINT) AS gap_us
+FROM e JOIN p
+  ON p.ts BETWEEN e.ts - INTERVAL {BAND_SECONDS} SECOND
+              AND e.ts + INTERVAL {BAND_SECONDS} SECOND
+ORDER BY error_id, purchase_id
+""",
+)
+def join_band_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join with NO equi key (purchases within ±30s of sampled
+    errors, across all users), made scalable by time-bucketing: each side
+    gets bucket = floor(ts / band); the probe side explodes into its
+    bucket and both neighbors, the join runs on bucket EQUALITY, and the
+    exact band predicate filters residually.
+
+    A raw inequality join is a broadcast nested loop — O(|A|·|B|)
+    comparisons. Bucketing bounds candidates to the ±1-bucket
+    neighborhood, so work is proportional to true pair density. Same
+    trick generalizes to numeric bands and geo grids.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    bucket = (F.unix_micros("ts") / F.lit(BAND_SECONDS * 1_000_000)).cast("long")
+    err = (
+        ev.filter((F.col("event_type") == "error") & (F.col("event_id") % 10 == 0))
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("e_ts"),
+            F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bk"),
+        )
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        bucket.alias("bk"),
+    )
+    band = F.lit(BAND_SECONDS * 1_000_000).cast("long")
+    gap = F.unix_micros("p_ts") - F.unix_micros("e_ts")
+    return (
+        err.join(pur, "bk")
+        .filter((gap >= -band) & (gap <= band))
+        .select("error_id", "purchase_id", gap.alias("gap_us"))
+        .distinct()  # a pair can meet in up to 2 neighboring buckets
+        .orderBy("error_id", "purchase_id")
+    )

@@ -115,6 +115,12 @@ def test_q7_q8_broadcast_all_dims_single_fact_shuffle(spark):
         assert not ex.has_nested_loop_join(df), name
 
 
+def test_band_join_buckets_avoid_nested_loop(spark):
+    # no equi key in the BAND semantics — bucketing must synthesize one
+    df = q("join_band_time_bucketed", spark)
+    assert not ex.has_nested_loop_join(df)
+
+
 def test_q16_not_in_is_hash_anti_join(spark):
     df = q("q16_brand_supplier_counts_not_in", spark)
     plan = ex.physical_plan(df)
