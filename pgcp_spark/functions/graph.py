@@ -1,0 +1,126 @@
+"""Iterative graph algorithm over the near-dup candidate graph: connected
+components by min-label propagation.
+
+The dedup pipeline's natural last step: near-dup PAIRS (dedup.py) become
+duplicate CLUSTERS by computing connected components, then keeping one
+canonical doc per component. SQL cannot express the transitive closure in
+one pass — this is the engine's iterative-algorithm surface: a driver-side
+loop over DataFrame steps, each iteration one shuffle, state carried in a
+localCheckpoint'd frame (truncated lineage keeps plan size constant).
+Convergence needs at most diameter(G) rounds — for near-dup graphs that is
+tiny (dup clusters are dense); a 1000-executor run behaves identically
+because each round is plain join+groupBy.
+
+The DuckDB oracle computes the same components with a recursive CTE, so
+even the iterative op is value-checked exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcp_spark.registry import register
+
+# The pair generator (same expression as dedup_ngram_jaccard_pairs' oracle,
+# embedded as a CTE so the oracle is self-contained).
+_PAIRS_CTE = """
+sh AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(len(t) - 2),
+           i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) AS shingle
+  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t
+        FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_shared AS DOUBLE) / (sa.sz + sb.sz - i.n_shared) >= 0.3
+)
+"""
+
+
+@register(
+    "graph_connected_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.s, r.d FROM edges e JOIN reach r ON r.s = e.d
+)
+SELECT CAST(MIN(d) AS BIGINT) AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(s) AS BIGINT) AS max_doc
+FROM (SELECT s, MIN(d) AS d FROM reach GROUP BY s)
+GROUP BY d
+ORDER BY cluster_id
+""",
+)
+def graph_connected_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the ≥0.3-Jaccard near-dup graph by
+    min-label propagation (iterate: label ← min(label, neighbors' labels)
+    until fixpoint), then per-cluster stats.
+
+    Each iteration: edges ⋈ labels → per-node neighbor minimum → join back
+    → new labels (one shuffle pair); the frame is localCheckpoint'd so
+    lineage doesn't grow with iterations. Convergence is checked with a
+    cheap count of changed labels.
+    """
+    from pgcp_spark.functions.dedup import dedup_ngram_jaccard_pairs
+
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select("s").distinct().select(F.col("s").alias("node"), F.col("s").alias("label"))
+    ).localCheckpoint()
+
+    while True:
+        neigh_min = (
+            edges.join(labels, edges.d == labels.node)
+            .groupBy("s")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.s, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n_docs"), F.max("node").alias("max_doc"))
+        .select(F.col("label").alias("cluster_id"), "n_docs", "max_doc")
+        .orderBy("cluster_id")
+    )

@@ -58,6 +58,7 @@ def _load_operator_modules() -> None:
         return
     # Imports for side effect of @register decorators.
     import pgcp_spark.functions.dedup  # noqa: F401
+    import pgcp_spark.functions.graph  # noqa: F401
     import pgcp_spark.functions.multimodal  # noqa: F401
     import pgcp_spark.functions.similarity  # noqa: F401
     import pgcp_spark.functions.text  # noqa: F401

@@ -277,3 +277,57 @@ def streaming_dedup_user_event_types(spark: SparkSession, sf_dir: str) -> DataFr
         .select("user_id", "event_type")
     )
     return _run_to_memory(dedup, "append").orderBy("user_id", "event_type")
+
+
+@register(
+    "rollup_cascade_events_daily",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+FROM ({_EVENTS_US})
+GROUP BY 1, 2
+ORDER BY day, event_type
+""",
+)
+def rollup_cascade_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade: raw events → minute rollup → hour
+    rollup → day rollup, each level re-aggregating the PREVIOUS level
+    (counts sum, sums sum, maxes max — the decomposable-aggregate
+    property continuous aggregates rely on). The oracle aggregates raw
+    events straight to days, proving the cascade loses nothing.
+
+    Scale: this is the materialized-rollup pattern — each level is
+    |buckets| rows, so the hour and day aggregations run over data
+    thousands of times smaller than raw; in production each level
+    persists and refreshes incrementally (the streaming windows above are
+    the continuous form of the same computation).
+    """
+    e = load_table(spark, sf_dir, "events")
+    minute = (
+        e.groupBy(
+            F.date_trunc("minute", "ts").alias("minute"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+            F.max(F.col("value").cast("decimal(12,2)")).alias("max_value"),
+        )
+    )
+    hour = (
+        minute.groupBy(F.date_trunc("hour", "minute").alias("hour"), "event_type").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return (
+        hour.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
+            F.max("max_value").cast("double").alias("max_value"),
+        )
+        .orderBy("day", "event_type")
+    )
