@@ -218,3 +218,35 @@ def agg_histogram_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "agg_stats_correlation",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 3) AS qty_price_covar,
+       ROUND(stddev_samp(l_quantity), 6) AS qty_stddev,
+       ROUND(var_samp(l_discount), 6) AS disc_var
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covar / stddev / variance) — the
+    profiling pass of a data pipeline. Co-moments merge associatively, so
+    these stay single-shuffle partial aggregates at any scale; results are
+    rounded (1e-6 / 1e-3) before comparison because float co-moment
+    accumulation order differs legitimately between engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias("qty_price_covar"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+            F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        )
+        .orderBy("l_returnflag")
+    )
