@@ -295,3 +295,69 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .orderBy("doc_a", "doc_b")
     )
+
+
+HOT_SHINGLE_DF_CAP = 20  # drop shingles appearing in more docs than this
+
+
+@register(
+    "dedup_jaccard_hot_shingle_capped",
+    oracle=f"""
+WITH sh0 AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(len(t) - {SHINGLE_WIDTH - 1}),
+           i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) AS shingle
+  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t
+        FROM documents)
+),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= {HOT_SHINGLE_DF_CAP}),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_shared,
+       CAST(i.n_shared AS DOUBLE) / (sa.sz + sb.sz - i.n_shared) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_shared AS DOUBLE) / (sa.sz + sb.sz - i.n_shared) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_jaccard_hot_shingle_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION variant of the shingle inverted-index join: shingles
+    whose document frequency exceeds HOT_SHINGLE_DF_CAP are dropped before
+    the self-join. Boilerplate shingles ("all rights reserved ...") are
+    exactly the skewed join keys that stall a cluster — a df cap bounds
+    every bucket's pairwise work while barely moving Jaccard for real
+    near-dups (their signal lives in rare shingles). Jaccard is computed
+    over the capped shingle universe on both sides, so the oracle matches
+    exactly.
+    """
+    sh0 = _doc_shingles(spark, sf_dir)
+    keep = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= HOT_SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh0.join(keep, "shingle").localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_shared"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_shared", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
