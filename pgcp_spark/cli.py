@@ -32,7 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
 def validate_table_arg(table: str) -> None:
     """pgcp_runner.rb:28-31 — globs must be schema-qualified with exactly
     one dot."""
-    if table.count(".") != 1 or table.startswith("."):
+    schema, _, name = table.partition(".")
+    if table.count(".") != 1 or not schema or not name:
         raise SystemExit(f"table must be schema-qualified as schema.table, got {table!r}")
 
 

@@ -100,7 +100,8 @@ SELECT i.relname AS index_name,
        ix.indisprimary,
        pg_catalog.pg_get_expr(ix.indpred, ix.indrelid) AS where_pred,
        ix.indkey::text,
-       ix.indexrelid::bigint
+       ix.indexrelid::bigint,
+       ix.indnkeyatts
 FROM pg_catalog.pg_class t
 JOIN pg_catalog.pg_namespace n ON t.relnamespace = n.oid
 JOIN pg_catalog.pg_index ix ON t.oid = ix.indrelid
@@ -110,12 +111,18 @@ WHERE n.nspname = {quote_literal(schema_name)}
 ORDER BY i.relname
 """
     indexes = []
-    for name, unique, primary, where, indkey, index_oid in client.fetch(sql):
-        n_cols = len(str(indkey).split())
-        cols = []
-        for pos in range(1, n_cols + 1):
-            col_sql = f"SELECT pg_catalog.pg_get_indexdef({index_oid}, {pos}, true)"
-            cols.append(client.fetch(col_sql)[0][0])
+    for name, unique, primary, where, _indkey, index_oid, n_key in client.fetch(sql):
+        # indnkeyatts, NOT len(indkey): indkey also lists INCLUDE (non-key)
+        # columns, and promoting those to key columns on replay would
+        # silently weaken unique constraints
+        n_cols = int(n_key)
+        # one round-trip per index (not per column): expand positions
+        # server-side with generate_series
+        col_sql = f"""
+SELECT g, pg_catalog.pg_get_indexdef({index_oid}, g, true)
+FROM generate_series(1, {n_cols}) AS g ORDER BY g
+"""
+        cols = [r[1] for r in client.fetch(col_sql)]
         indexes.append(
             IndexDef(
                 name=name,
@@ -135,6 +142,7 @@ SELECT COUNT(*)
 FROM information_schema.tables
 WHERE table_schema = {quote_literal(schema_name)}
   AND table_schema <> 'pg_toast'
+  AND table_type = 'BASE TABLE'
   AND table_name = {quote_literal(table_name)}
 """
     return int(client.fetch(sql)[0][0]) > 0

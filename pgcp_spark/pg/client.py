@@ -14,6 +14,7 @@ dependency (psycopg2 is deliberately not required).
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Protocol
 
 
@@ -46,41 +47,51 @@ class JvmJdbcClient:
         props.setProperty("user", user)
         props.setProperty("password", password)
         self._conn = self._jvm.java.sql.DriverManager.getConnection(jdbc_url, props)
+        # One java.sql.Connection serves all driver-side calls; statements
+        # from concurrent copy threads must not interleave with a
+        # transaction's autocommit toggling (a thread's DDL joining another
+        # thread's open transaction would be absorbed by its rollback).
+        self._lock = threading.RLock()
 
     def fetch(self, sql: str) -> list[tuple]:
-        stmt = self._conn.createStatement()
-        try:
-            rs = stmt.executeQuery(sql)
-            ncols = rs.getMetaData().getColumnCount()
-            rows = []
-            while rs.next():
-                rows.append(tuple(rs.getObject(i + 1) for i in range(ncols)))
-            return rows
-        finally:
-            stmt.close()
+        with self._lock:
+            stmt = self._conn.createStatement()
+            try:
+                rs = stmt.executeQuery(sql)
+                ncols = rs.getMetaData().getColumnCount()
+                rows = []
+                while rs.next():
+                    rows.append(tuple(rs.getObject(i + 1) for i in range(ncols)))
+                return rows
+            finally:
+                stmt.close()
 
     def execute(self, sql: str) -> None:
-        stmt = self._conn.createStatement()
-        try:
-            stmt.execute(sql)
-        finally:
-            stmt.close()
+        with self._lock:
+            stmt = self._conn.createStatement()
+            try:
+                stmt.execute(sql)
+            finally:
+                stmt.close()
 
     def execute_transaction(self, statements: list[str]) -> None:
-        self._conn.setAutoCommit(False)
-        try:
-            for sql in statements:
-                stmt = self._conn.createStatement()
-                try:
-                    stmt.execute(sql)
-                finally:
-                    stmt.close()
-            self._conn.commit()
-        except Exception:
-            self._conn.rollback()
-            raise
-        finally:
-            self._conn.setAutoCommit(True)
+        # hold the lock for the WHOLE transaction so no other thread's
+        # statement joins it
+        with self._lock:
+            self._conn.setAutoCommit(False)
+            try:
+                for sql in statements:
+                    stmt = self._conn.createStatement()
+                    try:
+                        stmt.execute(sql)
+                    finally:
+                        stmt.close()
+                self._conn.commit()
+            except Exception:
+                self._conn.rollback()
+                raise
+            finally:
+                self._conn.setAutoCommit(True)
 
     def close(self) -> None:
         self._conn.close()

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import fnmatch
 import logging
+import threading
 import uuid
 from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
@@ -90,6 +91,12 @@ class Transport:
         )
         self.reader = reader or self._default_reader
         self.writer = writer or self._default_writer
+        # source-catalog memo: each copy needs columns/indexes in up to
+        # three places (dest DDL, staging DDL, partition-column pick,
+        # index replay) — introspect once per table, not per use
+        self._cat_lock = threading.Lock()
+        self._col_cache: dict[str, list[cat.ColumnDef]] = {}
+        self._idx_cache: dict[str, list[cat.IndexDef]] = {}
 
     # ---------------- public API (O18/O19) ----------------
 
@@ -139,7 +146,7 @@ class Transport:
         try:
             self._copy_table_data(src, dest, options)
             if not options.skip_indexes:  # Q3 fixed
-                indexes = cat.get_indexes(self.src_client, src.schema_name, src.table_name)
+                indexes = self._src_indexes(src)
                 for stmt in ddl.create_index_statements(dest, indexes):
                     self.dest_client.execute(stmt)
         except Exception:
@@ -181,9 +188,27 @@ class Transport:
         if missing. Returns True if this run created the table."""
         if cat.table_exists(self.dest_client, dest.schema_name, dest.table_name):
             return False
-        columns = cat.column_definitions(self.src_client, src.schema_name, src.table_name)
+        columns = self._src_columns(src)
         self.dest_client.execute(ddl.create_table_statement(columns, dest))
         return True
+
+    def _src_columns(self, qn: QualifiedName) -> list[cat.ColumnDef]:
+        key = str(qn)
+        with self._cat_lock:
+            if key not in self._col_cache:
+                self._col_cache[key] = cat.column_definitions(
+                    self.src_client, qn.schema_name, qn.table_name
+                )
+            return self._col_cache[key]
+
+    def _src_indexes(self, qn: QualifiedName) -> list[cat.IndexDef]:
+        key = str(qn)
+        with self._cat_lock:
+            if key not in self._idx_cache:
+                self._idx_cache[key] = cat.get_indexes(
+                    self.src_client, qn.schema_name, qn.table_name
+                )
+            return self._idx_cache[key]
 
     def _copy_table_data(
         self, src: QualifiedName, dest: QualifiedName, options: CopyOptions
@@ -204,9 +229,7 @@ class Transport:
         staging = QualifiedName(dest.schema_name, staging_name)
         if src_for_ddl is not None:
             # exact PG types from the source catalog
-            columns = cat.column_definitions(
-                self.src_client, src_for_ddl.schema_name, src_for_ddl.table_name
-            )
+            columns = self._src_columns(src_for_ddl)
             self.dest_client.execute(ddl.create_table_statement(columns, staging))
         else:
             # Spark-schema-derived staging table (CTAS / CSV path)
@@ -262,13 +285,10 @@ class Transport:
         writer.save()
 
     def _numeric_pk_column(self, src: QualifiedName) -> str | None:
-        pk = cat.primary_key_columns(self.src_client, src.schema_name, src.table_name)
+        pk = next((ix.columns for ix in self._src_indexes(src) if ix.primary), ())
         if not pk:
             return None
-        col_types = {
-            c.name: c.type
-            for c in cat.column_definitions(self.src_client, src.schema_name, src.table_name)
-        }
+        col_types = {c.name: c.type for c in self._src_columns(src)}
         first = pk[0]
         if col_types.get(first, "").lower().startswith(NUMERIC_PG_TYPES):
             return first

@@ -43,12 +43,22 @@ class FakeClient:
             return [(c.name, c.type, not c.nullable) for c in self.columns]
         if "pg_index" in s and "indisunique" in s:
             return [
-                (ix.name, ix.unique, ix.primary, ix.where, " ".join("1" * len(ix.columns)), i)
+                (
+                    ix.name,
+                    ix.unique,
+                    ix.primary,
+                    ix.where,
+                    " ".join("1" * len(ix.columns)),
+                    i,
+                    len(ix.columns),
+                )
                 for i, ix in enumerate(self.indexes)
             ]
         if "pg_get_indexdef" in s:
-            m = re.search(r"pg_get_indexdef\((\d+), (\d+),", s)
-            return [(self.indexes[int(m.group(1))].columns[int(m.group(2)) - 1],)]
+            m = re.search(r"pg_get_indexdef\((\d+), g", s)
+            n = int(re.search(r"generate_series\(1, (\d+)\)", s).group(1))
+            ix = self.indexes[int(m.group(1))]
+            return [(pos, ix.columns[pos - 1]) for pos in range(1, n + 1)]
         if "MIN(" in s:
             return [self.pk_bounds]
         raise AssertionError(f"unexpected fetch: {s}")
@@ -232,3 +242,7 @@ def test_cli_validates_glob():
         validate_table_arg("users")
     with pytest.raises(SystemExit):
         validate_table_arg("a.b.c")
+    with pytest.raises(SystemExit):
+        validate_table_arg("schema.")  # trailing dot: empty table part
+    with pytest.raises(SystemExit):
+        validate_table_arg(".users")
