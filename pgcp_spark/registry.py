@@ -69,6 +69,7 @@ def _load_operator_modules() -> None:
     import pgcp_spark.operators.setops  # noqa: F401
     import pgcp_spark.operators.subqueries  # noqa: F401
     import pgcp_spark.operators.tpch  # noqa: F401
+    import pgcp_spark.operators.tpch2  # noqa: F401
     import pgcp_spark.operators.udfs  # noqa: F401
     import pgcp_spark.operators.windows  # noqa: F401
     import pgcp_spark.streaming.events  # noqa: F401
