@@ -361,3 +361,89 @@ def dedup_jaccard_hot_shingle_capped(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
+
+
+EMB_DUP_THRESHOLD = 0.4  # random 64-dim corpus: max pairwise cos ≈ 0.51
+EMB_BLOCKS = 8
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+             6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+            6) >= {EMB_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+""",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: EXACT all-pairs cosine ≥ threshold via
+    distributed block matmul (the exactness companion to
+    ``sim_cosine_lsh_pairs``; north-star 'embedding-cosine near-dup').
+
+    Scale shape: the corpus is hashed into B blocks; each block's vectors
+    are packed into ONE row (id list + matrix); the B(B+1)/2 block-pair
+    grid is the join output — communication O(B·n), not O(n²) row pairs —
+    and each grid cell does a single vectorized numpy float64 matmul.
+    At larger corpora raise EMB_BLOCKS so a block fits an executor core;
+    the all-pairs work is still quadratic — that is inherent to EXACT
+    near-dup; the LSH/IVF variants are the subquadratic approximate path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table_parallel(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    packed = (
+        e.groupBy((F.col("vec_id") % EMB_BLOCKS).alias("block"))
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("embedding").alias("vecs"),
+        )
+        .localCheckpoint()  # feeds both sides of the grid self-join
+    )
+    a, b = packed.alias("a"), packed.alias("b")
+    grid = a.join(b, F.col("a.block") <= F.col("b.block")).select(
+        F.col("a.block").alias("block_a"),
+        F.col("a.ids").alias("ids_a"),
+        F.col("a.vecs").alias("vecs_a"),
+        F.col("b.block").alias("block_b"),
+        F.col("b.ids").alias("ids_b"),
+        F.col("b.vecs").alias("vecs_b"),
+    )
+
+    def block_pairs(batches):
+        for batch in batches:
+            for _, row in batch.iterrows():
+                ma = np.array(row["vecs_a"].tolist(), dtype=np.float64)
+                mb = np.array(row["vecs_b"].tolist(), dtype=np.float64)
+                ia = np.asarray(row["ids_a"], dtype=np.int64)
+                ib = np.asarray(row["ids_b"], dtype=np.int64)
+                na = np.sqrt((ma * ma).sum(axis=1))
+                nb = np.sqrt((mb * mb).sum(axis=1))
+                sims = np.round((ma @ mb.T) / (na[:, None] * nb[None, :]), 6)
+                if row["block_a"] == row["block_b"]:
+                    # both orientations present in this cell: keep id_a < id_b
+                    keep = (sims >= EMB_DUP_THRESHOLD) & (ia[:, None] < ib[None, :])
+                else:
+                    # each unordered pair appears exactly once (the mirrored
+                    # block cell is not in the grid) — keep all, then orient
+                    keep = sims >= EMB_DUP_THRESHOLD
+                xi, yi = np.nonzero(keep)
+                if len(xi):
+                    lo = np.minimum(ia[xi], ib[yi])
+                    hi = np.maximum(ia[xi], ib[yi])
+                    yield pd.DataFrame(
+                        {"vec_a": lo, "vec_b": hi, "cos_sim": sims[xi, yi]}
+                    )
+
+    out = grid.repartition(EMB_BLOCKS * (EMB_BLOCKS + 1) // 2).mapInPandas(
+        block_pairs, schema="vec_a long, vec_b long, cos_sim double"
+    )
+    return out.orderBy("vec_a", "vec_b")
