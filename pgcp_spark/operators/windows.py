@@ -267,3 +267,74 @@ def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("s_suppkey")
     )
+
+
+SESSION_GAP_MIN = 600  # minutes; events median inter-event gap ≈ 441 min
+
+
+@register(
+    "window_sessionize_events",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, value,
+         CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, value, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > CAST({SESSION_GAP_MIN * 60 * 1_000_000} AS BIGINT)
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sessions AS (
+  SELECT user_id, event_id, value, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts when a
+    user's inter-event gap exceeds SESSION_GAP_MIN; session ids are the
+    running count of session starts (lag → flag → cumulative sum), then one
+    aggregate per (user, session). The batch twin of
+    ``streaming_session_windows``.
+
+    Scale: both windows and the final groupBy share the same user_id
+    partitioning — one shuffle on user_id total; everything after is
+    partition-local. Micros-exact gap arithmetic (unix_micros) so the
+    DuckDB oracle computes identical integers.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = (
+        F.when(gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0)
+    )
+    sessions = e.withColumn(
+        "session_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
