@@ -146,21 +146,33 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # hash each shingle STRING once (the expensive part), then derive the
     # k signature hashes from the cheap 8-byte value — 1 string hash + k
-    # fixed-width hashes per shingle instead of k string hashes
-    sh = _doc_shingles(spark, sf_dir).select(
-        "doc_id", F.xxhash64("shingle").alias("g")
+    # fixed-width hashes per shingle instead of k string hashes.
+    # Min-hashes are ROW-LOCAL: array_min over the doc's shingle-hash array
+    # — no explode, no shuffle, no aggregate. (The explode→groupBy(min)
+    # formulation computes identical values but shuffles |shingles| rows.)
+    d = load_table_parallel(spark, sf_dir, "documents")
+    g_arr = F.transform(_shingles(F.split(_normalized(), " ")), lambda s: F.xxhash64(s))
+    sig_arr = F.array(
+        *[
+            F.array_min(F.transform(F.col("g_arr"), lambda g: F.xxhash64(F.lit(i), g)))
+            for i in range(MINHASH_K)
+        ]
     )
-    # k min-hashes per doc in one aggregation pass
-    sigs = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}") for i in range(MINHASH_K)]
-    )
-    sig_arr = F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)])
     # Materialize the signatures (n_docs × k longs — tiny next to the corpus)
     # before the band self-join: without this the whole shingle→hash→min
     # pipeline runs TWICE, once per join side. localCheckpoint stores the
     # blocks executor-side and truncates lineage; production would persist
     # the signature table to the lake for reuse across dedup runs.
-    sigs = sigs.select("doc_id", sig_arr.alias("sig")).localCheckpoint()
+    # The sub-shingle-width guard filters on a CHEAP token count, not on
+    # size(g_arr): filters are pushed below the round-robin repartition, so
+    # a g_arr-dependent predicate would evaluate the whole shingle+hash
+    # pipeline on the single pre-repartition scan partition.
+    sigs = (
+        d.filter(F.size(F.split(_normalized(), " ")) >= SHINGLE_WIDTH)
+        .select("doc_id", g_arr.alias("g_arr"))
+        .select("doc_id", sig_arr.alias("sig"))
+        .localCheckpoint()
+    )
 
     rows_per_band = MINHASH_K // LSH_BANDS
     bands = sigs.select(
