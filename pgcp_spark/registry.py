@@ -60,6 +60,7 @@ def _load_operator_modules() -> None:
     import pgcp_spark.functions.dedup  # noqa: F401
     import pgcp_spark.functions.graph  # noqa: F401
     import pgcp_spark.functions.multimodal  # noqa: F401
+    import pgcp_spark.functions.pipeline  # noqa: F401
     import pgcp_spark.functions.sampling  # noqa: F401
     import pgcp_spark.functions.similarity  # noqa: F401
     import pgcp_spark.functions.text  # noqa: F401
