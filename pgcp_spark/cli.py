@@ -26,6 +26,15 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--skip-indexes", action="store_true", help="skip index replay")
     cp.add_argument("--no-create-schema", action="store_true")
     cp.add_argument("--num-partitions", type=int, default=16)
+    q = sub.add_parser(
+        "sql",
+        help="run a SQL query over the parquet lake tables (the user-facing "
+        "surface of the reference's CTAS seam, postgres.rb:80-91 / O15)",
+    )
+    q.add_argument("query", help="ANSI SQL over tables region..embeddings")
+    q.add_argument("--sf-dir", default=None, help="lake directory (default $SPARK_GRAFT_SF_DIR)")
+    q.add_argument("--output", default=None, help="write result as parquet to this path")
+    q.add_argument("--limit", type=int, default=20, help="rows to print when not writing")
     return p
 
 
@@ -37,8 +46,35 @@ def validate_table_arg(table: str) -> None:
         raise SystemExit(f"table must be schema-qualified as schema.table, got {table!r}")
 
 
+def run_sql(args) -> int:
+    """``pgcp-spark sql``: register the lake tables as temp views, run the
+    query through Catalyst, and show or persist the result — the Spark
+    replacement for the reference executing user SQL inside PostgreSQL
+    (create_table_from_query, postgres.rb:80-91)."""
+    import os
+
+    from pgcp_spark.session import get_spark
+    from pgcp_spark.sources import register_views
+
+    sf_dir = args.sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    spark = get_spark("pgcp_spark_sql")
+    register_views(spark, sf_dir)
+    df = spark.sql(args.query)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        logging.getLogger("pgcp_spark").info("wrote %s", args.output)
+    else:
+        for line in df._show_string(args.limit, 0, False).splitlines():
+            print(line)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.command == "sql":
+        handlers = [logging.StreamHandler(sys.stdout)]
+        logging.basicConfig(level=logging.INFO, handlers=handlers)
+        return run_sql(args)
     if args.command != "cp":
         build_parser().print_help()
         return 1

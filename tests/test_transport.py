@@ -246,3 +246,35 @@ def test_cli_validates_glob():
         validate_table_arg("schema.")  # trailing dot: empty table part
     with pytest.raises(SystemExit):
         validate_table_arg(".users")
+
+
+def test_cli_sql_prints_query_result(spark, capsys):
+    from pgcp_spark.cli import main
+    from tests.conftest import SF_DIR
+
+    rc = main(["sql", "SELECT r_name FROM region ORDER BY r_name", "--sf-dir", SF_DIR])
+    assert rc == 0
+    out = capsys.readouterr().out
+    for name in ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"):
+        assert name in out
+
+
+def test_cli_sql_writes_parquet(spark, tmp_path):
+    from pgcp_spark.cli import main
+    from tests.conftest import SF_DIR
+
+    dest = str(tmp_path / "out.parquet")
+    rc = main(
+        [
+            "sql",
+            "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0",
+            "--sf-dir",
+            SF_DIR,
+            "--output",
+            dest,
+        ]
+    )
+    assert rc == 0
+    back = spark.read.parquet(dest)
+    assert back.count() > 0
+    assert set(back.columns) == {"n_nationkey", "n_name"}
