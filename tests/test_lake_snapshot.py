@@ -1,0 +1,64 @@
+"""Atomic snapshot tables (pgcp_spark/sources/lake.py): the reference's
+staging + hotswap availability pattern (postgres.rb:93-106,
+transport.rb:128-143) translated to pointer commits on a parquet lake."""
+
+from __future__ import annotations
+
+import os
+
+from pgcp_spark.sources import lake
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, name string, amount double")
+
+
+def test_write_and_read_snapshot(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lake.write_snapshot(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), table)
+    got = sorted(tuple(r) for r in lake.read_current(spark, table).collect())
+    assert got == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+def test_upsert_replaces_by_key_and_keeps_rest(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lake.write_snapshot(_df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]), table)
+    lake.upsert(spark, table, _df(spark, [(2, "b2", 20.0), (4, "d", 4.0)]), key=["id"])
+    got = sorted(tuple(r) for r in lake.read_current(spark, table).collect())
+    assert got == [(1, "a", 1.0), (2, "b2", 20.0), (3, "c", 3.0), (4, "d", 4.0)]
+
+
+def test_readers_unaffected_by_uncommitted_snapshot(spark, tmp_path):
+    """A snapshot dir without a pointer flip (= crash before commit) is
+    invisible; the next successful commit garbage-collects it."""
+    table = str(tmp_path / "t")
+    lake.write_snapshot(_df(spark, [(1, "a", 1.0)]), table)
+    committed = lake.current_snapshot(table)
+
+    orphan = os.path.join(table, f"{lake.SNAPSHOT_PREFIX}deadbeef")
+    _df(spark, [(9, "x", 9.0)]).write.parquet(orphan)
+    assert lake.current_snapshot(table) == committed
+    got = [tuple(r) for r in lake.read_current(spark, table).collect()]
+    assert got == [(1, "a", 1.0)]
+
+    lake.write_snapshot(_df(spark, [(2, "b", 2.0)]), table)
+    assert not os.path.exists(orphan)
+
+
+def test_commit_leaves_exactly_one_snapshot(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lake.write_snapshot(_df(spark, [(1, "a", 1.0)]), table)
+    lake.upsert(spark, table, _df(spark, [(1, "a2", 10.0)]), key=["id"])
+    snaps = [e for e in os.listdir(table) if e.startswith(lake.SNAPSHOT_PREFIX)]
+    assert len(snaps) == 1
+    assert lake.current_snapshot(table) == snaps[0]
+
+
+def test_read_current_without_commit_raises(spark, tmp_path):
+    table = str(tmp_path / "empty")
+    os.makedirs(table)
+    try:
+        lake.read_current(spark, table)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
