@@ -316,7 +316,15 @@ def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-local. Micros-exact gap arithmetic (unix_micros) so the
     DuckDB oracle computes identical integers.
     """
-    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value", "ts")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        # normalize TIMESTAMP_NTZ (e.g. DuckDB-written lakes) to TIMESTAMP:
+        # unix_micros rejects NTZ, and the cast is value-exact under the
+        # session's UTC timezone
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     new_session = (

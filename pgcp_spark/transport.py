@@ -181,6 +181,14 @@ class Transport:
         df = self.spark.read.csv(csv_path, header=header, inferSchema=True)
         self._staged_write(df, dest, CopyOptions())
 
+    def copy_from_jsonl(self, json_path: str, dest_tablename: str) -> None:
+        """JSON-lines ingest: the format the reference's CSV path (O16)
+        would grow into for semi-structured sources. spark.read.json infers
+        the schema across all files in parallel; same staged write path."""
+        dest = QualifiedName.parse(dest_tablename)
+        df = self.spark.read.json(json_path)
+        self._staged_write(df, dest, CopyOptions())
+
     # ---------------- internals ----------------
 
     def _create_dest_table(self, src: QualifiedName, dest: QualifiedName) -> bool:

@@ -89,3 +89,19 @@ def test_percentile_approx_close_to_exact(spark):
     }
     for r in rows:
         assert abs(r.approx_median - exact[r.o_orderstatus]) / exact[r.o_orderstatus] < 0.05
+
+
+def test_jsonl_ingest_roundtrip(spark, tmp_path):
+    jl = tmp_path / "people.jsonl"
+    jl.write_text(
+        '{"id": 1, "name": "ann", "tags": ["x"]}\n'
+        '{"id": 2, "name": "bob", "tags": ["y", "z"]}\n'
+    )
+    dest = FakeClient()
+    tr, writes = make_transport(spark, dest)
+    tr.copy_from_jsonl(str(jl), "public.people_json")
+    assert writes and writes[0][1] == 2
+    joined = "\n".join(dest.executed)
+    assert '"id" BIGINT' in joined
+    assert '"name" TEXT' in joined
+    assert dest.transactions and 'RENAME TO "people_json"' in dest.transactions[0][-1]
