@@ -375,7 +375,11 @@ def join_band_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick generalizes to numeric bands and geo grids.
     """
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "ts"
+        "event_id",
+        "event_type",
+        # TIMESTAMP_NTZ-written lakes (e.g. DuckDB) break unix_micros;
+        # the cast is value-exact under the session's UTC timezone
+        F.col("ts").cast("timestamp").alias("ts"),
     )
     bucket = (F.unix_micros("ts") / F.lit(BAND_SECONDS * 1_000_000)).cast("long")
     err = (
