@@ -331,3 +331,42 @@ def rollup_cascade_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "streaming_append_finalized_windows",
+    oracle=f"""
+WITH ev AS ({_EVENTS_US}),
+mx AS (SELECT MAX(ts) AS max_ts FROM ev)
+SELECT DATE_TRUNC('hour', ev.ts) AS window_start,
+       COUNT(*) AS n_events
+FROM ev, mx
+GROUP BY 1, mx.max_ts
+HAVING DATE_TRUNC('hour', MIN(ev.ts)) + INTERVAL 1 HOUR
+       <= mx.max_ts - INTERVAL 30 MINUTE
+ORDER BY window_start
+""",
+)
+def streaming_append_finalized_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode windowed aggregation under a watermark: a window is
+    emitted ONLY once the watermark (max event time − 30 min) passes its
+    end — the production sink semantic (each window written exactly once,
+    state dropped after emission), unlike the harness-friendly
+    ``complete`` mode used elsewhere.
+
+    Deterministic with availableNow: the final watermark is
+    max(ts) − 30 min, so exactly the windows with
+    window_end <= max(ts) − 30 min appear — which is what the oracle
+    states relationally via its HAVING clause.
+
+    Scale: state is one partial aggregate per open window (bounded by the
+    watermark), never an event buffer.
+    """
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    return _run_to_memory(agg, "append").orderBy("window_start")
