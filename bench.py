@@ -23,11 +23,16 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q9_product_type_profit",
     "q10_returned_items",
+    "q21_sole_late_supplier",
     "window_top3_orders_per_customer",
+    "window_sessionize_events",
     "dedup_minhash_lsh_candidates",
+    "dedup_embedding_cosine_pairs",
     "sim_cosine_bruteforce_topk",
     "text_quality_score",
+    "pipeline_training_data_prep",
     "streaming_tumbling_event_counts",
 ]
 

@@ -142,3 +142,38 @@ def test_q6_single_stage_aggregate(spark):
     assert any("l_discount" in f for f in filters), filters
     # global agg: only a SinglePartition exchange, no hash shuffle
     assert ex.shuffle_exchange_count(df) == 0
+
+
+def test_q9_broadcasts_dims_no_nested_loop(spark):
+    df = q("q9_product_type_profit", spark)
+    # part (filtered), supplier, nation broadcast; lineitem⋈orders is the
+    # only fact-fact join
+    assert ex.has_broadcast_hash_join(df, at_least=3)
+    assert not ex.has_nested_loop_join(df)
+
+
+def test_q21_reduces_fact_before_self_join(spark):
+    df = q("q21_sole_late_supplier", spark)
+    assert not ex.has_nested_loop_join(df)
+    # the EXISTS/NOT-EXISTS pair decorrelates to joins over the
+    # per-(order,supp) aggregate — no correlated re-execution survives
+    plan = ex.physical_plan(df)
+    assert "HashAggregate" in plan
+
+
+def test_pipeline_pushes_quality_filter_to_scan(spark):
+    df = q("pipeline_training_data_prep", spark)
+    filters = ex.pushed_filters(df)
+    assert any("n_chars" in f for f in filters), f"n_chars not pushed: {filters}"
+
+
+def test_q20_semi_joins_stay_hash_based(spark):
+    df = q("q20_promotion_supplier_candidates", spark)
+    # both IN subqueries decorrelate to broadcast semi joins
+    assert ex.count_occurrences(df, "Join type: LeftSemi") >= 2
+    assert ex.has_broadcast_hash_join(df, at_least=2)
+    # exactly ONE nested-loop join is expected: the 1-row scalar-average
+    # broadcast cross join (the canonical scalar-subquery plan) — anything
+    # more means a semi join degraded
+    # (simple_plan lists each node once; the formatted plan would double-count)
+    assert ex.simple_plan(df).count("BroadcastNestedLoopJoin") == 1
