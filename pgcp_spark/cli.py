@@ -26,6 +26,11 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--skip-indexes", action="store_true", help="skip index replay")
     cp.add_argument("--no-create-schema", action="store_true")
     cp.add_argument("--num-partitions", type=int, default=16)
+    cp.add_argument(
+        "--where",
+        default=None,
+        help="SQL predicate for incremental/partial copies (pushed into the source scan)",
+    )
     q = sub.add_parser(
         "sql",
         help="run a SQL query over the parquet lake tables (the user-facing "
@@ -104,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
         create_schema=not args.no_create_schema,
         skip_indexes=args.skip_indexes,
         num_partitions=args.num_partitions,
+        where=args.where,
     )
     if "*" in args.table or "?" in args.table or "[" in args.table:
         tr.copy_tables(args.table, options)  # pgcp_runner.rb:27

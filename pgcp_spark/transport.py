@@ -59,6 +59,9 @@ class CopyOptions:
     num_partitions: int = DEFAULT_NUM_PARTITIONS
     fetch_size: int = DEFAULT_FETCH_SIZE
     batch_size: int = DEFAULT_BATCH_SIZE
+    # optional SQL predicate for incremental / partial copies; Catalyst
+    # pushes it into the JDBC scan (WHERE reaches the source Postgres)
+    where: str | None = None
 
 
 class Transport:
@@ -265,9 +268,14 @@ class Transport:
             reader = reader.option(k, v)
         part_col = self._numeric_pk_column(src)
         if part_col:
-            lo, hi = self.src_client.fetch(
+            bounds_sql = (
                 f"SELECT MIN({quote_ident(part_col)}), MAX({quote_ident(part_col)}) FROM {src.quoted}"
-            )[0]
+            )
+            if options.where:
+                # bound the partition range to the filtered rows so the N
+                # range partitions stay balanced over what's actually read
+                bounds_sql += f" WHERE {options.where}"
+            lo, hi = self.src_client.fetch(bounds_sql)[0]
             if lo is not None and hi is not None and hi > lo:
                 reader = (
                     reader.option("partitionColumn", part_col)
@@ -275,7 +283,12 @@ class Transport:
                     .option("upperBound", str(hi))
                     .option("numPartitions", str(options.num_partitions))
                 )
-        return reader.load()
+        df = reader.load()
+        if options.where:
+            # filter() on a JDBC relation pushes down (pushDownPredicate
+            # defaults true), so the predicate executes source-side
+            df = df.filter(options.where)
+        return df
 
     def _default_writer(self, df: Any, staging: QualifiedName, options: CopyOptions) -> None:
         """Batched JDBC append into the pre-created staging table (O2) —

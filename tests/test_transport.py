@@ -278,3 +278,32 @@ def test_cli_sql_writes_parquet(spark, tmp_path):
     back = spark.read.parquet(dest)
     assert back.count() > 0
     assert set(back.columns) == {"n_nationkey", "n_name"}
+
+
+def test_where_option_reaches_reader():
+    """--where propagates through copy_table to the reader options
+    (the default reader pushes it into the JDBC scan + bounds query)."""
+    src = FakeClient(tables={"public": ["users"]}, columns=COLS, indexes=INDEXES)
+    dest = FakeClient(tables={"public": []})
+    seen = {}
+
+    def reader(table, options):
+        seen["where"] = options.where
+        return FakeDF()
+
+    tr = Transport(
+        spark=None, src_cfg=CFG, dest_cfg=CFG,
+        src_client=src, dest_client=dest,
+        reader=reader, writer=lambda df, staging, options: None,
+    )
+    tr.copy_table("public.users", None, CopyOptions(where="id > 100"))
+    assert seen["where"] == "id > 100"
+
+
+def test_cli_parses_where_flag():
+    from pgcp_spark.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["cp", "-s", "a", "-d", "b", "-t", "s.t", "--where", "id > 5"]
+    )
+    assert args.where == "id > 5"
