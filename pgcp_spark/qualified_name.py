@@ -26,6 +26,8 @@ class QualifiedName:
             if not schema or not table:
                 raise ValueError(f"invalid qualified name: {name!r}")
             return cls(schema, table)
+        if not name:
+            raise ValueError("qualified name cannot be empty")
         return cls("public", name)
 
     def __str__(self) -> str:

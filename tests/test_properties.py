@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the pure-logic layer — parsing,
+DDL synthesis, deterministic sampling math. The reference had no
+property tests (SURVEY.md §5); these pin the invariants the copy pipeline
+and sampling operators rely on, with no SparkSession needed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given
+from hypothesis import strategies as st
+
+from pgcp_spark.functions.sampling import KNUTH, MOD
+from pgcp_spark.pg import catalog as cat
+from pgcp_spark.pg import ddl
+from pgcp_spark.qualified_name import QualifiedName, quote_ident, quote_literal
+
+# identifiers: PG-ish names (we don't quote-split on dots inside names)
+ident = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd"), whitelist_characters="_"),
+    min_size=1,
+    max_size=32,
+).filter(lambda s: "." not in s and not s[0].isdigit())
+
+
+@given(schema=ident, table=ident)
+def test_qualified_name_parse_roundtrip(schema, table):
+    qn = QualifiedName.parse(f"{schema}.{table}")
+    assert (qn.schema_name, qn.table_name) == (schema, table)
+    assert QualifiedName.parse(str(qn)) == qn
+
+
+@given(name=ident)
+def test_quote_ident_always_quoted_and_escaped(name):
+    q = quote_ident(name + '"x')
+    assert q.startswith('"') and q.endswith('"')
+    assert '""' in q  # the embedded quote is doubled
+
+
+@given(s=st.text(max_size=64))
+def test_quote_literal_escapes_quotes(s):
+    lit = quote_literal(s)
+    assert lit.startswith("'") and lit.endswith("'")
+    assert lit[1:-1].count("'") % 2 == 0  # all quotes doubled
+
+
+@given(
+    cols=st.lists(
+        st.tuples(ident, st.sampled_from(["bigint", "text", "numeric(12,2)", "text[]"]),
+                  st.booleans()),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    schema=ident,
+    table=ident,
+)
+def test_create_table_statement_contains_every_column(cols, schema, table):
+    defs = [cat.ColumnDef(n, t, nullable) for n, t, nullable in cols]
+    stmt = ddl.create_table_statement(defs, QualifiedName(schema, table))
+    assert stmt.startswith("CREATE TABLE")
+    for n, t, nullable in cols:
+        assert f'{quote_ident(n)} {t}' in stmt
+    # every column renders exactly one NULL token; NOT NULL count matches
+    # the non-nullable columns ("NOT NULL" itself contains " NULL")
+    assert stmt.count(" NULL") == len(cols)
+    assert stmt.count("NOT NULL") == sum(1 for _, _, nullable in cols if not nullable)
+
+
+@given(key=st.integers(min_value=0, max_value=2**40))
+def test_sampling_hash_stays_in_range_and_is_deterministic(key):
+    h1 = (key * KNUTH) % MOD
+    h2 = (key * KNUTH) % MOD
+    assert h1 == h2
+    assert 0 <= h1 < MOD
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=2**40), min_size=200,
+                     max_size=200, unique=True))
+def test_sampling_hash_is_roughly_uniform(keys):
+    frac = sum(1 for k in keys if (k * KNUTH) % MOD < 0.5 * MOD) / len(keys)
+    # multiplicative hashing over distinct keys: the half-threshold keeps
+    # 50% in expectation; allow wide slack for 200 samples
+    assert 0.2 <= frac <= 0.8
+
+
+def test_qualified_name_rejects_garbage():
+    for bad in ("", ".", "a.", ".b"):
+        with pytest.raises(ValueError):
+            QualifiedName.parse(bad)
+    # reference semantics (qualified_name.rb:4-12): split on the FIRST dot —
+    # dots in the table part are legal
+    assert QualifiedName.parse("a.b.c") == QualifiedName("a", "b.c")
