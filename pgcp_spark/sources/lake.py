@@ -18,6 +18,11 @@ the reference gets from its transaction. This is the same commit protocol
 table formats like Iceberg/Delta use (a mutable pointer over immutable data
 files), reduced to its minimum.
 
+Time travel: ``_LOG`` records the committed snapshot names in commit order
+(advisory — the pointer stays authoritative); ``write_snapshot(keep=N)``
+retains the last N committed snapshots so ``read_snapshot`` can serve
+historical reads, and GCs everything older plus crash orphans.
+
 MERGE-shaped upsert: parquet files are immutable, so ``upsert`` is
 copy-on-write — new/updated rows win by key, unmatched current rows carry
 over (one left-anti join), and the result commits as a fresh snapshot.
@@ -26,16 +31,22 @@ over (one left-anti join), and the result commits as a fresh snapshot.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 POINTER = "_CURRENT"
+LOG = "_LOG"
 SNAPSHOT_PREFIX = "snapshot_"
 
 
 def _pointer_path(table_dir: str) -> str:
     return os.path.join(table_dir, POINTER)
+
+
+def _log_path(table_dir: str) -> str:
+    return os.path.join(table_dir, LOG)
 
 
 def current_snapshot(table_dir: str) -> str | None:
@@ -47,43 +58,73 @@ def current_snapshot(table_dir: str) -> str | None:
         return None
 
 
+def history(table_dir: str) -> list[str]:
+    """Committed snapshot names, oldest → newest. The pointer is
+    authoritative: a crash between pointer and log update means the log
+    may lack the newest entry, so it is reconciled in."""
+    try:
+        with open(_log_path(table_dir)) as f:
+            entries = [line.strip() for line in f if line.strip()]
+    except FileNotFoundError:
+        entries = []
+    cur = current_snapshot(table_dir)
+    if cur and cur not in entries:
+        entries.append(cur)
+    return entries
+
+
 def read_current(spark: SparkSession, table_dir: str) -> DataFrame:
     snap = current_snapshot(table_dir)
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    return spark.read.parquet(os.path.join(table_dir, snap))
+    return read_snapshot(spark, table_dir, snap)
 
 
-def write_snapshot(df: DataFrame, table_dir: str) -> str:
+def read_snapshot(spark: SparkSession, table_dir: str, snapshot: str) -> DataFrame:
+    """Time travel: read a specific retained snapshot by name."""
+    path = os.path.join(table_dir, snapshot)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"snapshot {snapshot!r} not found in {table_dir}")
+    return spark.read.parquet(path)
+
+
+def _atomic_write(path: str, content: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(content)
+    os.replace(tmp, path)
+
+
+def write_snapshot(df: DataFrame, table_dir: str, keep: int = 1) -> str:
     """Write ``df`` as a new snapshot and atomically commit the pointer.
 
     Returns the committed snapshot name. The parquet write happens into the
     (reader-invisible) snapshot dir; the only mutation readers can observe
-    is the single atomic pointer replace.
+    is the single atomic pointer replace. ``keep`` newest committed
+    snapshots are retained for time travel; older ones and crash-orphaned
+    uncommitted dirs are GC'd.
     """
     os.makedirs(table_dir, exist_ok=True)
     snap = f"{SNAPSHOT_PREFIX}{uuid.uuid4().hex}"
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, snap))
 
-    tmp = _pointer_path(table_dir) + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(snap)
-    os.replace(tmp, _pointer_path(table_dir))  # the atomic commit
+    _atomic_write(_pointer_path(table_dir), snap)  # the atomic commit
+    committed = history(table_dir)  # reconciles snap via the pointer
+    _atomic_write(_log_path(table_dir), "\n".join(committed) + "\n")
 
-    # opportunistic GC of everything the pointer no longer references:
-    # the superseded snapshot and any crash-orphaned uncommitted dirs.
-    # (Production would keep N snapshots for time travel / slow readers;
-    # local tests read eagerly so immediate GC is safe.)
-    import shutil
-
+    kept = set(committed[-max(1, keep):])
     for entry in os.listdir(table_dir):
-        if entry.startswith(SNAPSHOT_PREFIX) and entry != snap:
+        if entry.startswith(SNAPSHOT_PREFIX) and entry not in kept:
             shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
+    if len(committed) > keep:
+        _atomic_write(
+            _log_path(table_dir), "\n".join(committed[-max(1, keep):]) + "\n"
+        )
     return snap
 
 
 def upsert(
-    spark: SparkSession, table_dir: str, updates: DataFrame, key: list[str]
+    spark: SparkSession, table_dir: str, updates: DataFrame, key: list[str], keep: int = 1
 ) -> str:
     """MERGE-shaped copy-on-write upsert: rows in ``updates`` replace
     current rows with the same key; all other current rows carry over.
@@ -96,4 +137,4 @@ def upsert(
     current = read_current(spark, table_dir)
     kept = current.join(updates.select(*key), on=key, how="left_anti")
     merged = kept.unionByName(updates)
-    return write_snapshot(merged, table_dir)
+    return write_snapshot(merged, table_dir, keep=keep)

@@ -62,3 +62,22 @@ def test_read_current_without_commit_raises(spark, tmp_path):
         raise AssertionError("expected FileNotFoundError")
     except FileNotFoundError:
         pass
+
+
+def test_time_travel_with_keep(spark, tmp_path):
+    table = str(tmp_path / "t")
+    s1 = lake.write_snapshot(_df(spark, [(1, "a", 1.0)]), table, keep=2)
+    s2 = lake.upsert(spark, table, _df(spark, [(1, "a2", 2.0)]), key=["id"], keep=2)
+    assert lake.history(table) == [s1, s2]
+    old = [tuple(r) for r in lake.read_snapshot(spark, table, s1).collect()]
+    new = [tuple(r) for r in lake.read_current(spark, table).collect()]
+    assert old == [(1, "a", 1.0)]
+    assert new == [(1, "a2", 2.0)]
+    # third commit with keep=2 expires s1
+    s3 = lake.upsert(spark, table, _df(spark, [(1, "a3", 3.0)]), key=["id"], keep=2)
+    assert lake.history(table) == [s2, s3]
+    try:
+        lake.read_snapshot(spark, table, s1)
+        raise AssertionError("expected FileNotFoundError for expired snapshot")
+    except FileNotFoundError:
+        pass
