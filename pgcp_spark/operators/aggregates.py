@@ -250,3 +250,39 @@ def agg_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_collect_sorted_priorities",
+    oracle="""
+SELECT o_orderstatus,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       COUNT(*) AS n_rows
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_collect_sorted_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation: collect_set -> array_sort -> concat_ws.
+
+    The deterministic LISTAGG/string_agg shape (reference has no aggregation
+    at all -- SURVEY.md s2b extension). collect_set partial-aggregates
+    map-side like any other aggregate, and per-group state is bounded by the
+    distinct-value count (5 priorities), not the row count, so the single
+    shuffle on the group key carries tiny sets at any data scale. Sorting the
+    array before concatenation makes the result order-insensitive and
+    cross-engine exact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    prios = F.array_sort(F.collect_set("o_orderpriority"))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.concat_ws(",", prios).alias("priorities"),
+            F.size(prios).alias("n_priorities"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("o_orderstatus")
+    )
