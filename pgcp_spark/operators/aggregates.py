@@ -286,3 +286,38 @@ def agg_collect_sorted_priorities(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "agg_bool_flags_per_segment",
+    oracle="""
+SELECT c_mktsegment,
+       bool_and(c_acctbal > 0)      AS all_positive_bal,
+       bool_or(c_acctbal < -900)    AS any_deep_debt,
+       count_if(c_acctbal < 0)      AS n_negative,
+       COUNT(*)                     AS n_rows
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def agg_bool_flags_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean / conditional aggregates: bool_and, bool_or, count_if.
+
+    The data-quality assertion shape of a corpus pipeline ("every row in the
+    group satisfies P / at least one violates Q / how many"). All three are
+    decomposable one-bit-or-counter states, so they partial-aggregate
+    map-side and the single group-key shuffle carries constant-size state
+    regardless of row count.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.bool_and(F.col("c_acctbal") > 0).alias("all_positive_bal"),
+            F.bool_or(F.col("c_acctbal") < -900).alias("any_deep_debt"),
+            F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("c_mktsegment")
+    )
