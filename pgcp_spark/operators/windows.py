@@ -346,3 +346,36 @@ def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "window_running_distinct_priorities",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       COUNT(DISTINCT o_orderpriority) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS distinct_prios_so_far
+FROM orders
+""",
+)
+def window_running_distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate over a window (COUNT(DISTINCT) OVER).
+
+    Spark has no native distinct window aggregate; the idiomatic rewrite is
+    size(collect_set() OVER frame), which is exact and deterministic under a
+    ROWS frame with a total order (o_orderdate, o_orderkey). Per-row state is
+    the distinct set within one partition's frame -- bounded here by the 5
+    priority values, not the row count -- and the whole query is the same
+    single custkey shuffle as any other window, so the shape survives scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(F.collect_set("o_orderpriority").over(w)).cast("long").alias("distinct_prios_so_far"),
+    )
