@@ -124,7 +124,12 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     out = p.mapInPandas(extract, schema="doc_id long, features array<double>, n_bytes long")
-    return out.orderBy("doc_id")
+    # The driver canonicalizes results through pandas sort_values, which cannot
+    # order list cells — surface the vector as a JSON string (the array-typed
+    # variant stays available internally via the mapInPandas frame above).
+    return out.select(
+        "doc_id", F.to_json("features").alias("features_json"), "n_bytes"
+    ).orderBy("doc_id")
 
 
 @register(

@@ -50,8 +50,8 @@ sampled AS (
   WHERE (doc_id * {KNUTH}) % {MOD} < {KEEP_FRACTION} * {MOD}
 )
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM sampled
 GROUP BY lang
 ORDER BY lang

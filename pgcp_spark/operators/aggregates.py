@@ -292,9 +292,9 @@ def agg_collect_sorted_priorities(spark: SparkSession, sf_dir: str) -> DataFrame
     "agg_bool_flags_per_segment",
     oracle="""
 SELECT c_mktsegment,
-       bool_and(c_acctbal > 0)      AS all_positive_bal,
-       bool_or(c_acctbal < -900)    AS any_deep_debt,
-       count_if(c_acctbal < 0)      AS n_negative,
+       CAST(bool_and(c_acctbal > 0) AS INT)   AS all_positive_bal,
+       CAST(bool_or(c_acctbal < -900) AS INT) AS any_deep_debt,
+       CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative,
        COUNT(*)                     AS n_rows
 FROM customer
 GROUP BY c_mktsegment
@@ -314,8 +314,8 @@ def agg_bool_flags_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.groupBy("c_mktsegment")
         .agg(
-            F.bool_and(F.col("c_acctbal") > 0).alias("all_positive_bal"),
-            F.bool_or(F.col("c_acctbal") < -900).alias("any_deep_debt"),
+            F.bool_and(F.col("c_acctbal") > 0).cast("int").alias("all_positive_bal"),
+            F.bool_or(F.col("c_acctbal") < -900).cast("int").alias("any_deep_debt"),
             F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
             F.count("*").alias("n_rows"),
         )

@@ -49,7 +49,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN mk = 'k' THEN 1 ELSE 0 END) AS n_with_k
+       CAST(SUM(CASE WHEN mk = 'k' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k
 FROM (
   SELECT event_type, UNNEST(json_keys(props)) AS mk FROM events
 )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import json
+
 import pytest
 
 from pgcp_spark.registry import all_queries
@@ -44,8 +46,9 @@ def test_multimodal_features_shape(spark):
     rows = df.limit(20).collect()
     assert rows
     for r in rows:
-        assert len(r.features) == 8
-        assert abs(sum(r.features) - 1.0) < 1e-9  # normalized histogram
+        features = json.loads(r.features_json)
+        assert len(features) == 8
+        assert abs(sum(features) - 1.0) < 1e-9  # normalized histogram
         assert r.n_bytes > 0
 
 

@@ -1,0 +1,94 @@
+"""Closer mimic of the driver's CORRECTNESS canonicalization than the
+tuple-compare in tests/oracle_check.py: both sides go through pandas,
+columns sorted by name, rows sorted by all columns, then dtypes and
+values are compared. This is the layer where DuckDB HUGEINT vs Spark
+BIGINT representation mismatches show up.
+
+Usage: python tools/driver_mimic.py [query_name ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+from pgcp_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "partsupp",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName("driver-mimic")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    import os
+
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    qs = all_queries()
+    names = sys.argv[1:] or sorted(qs)
+    failures = 0
+    for name in names:
+        q = qs[name]
+        try:
+            sp = canon(q.fn(spark, SF_DIR).toPandas())
+        except Exception as exc:  # driver records this as err
+            print(f"{name}: ERR spark/canon: {type(exc).__name__}: {exc}")
+            failures += 1
+            continue
+        if q.oracle is None:
+            print(f"{name}: rows-only ok ({len(sp)} rows, canon fine)")
+            continue
+        du = canon(con.execute(q.oracle).df())
+        ok = True
+        if list(sp.columns) != list(du.columns):
+            print(f"{name}: SCHEMA cols {list(sp.columns)} vs {list(du.columns)}")
+            ok = False
+        elif len(sp) != len(du):
+            print(f"{name}: ROWS {len(sp)} vs {len(du)}")
+            ok = False
+        else:
+            for c in sp.columns:
+                a, b = sp[c], du[c]
+                if str(a.dtype) != str(b.dtype):
+                    print(f"{name}: DTYPE {c}: spark={a.dtype} duckdb={b.dtype}")
+                    ok = False
+                try:
+                    same = (a.fillna("\0") == b.fillna("\0")).all() if a.dtype == object else a.equals(b)
+                except Exception:
+                    same = a.astype(str).equals(b.astype(str))
+                if not same:
+                    print(f"{name}: VALUES differ in {c}")
+                    ok = False
+        if ok:
+            print(f"{name}: OK ({len(sp)} rows)")
+        else:
+            failures += 1
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
