@@ -210,7 +210,7 @@ def join_partsupp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .groupBy("p_brand", "s_name")
         .agg(F.count("*").alias("n_lines"), dsum("l_extendedprice").alias("sum_price"))

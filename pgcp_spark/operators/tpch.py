@@ -92,10 +92,13 @@ LIMIT 10
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: 3-way join → agg → top-10 (TakeOrderedAndProject).
 
-    Scale: customer (filtered on segment) broadcasts into orders; the
-    orders⋈lineitem join shuffles both sides on orderkey — at 100 TB that is
-    the unavoidable shuffle, minimized by pre-filtering both inputs.
-    orderBy+limit compiles to TakeOrderedAndProject (no global sort).
+    Scale: customer grows with sf, so it carries NO broadcast hint — AQE
+    broadcasts it while it fits autoBroadcastJoinThreshold and falls back
+    to a shuffle join beyond that (a forced hint would OOM executors at the
+    100 TB design point). The orders⋈lineitem join shuffles both sides on
+    orderkey — at 100 TB that is the unavoidable shuffle, minimized by
+    pre-filtering both inputs. orderBy+limit compiles to
+    TakeOrderedAndProject (no global sort).
     """
     cutoff = F.lit("1999-03-15 00:00:00").cast("timestamp")
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -104,7 +107,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -135,8 +138,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: 6-way star join (region→nation→supplier/customer) → agg.
 
     Scale: region/nation/supplier are broadcast dims (BROADCAST_DIMS);
-    the only shuffle join is orders⋈lineitem on orderkey. The
-    c_nationkey = s_nationkey conjunct rides along the supplier broadcast.
+    customer is sf-proportional so it gets no hint — AQE broadcasts it only
+    while it fits the threshold. The only mandatory shuffle join is
+    orders⋈lineitem on orderkey. The c_nationkey = s_nationkey conjunct
+    rides along the supplier broadcast.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -150,7 +155,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
@@ -216,9 +221,10 @@ LIMIT 20
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: returned-item revenue by customer, top-20.
 
-    Scale: nation broadcast; customer broadcast into the orders⋈lineitem
-    shuffle join output. Note c_acctbal is normalized through DECIMAL(12,2)
-    on both sides so group keys hash identically.
+    Scale: nation broadcast; customer is sf-proportional so it carries no
+    hint — AQE picks broadcast vs shuffle from its measured size. Note
+    c_acctbal is normalized through DECIMAL(12,2) on both sides so group
+    keys hash identically.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -230,7 +236,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))

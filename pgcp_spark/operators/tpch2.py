@@ -60,10 +60,11 @@ ORDER BY nation, o_year DESC
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: 5-way join, profit aggregate by (nation, year).
 
-    Scale: part (pre-filtered to 'red%'), supplier, and nation are broadcast
-    — lineitem never shuffles for the dimension joins; the only real shuffle
-    is lineitem⋈orders on orderkey (both facts, sort-merge) and the final
-    small groupBy. The p_name filter prunes part BEFORE broadcast.
+    Scale: supplier and nation are broadcast; part is sf-proportional so
+    even 'red%'-filtered it carries no forced hint — the filter prunes it
+    before AQE measures it, and AQE broadcasts only while it fits the
+    threshold. The only mandatory shuffle is lineitem⋈orders on orderkey
+    (both facts, sort-merge) and the final small groupBy.
     """
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
@@ -74,7 +75,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = dec(F.lit(0.80)) * dec("p_retailprice") * dec("l_quantity")
     profit = _rev() - cost
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, l.l_orderkey == o.o_orderkey)
@@ -244,7 +245,7 @@ def q20_promotion_supplier_candidates(spark: SparkSession, sf_dir: str) -> DataF
     n = load_table(spark, sf_dir, "nation")
 
     red_qty = (
-        l.join(F.broadcast(red_parts), l.l_partkey == red_parts.p_partkey, "left_semi")
+        l.join(red_parts, l.l_partkey == red_parts.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(dec("l_quantity")).alias("qty"))
     )

@@ -29,9 +29,14 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any realistic scale factor.
-# (region/nation are fixed-size; supplier/part/customer grow with sf but stay
-# tiny relative to the fact tables — at 100 TB the facts dominate.)
+# Dimension tables a query may force-broadcast. Broadcast safety is an
+# ABSOLUTE size question (executor memory), not size-relative-to-facts:
+# region (5 rows) and nation (25) are fixed-cardinality at every sf;
+# supplier is the smallest sf-proportional table (10k rows/sf, ~1.4 MB/sf)
+# and stays hintable far past the benchmark design point. customer/part/
+# orders/lineitem grow linearly with sf and must NEVER carry a forced
+# broadcast hint — their joins rely on AQE + autoBroadcastJoinThreshold,
+# which broadcasts from measured size and degrades to shuffle safely.
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 

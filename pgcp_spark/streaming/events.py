@@ -189,7 +189,7 @@ def streaming_static_join_segment_value(spark: SparkSession, sf_dir: str) -> Dat
     s = read_events_stream(spark, sf_dir)
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     agg = (
-        s.join(F.broadcast(c), s.user_id == c.c_custkey)
+        s.join(c, s.user_id == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
     )

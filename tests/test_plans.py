@@ -177,3 +177,61 @@ def test_q20_semi_joins_stay_hash_based(spark):
     # more means a semi join degraded
     # (simple_plan lists each node once; the formatted plan would double-count)
     assert ex.simple_plan(df).count("BroadcastNestedLoopJoin") == 1
+
+
+# ---------------------------------------------------------------------------
+# Scale-safety: sf-proportional tables (customer/part/orders/lineitem) must
+# never carry a FORCED broadcast hint — at the 100 TB design point a hint
+# overrides AQE's size check and OOMs executors. With the auto-broadcast
+# threshold disabled, the only BroadcastHashJoins left in a plan are the
+# explicitly hinted ones, so the counts below pin exactly which joins are
+# forced (bounded dims: region=5 rows, nation=25, supplier = smallest
+# sf-proportional dim, per sources/tables.py BROADCAST_DIMS).
+# ---------------------------------------------------------------------------
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _no_auto_broadcast(spark):
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def _forced_broadcasts(spark, name):
+    df = q(name, spark)
+    return ex.simple_plan(df).count("BroadcastHashJoin")
+
+
+def test_no_forced_broadcast_of_sf_proportional_tables(spark):
+    # (query, forced BroadcastHashJoin count with auto-broadcast off)
+    expected = {
+        "q3_shipping_priority": 0,       # customer unhinted → sort-merge
+        "q14_promo_revenue_share": 0,    # part unhinted
+        "q18_large_volume_customers": 0, # customer unhinted
+        "q5_local_supplier_volume": 3,   # supplier, nation, region only
+        "q9_product_type_profit": 2,     # supplier, nation only (part unhinted)
+        "q10_returned_items": 1,         # nation only (customer unhinted)
+        "q7_nation_pair_volume": 3,      # supplier, nation×2 (customer unhinted)
+        "q8_market_share": 4,            # supplier, nation×2, region
+    }
+    with _no_auto_broadcast(spark):
+        got = {name: _forced_broadcasts(spark, name) for name in expected}
+    assert got == expected
+
+
+def test_unhinted_fact_joins_degrade_to_hash_not_nested_loop(spark):
+    # when broadcast is unavailable the customer/part joins must fall back
+    # to a shuffled hash-family join, never a nested loop
+    with _no_auto_broadcast(spark):
+        for name in ["q3_shipping_priority", "q9_product_type_profit",
+                     "q10_returned_items", "q14_promo_revenue_share",
+                     "q18_large_volume_customers"]:
+            df = q(name, spark)
+            assert ex.has_sort_merge_or_shuffle_hash_join(df), name
+            assert not ex.has_nested_loop_join(df), name
