@@ -28,6 +28,11 @@ from pgcp_spark.sources import load_table
 
 TOP_K = 3
 QUERY_STRIDE = 50  # every 50th vector is a "query"; full table is the corpus
+# Hard cap on the corpus rows the brute-force path may collect+broadcast
+# (~0.5 GB at 64-dim float64). Past this, brute force is the wrong tool —
+# the LSH/IVF variants are the scale path — so fail loudly instead of
+# OOMing the driver.
+BRUTE_FORCE_MAX_CORPUS = 1_000_000
 
 
 def _pair_dot(left: str, right: str) -> F.Column:
@@ -83,21 +88,37 @@ def sim_cosine_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the full corpus.
 
     The corpus matrix is broadcast once; each Arrow batch of queries does a
-    single numpy float64 matmul — vectorized, no per-row Python.
+    single numpy float64 matmul then an np.argpartition top-k — vectorized,
+    no per-row Python. This is the EXACT small-catalog baseline: the corpus
+    side is collected (projected to (vec_id, embedding) only) behind a hard
+    row-count guard; past the guard the subquadratic paths below
+    (sim_cosine_lsh_pairs / sim_cosine_ivf_topk) are the 100 TB answer.
     """
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0)
 
-    # Corpus side: small enough to broadcast (the ANN index side at scale).
-    pdf = e.toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    n_corpus = e.count()
+    if n_corpus > BRUTE_FORCE_MAX_CORPUS:
+        raise ValueError(
+            f"brute-force corpus of {n_corpus} rows exceeds the broadcast guard "
+            f"({BRUTE_FORCE_MAX_CORPUS}); use the LSH/IVF variants at this scale"
+        )
+    rows = e.collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.array([rows[i].embedding for i in order], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
     sc = spark.sparkContext
     b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
 
     def topk(batches):
         corpus_ids, corpus, corpus_norms = b_ids.value, b_mat.value, b_norms.value
+        # (cos DESC, neighbor_id ASC) as one strict composite key: rounded
+        # sims move in 1e-6 steps while the rank perturbation tops out at
+        # N*1e-13 ≤ 1e-7 (N bounded by the guard), so ties break by id
+        # without ever reordering distinct similarities.
+        tie = np.arange(len(corpus_ids), dtype=np.float64) * 1e-13
         for batch in batches:
             if len(batch) == 0:
                 continue
@@ -105,14 +126,14 @@ def sim_cosine_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             qids = batch["vec_id"].to_numpy()
             qnorms = np.sqrt((q * q).sum(axis=1))
             sims = np.round((q @ corpus.T) / (qnorms[:, None] * corpus_norms[None, :]), 6)
+            sims[corpus_ids[None, :] == qids[:, None]] = -np.inf  # exclude self
+            comp = sims - tie[None, :]
+            k = min(TOP_K, comp.shape[1] - 1)
+            part = np.argpartition(-comp, kth=k - 1, axis=1)[:, :k]
             out = []
             for i in range(len(qids)):
-                row = sims[i]
-                order = sorted(
-                    (j for j in range(len(corpus_ids)) if corpus_ids[j] != qids[i]),
-                    key=lambda j: (-row[j], corpus_ids[j]),
-                )[:TOP_K]
-                out.extend((qids[i], corpus_ids[j], r) for r, j in enumerate(order, start=1))
+                sel = part[i][np.argsort(-comp[i, part[i]])]
+                out.extend((qids[i], corpus_ids[j], r) for r, j in enumerate(sel, start=1))
             yield pd.DataFrame(out, columns=["vec_id", "neighbor_id", "rank"])
 
     result = queries.mapInPandas(topk, schema="vec_id long, neighbor_id long, rank long")
