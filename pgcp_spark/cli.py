@@ -78,7 +78,7 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "sql":
         handlers = [logging.StreamHandler(sys.stdout)]
-        logging.basicConfig(level=logging.INFO, handlers=handlers)
+        logging.basicConfig(level=logging.INFO, handlers=handlers, force=True)
         return run_sql(args)
     if args.command != "cp":
         build_parser().print_help()
@@ -86,8 +86,13 @@ def main(argv: list[str] | None = None) -> int:
     validate_table_arg(args.table)
 
     handlers = [logging.FileHandler(args.log)] if args.log else [logging.StreamHandler(sys.stdout)]
+    # force=True: basicConfig is a no-op when the root logger already has
+    # handlers, which would silently discard --log in a long-lived process
     logging.basicConfig(
-        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s", handlers=handlers
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+        handlers=handlers,
+        force=True,
     )
 
     from pgcp_spark.config import load_config

@@ -1,0 +1,177 @@
+"""COPY-based transfer seams: Postgres ``COPY ... TO/FROM`` ⇄ Spark CSV.
+
+This is the reference's actual transfer mechanism — transport.rb:66-110 is a
+single ``psql COPY TO STDOUT | psql COPY FROM STDIN`` pipe — rebuilt as
+injectable ``reader``/``writer`` callables for ``Transport`` (transport.py),
+used when no PostgreSQL JDBC driver jar is available. Differences from the
+reference pipe:
+
+  - PARALLEL: with a numeric PK the export fans out into N range-predicated
+    ``COPY (SELECT ...)`` streams (the same split the JDBC reader computes),
+    and the import runs one ``COPY FROM`` per Spark output part file — both
+    through a thread pool. PG happily runs concurrent COPY in both
+    directions; the reference moved every row through one pipe.
+  - TYPED: the Spark read schema comes from the source catalog
+    (pg_catalog.format_type), not CSV inference, so numerics keep
+    precision/scale and NULLs stay distinguishable from empty strings via
+    an explicit NULL marker.
+  - FAILURES PROPAGATE: any psql exit ≠ 0 raises (the reference's pipe
+    check was broken — ``echo $?`` in a fresh subshell, transport.rb:71-74).
+
+Scale note: the CSV staging directory is local-filesystem here (local
+mode / single node). On a cluster the same design streams per-partition —
+``mapPartitions`` opening ``psql COPY FROM STDIN`` per executor — without a
+shared directory; the seam (reader/writer callables) stays identical.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from concurrent.futures import ThreadPoolExecutor
+from glob import glob
+
+from pgcp_spark.pg import catalog as cat
+from pgcp_spark.pg.psql_client import NULL_MARKER, PsqlCliClient
+from pgcp_spark.qualified_name import QualifiedName, quote_ident
+
+# COPY CSV NULL marker: must survive CSV quoting so NULL ≠ '' ≠ the text.
+_CSV_NULL = "\\N"
+# client-side \copy: file I/O happens with the CLIENT's permissions — no
+# superuser or server-filesystem access needed (server-side COPY would
+# require both)
+_COPY_OPTS = f"with (format csv, null '{_CSV_NULL}')"
+# export adds FORCE_QUOTE *: Spark's CSV reader maps UNQUOTED empty fields
+# to null, so every non-NULL value must arrive quoted for '' ≠ NULL to
+# survive the round trip
+_COPY_OUT_OPTS = f"with (format csv, null '{_CSV_NULL}', force_quote *)"
+_PARALLELISM = 8
+
+_PG_TO_SPARK = {
+    "smallint": "short",
+    "int2": "short",
+    "integer": "int",
+    "int4": "int",
+    "serial": "int",
+    "bigint": "long",
+    "int8": "long",
+    "bigserial": "long",
+    "real": "float",
+    "float4": "float",
+    "double precision": "double",
+    "float8": "double",
+    "date": "date",
+}
+
+
+def spark_type_for(pg_type: str) -> str:
+    t = pg_type.lower()
+    if t in _PG_TO_SPARK:
+        return _PG_TO_SPARK[t]
+    if t.startswith("numeric(") or t.startswith("decimal("):
+        return t.replace("numeric", "decimal")
+    if t in ("numeric", "decimal"):
+        return "decimal(38,18)"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "boolean":
+        # read as string ('t'/'f'), cast after load — Spark's CSV parser
+        # only accepts true/false for BooleanType
+        return "string"
+    return "string"  # text/varchar/char/bytea-hex/enums/arrays
+
+
+def make_copy_reader(spark, client: PsqlCliClient):
+    """Build a ``Transport`` reader: parallel COPY TO csv → typed Spark scan."""
+
+    def reader(src: QualifiedName, options):
+        columns = cat.column_definitions(client, src.schema_name, src.table_name)
+        if not columns:
+            raise RuntimeError(f"source table {src} has no columns (missing?)")
+        schema = ", ".join(f"`{c.name}` {spark_type_for(c.type)}" for c in columns)
+        out_dir = tempfile.mkdtemp(prefix="pgcp_copy_out_")
+
+        where = f"({options.where})" if options.where else "TRUE"
+        part_col = _numeric_pk(client, src, columns)
+        selects = []
+        if part_col:
+            qcol = quote_ident(part_col)
+            bounds = client.fetch(
+                f"SELECT MIN({qcol}), MAX({qcol}) FROM {src.quoted} WHERE {where}"
+            )[0]
+            lo, hi = bounds if bounds else (None, None)
+            if lo is not None and hi is not None and hi > lo:
+                n = min(options.num_partitions, hi - lo + 1)
+                stride = (hi - lo + 1 + n - 1) // n
+                for i in range(n):
+                    a, b = lo + i * stride, lo + (i + 1) * stride
+                    selects.append(
+                        f"SELECT * FROM {src.quoted} WHERE {where}"
+                        f" AND {qcol} >= {a} AND {qcol} < {b}"
+                    )
+        if not selects:
+            selects = [f"SELECT * FROM {src.quoted} WHERE {where}"]
+
+        def export(i_sql):
+            i, sql = i_sql
+            path = os.path.join(out_dir, f"part-{i:05d}.csv")
+            client.execute(f"\\copy ({sql}) to '{path}' {_COPY_OUT_OPTS}")
+
+        with ThreadPoolExecutor(max_workers=_PARALLELISM) as pool:
+            list(pool.map(export, enumerate(selects)))
+
+        df = spark.read.csv(
+            out_dir,
+            schema=schema,
+            nullValue=_CSV_NULL,
+            emptyValue="",
+            escape='"',  # PG CSV doubles quotes (RFC 4180); Spark defaults to backslash
+            timestampFormat="yyyy-MM-dd HH:mm:ss[.SSSSSS]",
+        )
+        from pyspark.sql import functions as F
+
+        for c in columns:
+            if c.type.lower() == "boolean":
+                df = df.withColumn(c.name, F.col(c.name) == "t")
+        return df
+
+    return reader
+
+
+def make_copy_writer(client: PsqlCliClient):
+    """Build a ``Transport`` writer: Spark CSV parts → parallel COPY FROM."""
+
+    def writer(df, staging: QualifiedName, options) -> None:
+        out_dir = tempfile.mkdtemp(prefix="pgcp_copy_in_")
+        part_dir = os.path.join(out_dir, "parts")
+        (
+            df.write.mode("overwrite")
+            .option("nullValue", _CSV_NULL)
+            .option("emptyValue", "\"\"")
+            .option("escape", '"')  # RFC 4180 doubled quotes for PG COPY
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .csv(part_dir)
+        )
+        parts = sorted(glob(os.path.join(part_dir, "part-*")))
+
+        def load(path: str) -> None:
+            client.execute(f"\\copy {staging.quoted} from '{path}' {_COPY_OPTS}")
+
+        with ThreadPoolExecutor(max_workers=_PARALLELISM) as pool:
+            list(pool.map(load, parts))
+
+    return writer
+
+
+def _numeric_pk(client, src: QualifiedName, columns) -> str | None:
+    pk = next(
+        (ix.columns for ix in cat.get_indexes(client, src.schema_name, src.table_name) if ix.primary),
+        (),
+    )
+    if not pk:
+        return None
+    col_types = {c.name: c.type for c in columns}
+    t = col_types.get(pk[0], "").lower()
+    if t.startswith(("smallint", "integer", "bigint", "int", "serial", "bigserial")):
+        return pk[0]
+    return None

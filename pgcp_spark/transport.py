@@ -112,6 +112,12 @@ class Transport:
         tables = cat.list_tables(self.src_client, qn.schema_name)
         matches = [t for t in tables if fnmatch.fnmatch(t, qn.table_name)]
         logger.info("glob %s matched %d tables: %s", src_pattern, len(matches), matches)
+        if options.create_schema and matches:
+            # pre-create the dest schema ONCE: concurrent CREATE SCHEMA IF
+            # NOT EXISTS from the fan-out threads races inside PG (duplicate
+            # pg_namespace key — IF NOT EXISTS is not concurrency-safe)
+            dest_schema = options.force_schema or qn.schema_name
+            self.dest_client.execute(f"CREATE SCHEMA IF NOT EXISTS {quote_ident(dest_schema)}")
         copied = []
         with ThreadPoolExecutor(max_workers=4) as pool:
             futures = {
@@ -150,7 +156,12 @@ class Transport:
             self._copy_table_data(src, dest, options)
             if not options.skip_indexes:  # Q3 fixed
                 indexes = self._src_indexes(src)
-                for stmt in ddl.create_index_statements(dest, indexes):
+                # PG index names are schema-scoped: copying a table under a
+                # NEW name into a schema that already holds a copy of the
+                # original would replay the same index name twice — prefix
+                # with the dest table name to keep replays collision-free
+                prefix = f"{dest.table_name}_" if dest.table_name != src.table_name else None
+                for stmt in ddl.create_index_statements(dest, indexes, rename_prefix=prefix):
                     self.dest_client.execute(stmt)
         except Exception:
             # transport.rb:57-61 semantics — clean up the table we created —

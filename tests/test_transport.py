@@ -307,3 +307,27 @@ def test_cli_parses_where_flag():
         ["cp", "-s", "a", "-d", "b", "-t", "s.t", "--where", "id > 5"]
     )
     assert args.where == "id > 5"
+
+
+def test_cli_log_flag_routes_logging_to_file(tmp_path):
+    """O21 (lib/pgcp.rb:3-17): -l FILE must receive the pgcp logger output
+    even when logging was already configured earlier in the process (the
+    force=True path)."""
+    import logging
+
+    from pgcp_spark.cli import main
+
+    saved = logging.getLogger().handlers[:]
+    log_path = tmp_path / "copy.log"
+    try:
+        with pytest.raises(SystemExit, match="config file not found"):
+            main(
+                ["cp", "-s", "a", "-d", "b", "-t", "s.t",
+                 "-c", str(tmp_path / "missing.yml"), "-l", str(log_path)]
+            )
+        logging.getLogger("pgcp_spark").info("probe line after setup")
+        for h in logging.getLogger().handlers:
+            h.flush()
+        assert "probe line after setup" in log_path.read_text()
+    finally:
+        logging.basicConfig(handlers=saved or None, force=True)
