@@ -31,6 +31,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="SQL predicate for incremental/partial copies (pushed into the source scan)",
     )
+    cp.add_argument(
+        "--transfer",
+        choices=("jdbc", "copy"),
+        default="jdbc",
+        help="row transfer mechanism: partitioned JDBC (needs the PostgreSQL "
+        "driver jar on Spark's classpath) or psql COPY streams (needs only "
+        "the psql binary — the reference's own mechanism, parallelized)",
+    )
     q = sub.add_parser(
         "sql",
         help="run a SQL query over the parquet lake tables (the user-facing "
@@ -108,7 +116,23 @@ def main(argv: list[str] | None = None) -> int:
     except KeyError as e:
         raise SystemExit(f"error: {e.args[0]}")
     spark = get_spark("pgcp_spark_cp")
-    tr = Transport(spark, cfg.database(args.source), cfg.database(args.dest))
+    src_cfg, dest_cfg = cfg.database(args.source), cfg.database(args.dest)
+    if args.transfer == "copy":
+        from pgcp_spark.pg.copy_csv import make_copy_reader, make_copy_writer
+        from pgcp_spark.pg.psql_client import PsqlCliClient
+
+        src_client, dest_client = PsqlCliClient(src_cfg), PsqlCliClient(dest_cfg)
+        tr = Transport(
+            spark,
+            src_cfg,
+            dest_cfg,
+            src_client=src_client,
+            dest_client=dest_client,
+            reader=make_copy_reader(spark, src_client),
+            writer=make_copy_writer(dest_client),
+        )
+    else:
+        tr = Transport(spark, src_cfg, dest_cfg)
     options = CopyOptions(
         force_schema=args.force_schema,
         create_schema=not args.no_create_schema,

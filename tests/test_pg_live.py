@@ -209,3 +209,31 @@ def test_live_hotswap_transaction_rolls_back_atomically(client):
             ]
         )
     assert not cat.table_exists(client, "src", "tx_probe")
+
+
+def test_live_cli_cp_copy_transfer(spark, pg_server, client, tmp_path):
+    """O20 end-to-end: the full CLI path with --transfer copy against the
+    live cluster — config YAML resolution included."""
+    from pgcp_spark.cli import main
+
+    cfg = tmp_path / "pgcp.yml"
+    cfg.write_text(
+        "databases:\n"
+        "  srcdb:\n"
+        f"    host: {pg_server.host}\n"
+        f"    port: {pg_server.port}\n"
+        "    dbname: postgres\n"
+        "    user: postgres\n"
+        "  destdb:\n"
+        f"    host: {pg_server.host}\n"
+        f"    port: {pg_server.port}\n"
+        "    dbname: postgres\n"
+        "    user: postgres\n"
+    )
+    client.execute("DROP SCHEMA IF EXISTS dst_cli CASCADE")
+    rc = main(
+        ["cp", "-s", "srcdb", "-d", "destdb", "-t", "src.pets",
+         "-f", "dst_cli", "-c", str(cfg), "--transfer", "copy"]
+    )
+    assert rc == 0
+    assert client.fetch("SELECT COUNT(*) FROM dst_cli.pets")[0][0] == 50
