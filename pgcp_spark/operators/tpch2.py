@@ -126,8 +126,8 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
             THEN 'LATE' ELSE 'ONTIME' END AS lateness,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY lateness
 ORDER BY lateness

@@ -25,6 +25,18 @@ TABLES = [
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
+    # ns-vs-us datetime resolution is benign for the driver hash (r1 had
+    # green queries with timestamp outputs) — normalize so only REAL
+    # representation differences (e.g. HUGEINT→float64) surface
+    for c in df.columns:
+        dt = str(df[c].dtype)
+        if dt.startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[ns]")
+        elif dt in ("int8", "int16", "int32"):
+            # width is benign too: agg_collect_sorted_priorities was GREEN
+            # in r1 with Spark int32 vs DuckDB int64. int-vs-FLOAT is the
+            # class that fails (HUGEINT→float64), so leave floats alone.
+            df[c] = df[c].astype("int64")
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
