@@ -81,6 +81,8 @@ _MODULE_AUDIT_ORDER: list[str] = [
     "functions.sampling",
     "functions.similarity",
     "functions.text",
+    # added in round 2 (never driver-checked — rotate forward in round 3)
+    "operators.reshape",
 ]
 
 
@@ -118,6 +120,7 @@ def _load_operator_modules() -> None:
     import pgcp_spark.operators.aggregates  # noqa: F401
     import pgcp_spark.operators.joins  # noqa: F401
     import pgcp_spark.operators.misc  # noqa: F401
+    import pgcp_spark.operators.reshape  # noqa: F401
     import pgcp_spark.operators.scalar  # noqa: F401
     import pgcp_spark.operators.setops  # noqa: F401
     import pgcp_spark.operators.subqueries  # noqa: F401

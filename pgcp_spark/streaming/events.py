@@ -370,3 +370,58 @@ def streaming_append_finalized_windows(spark: SparkSession, sf_dir: str) -> Data
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
     return _run_to_memory(agg, "append").orderBy("window_start")
+
+
+@register(
+    "streaming_stream_stream_join_click_purchase",
+    oracle=f"""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id AS user_id
+FROM ({_EVENTS_US}) c
+JOIN ({_EVENTS_US}) p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
+ORDER BY click_id, purchase_id
+""",
+)
+def streaming_stream_stream_join_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM inner join: click→purchase attribution — each purchase
+    joins the same user's clicks from the preceding 30 minutes, both sides
+    unbounded streams.
+
+    The missing piece of the streaming surface until now (tumbling/sliding/
+    session/dedup/stateful/stream-static were covered). Both sides carry a
+    1-hour watermark and the join condition bounds event-time distance, so
+    Spark prunes join state as the watermark advances — state is
+    O(users × 30min of events), not O(stream). Inner-join matches emit as
+    found (append mode needs no window finalization).
+    """
+    s = read_events_stream(spark, sf_dir)
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("click_id", "purchase_id", F.col("p_user").alias("user_id"))
+    return _run_to_memory(joined, "append").orderBy("click_id", "purchase_id")

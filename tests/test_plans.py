@@ -235,3 +235,11 @@ def test_unhinted_fact_joins_degrade_to_hash_not_nested_loop(spark):
             df = q(name, spark)
             assert ex.has_sort_merge_or_shuffle_hash_join(df), name
             assert not ex.has_nested_loop_join(df), name
+
+
+def test_unpivot_is_rowlocal_expand_single_shuffle(spark):
+    # wide→long must compile to an Expand over the aggregate output —
+    # the ONLY exchange is the upstream groupBy's
+    df = q("reshape_unpivot_order_metrics", spark)
+    assert "Expand" in ex.physical_plan(df)
+    assert ex.shuffle_exchange_count(df) <= 1
