@@ -175,3 +175,65 @@ def _numeric_pk(client, src: QualifiedName, columns) -> str | None:
     if t.startswith(("smallint", "integer", "bigint", "int", "serial", "bigserial")):
         return pk[0]
     return None
+
+
+def make_pipe_writer(cfg):
+    """Build a ``Transport`` writer that streams each partition straight
+    into ``psql COPY ... FROM STDIN`` — no intermediate files, no shared
+    filesystem.
+
+    This is the CLUSTER-scale write path: ``make_copy_writer`` stages CSV
+    on a filesystem both Spark and psql can see (true only single-node),
+    whereas here every executor pipes its own partitions to the
+    destination server over the network — N parallel COPY streams for N
+    partitions, exactly the per-partition streaming the reference's single
+    ``psql COPY FROM STDIN`` pipe (transport.rb:66-110) becomes on Spark.
+    Executors must have ``psql`` on PATH (a deploy requirement, like the
+    JDBC jar for the JDBC path).
+
+    Rows are formatted executor-side by ``pandas.DataFrame.to_csv`` over
+    Arrow batches (C-vectorized, not per-row Python): NULL→the marker
+    (na_rep, unquoted), empty string→empty quoted-less field (distinct
+    from NULL because the marker is not ''), quotes doubled per RFC 4180,
+    bool→true/false (PG accepts case-insensitively).
+    """
+
+    def writer(df, staging: QualifiedName, options) -> None:
+        copy_sql = f"\\copy {staging.quoted} from stdin {_COPY_OPTS}"
+        base_args = PsqlCliClient(cfg).base_args() + ["-c", copy_sql]
+        password = cfg.password
+
+        def write_partition(batches):
+            import subprocess
+
+            proc = None
+            n = 0
+            for batch in batches:
+                if len(batch) == 0:
+                    continue
+                if proc is None:
+                    proc = subprocess.Popen(
+                        base_args,
+                        stdin=subprocess.PIPE,
+                        stderr=subprocess.PIPE,
+                        env={"PGPASSWORD": password, "PATH": "/usr/bin:/usr/local/bin:/bin"},
+                    )
+                payload = batch.to_csv(
+                    index=False, header=False, na_rep=_CSV_NULL, date_format="%Y-%m-%d %H:%M:%S.%f"
+                )
+                proc.stdin.write(payload.encode("utf-8"))
+                n += len(batch)
+            if proc is not None:
+                proc.stdin.close()
+                err = proc.stderr.read().decode("utf-8", "replace")
+                if proc.wait() != 0:
+                    raise RuntimeError(f"psql COPY FROM STDIN failed: {err.strip()}")
+            import pandas as pd
+
+            yield pd.DataFrame({"n": [n]})
+
+        # collect() drives the pipes; a failed COPY in any partition
+        # surfaces as a task failure and propagates (Q4 semantics)
+        df.mapInPandas(write_partition, schema="n long").collect()
+
+    return writer

@@ -237,3 +237,30 @@ def test_live_cli_cp_copy_transfer(spark, pg_server, client, tmp_path):
     )
     assert rc == 0
     assert client.fetch("SELECT COUNT(*) FROM dst_cli.pets")[0][0] == 50
+
+
+def test_live_pipe_writer_streams_partitions_into_copy(spark, pg_server, client):
+    """O2/O3 cluster-scale path: per-partition psql COPY FROM STDIN pipes
+    (no staging files), full fidelity vs the source."""
+    from pgcp_spark.pg.copy_csv import make_copy_reader, make_pipe_writer
+
+    tr = Transport(
+        spark,
+        src_cfg=pg_server,
+        dest_cfg=pg_server,
+        src_client=client,
+        dest_client=client,
+        reader=make_copy_reader(spark, client),
+        writer=make_pipe_writer(pg_server),
+    )
+    client.execute("DROP SCHEMA IF EXISTS dst_pipe CASCADE")
+    tr.copy_table("src.people", options=CopyOptions(force_schema="dst_pipe"))
+    checksum = (
+        "SELECT COUNT(*), CAST(SUM(id) AS BIGINT), CAST(SUM(bal) AS NUMERIC(20,2)),"
+        " CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT),"
+        " CAST(MAX(joined) AS TEXT),"
+        " CAST(SUM(CASE WHEN note IS NULL THEN 1 ELSE 0 END) AS BIGINT),"
+        " CAST(SUM(CASE WHEN note = '' THEN 1 ELSE 0 END) AS BIGINT)"
+        " FROM {}.people"
+    )
+    assert client.fetch(checksum.format("src")) == client.fetch(checksum.format("dst_pipe"))
