@@ -237,3 +237,118 @@ def make_pipe_writer(cfg):
         df.mapInPandas(write_partition, schema="n long").collect()
 
     return writer
+
+
+def make_pipe_reader(spark, client: PsqlCliClient, cfg):
+    """Build a ``Transport`` reader where EXECUTORS run the COPY streams:
+    the driver computes N PK ranges (same split as the JDBC reader), ships
+    them as a tiny DataFrame, and each task pipes its range through
+    ``psql COPY (SELECT ...) TO STDOUT`` parsed by ``pandas.read_csv``
+    (C engine) into Arrow batches — no staging files, no shared
+    filesystem, so it scales to a real cluster like the pipe writer.
+
+    Types: numerics/bools/strings land via a pandas dtype map; timestamps
+    parse vectorized; NUMERIC(p,s) is read as string and cast to
+    DECIMAL(p,s) JVM-side after the scan (exactness preserved — the cast
+    is on the untruncated text).
+    """
+    import io
+    import subprocess
+
+    import pandas as pd
+
+    def reader(src: QualifiedName, options):
+        columns = cat.column_definitions(client, src.schema_name, src.table_name)
+        if not columns:
+            raise RuntimeError(f"source table {src} has no columns (missing?)")
+
+        where = f"({options.where})" if options.where else "TRUE"
+        part_col = _numeric_pk(client, src, columns)
+        selects = []
+        if part_col:
+            qcol = quote_ident(part_col)
+            bounds = client.fetch(
+                f"SELECT MIN({qcol}), MAX({qcol}) FROM {src.quoted} WHERE {where}"
+            )[0]
+            lo, hi = bounds if bounds else (None, None)
+            if lo is not None and hi is not None and hi > lo:
+                n = min(options.num_partitions, hi - lo + 1)
+                stride = (hi - lo + 1 + n - 1) // n
+                for i in range(n):
+                    a, b = lo + i * stride, lo + (i + 1) * stride
+                    selects.append(
+                        f"SELECT * FROM {src.quoted} WHERE {where}"
+                        f" AND {qcol} >= {a} AND {qcol} < {b}"
+                    )
+        if not selects:
+            selects = [f"SELECT * FROM {src.quoted} WHERE {where}"]
+
+        base_args = PsqlCliClient(cfg).base_args()
+        password = cfg.password
+        names = [c.name for c in columns]
+        # pandas-side parse types; decimals/timestamps handled separately
+        pd_dtypes, ts_cols, dec_cols, bool_cols = {}, [], [], []
+        for c in columns:
+            st = spark_type_for(c.type)
+            if st == "timestamp":
+                ts_cols.append(c.name)
+            elif st.startswith("decimal"):
+                dec_cols.append((c.name, st))
+                pd_dtypes[c.name] = "string"
+            elif c.type.lower() == "boolean":
+                bool_cols.append(c.name)
+                pd_dtypes[c.name] = "string"
+            elif st in ("short", "int", "long"):
+                pd_dtypes[c.name] = "Int64"  # nullable int
+            elif st in ("float", "double"):
+                pd_dtypes[c.name] = "float64"
+            else:
+                pd_dtypes[c.name] = "string"
+
+        ranges = spark.createDataFrame([(s,) for s in selects], "copy_sql string").repartition(
+            len(selects)
+        )
+
+        def fetch_partition(batches):
+            for batch in batches:
+                for sql in batch["copy_sql"]:
+                    proc = subprocess.run(
+                        base_args + ["-c", f"\\copy ({sql}) to stdout {_COPY_OUT_OPTS}"],
+                        capture_output=True,
+                        env={"PGPASSWORD": password, "PATH": "/usr/bin:/usr/local/bin:/bin"},
+                    )
+                    if proc.returncode != 0:
+                        raise RuntimeError(
+                            f"psql COPY TO STDOUT failed: {proc.stderr.decode()[:500]}"
+                        )
+                    if not proc.stdout:
+                        continue
+                    pdf = pd.read_csv(
+                        io.BytesIO(proc.stdout),
+                        header=None,
+                        names=names,
+                        dtype=pd_dtypes,
+                        na_values=[_CSV_NULL],
+                        keep_default_na=False,
+                    )
+                    for c in ts_cols:
+                        pdf[c] = pd.to_datetime(pdf[c], format="mixed")
+                    # bool columns stay 't'/'f' strings here (the Arrow
+                    # schema says string); cast to BooleanType JVM-side —
+                    # Spark's string→boolean cast accepts t/f
+                    yield pdf
+
+        arrow_schema = ", ".join(
+            f"`{c.name}` {'string' if spark_type_for(c.type).startswith('decimal') else spark_type_for(c.type)}"
+            for c in columns
+        )
+        df = ranges.mapInPandas(fetch_partition, schema=arrow_schema)
+        from pyspark.sql import functions as F
+
+        for cname, dtype in dec_cols:
+            df = df.withColumn(cname, F.col(cname).cast(dtype))
+        for cname in bool_cols:
+            df = df.withColumn(cname, F.col(cname).cast("boolean"))
+        return df
+
+    return reader
