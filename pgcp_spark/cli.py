@@ -33,11 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cp.add_argument(
         "--transfer",
-        choices=("jdbc", "copy"),
+        choices=("jdbc", "copy", "pipe"),
         default="jdbc",
         help="row transfer mechanism: partitioned JDBC (needs the PostgreSQL "
-        "driver jar on Spark's classpath) or psql COPY streams (needs only "
-        "the psql binary — the reference's own mechanism, parallelized)",
+        "driver jar on Spark's classpath); 'copy' = psql COPY via CSV "
+        "staging (single node); 'pipe' = executor-side COPY TO STDOUT / "
+        "FROM STDIN streams (cluster-scale, no shared filesystem — needs "
+        "psql on executors)",
     )
     q = sub.add_parser(
         "sql",
@@ -117,19 +119,30 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit(f"error: {e.args[0]}")
     spark = get_spark("pgcp_spark_cp")
     src_cfg, dest_cfg = cfg.database(args.source), cfg.database(args.dest)
-    if args.transfer == "copy":
-        from pgcp_spark.pg.copy_csv import make_copy_reader, make_copy_writer
+    if args.transfer in ("copy", "pipe"):
+        from pgcp_spark.pg.copy_csv import (
+            make_copy_reader,
+            make_copy_writer,
+            make_pipe_reader,
+            make_pipe_writer,
+        )
         from pgcp_spark.pg.psql_client import PsqlCliClient
 
         src_client, dest_client = PsqlCliClient(src_cfg), PsqlCliClient(dest_cfg)
+        if args.transfer == "pipe":
+            reader = make_pipe_reader(spark, src_client, src_cfg)
+            writer = make_pipe_writer(dest_cfg)
+        else:
+            reader = make_copy_reader(spark, src_client)
+            writer = make_copy_writer(dest_client)
         tr = Transport(
             spark,
             src_cfg,
             dest_cfg,
             src_client=src_client,
             dest_client=dest_client,
-            reader=make_copy_reader(spark, src_client),
-            writer=make_copy_writer(dest_client),
+            reader=reader,
+            writer=writer,
         )
     else:
         tr = Transport(spark, src_cfg, dest_cfg)

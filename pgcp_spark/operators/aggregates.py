@@ -321,3 +321,42 @@ def agg_bool_flags_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "agg_grouping_id_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns over a rollup: consumers of multi-level
+    aggregates need to tell a real NULL key from a rollup-total row — the
+    grouping flags are the only sound way (the reference's CTAS seam pushes
+    such SQL verbatim; here it is first-class DataFrame API).
+
+    Scale: same single Expand+shuffle as any rollup; the flags are
+    metadata of the grouping set, zero extra compute.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+            F.count("*").alias("n_orders"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n_orders")
+        .orderBy(
+            "g_status",
+            "g_prio",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

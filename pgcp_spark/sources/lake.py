@@ -138,3 +138,39 @@ def upsert(
     kept = current.join(updates.select(*key), on=key, how="left_anti")
     merged = kept.unionByName(updates)
     return write_snapshot(merged, table_dir, keep=keep)
+
+
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    keep: int = 1,
+) -> str:
+    """Small-file compaction (the OPTIMIZE maintenance op): rewrite the
+    current snapshot into ⌈size/target⌉ files and atomically re-point.
+
+    Streaming ingestion and per-partition COPY writers leave lakes with
+    thousands of small files; at 100 TB scan throughput collapses because
+    every file costs a task + footer read + open. Compaction is a pure
+    rewrite — same rows, bigger files — committed through the same
+    pointer-swap as any write, so readers never see a partial state and
+    time travel to the pre-compaction snapshot still works (``keep`` ≥ 2).
+
+    Sizing uses the CURRENT snapshot's on-disk bytes (compressed), so the
+    output files land near ``target_file_bytes`` without a second pass.
+    """
+    snap = current_snapshot(table_dir)
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    snap_dir = os.path.join(table_dir, snap)
+    on_disk = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(snap_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-on_disk // max(1, target_file_bytes)))  # ceil
+    df = spark.read.parquet(snap_dir)
+    # coalesce, not repartition: merging files needs no shuffle — each
+    # output task reads a contiguous group of input files
+    return write_snapshot(df.coalesce(n_files), table_dir, keep=keep)

@@ -4,7 +4,10 @@ transport.rb:128-143) translated to pointer commits on a parquet lake."""
 
 from __future__ import annotations
 
+import glob
 import os
+
+from pyspark.sql import functions as F
 
 from pgcp_spark.sources import lake
 
@@ -81,3 +84,26 @@ def test_time_travel_with_keep(spark, tmp_path):
         raise AssertionError("expected FileNotFoundError for expired snapshot")
     except FileNotFoundError:
         pass
+
+
+def test_compact_merges_small_files_same_rows(spark, tmp_path):
+    from pgcp_spark.sources import lake
+
+    table_dir = str(tmp_path / "events_lake")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    # simulate streaming ingestion debris: 64 tiny files
+    lake.write_snapshot(df.repartition(64), table_dir, keep=2)
+    snap_before = lake.current_snapshot(table_dir)
+    n_before = len(glob.glob(os.path.join(table_dir, snap_before, "*.parquet")))
+    assert n_before == 64
+
+    lake.compact(spark, table_dir, target_file_bytes=10**9, keep=2)
+    snap_after = lake.current_snapshot(table_dir)
+    n_after = len(glob.glob(os.path.join(table_dir, snap_after, "*.parquet")))
+    assert n_after == 1  # everything fits one target-size file
+
+    # same rows, and the pre-compaction snapshot is still time-travelable
+    after = lake.read_current(spark, table_dir)
+    assert after.count() == 10_000
+    assert after.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+    assert lake.read_snapshot(spark, table_dir, snap_before).count() == 10_000

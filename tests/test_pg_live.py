@@ -211,9 +211,10 @@ def test_live_hotswap_transaction_rolls_back_atomically(client):
     assert not cat.table_exists(client, "src", "tx_probe")
 
 
-def test_live_cli_cp_copy_transfer(spark, pg_server, client, tmp_path):
-    """O20 end-to-end: the full CLI path with --transfer copy against the
-    live cluster — config YAML resolution included."""
+@pytest.mark.parametrize("transfer", ["copy", "pipe"])
+def test_live_cli_cp_copy_transfer(spark, pg_server, client, tmp_path, transfer):
+    """O20 end-to-end: the full CLI path with --transfer copy/pipe against
+    the live cluster — config YAML resolution included."""
     from pgcp_spark.cli import main
 
     cfg = tmp_path / "pgcp.yml"
@@ -233,7 +234,7 @@ def test_live_cli_cp_copy_transfer(spark, pg_server, client, tmp_path):
     client.execute("DROP SCHEMA IF EXISTS dst_cli CASCADE")
     rc = main(
         ["cp", "-s", "srcdb", "-d", "destdb", "-t", "src.pets",
-         "-f", "dst_cli", "-c", str(cfg), "--transfer", "copy"]
+         "-f", "dst_cli", "-c", str(cfg), "--transfer", transfer]
     )
     assert rc == 0
     assert client.fetch("SELECT COUNT(*) FROM dst_cli.pets")[0][0] == 50
