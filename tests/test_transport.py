@@ -331,3 +331,31 @@ def test_cli_log_flag_routes_logging_to_file(tmp_path):
         assert "probe line after setup" in log_path.read_text()
     finally:
         logging.basicConfig(handlers=saved or None, force=True)
+
+
+def test_psql_coercion_rules():
+    """pg/psql_client._coerce: typed metadata out of untyped psql text —
+    exact for the catalog/bounds queries it serves."""
+    from pgcp_spark.pg.psql_client import NULL_MARKER, _coerce
+
+    assert _coerce(NULL_MARKER) is None
+    assert _coerce("t") is True and _coerce("f") is False
+    assert _coerce("42") == 42 and isinstance(_coerce("42"), int)
+    assert _coerce("-7") == -7
+    assert _coerce("3.25") == 3.25
+    assert _coerce("1e4") == "1e4"  # bare exponent stays text (no \d+\.\d+)
+    assert _coerce("numeric(12,2)") == "numeric(12,2)"
+    assert _coerce("name_42") == "name_42"
+    assert _coerce("") == ""
+
+
+def test_psql_client_builds_conninfo_args():
+    from pgcp_spark.config import DbConfig
+    from pgcp_spark.pg.psql_client import PsqlCliClient
+
+    c = PsqlCliClient(DbConfig(host="/tmp/sock", dbname="db", user="u", port=5544))
+    args = c.base_args()
+    assert args[:1] == ["psql"]
+    for flag, val in (("-h", "/tmp/sock"), ("-p", "5544"), ("-U", "u"), ("-d", "db")):
+        assert val == args[args.index(flag) + 1]
+    assert "ON_ERROR_STOP=1" in args
