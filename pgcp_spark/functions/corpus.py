@@ -1,0 +1,180 @@
+"""Corpus-shaping operators for LLM training pipelines: chunking,
+deterministic split assignment, token-budget packing.
+
+These sit downstream of dedup/quality (functions/dedup.py, pipeline.py) in
+a real data-prep DAG: documents are chunked to context-window-sized pieces,
+assigned to train/val/test deterministically (reproducible across reruns
+and engines — no RNG), and packed into fixed token budgets.
+
+All three are pure column/window expressions — no UDFs, no collect — so
+they parallelize per-partition and survive 100 TB: chunking is a row-local
+explode (output rows ∝ tokens), the split is a stateless hash, and packing
+is one window cumsum per language partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgcp_spark.registry import register
+from pgcp_spark.sources import load_table
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+
+# same multiplicative-hash split as functions/pipeline.py — deterministic
+# and reproducible in ANY engine (no RNG, no engine-specific hash)
+KNUTH = 2654435761
+MOD = 2**32
+TRAIN_PCT, VAL_PCT = 80, 10
+
+PACK_BUDGET = 512  # tokens per packed sequence
+
+
+@register(
+    "corpus_chunk_fixed_tokens",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents WHERE doc_id < 50
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(g.i AS BIGINT) AS chunk_idx,
+         array_to_string(tokens[(g.i * {_STEP} + 1):(g.i * {_STEP} + {CHUNK_TOKENS})], ' ') AS chunk_text
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(0, CAST(CEIL(GREATEST(n_tok - {CHUNK_OVERLAP}, 1) / {_STEP}.0) AS BIGINT) - 1)) AS i
+  ) g
+)
+SELECT doc_id, chunk_idx, chunk_text,
+       CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS chunk_tokens
+FROM chunks
+ORDER BY doc_id, chunk_idx
+""",
+)
+def corpus_chunk_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap: each doc explodes into
+    ⌈(n_tok − overlap)/step⌉ chunks of ≤64 tokens overlapping by 16 — the
+    context-window shaping step of a pretraining pipeline.
+
+    Row-local: tokenization, the chunk-index sequence, and the slices are
+    all computed per input row (explode fans out in the same task, no
+    shuffle); the only exchange is the final presentation sort.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tokens = F.split("text", " ")
+    n_tok = F.size(tokens)
+    n_chunks = F.ceil(F.greatest(n_tok - CHUNK_OVERLAP, F.lit(1)) / F.lit(float(_STEP)))
+    return (
+        d.select(
+            "doc_id",
+            tokens.alias("tokens"),
+            F.posexplode(F.sequence(F.lit(0), (n_chunks - 1).cast("long"))).alias(
+                "_p", "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice("tokens", F.col("chunk_idx").cast("int") * _STEP + 1, CHUNK_TOKENS),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_tokens", F.size(F.split("chunk_text", " ")).cast("long"))
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "corpus_train_val_test_split",
+    oracle=f"""
+SELECT lang, split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT lang, n_chars,
+         CASE WHEN (doc_id * {KNUTH}) % {MOD} < {TRAIN_PCT / 100} * {MOD} THEN 'train'
+              WHEN (doc_id * {KNUTH}) % {MOD} < {(TRAIN_PCT + VAL_PCT) / 100} * {MOD} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY lang, split
+ORDER BY lang, split
+""",
+)
+def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by multiplicative
+    hash of doc_id — reproducible across engines/reruns (no RNG), stable
+    under corpus growth (a doc's split never changes), and stateless (no
+    shuffle until the reporting aggregate).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(KNUTH)) % F.lit(MOD)
+    split = (
+        F.when(h < F.lit(int(TRAIN_PCT / 100 * MOD)), "train")
+        .when(h < F.lit(int((TRAIN_PCT + VAL_PCT) / 100 * MOD)), "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@register(
+    "corpus_pack_token_budget",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(FLOOR(
+           (SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+           / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+  FROM sized
+)
+SELECT lang, bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM packed
+GROUP BY lang, bin_id
+ORDER BY lang, bin_id
+""",
+)
+def corpus_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: stream docs (per language, doc_id order) into
+    ~512-token bins — bin id = ⌊cumulative-tokens-before/budget⌋, the
+    streaming first-fit used to batch variable-length docs into fixed
+    context windows without padding waste.
+
+    One window cumsum per lang partition + one reporting aggregate; the
+    window and the groupBy share the lang-keyed exchange.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_before = F.sum("n_tok").over(w) - F.col("n_tok")
+    return (
+        d.select("doc_id", "lang", n_tok.alias("n_tok"))
+        .withColumn("bin_id", F.floor(cum_before / float(PACK_BUDGET)).cast("long"))
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin_id")
+    )

@@ -83,6 +83,7 @@ _MODULE_AUDIT_ORDER: list[str] = [
     "functions.text",
     # added in round 2 (never driver-checked — rotate forward in round 3)
     "operators.reshape",
+    "functions.corpus",
 ]
 
 
@@ -110,6 +111,7 @@ def _load_operator_modules() -> None:
     if _LOADED:
         return
     # Imports for side effect of @register decorators.
+    import pgcp_spark.functions.corpus  # noqa: F401
     import pgcp_spark.functions.dedup  # noqa: F401
     import pgcp_spark.functions.graph  # noqa: F401
     import pgcp_spark.functions.multimodal  # noqa: F401
