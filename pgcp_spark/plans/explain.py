@@ -54,6 +54,12 @@ def has_take_ordered(df: DataFrame) -> bool:
 
 def shuffle_exchange_count(df: DataFrame) -> int:
     """Shuffle exchanges only (hashpartitioning/rangepartitioning), not
-    BroadcastExchange."""
-    plan = physical_plan(df)
-    return len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    BroadcastExchange or the SinglePartition exchange of a global agg.
+
+    Counted on ``simple_plan``: the "formatted" explain prints exchange
+    nodes as bare ``Exchange (n)`` with the partitioning in a detail
+    section, so a regex against it silently counted zero (found round 2;
+    the executedPlan string keeps ``Exchange hashpartitioning(...)``
+    inline).
+    """
+    return len(re.findall(r"Exchange (hash|range)partitioning", simple_plan(df)))

@@ -239,7 +239,24 @@ def test_unhinted_fact_joins_degrade_to_hash_not_nested_loop(spark):
 
 def test_unpivot_is_rowlocal_expand_single_shuffle(spark):
     # wide→long must compile to an Expand over the aggregate output —
-    # the ONLY exchange is the upstream groupBy's
+    # exactly 2 exchanges (upstream groupBy hash + presentation range
+    # sort); the unpivot itself must add NONE
     df = q("reshape_unpivot_order_metrics", spark)
     assert "Expand" in ex.physical_plan(df)
-    assert ex.shuffle_exchange_count(df) <= 1
+    assert ex.shuffle_exchange_count(df) == 2
+
+
+def test_corpus_chunking_is_rowlocal_before_sort(spark):
+    # sequence+posexplode+slice must all run in the scan task: the ONLY
+    # exchange is the presentation orderBy's range partitioning
+    df = q("corpus_chunk_fixed_tokens", spark)
+    assert ex.shuffle_exchange_count(df) == 1
+    assert "Generate" in ex.physical_plan(df)  # the explode node
+
+
+def test_corpus_packing_window_and_agg_share_exchange(spark):
+    # lang-partitioned window then lang-keyed groupBy: Catalyst must reuse
+    # the partitioning — exactly 2 exchanges (lang hash + final range sort),
+    # NOT 3 (a separate groupBy shuffle would mean the reuse broke)
+    df = q("corpus_pack_token_budget", spark)
+    assert ex.shuffle_exchange_count(df) == 2
