@@ -425,3 +425,67 @@ def streaming_stream_stream_join_click_purchase(
         "inner",
     ).select("click_id", "purchase_id", F.col("p_user").alias("user_id"))
     return _run_to_memory(joined, "append").orderBy("click_id", "purchase_id")
+
+
+@register(
+    "streaming_foreach_batch_lake_upsert",
+    oracle=f"""
+SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ({_EVENTS_US})
+)
+WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def streaming_foreach_batch_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming SINK: foreachBatch upserting per-user latest state
+    into an atomic snapshot table (sources/lake.py) — the production
+    replacement for the memory sink (SCALE.md's "becomes a real sink").
+
+    Each micro-batch reduces to one row per user (latest event), then
+    MERGEs into the lake keyed on user_id; the pointer-commit makes every
+    batch's result atomically visible. The final table therefore holds
+    each user's latest event across the whole stream — a classic CDC
+    materialization, verified against a plain window oracle.
+
+    Ordering: the file source delivers batches in file order (and
+    availableNow typically one batch), so last-write-wins upsert equals
+    global latest; an out-of-order source (Kafka across partitions) would
+    pre-filter updates to ts-newer-than-stored before the MERGE.
+    """
+    import tempfile
+
+    from pyspark.sql import Window
+    from pgcp_spark.sources import lake
+
+    table_dir = tempfile.mkdtemp(prefix="pgcp_stream_upsert_")
+    s = read_events_stream(spark, sf_dir)
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"),
+                F.col("event_type").alias("last_type"),
+            )
+        )
+        if lake.current_snapshot(table_dir) is None:
+            lake.write_snapshot(latest, table_dir, keep=2)
+        else:
+            lake.upsert(spark, table_dir, latest, key=["user_id"], keep=2)
+
+    q = (
+        s.writeStream.foreachBatch(upsert_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(table_dir, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination()
+    return lake.read_current(spark, table_dir).orderBy("user_id")

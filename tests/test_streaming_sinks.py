@@ -46,3 +46,15 @@ def test_foreach_batch_sink_writes_batch_results(spark, tmp_path):
         .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
     )
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_foreach_batch_upsert_commits_lake_snapshots(spark):
+    from pgcp_spark.registry import all_queries
+    from tests.conftest import SF_DIR_CORRECTNESS
+
+    qs = all_queries()
+    df = qs["streaming_foreach_batch_lake_upsert"].fn(spark, SF_DIR_CORRECTNESS)
+    rows = df.collect()
+    assert len(rows) == 150  # one row per user
+    # latest-per-user invariant holds inside the result
+    assert len({r.user_id for r in rows}) == len(rows)
