@@ -91,3 +91,32 @@ def test_qualified_name_rejects_garbage():
     # reference semantics (qualified_name.rb:4-12): split on the FIRST dot —
     # dots in the table part are legal
     assert QualifiedName.parse("a.b.c") == QualifiedName("a", "b.c")
+
+
+def test_chunking_reconstructs_documents(spark):
+    """Intent check independent of the oracle (which mirrors the formula):
+    dropping each non-first chunk's 16-token overlap and concatenating
+    must reproduce the original token stream exactly."""
+    from pgcp_spark.functions.corpus import CHUNK_OVERLAP
+    from pgcp_spark.registry import all_queries
+    from tests.conftest import SF_DIR_CORRECTNESS
+
+    qs = all_queries()
+    chunks = qs["corpus_chunk_fixed_tokens"].fn(spark, SF_DIR_CORRECTNESS).collect()
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF_DIR_CORRECTNESS}/documents.parquet")
+        .filter("doc_id < 50")
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        rebuilt: list[str] = []
+        for r in rows:
+            toks = r.chunk_text.split(" ")
+            rebuilt.extend(toks if r.chunk_idx == 0 else toks[CHUNK_OVERLAP:])
+        assert rebuilt == docs[doc_id], f"doc {doc_id} reconstruction mismatch"
