@@ -191,25 +191,32 @@ def make_pipe_writer(cfg):
     Executors must have ``psql`` on PATH (a deploy requirement, like the
     JDBC jar for the JDBC path).
 
-    Rows are formatted executor-side by ``pandas.DataFrame.to_csv`` over
-    Arrow batches (C-vectorized, not per-row Python): NULL→the marker
-    (na_rep, unquoted), empty string→empty quoted-less field (distinct
-    from NULL because the marker is not ''), quotes doubled per RFC 4180,
-    bool→true/false (PG accepts case-insensitively).
+    Rows are formatted executor-side by ``pyarrow.csv.write_csv`` straight
+    from the Arrow batches — C all the way, no pandas materialization, no
+    per-row Python. pyarrow's CSV dialect matches PG COPY CSV *defaults*
+    exactly: NULL → unquoted empty field, empty string → quoted ``""``
+    (so NULL ≠ '' without any marker), quotes doubled per RFC 4180,
+    timestamps as ``YYYY-MM-DD HH:MM:SS.ffffff``, bool → true/false.
     """
 
     def writer(df, staging: QualifiedName, options) -> None:
-        copy_sql = f"\\copy {staging.quoted} from stdin {_COPY_OPTS}"
+        # default COPY CSV null (empty, unquoted) — pyarrow's convention
+        copy_sql = f"\\copy {staging.quoted} from stdin with (format csv)"
         base_args = PsqlCliClient(cfg).base_args() + ["-c", copy_sql]
         password = cfg.password
 
         def write_partition(batches):
+            import io
             import subprocess
 
+            import pyarrow as pa
+            import pyarrow.csv as pacsv
+
+            opts = pacsv.WriteOptions(include_header=False)
             proc = None
             n = 0
             for batch in batches:
-                if len(batch) == 0:
+                if batch.num_rows == 0:
                     continue
                 if proc is None:
                     proc = subprocess.Popen(
@@ -218,23 +225,20 @@ def make_pipe_writer(cfg):
                         stderr=subprocess.PIPE,
                         env={"PGPASSWORD": password, "PATH": "/usr/bin:/usr/local/bin:/bin"},
                     )
-                payload = batch.to_csv(
-                    index=False, header=False, na_rep=_CSV_NULL, date_format="%Y-%m-%d %H:%M:%S.%f"
-                )
-                proc.stdin.write(payload.encode("utf-8"))
-                n += len(batch)
+                buf = io.BytesIO()
+                pacsv.write_csv(pa.Table.from_batches([batch]), buf, opts)
+                proc.stdin.write(buf.getvalue())
+                n += batch.num_rows
             if proc is not None:
                 proc.stdin.close()
                 err = proc.stderr.read().decode("utf-8", "replace")
                 if proc.wait() != 0:
                     raise RuntimeError(f"psql COPY FROM STDIN failed: {err.strip()}")
-            import pandas as pd
-
-            yield pd.DataFrame({"n": [n]})
+            yield pa.RecordBatch.from_pydict({"n": pa.array([n], type=pa.int64())})
 
         # collect() drives the pipes; a failed COPY in any partition
         # surfaces as a task failure and propagates (Q4 semantics)
-        df.mapInPandas(write_partition, schema="n long").collect()
+        df.mapInArrow(write_partition, schema="n long").collect()
 
     return writer
 
