@@ -84,6 +84,7 @@ _MODULE_AUDIT_ORDER: list[str] = [
     # added in round 2 (never driver-checked — rotate forward in round 3)
     "operators.reshape",
     "functions.corpus",
+    "operators.timeseries",
 ]
 
 
@@ -126,6 +127,7 @@ def _load_operator_modules() -> None:
     import pgcp_spark.operators.scalar  # noqa: F401
     import pgcp_spark.operators.setops  # noqa: F401
     import pgcp_spark.operators.subqueries  # noqa: F401
+    import pgcp_spark.operators.timeseries  # noqa: F401
     import pgcp_spark.operators.tpch  # noqa: F401
     import pgcp_spark.operators.tpch2  # noqa: F401
     import pgcp_spark.operators.udfs  # noqa: F401
