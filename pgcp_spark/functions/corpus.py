@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgcp_spark.registry import register
-from pgcp_spark.sources import load_table
+from pgcp_spark.sources import load_table, load_table_parallel
 
 CHUNK_TOKENS = 64
 CHUNK_OVERLAP = 16
@@ -177,4 +177,82 @@ def corpus_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("bin_tokens"),
         )
         .orderBy("lang", "bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+EVAL_SOURCE = "src0"  # held-out benchmark/eval slice of the corpus
+DECON_THRESHOLD = 0.5  # flag training docs with ≥50% shingle overlap vs eval
+
+
+@register(
+    "corpus_decontaminate_eval_overlap",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, source, UNNEST(list_distinct(list_transform(
+           range(len(t) - 2),
+           i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) AS shingle
+  FROM (SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t
+        FROM documents)
+),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE source = '{EVAL_SOURCE}'),
+train AS (SELECT doc_id, shingle FROM sh WHERE source <> '{EVAL_SOURCE}'),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_matched
+  FROM train t JOIN eval_sh e ON t.shingle = e.shingle
+  GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(COALESCE(h.n_matched, 0) AS DOUBLE) / s.n_shingles AS contam_frac,
+       CAST(CASE WHEN CAST(COALESCE(h.n_matched, 0) AS DOUBLE) / s.n_shingles
+                      >= {DECON_THRESHOLD} THEN 1 ELSE 0 END AS INT) AS is_contaminated
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+ORDER BY s.doc_id
+""",
+)
+def corpus_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-3-gram overlap of every training doc
+    against the held-out eval slice (source = src0); docs whose distinct
+    shingles are ≥50% covered by eval shingles are flagged contaminated.
+
+    Scale shape: the eval/benchmark set is FIXED-SIZE in production (a few
+    MB of benchmark prompts — not sf-proportional), so its distinct-shingle
+    set is genuinely broadcastable; the train side streams through a
+    broadcast-hash semi-join with no shuffle of the corpus. The only wide
+    exchanges are the two per-doc count aggregates on doc_id.
+    """
+    from pgcp_spark.functions.dedup import _normalized, _shingles
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    # shingle once, feed both the eval and train branches (disjoint filters
+    # over the same expensive shingling scan → materialize it once)
+    sh = d.select(
+        "doc_id", "source", F.explode(_shingles(F.split(_normalized(), " "))).alias("shingle")
+    ).localCheckpoint()
+    eval_sh = sh.filter(F.col("source") == EVAL_SOURCE).select("shingle").distinct()
+    train = sh.filter(F.col("source") != EVAL_SOURCE).select("doc_id", "shingle")
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    frac = F.coalesce(F.col("n_matched"), F.lit(0)).cast("double") / F.col("n_shingles")
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
+            frac.alias("contam_frac"),
+            (frac >= DECON_THRESHOLD).cast("int").alias("is_contaminated"),
+        )
+        .orderBy("doc_id")
     )

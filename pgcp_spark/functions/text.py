@@ -380,3 +380,96 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tok", "tfidf", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filtering (Gopher-style)
+# ---------------------------------------------------------------------------
+
+TOP_TOKEN_FRAC_MAX = 0.30  # reject docs dominated by one token
+DUP_BIGRAM_FRAC_MAX = 0.60  # reject docs that are mostly repeated bigrams
+
+
+@register(
+    "text_repetition_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_max(list_transform(list_distinct(toks),
+                                 x -> len(list_filter(toks, y -> y = x)))) AS top_n,
+         list_transform(range(len(toks) - 1),
+                        i -> concat_ws(' ', toks[i+1], toks[i+2])) AS bigrams
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(top_n AS BIGINT) AS top_token_n,
+       CAST(top_n AS DOUBLE) / n_tokens AS top_token_frac,
+       CASE WHEN len(bigrams) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+       END AS dup_bigram_frac,
+       CAST(CASE WHEN CAST(top_n AS DOUBLE) / n_tokens <= {TOP_TOKEN_FRAC_MAX}
+                  AND (CASE WHEN len(bigrams) = 0 THEN CAST(0 AS DOUBLE)
+                            ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+                       END) <= {DUP_BIGRAM_FRAC_MAX}
+                 THEN 1 ELSE 0 END AS INT) AS passes_repetition_filter
+FROM s
+ORDER BY doc_id
+""",
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: most-frequent-token fraction
+    and duplicate-bigram fraction per doc, with a pass/reject flag.
+
+    Everything is ROW-LOCAL array arithmetic (no explode, no shuffle):
+    per-token counts come from filter() over the doc's own token array —
+    O(distinct × n) per row on ~10²-token docs — so the operator scales
+    linearly with corpus size and parallelizes per-partition.
+    """
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
+    top_n = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("toks")),
+            lambda x: F.size(F.filter(F.col("toks"), lambda y: y == x)),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("toks")) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i + 1), F.element_at(F.col("toks"), i + 2)
+        ),
+    )
+    dup_frac = F.when(F.size(F.col("bigrams")) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(F.col("bigrams"))).cast("double") / F.size(F.col("bigrams"))
+    )
+    top_frac = F.col("top_token_n").cast("double") / F.col("n_tokens")
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size(F.col("toks")).cast("long").alias("n_tokens"),
+            top_n.cast("long").alias("top_token_n"),
+            bigrams.alias("bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_token_n",
+            top_frac.alias("top_token_frac"),
+            dup_frac.alias("dup_bigram_frac"),
+        )
+        .withColumn(
+            "passes_repetition_filter",
+            (
+                (F.col("top_token_frac") <= TOP_TOKEN_FRAC_MAX)
+                & (F.col("dup_bigram_frac") <= DUP_BIGRAM_FRAC_MAX)
+            ).cast("int"),
+        )
+        .orderBy("doc_id")
+    )

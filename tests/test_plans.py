@@ -260,3 +260,23 @@ def test_corpus_packing_window_and_agg_share_exchange(spark):
     # NOT 3 (a separate groupBy shuffle would mean the reuse broke)
     df = q("corpus_pack_token_budget", spark)
     assert ex.shuffle_exchange_count(df) == 2
+
+
+def test_decontaminate_eval_side_broadcasts(spark):
+    # the eval/benchmark shingle set is fixed-size in production (not
+    # sf-proportional), so its semi-join against the training corpus must be
+    # a forced broadcast — the train side never shuffles for that join —
+    # and no nested loop may appear anywhere.
+    df = q("corpus_decontaminate_eval_overlap", spark)
+    with _no_auto_broadcast(spark):
+        df2 = q("corpus_decontaminate_eval_overlap", spark)
+        assert ex.simple_plan(df2).count("BroadcastHashJoin") >= 1
+    assert not ex.has_nested_loop_join(df)
+
+
+def test_repetition_quality_is_shuffle_free(spark):
+    # row-local array arithmetic: the only exchange allowed is the final
+    # presentation sort's range partitioning
+    df = q("text_repetition_quality", spark)
+    assert ex.shuffle_exchange_count(df) <= 1
+    assert not ex.has_nested_loop_join(df)
