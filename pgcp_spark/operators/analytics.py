@@ -1,0 +1,177 @@
+"""Event-analytics operators: sequenced conversion funnel and cohort
+retention — the two canonical product-analytics shapes over an event
+stream (reference parity: the pgcp reference moves event tables between
+warehouses; an analytics engine over the same data must answer these).
+
+Both are pure relational compositions:
+
+  - funnel: per-step conditional min-timestamp aggregation, each step
+    constrained to happen strictly AFTER the previous step's first hit
+    (a sequenced funnel, not a bag-of-events one). Every step is a
+    groupBy(user) + join(user) — all exchanges share the user_id key, so
+    AQE coalesces them onto one partitioning at scale.
+  - cohort retention: first-activity week per user (one groupBy), distinct
+    user-week activity (second groupBy), joined and re-aggregated into
+    (cohort_week, week_offset) cells with a retention ratio against the
+    cohort size.
+
+Scale: everything keys on user_id or (cohort_week, offset) — cardinality
+≤ |users| — with no self-join wider than the per-user step tables; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcp_spark.registry import register
+from pgcp_spark.sources import load_table
+
+# sequenced funnel stages over the events stream
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY 1
+),
+counts AS (
+  SELECT 1 AS step_idx, 'view' AS step, (SELECT COUNT(*) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+)
+SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_users AS DOUBLE)
+         / LAG(n_users, 1, n_users) OVER (ORDER BY step_idx) AS conversion_from_prev
+FROM counts
+ORDER BY step_idx
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequenced conversion funnel view→click→purchase: a user counts for
+    step N only with an event strictly after their first step-N−1 event.
+
+    Each step is one conditional aggregation joined on user_id; the step
+    tables are ≤ |users| rows, so the per-step joins are broadcast-sized
+    long before the raw events are, and every exchange shares user_id.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s1 = ev.filter(F.col("event_type") == FUNNEL_STEPS[0]).groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = None
+    for idx, (step, df) in enumerate(zip(FUNNEL_STEPS, (s1, s2, s3)), start=1):
+        row = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(idx).alias("step_idx"), F.lit(step).alias("step"), F.col("n_users").cast("long")
+        )
+        counts = row if counts is None else counts.unionAll(row)
+    w = Window.orderBy("step_idx")
+    return (
+        counts.withColumn(
+            "conversion_from_prev",
+            F.col("n_users").cast("double")
+            / F.lag("n_users", 1, None).over(w).cast("double"),
+        )
+        .withColumn(
+            "conversion_from_prev",
+            F.coalesce(F.col("conversion_from_prev"), F.lit(1.0)),
+        )
+        .orderBy("step_idx")
+    )
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week
+  FROM events
+),
+sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM first_seen GROUP BY 1),
+cells AS (
+  SELECT f.cohort_week,
+         CAST(datediff('day', f.cohort_week, a.activity_week) / 7 AS BIGINT) AS week_offset,
+         COUNT(*) AS n_active
+  FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+  GROUP BY 1, 2
+)
+SELECT c.cohort_week, c.week_offset,
+       CAST(c.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(c.n_active AS DOUBLE) / s.cohort_size AS retention
+FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+ORDER BY c.cohort_week, c.week_offset
+""",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week, each
+    cohort's share of users still active N weeks later.
+
+    Two aggregations over events (first-seen, distinct user-week) joined on
+    user_id, then one reporting aggregate on (cohort_week, offset) — the
+    classic retention triangle with exchanges only on user-sized keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("activity_week")
+    ).distinct()
+    sizes = first_seen.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    cells = (
+        first_seen.join(activity, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("activity_week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        cells.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

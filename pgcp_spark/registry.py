@@ -85,6 +85,7 @@ _MODULE_AUDIT_ORDER: list[str] = [
     "operators.reshape",
     "functions.corpus",
     "operators.timeseries",
+    "operators.analytics",
 ]
 
 
@@ -121,6 +122,7 @@ def _load_operator_modules() -> None:
     import pgcp_spark.functions.similarity  # noqa: F401
     import pgcp_spark.functions.text  # noqa: F401
     import pgcp_spark.operators.aggregates  # noqa: F401
+    import pgcp_spark.operators.analytics  # noqa: F401
     import pgcp_spark.operators.joins  # noqa: F401
     import pgcp_spark.operators.misc  # noqa: F401
     import pgcp_spark.operators.reshape  # noqa: F401
