@@ -280,3 +280,19 @@ def test_repetition_quality_is_shuffle_free(spark):
     df = q("text_repetition_quality", spark)
     assert ex.shuffle_exchange_count(df) <= 1
     assert not ex.has_nested_loop_join(df)
+
+
+def test_funnel_steps_join_hash_based_no_nested_loop(spark):
+    # each funnel step joins a ≤|users| step table back to events — must be
+    # hash-family joins (broadcast at this sf), never a nested loop
+    df = q("funnel_view_click_purchase", spark)
+    assert ex.simple_plan(df).count("BroadcastHashJoin") >= 2
+    assert not ex.has_nested_loop_join(df)
+
+
+def test_cohort_retention_hash_joins_only(spark):
+    df = q("cohort_weekly_retention", spark)
+    assert not ex.has_nested_loop_join(df)
+    # exchanges stay on user-sized keys: first-seen agg, distinct activity,
+    # cells/sizes aggs, final join + presentation sort
+    assert ex.shuffle_exchange_count(df) <= 7
