@@ -124,10 +124,21 @@ def write_snapshot(df: DataFrame, table_dir: str, keep: int = 1) -> str:
 
 
 def upsert(
-    spark: SparkSession, table_dir: str, updates: DataFrame, key: list[str], keep: int = 1
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key: list[str],
+    keep: int = 1,
+    evolve_schema: bool = False,
 ) -> str:
     """MERGE-shaped copy-on-write upsert: rows in ``updates`` replace
     current rows with the same key; all other current rows carry over.
+
+    With ``evolve_schema=True`` the update batch may ADD columns (carried
+    rows read NULL for them) or OMIT existing ones (update rows get NULL) —
+    additive schema evolution, the same contract as a lakehouse MERGE with
+    ``mergeSchema``. Without it, a mismatched schema fails fast (the
+    default, so a malformed CDC batch cannot silently widen the table).
 
     Scale: one left-anti join (current ⟕ updates on key) + a union — the
     join broadcasts when updates are small (the common CDC shape); the
@@ -136,7 +147,7 @@ def upsert(
     """
     current = read_current(spark, table_dir)
     kept = current.join(updates.select(*key), on=key, how="left_anti")
-    merged = kept.unionByName(updates)
+    merged = kept.unionByName(updates, allowMissingColumns=evolve_schema)
     return write_snapshot(merged, table_dir, keep=keep)
 
 

@@ -107,3 +107,33 @@ def test_compact_merges_small_files_same_rows(spark, tmp_path):
     assert after.count() == 10_000
     assert after.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
     assert lake.read_snapshot(spark, table_dir, snap_before).count() == 10_000
+
+
+def test_upsert_evolve_schema_adds_column_with_nulls(spark, tmp_path):
+    """Additive schema evolution: an update batch with a NEW column upserts;
+    carried-over rows read NULL for it. Without evolve_schema the same
+    batch must fail fast (no silent widening)."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    table = str(tmp_path / "t")
+    lake.write_snapshot(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), table)
+    updates = spark.createDataFrame(
+        [(2, "b2", 20.0, "eu")], "id long, name string, amount double, region string"
+    )
+    with pytest.raises(AnalysisException):
+        lake.upsert(spark, table, updates, key=["id"])
+    lake.upsert(spark, table, updates, key=["id"], evolve_schema=True)
+    got = sorted(tuple(r) for r in lake.read_current(spark, table).collect())
+    assert got == [(1, "a", 1.0, None), (2, "b2", 20.0, "eu")]
+
+
+def test_upsert_evolve_schema_tolerates_missing_column(spark, tmp_path):
+    """An update batch missing an existing column leaves NULL there for the
+    updated rows (column-pruned CDC feeds)."""
+    table = str(tmp_path / "t")
+    lake.write_snapshot(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), table)
+    updates = spark.createDataFrame([(2, "b2")], "id long, name string")
+    lake.upsert(spark, table, updates, key=["id"], evolve_schema=True)
+    got = sorted(tuple(r) for r in lake.read_current(spark, table).collect())
+    assert got == [(1, "a", 1.0), (2, "b2", None)]
