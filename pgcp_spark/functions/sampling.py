@@ -95,3 +95,57 @@ def sample_hash_threshold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
     hkey = (F.col("event_id") * F.lit(KNUTH)) % F.lit(MOD)
     return e.filter(hkey < int(SAMPLE_FRACTION * MOD)).orderBy("event_id")
+
+
+# weight-proportional Bernoulli sampling: P(include) = min(1, n_chars/WEIGHT_SCALE)
+WEIGHT_SCALE = 600  # chars at which inclusion probability saturates at 1
+
+
+@register(
+    "sample_weighted_bernoulli_documents",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         (doc_id * {KNUTH}) % {MOD} AS hkey
+  FROM documents
+),
+sampled AS (
+  SELECT doc_id, source, n_chars
+  FROM keyed
+  WHERE hkey * {WEIGHT_SCALE} < n_chars * {MOD}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM sampled
+GROUP BY source
+ORDER BY source
+""",
+)
+def sample_weighted_bernoulli_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Bernoulli sample: each doc is kept with
+    probability min(1, n_chars/WEIGHT_SCALE) — longer docs (more training
+    tokens) are proportionally more likely to survive, the standard
+    size-weighted downsampling step of a corpus pipeline.
+
+    The coin flip is the repo's multiplicative doc_id hash compared against
+    the weight — ALL-INTEGER arithmetic (hkey·SCALE < n_chars·2^32), so the
+    decision is bit-identical in any engine, rerun-stable, and shuffle-free:
+    the filter evaluates at the scan, and the only exchange is the per-source
+    reporting aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hkey = (F.col("doc_id") * F.lit(KNUTH)) % F.lit(MOD)
+    return (
+        d.filter(hkey * WEIGHT_SCALE < F.col("n_chars") * MOD)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
