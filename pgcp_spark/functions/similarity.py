@@ -316,3 +316,68 @@ def sim_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization (embedding storage compression)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_embedding_int8_quantize",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+         embedding
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, max_abs,
+         CASE WHEN max_abs = 0
+              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 127 / max_abs) AS BIGINT))
+         END AS qvec
+  FROM q
+)
+SELECT vec_id,
+       max_abs,
+       CAST(len(qvec) AS BIGINT) AS n_dims,
+       CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+       CAST(list_min(qvec) AS BIGINT) AS q_min,
+       CAST(list_max(qvec) AS BIGINT) AS q_max
+FROM quant
+ORDER BY vec_id
+""",
+)
+def sim_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4×
+    storage-compression step before shipping vectors to an ANN index.
+    Per-vector scale = max|x|/127; outputs integer checksums of the
+    quantized vector (sum/min/max), which are BIT-EXACT across engines
+    (both round half-away-from-zero and the scale arithmetic is identical
+    IEEE double), plus the scale itself.
+
+    Row-local array arithmetic — no shuffle except the presentation sort;
+    the quantized vectors themselves would be written back to the lake as
+    array<tinyint> + scale in production (4× smaller scans for ANN builds).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    qvec = F.when(F.col("max_abs") == 0, F.transform("embedding", lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 127 / F.col("max_abs")).cast("long"))
+    )
+    return (
+        e.select("vec_id", max_abs.alias("max_abs"), "embedding")
+        .select("vec_id", "max_abs", qvec.alias("qvec"))
+        .select(
+            "vec_id",
+            "max_abs",
+            F.size("qvec").cast("long").alias("n_dims"),
+            F.aggregate("qvec", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+            F.array_min("qvec").alias("q_min"),
+            F.array_max("qvec").alias("q_max"),
+        )
+        .orderBy("vec_id")
+    )
