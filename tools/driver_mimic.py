@@ -9,6 +9,7 @@ Usage: python tools/driver_mimic.py [query_name ...]   (default: all)
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -16,7 +17,7 @@ import pandas as pd
 
 from pgcp_spark.registry import all_queries
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("MIMIC_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "partsupp",
     "orders", "lineitem", "events", "documents", "embeddings",
