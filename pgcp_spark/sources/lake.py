@@ -95,7 +95,9 @@ def _atomic_write(path: str, content: str) -> None:
     os.replace(tmp, path)
 
 
-def write_snapshot(df: DataFrame, table_dir: str, keep: int = 1) -> str:
+def write_snapshot(
+    df: DataFrame, table_dir: str, keep: int = 1, cluster_by: list[str] | None = None
+) -> str:
     """Write ``df`` as a new snapshot and atomically commit the pointer.
 
     Returns the committed snapshot name. The parquet write happens into the
@@ -103,9 +105,18 @@ def write_snapshot(df: DataFrame, table_dir: str, keep: int = 1) -> str:
     is the single atomic pointer replace. ``keep`` newest committed
     snapshots are retained for time travel; older ones and crash-orphaned
     uncommitted dirs are GC'd.
+
+    ``cluster_by``: range-partition + sort the data on these columns before
+    writing (the CLUSTER BY / Z-ORDER-lite layout op). Each parquet file
+    and row group then covers a narrow, near-disjoint key range, so
+    min/max statistics prune most of the lake for selective scans on the
+    cluster key — the dominant scan-cost lever at 100 TB. One extra range
+    exchange at write time buys it.
     """
     os.makedirs(table_dir, exist_ok=True)
     snap = f"{SNAPSHOT_PREFIX}{uuid.uuid4().hex}"
+    if cluster_by:
+        df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, snap))
 
     _atomic_write(_pointer_path(table_dir), snap)  # the atomic commit

@@ -137,3 +137,54 @@ def test_upsert_evolve_schema_tolerates_missing_column(spark, tmp_path):
     lake.upsert(spark, table, updates, key=["id"], evolve_schema=True)
     got = sorted(tuple(r) for r in lake.read_current(spark, table).collect())
     assert got == [(1, "a", 1.0), (2, "b2", None)]
+
+
+def test_cluster_by_produces_disjoint_file_ranges(spark, tmp_path):
+    """cluster_by range-partitions + sorts on the key, so each parquet
+    file's min/max key statistics cover a narrow, non-overlapping range —
+    the property min/max pruning needs to skip most of a 100 TB lake on a
+    selective key predicate."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 10_000).selectExpr(
+        "pmod(id * 2654435761, 10000) as k", "id as payload"
+    )
+    lake.write_snapshot(df.repartition(8), table)  # unclustered baseline
+    unclustered = _ranges(_glob, _pq, table)
+    lake.write_snapshot(df.repartition(8), table, cluster_by=["k"])
+    clustered = _ranges(_glob, _pq, table)
+
+    def overlaps(ranges):
+        n = 0
+        for i, (lo, hi) in enumerate(ranges):
+            for lo2, hi2 in ranges[i + 1:]:
+                if lo <= hi2 and lo2 <= hi:
+                    n += 1
+        return n
+
+    # every unclustered file spans ~the whole key space; clustered files
+    # must be pairwise non-overlapping (sorted range partitioning)
+    assert overlaps(unclustered) > 0
+    assert overlaps(clustered) == 0
+    # and the data survives intact
+    got = lake.read_current(spark, table)
+    assert got.count() == 10_000
+
+
+def _ranges(_glob, _pq, table):
+    cur = lake.current_snapshot(table)
+    out = []
+    for f in _glob.glob(os.path.join(table, cur, "*.parquet")):
+        md = _pq.ParquetFile(f).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            los.append(col.statistics.min)
+            his.append(col.statistics.max)
+        if los:
+            out.append((min(los), max(his)))
+    return out
