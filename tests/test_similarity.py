@@ -57,3 +57,26 @@ def test_decode_media_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_media(b"abc")
+
+
+def test_int8_quantize_zero_vector_guard(spark, tmp_path):
+    """A zero vector must quantize to all-zeros (scale guard), not NaN."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pgcp_spark.functions.similarity import sim_embedding_int8_quantize
+
+    table = pa.table(
+        {
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array([[0.0, 0.0, 0.0], [1.0, -2.0, 0.5]],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0, 1], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    rows = {r.vec_id: r for r in sim_embedding_int8_quantize(spark, str(tmp_path)).collect()}
+    assert rows[1].max_abs == 0.0 and rows[1].q_sum == 0
+    assert rows[1].q_min == 0 and rows[1].q_max == 0
+    # max|x| = 2 → q = round(x·127/2) = [64, -127, 32]
+    assert rows[2].q_min == -127 and rows[2].q_max == 64 and rows[2].q_sum == -31
