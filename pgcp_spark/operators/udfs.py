@@ -54,22 +54,30 @@ def udf_pandas_price_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "udf_grouped_map_customer_order_stats",
+    "udf_grouped_map_priority_order_stats",
     oracle="""
-SELECT o_custkey,
+SELECT o_orderpriority,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent,
        CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) - MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_range
 FROM orders
-GROUP BY o_custkey
-ORDER BY o_custkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
 """,
 )
-def udf_grouped_map_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas grouped-map (UDAF-shaped): per-customer order stats
-    computed on the group's pandas frame. Decimal-normalized in pandas so
-    results match the exact SQL aggregation."""
-    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+def udf_grouped_map_priority_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map (UDAF-shaped): per-priority order stats
+    computed on the group's pandas frame; decimal-normalized (integer
+    cents) so results match the exact SQL aggregation.
+
+    Scale note: grouped-map pays ONE Python/Arrow round-trip PER GROUP, so
+    it is the right tool only for LOW-cardinality keys with fat groups
+    (fit-a-model-per-segment shapes). An earlier revision grouped by
+    o_custkey — 150k tiny groups — and spent 29 s at sf0.1 purely on
+    per-group Python overhead vs 0.3 s for this shape; high-cardinality
+    per-key stats belong in JVM aggregates (see the agg_* family).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -77,17 +85,18 @@ def udf_grouped_map_customer_order_stats(spark: SparkSession, sf_dir: str) -> Da
         cents = np.round(pdf["o_totalprice"].to_numpy() * 100).astype("int64")
         return pd.DataFrame(
             {
-                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
                 "n_orders": [len(pdf)],
                 "total_spent": [cents.sum() / 100.0],
                 "price_range": [(cents.max() - cents.min()) / 100.0],
             }
         )
 
-    out = o.groupBy("o_custkey").applyInPandas(
-        stats, schema="o_custkey long, n_orders long, total_spent double, price_range double"
+    out = o.groupBy("o_orderpriority").applyInPandas(
+        stats,
+        schema="o_orderpriority string, n_orders long, total_spent double, price_range double",
     )
-    return out.orderBy("o_custkey")
+    return out.orderBy("o_orderpriority")
 
 
 @register(
