@@ -124,3 +124,99 @@ def graph_connected_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("cluster_id"), "n_docs", "max_doc")
         .orderBy("cluster_id")
     )
+
+
+PR_DAMPING = 0.85
+PR_ITERS = 10
+
+
+@register(
+    "graph_pagerank_dup_docs",
+    oracle=f"""
+WITH RECURSIVE {_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+deg AS (SELECT s AS node, COUNT(*) AS out_deg FROM edges GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+pr(iter, node, rank) AS (
+  SELECT 0, node, 1.0 / (SELECT n_nodes FROM n) FROM nodes
+  UNION ALL
+  SELECT iter + 1, node,
+         (1 - {PR_DAMPING}) / (SELECT n_nodes FROM n) + {PR_DAMPING} * contrib
+  FROM (
+    SELECT p.iter AS iter, e.d AS node, SUM(p.rank / dg.out_deg) AS contrib
+    FROM pr p
+    JOIN edges e ON e.s = p.node
+    JOIN deg dg ON dg.node = p.node
+    WHERE p.iter < {PR_ITERS}
+    GROUP BY 1, 2
+  ) t
+)
+SELECT CAST(p.node AS BIGINT) AS doc_id,
+       ROUND(p.rank, 6) AS pagerank,
+       CAST(dg.out_deg AS BIGINT) AS degree
+FROM pr p JOIN deg dg ON dg.node = p.node
+WHERE p.iter = {PR_ITERS}
+ORDER BY doc_id
+""",
+)
+def graph_pagerank_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {10} fixed iterations) over the symmetric
+    ≥0.3-Jaccard near-dup graph — ranks the most-connected documents in a
+    duplicate neighborhood (the doc to KEEP when collapsing a cluster).
+
+    Same iterative discipline as connected components: each iteration is
+    one join + one aggregate keyed on the node id, state localCheckpoint'd
+    so the plan stays constant-size; a fixed iteration count (not a
+    convergence test) keeps the result engine-reproducible. The graph is
+    symmetric, so there are no dangling nodes and in-degree = out-degree.
+    Ranks are rounded to 1e-6 on both sides: float contributions sum in
+    engine-specific order, and ~1e-15 accumulated difference is legitimate.
+    """
+    from pgcp_spark.functions.dedup import dedup_ngram_jaccard_pairs
+
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("s").agg(F.count("*").alias("out_deg"))
+    nodes = edges.select(F.col("s").alias("node")).distinct()
+    n_nodes = nodes.count()
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint()
+    weighted = edges.join(deg, "s").localCheckpoint()  # (s, d, out_deg)
+    for _ in range(PR_ITERS):
+        contribs = (
+            weighted.join(ranks, weighted.s == ranks.node)
+            .select("d", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.d, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - PR_DAMPING) / n_nodes)
+                    + PR_DAMPING * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+
+    return (
+        ranks.join(deg, ranks.node == deg.s)
+        .select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.round("rank", 6).alias("pagerank"),
+            F.col("out_deg").cast("long").alias("degree"),
+        )
+        .orderBy("doc_id")
+    )
