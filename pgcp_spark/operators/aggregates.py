@@ -422,3 +422,55 @@ def agg_regression_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_winsorized_quantity_stats",
+    oracle="""
+WITH bounds AS (
+  SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.25) AS p25,
+         quantile_cont(l_quantity, 0.75) AS p75
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       b.p25, b.p75,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS trimmed_mean
+FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+WHERE l.l_quantity >= b.p25 AND l.l_quantity <= b.p75
+GROUP BY l.l_returnflag, b.p25, b.p75
+ORDER BY l.l_returnflag
+""",
+)
+def agg_winsorized_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics: interquartile-trimmed mean of quantity per return
+    flag — outlier-resistant profiling (the winsorize/trim step of a
+    feature pipeline). Quartiles 0.25/0.75 are exact binary fractions over
+    integral data (engine-identical interpolation); the trimmed mean sums
+    as DECIMAL then divides once in double, so the result is bit-exact.
+
+    Two passes over the fact (bounds, then filtered agg) joined on the
+    3-value group key — the bounds side is broadcast-sized at any sf.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    bounds = l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+    )
+    return (
+        l.join(bounds, "l_returnflag")
+        .filter((F.col("l_quantity") >= F.col("p25")) & (F.col("l_quantity") <= F.col("p75")))
+        .groupBy("l_returnflag", "p25", "p75")
+        .agg(
+            F.count("*").alias("n_kept"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+                / F.count("*")
+            ).alias("trimmed_mean"),
+        )
+        .select("l_returnflag", "p25", "p75", "n_kept", "trimmed_mean")
+        .orderBy("l_returnflag")
+    )
