@@ -473,3 +473,55 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_source_token_entropy",
+    oracle="""
+WITH tok AS (
+  SELECT source, UNNEST(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+),
+totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct
+           FROM counts GROUP BY 1)
+SELECT t.source, t.n_tokens,
+       CAST(t.n_distinct AS BIGINT) AS n_distinct,
+       ROUND(-SUM((c.c / CAST(t.n_tokens AS DOUBLE))
+                  * ln(c.c / CAST(t.n_tokens AS DOUBLE))), 6) AS token_entropy
+FROM counts c JOIN totals t ON c.source = t.source
+GROUP BY t.source, t.n_tokens, t.n_distinct
+ORDER BY t.source
+""",
+)
+def text_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per source — the corpus
+    diversity/health metric (a collapsing or template-dominated source
+    shows as an entropy drop). Rounded to 1e-6: the Σ p·ln p terms sum in
+    engine-specific order and ln is correctly-rounded in both engines, so
+    only ~1e-12 associativity noise needs absorbing.
+
+    Two hash aggregates (token counts, per-source totals) + a broadcast-
+    sized join back — token explode is the only row-multiplying step and
+    partial aggregation collapses it map-side.
+    """
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
+    counts = (
+        d.select("source", F.explode(toks).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"), F.count("*").alias("n_distinct")
+    )
+    p = F.col("c") / F.col("n_tokens").cast("double")
+    return (
+        counts.join(totals, "source")
+        .groupBy("source", "n_tokens", F.col("n_distinct").cast("long").alias("n_distinct"))
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"))
+        .select("source", "n_tokens", "n_distinct", "token_entropy")
+        .orderBy("source")
+    )
