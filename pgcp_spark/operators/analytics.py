@@ -175,3 +175,70 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+ZSCORE_FLAG = 2.0  # |z| threshold for anomalous buckets
+
+
+@register(
+    "anomaly_hourly_event_zscore",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, value
+  FROM events
+),
+hourly AS (
+  SELECT event_type, bucket,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+  FROM ev GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         AVG(n_events) AS mean_n,
+         stddev_samp(n_events) AS sd_n
+  FROM hourly GROUP BY 1
+)
+SELECT h.event_type, h.bucket, CAST(h.n_events AS BIGINT) AS n_events, h.sum_value,
+       ROUND((h.n_events - s.mean_n) / s.sd_n, 6) AS zscore,
+       CAST(CASE WHEN ABS((h.n_events - s.mean_n) / s.sd_n) >= {ZSCORE_FLAG}
+                 THEN 1 ELSE 0 END AS INT) AS is_anomalous
+FROM hourly h JOIN stats s ON h.event_type = s.event_type
+ORDER BY h.event_type, h.bucket
+""",
+)
+def anomaly_hourly_event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: z-score of each (event_type, hour) bucket's
+    event count against that type's own distribution, flagging |z| ≥ 2 —
+    the monitoring query a pipeline runs over its own ingest stream.
+
+    One hourly aggregate, one per-type moment aggregate (tiny — |types|
+    rows, broadcast back), z-scores rounded to 1e-6 since mean/stddev
+    accumulate in engine-specific order. At scale both aggregates
+    partial-aggregate map-side; nothing holds more than |types × buckets|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("bucket"), "value")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n_events").alias("mean_n"), F.stddev_samp("n_events").alias("sd_n")
+    )
+    z = (F.col("n_events") - F.col("mean_n")) / F.col("sd_n")
+    return (
+        hourly.join(stats, "event_type")
+        .select(
+            "event_type",
+            "bucket",
+            F.col("n_events").cast("long").alias("n_events"),
+            "sum_value",
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) >= ZSCORE_FLAG).cast("int").alias("is_anomalous"),
+        )
+        .orderBy("event_type", "bucket")
+    )
