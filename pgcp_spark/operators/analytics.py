@@ -1,6 +1,6 @@
-"""Event-analytics operators: sequenced conversion funnel and cohort
-retention — the two canonical product-analytics shapes over an event
-stream (reference parity: the pgcp reference moves event tables between
+"""Event-analytics operators: sequenced conversion funnel, cohort
+retention, and volume anomaly detection — canonical product-analytics
+shapes over an event stream (reference parity: the pgcp reference moves event tables between
 warehouses; an analytics engine over the same data must answer these).
 
 Both are pure relational compositions:
