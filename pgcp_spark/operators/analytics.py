@@ -242,3 +242,57 @@ def anomaly_hourly_event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "markov_event_type_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (SELECT prev_type, SUM(n) AS total FROM trans GROUP BY 1)
+SELECT t.prev_type, t.next_type,
+       CAST(t.n AS BIGINT) AS n_transitions,
+       CAST(t.n AS DOUBLE) / tt.total AS p_next
+FROM trans t JOIN totals tt ON t.prev_type = tt.prev_type
+ORDER BY t.prev_type, t.next_type
+""",
+)
+def markov_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user stream:
+    P(next | current) from lag-adjacent pairs — the sequence-model summary
+    of behavioral data (and the bigram-statistics shape of sequence
+    training data). (ts, event_id) orders ties deterministically so both
+    engines see identical adjacency.
+
+    One window pass partitioned by user (state = one previous row), one
+    count aggregate on the 5×5 transition key, exact integer ratios.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return (
+        trans.join(totals, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("long").alias("n_transitions"),
+            (F.col("n").cast("double") / F.col("total")).alias("p_next"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
