@@ -218,6 +218,9 @@ def anomaly_hourly_event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregate map-side; nothing holds more than |types × buckets|.
     """
     ev = load_table(spark, sf_dir, "events")
+    # hourly feeds two branches (per-type moments + the final join) —
+    # materialize the tiny |types × buckets| frame once instead of
+    # re-aggregating the fact per branch
     hourly = (
         ev.select("event_type", F.date_trunc("hour", "ts").alias("bucket"), "value")
         .groupBy("event_type", "bucket")
@@ -225,6 +228,7 @@ def anomaly_hourly_event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
         )
+        .localCheckpoint()
     )
     stats = hourly.groupBy("event_type").agg(
         F.avg("n_events").alias("mean_n"), F.stddev_samp("n_events").alias("sd_n")
@@ -280,10 +284,13 @@ def markov_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+    # trans feeds totals AND the final join — materialize the 25-row
+    # transition frame once so the window+aggregate pipeline runs once
     trans = (
         seq.filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
+        .localCheckpoint()
     )
     totals = trans.groupBy("prev_type").agg(F.sum("n").alias("total"))
     return (

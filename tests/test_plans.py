@@ -296,3 +296,23 @@ def test_cohort_retention_hash_joins_only(spark):
     # exchanges stay on user-sized keys: first-seen agg, distinct activity,
     # cells/sizes aggs, final join + presentation sort
     assert ex.shuffle_exchange_count(df) <= 7
+
+
+def test_anomaly_and_markov_hash_only_bounded_exchanges(spark):
+    # hourly agg + per-type moments join; window pass + transition agg —
+    # both must stay hash-family with no nested loop
+    for name, max_shuffles in (
+        ("anomaly_hourly_event_zscore", 5),
+        ("markov_event_type_transitions", 5),
+        ("text_source_token_entropy", 6),
+    ):
+        df = q(name, spark)
+        assert not ex.has_nested_loop_join(df), name
+        assert ex.shuffle_exchange_count(df) <= max_shuffles, name
+
+
+def test_winsorized_bounds_join_broadcasts(spark):
+    # the 3-row quartile-bounds side must broadcast, never shuffle the fact
+    df = q("agg_winsorized_quantity_stats", spark)
+    assert ex.has_broadcast_hash_join(df, at_least=1)
+    assert not ex.has_nested_loop_join(df)
