@@ -303,3 +303,53 @@ def markov_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+PATH_TOP_K = 20
+
+
+@register(
+    "path_top_event_sequences",
+    oracle=f"""
+WITH paths AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_user_days
+FROM paths
+GROUP BY path
+ORDER BY n_user_days DESC, path
+LIMIT {PATH_TOP_K}
+""",
+)
+def path_top_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-day event paths ('view>click>purchase>…'): the path-analysis
+    query behind journey dashboards, and the exact shape of sequence-dataset
+    construction (events → ordered token string per example).
+
+    One aggregate builds each user-day's ordered path ROW-LOCALLY
+    (collect_list of (ts, event_id, type) structs, array_sort, project the
+    type — no window, no second shuffle for ordering; ties broken by
+    event_id so both engines see identical sequences), one counts paths,
+    and the top-k is TakeOrderedAndProject with a path tiebreak.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    path = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    return (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"), "ts", "event_id", "event_type")
+        .groupBy("user_id", "day")
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_user_days"))
+        .orderBy(F.desc("n_user_days"), "path")
+        .limit(PATH_TOP_K)
+    )
