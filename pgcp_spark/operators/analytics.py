@@ -353,3 +353,55 @@ def path_top_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_user_days"), "path")
         .limit(PATH_TOP_K)
     )
+
+
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+
+@register(
+    "profile_orders_columns",
+    oracle=f"""
+{" UNION ALL ".join(
+    f'''SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders''' for c in ("o_orderstatus", "o_orderpriority", "o_custkey"))}
+ORDER BY column_name
+""",
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality DESCRIBE pass): row/null/distinct
+    counts and min/max per profiled column, stacked one row per column.
+
+    ONE scan computes every column's aggregates side by side (Spark fuses
+    the per-column aggs into a single hash-aggregate pass over the fact);
+    the stacking union is over 1-row aggregate results, so the plan cost is
+    a single table pass regardless of how many columns are profiled — the
+    way a 100 TB profiler must work (never one scan per column).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stacked = None
+    for c in _PROFILE_COLS:
+        row = wide.select(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__rows").cast("long").alias("n_rows"),
+            F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+            F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        stacked = row if stacked is None else stacked.unionAll(row)
+    return stacked.orderBy("column_name")
