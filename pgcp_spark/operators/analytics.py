@@ -392,7 +392,9 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
-    wide = o.agg(*aggs)
+    # the stacked union references the wide 1-row aggregate once per
+    # column — materialize it so the table is scanned exactly ONCE
+    wide = o.agg(*aggs).localCheckpoint()
     stacked = None
     for c in _PROFILE_COLS:
         row = wide.select(

@@ -316,3 +316,11 @@ def test_winsorized_bounds_join_broadcasts(spark):
     df = q("agg_winsorized_quantity_stats", spark)
     assert ex.has_broadcast_hash_join(df, at_least=1)
     assert not ex.has_nested_loop_join(df)
+
+
+def test_profile_scans_table_exactly_once(spark):
+    # N profiled columns must not mean N scans: the wide aggregate is
+    # materialized and the per-column stacking unions read it, not the table
+    df = q("profile_orders_columns", spark)
+    assert ex.simple_plan(df).count("Scan parquet") == 0  # post-checkpoint plan
+    assert ex.shuffle_exchange_count(df) <= 1
