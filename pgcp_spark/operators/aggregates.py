@@ -474,3 +474,48 @@ def agg_winsorized_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("l_returnflag", "p25", "p75", "n_kept", "trimmed_mean")
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_mode_priority_deterministic",
+    oracle="""
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT o_orderstatus, o_orderpriority, c,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY c DESC, o_orderpriority) AS rn
+  FROM counts
+)
+SELECT o_orderstatus,
+       o_orderpriority AS mode_priority,
+       CAST(c AS BIGINT) AS mode_count
+FROM ranked WHERE rn = 1
+ORDER BY o_orderstatus
+""",
+)
+def agg_mode_priority_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent order priority per status, ties
+    broken by value): engines disagree on native mode() tie-breaks, so the
+    relational formulation — count, rank with an explicit tiebreak, keep
+    rank 1 — is the cross-engine-exact way to ask for it.
+
+    Two aggregates + one tiny window over |status × priority| rows; the
+    fact is touched once."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("c"), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("c").cast("long").alias("mode_count"),
+        )
+        .orderBy("o_orderstatus")
+    )
