@@ -105,3 +105,59 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_bucket")
     )
+
+
+@register(
+    "timeseries_interarrival_gap_stats",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts,
+         event_id
+  FROM events
+),
+gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM ev
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_gap_us,
+       quantile_cont(gap_us, 0.5) AS median_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def timeseries_interarrival_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: gap from each event
+    to the SAME USER's previous event (any type), aggregated by the type of
+    the arriving event — the latency/cadence profile behind session-gap and
+    rate-limit tuning.
+
+    Gaps are integer microseconds (exact in both engines after the µs
+    truncation convention); the mean divides two exact integers once in
+    double, and the median interpolates integers at the binary-exact 0.5
+    fraction — no rounding tolerance anywhere. One window pass on user_id,
+    one aggregate on event_type."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            (F.sum("gap_us").cast("double") / F.count("*")).alias("avg_gap_us"),
+            F.expr("percentile(gap_us, 0.5)").alias("median_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .select("event_type", "n_gaps", "avg_gap_us", "median_gap_us",
+                F.col("max_gap_us").cast("long").alias("max_gap_us"))
+        .orderBy("event_type")
+    )
