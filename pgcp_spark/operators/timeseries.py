@@ -161,3 +161,59 @@ def timeseries_interarrival_gap_stats(spark: SparkSession, sf_dir: str) -> DataF
                 F.col("max_gap_us").cast("long").alias("max_gap_us"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "scd2_user_state_history",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts, event_id
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM ev
+),
+versions AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+  FROM changes
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, state, valid_from, valid_to, version
+FROM versions
+ORDER BY user_id, version
+""",
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) history from the event stream:
+    collapse each user's consecutive same-type events into versioned
+    validity intervals [valid_from, valid_to) — the dimension-table build
+    every warehouse runs on CDC feeds; the open current version has
+    valid_to NULL.
+
+    Two window passes over the same (user_id, ts, event_id) ordering — the
+    change filter and the interval/lead numbering share one sort-exchange;
+    ties are event_id-broken so both engines emit identical intervals."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter((F.col("prev_type").isNull()) | (F.col("prev_type") != F.col("event_type")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w2).alias("valid_to"),
+            F.row_number().over(w2).cast("long").alias("version"),
+        )
+        .orderBy("user_id", "version")
+    )
