@@ -324,3 +324,11 @@ def test_profile_scans_table_exactly_once(spark):
     df = q("profile_orders_columns", spark)
     assert ex.simple_plan(df).count("Scan parquet") == 0  # post-checkpoint plan
     assert ex.shuffle_exchange_count(df) <= 1
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    # both window passes use the same (user_id | ts, event_id) ordering —
+    # one hash exchange for the windows + the presentation range exchange
+    df = q("scd2_user_state_history", spark)
+    assert ex.shuffle_exchange_count(df) <= 2
+    assert not ex.has_nested_loop_join(df)
