@@ -217,3 +217,53 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+AS_OF_TS = "2024-01-15 00:00:00"
+
+
+@register(
+    "scd2_point_in_time_lookup",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts, event_id
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM ev
+),
+versions AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+  FROM changes
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, state, version
+FROM versions
+WHERE valid_from <= TIMESTAMP '{AS_OF_TS}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{AS_OF_TS}')
+ORDER BY user_id
+""",
+)
+def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (bitemporal AS OF) lookup over the SCD2 history: each
+    user's state valid at the probe instant — the query pattern that makes
+    Type-2 dimensions useful (reproduce any past join exactly).
+
+    Composes the scd2 builder and filters the half-open intervals; at scale
+    the interval predicate prunes to ≤1 row per user with no extra
+    exchange beyond the history build itself."""
+    hist = scd2_user_state_history(spark, sf_dir)
+    as_of = F.lit(AS_OF_TS).cast("timestamp")
+    return (
+        hist.filter(
+            (F.col("valid_from") <= as_of)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > as_of))
+        )
+        .select("user_id", "state", "version")
+        .orderBy("user_id")
+    )
