@@ -143,7 +143,13 @@ def timeseries_interarrival_gap_stats(spark: SparkSession, sf_dir: str) -> DataF
     one aggregate on event_type."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        # unix_micros rejects TIMESTAMP_NTZ (how events.ts reads back under
+        # this Spark); the cast to LTZ is value-exact under the UTC session
+        # timezone — same workaround as windows.py:324 / joins.py:380.
+        "ts",
+        F.col("ts").cast("timestamp"),
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.select(
         "event_type",

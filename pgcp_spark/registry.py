@@ -44,24 +44,79 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The external driver's CORRECTNESS gate checks a bounded prefix of
-# ``queries()`` in dict order (round 1 recorded exactly the first 50
-# registry entries).  Order therefore encodes audit priority: queries that
-# still need a green driver row come first; families already proven green
-# in a prior round's CORRECTNESS_r{N}.json rotate to the back.
+# ``queries()`` in dict order (rounds 1 and 2 each recorded exactly the
+# first 50 registry entries).  Order therefore encodes audit priority:
+# queries that still need a green driver row come first; families already
+# proven green in a prior round's CORRECTNESS_r{N}.json rotate to the back.
 #
-# Round-2 window (≈50): the 4 round-1 failures (now fixed), then the
-# families round 1 never reached — the full TPC-H suite, windows, set ops,
-# scalar.  udfs/streaming/salting rotate into the round-3 window.
+# Round-3 window: the 46 queries with no driver row in r01 ∪ r02 —
+# streaming (timestamp-unit bug fixed this round), timeseries, udfs,
+# analytics, corpus, and the round-2 singles — pinned explicitly, plus
+# multimodal_feature_extract to re-prove under its new real oracle.
+# A green round here completes driver verification of the entire registry.
 _AUDIT_PRIORITY: list[str] = [
-    # round-1 driver failures, fixed this round — must re-prove first
-    "pipeline_training_data_prep",
-    "agg_bool_flags_per_segment",
-    "scalar_map_functions",
+    # streaming family (6 of these produced wrong answers before the
+    # events.ts µs/ns fix — front of the window per the round-2 verdict)
+    "streaming_tumbling_event_counts",
+    "streaming_sliding_window_value",
+    "streaming_session_windows",
+    "streaming_static_join_segment_value",
+    "streaming_stateful_user_stats",
+    "streaming_dedup_user_event_types",
+    "rollup_cascade_events_daily",
+    "streaming_append_finalized_windows",
+    "streaming_stream_stream_join_click_purchase",
+    "streaming_foreach_batch_lake_upsert",
+    # timeseries (interarrival hard-errored before the NTZ cast fix)
+    "timeseries_gapfill_locf",
+    "timeseries_interarrival_gap_stats",
+    "scd2_user_state_history",
+    "scd2_point_in_time_lookup",
+    # UDF/UDAF/UDTF surface — rotated out of both prior windows
+    "udf_pandas_price_tier",
+    "udf_grouped_map_priority_order_stats",
+    "pivot_segment_by_priority",
+    "percentile_exact_quantity",
+    "percentile_approx_price",  # no-oracle sketch: expect rows-only, not a crash
+    "udf_map_in_arrow_doc_stats",
+    "udf_sql_registered_priority_class",
+    # event analytics (added round 2)
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "anomaly_hourly_event_zscore",
+    "markov_event_type_transitions",
+    "path_top_event_sequences",
+    "profile_orders_columns",
+    # corpus shaping (added round 2)
+    "corpus_chunk_fixed_tokens",
+    "corpus_train_val_test_split",
+    "corpus_pack_token_budget",
+    "corpus_decontaminate_eval_overlap",
+    # round-2 singles in otherwise-green modules
+    "scalar_case_when_order_size",
+    "scalar_json_extract_events",
+    "scalar_from_json_struct",
+    "scalar_array_functions",
+    "agg_grouping_id_rollup",
+    "agg_regression_price_on_qty",
+    "agg_winsorized_quantity_stats",
+    "agg_mode_priority_deterministic",
+    "join_salted_skew_events_per_user",
+    "reshape_unpivot_order_metrics",
+    "graph_pagerank_dup_docs",
+    "sample_weighted_bernoulli_documents",
+    "sim_embedding_int8_quantize",
+    "text_repetition_quality",
+    "text_source_token_entropy",
+    # rows-only in r01/r02 — re-prove under the new real byte-histogram oracle
     "multimodal_feature_extract",
 ]
 
 _MODULE_AUDIT_ORDER: list[str] = [
-    # no driver row in round 1 → front of the window
+    # every module below is fully green in r01 ∪ r02 (minus the pinned
+    # singles above); relative order only decides which re-proofs fill the
+    # last few window slots
+    "functions.pipeline",
     "operators.tpch",
     "operators.tpch2",
     "operators.subqueries",
@@ -71,17 +126,14 @@ _MODULE_AUDIT_ORDER: list[str] = [
     "operators.udfs",
     "streaming.events",
     "operators.misc",
-    # green in CORRECTNESS_r01 → back of the window
     "operators.aggregates",
     "operators.joins",
     "functions.dedup",
     "functions.graph",
     "functions.multimodal",
-    "functions.pipeline",
     "functions.sampling",
     "functions.similarity",
     "functions.text",
-    # added in round 2 (never driver-checked — rotate forward in round 3)
     "operators.reshape",
     "functions.corpus",
     "operators.timeseries",

@@ -42,10 +42,38 @@ _EVENTS_US = (
 )
 
 
+# Unit of the raw int64 `ts` when the events parquet is read with an
+# explicit `ts long` schema, probed once per path. Parquet TIMESTAMP(NANOS)
+# surfaces differently across Spark versions: with the legacy nanosAsLong
+# conf honored, the long is raw NANOSECONDS; under PySpark 4.x native nanos
+# handling, forcing a long schema yields MICROSECONDS (Spark's native
+# precision). Assuming one unit silently collapses every event into 1970
+# in the other environment, so probe the magnitude instead: any timestamp
+# between 1973 and 2260 is under 9.2e15 as µs but over 1e17 as ns.
+_TS_DIVISOR_CACHE: dict[str, int] = {}
+_NANOS_THRESHOLD = int(1e17)
+
+
+def _ts_divisor(spark: SparkSession, path: str, glob: str | None) -> int:
+    """1 if the long-schema read of ``ts`` is already microseconds, 1000 if
+    nanoseconds — decided from one probed value's magnitude."""
+    cached = _TS_DIVISOR_CACHE.get(path)
+    if cached is not None:
+        return cached
+    reader = spark.read.schema(RAW_EVENT_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    sample = reader.parquet(path).select("ts").where("ts IS NOT NULL").head(1)
+    divisor = 1000 if sample and abs(sample[0][0]) > _NANOS_THRESHOLD else 1
+    _TS_DIVISOR_CACHE[path] = divisor
+    return divisor
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming source over the events parquet (ns → µs conversion as in
-    sources.tables._load_events, but with an explicit schema because
-    streaming sources cannot infer)."""
+    """Streaming source over the events parquet (raw-long → µs conversion as
+    in sources.tables._load_events, but with an explicit schema because
+    streaming sources cannot infer). The raw unit is probed, not assumed —
+    see _ts_divisor."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source requires a DIRECTORY basePath. Two layouts:
     # a real lake / tools/make_scale.py output has events.parquet/ as a
@@ -54,14 +82,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which would silently match nothing in the directory layout).
     path = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(path):
+        glob = None
         reader = spark.readStream.schema(RAW_EVENT_SCHEMA)
     else:
         path = sf_dir
+        glob = "events.parquet"
         reader = spark.readStream.schema(RAW_EVENT_SCHEMA).option(
-            "pathGlobFilter", "events.parquet"
+            "pathGlobFilter", glob
         )
     sdf = reader.parquet(path)
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    divisor = _ts_divisor(spark, path, glob)
+    micros = F.expr(f"ts div {divisor}") if divisor != 1 else F.col("ts")
+    return sdf.withColumn("ts", F.timestamp_micros(micros))
 
 
 # Streaming state-store partition count. A stateful streaming query spins
