@@ -101,13 +101,30 @@ def fake_features(payload: bytes) -> list[float]:
 
 @register(
     "multimodal_feature_extract",
-    oracle=None,  # Python-side feature stub; invariants asserted in tests
-    doc="mapInPandas decode→feature pipeline over binary payloads (rows-only)",
+    # The fake decoder is a normalized byte histogram — deterministic and
+    # relational, so the oracle replays it exactly: payload text is ASCII
+    # (asserted by multimodal_payload_stats' size_consistent check), so
+    # ord(char) == byte, and count/total in IEEE double is bit-identical
+    # across engines because both operands are exact integers.
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, ord(substring(text, CAST(i.i AS INT), 1)) % {FEATURE_DIM} AS bin
+  FROM documents, UNNEST(range(1, length(text)+1)) AS i(i)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bytes,
+       {", ".join(f"CAST(COUNT(*) FILTER (bin={k}) AS DOUBLE)/COUNT(*) AS f{k}" for k in range(FEATURE_DIM))}
+FROM b GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="mapInPandas decode→feature pipeline over binary payloads",
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads: the real
     multimodal shape (mapInPandas over (id, payload) → (id, features,
-    n_bytes)), with the decoder stubbed deterministically."""
+    n_bytes)), with the decoder stubbed deterministically (fake_features
+    byte histogram). The feature vector is surfaced as one double column
+    per dimension so the driver's pandas canonicalization can sort and
+    hash it (list cells can't be ordered)."""
     p = _payload_df(spark, sf_dir).select("doc_id", "payload")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -124,11 +141,10 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     out = p.mapInPandas(extract, schema="doc_id long, features array<double>, n_bytes long")
-    # The driver canonicalizes results through pandas sort_values, which cannot
-    # order list cells — surface the vector as a JSON string (the array-typed
-    # variant stays available internally via the mapInPandas frame above).
     return out.select(
-        "doc_id", F.to_json("features").alias("features_json"), "n_bytes"
+        "doc_id",
+        "n_bytes",
+        *[F.col("features")[k].alias(f"f{k}") for k in range(FEATURE_DIM)],
     ).orderBy("doc_id")
 
 

@@ -46,8 +46,7 @@ def test_multimodal_features_shape(spark):
     rows = df.limit(20).collect()
     assert rows
     for r in rows:
-        features = json.loads(r.features_json)
-        assert len(features) == 8
+        features = [r[f"f{k}"] for k in range(8)]
         assert abs(sum(features) - 1.0) < 1e-9  # normalized histogram
         assert r.n_bytes > 0
 
