@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -55,17 +56,24 @@ def main() -> None:
     # worker spin-up that a resident engine pays exactly once per plan shape.
     for name in names:
         registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    # best-of-2 timed runs per query: one noisy neighbor (GC pause, OS
-    # scheduling) otherwise lands in the round's recorded number
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = registry[name].fn
-        best = float("inf")
-        for _ in range(2):
+    # Median-of-3 timed runs per query, executed as 3 round-robin passes
+    # (pass 1 runs every query once, then pass 2, then pass 3) so a
+    # transient noisy neighbor (GC pause, OS scheduling) perturbs at most
+    # one pass of each query instead of a whole query's sample. Per-query
+    # spread is recorded alongside — on this box single runs swing ±2-3×,
+    # so a round-over-round comparison needs the dispersion to be
+    # falsifiable.
+    runs_n = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(runs_n):
+        for name in names:
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs[name].append(time.perf_counter() - t0)
+    timings = {n: round(statistics.median(rs), 4) for n, rs in runs.items()}
+    spread = {
+        n: [round(min(rs), 4), round(max(rs), 4)] for n, rs in runs.items()
+    }
 
     total = round(sum(timings.values()), 4)
     print(
@@ -75,6 +83,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs_per_query": runs_n,
+                "stat": "median",
                 "sf": sf,
             }
         )
