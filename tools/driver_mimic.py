@@ -15,6 +15,8 @@ import sys
 import duckdb
 import pandas as pd
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from pgcp_spark.registry import all_queries
 
 SF_DIR = os.environ.get("MIMIC_SF_DIR", "/root/testdata/sf0.01")
