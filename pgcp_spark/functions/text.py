@@ -525,3 +525,147 @@ def text_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_tokens", "n_distinct", "token_entropy")
         .orderBy("source")
     )
+
+
+BIGRAM_MIN_COUNT = 5
+BIGRAM_TOP_K = 50
+
+
+@register(
+    "text_bigram_lift_top",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+uni AS (
+  SELECT UNNEST(t) AS tok FROM toks
+),
+ucount AS (SELECT tok, COUNT(*) AS n FROM uni GROUP BY tok),
+utotal AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM ucount),
+bi AS (
+  SELECT t[i.i] AS x, t[i.i + 1] AS y
+  FROM toks, UNNEST(range(1, len(t))) AS i(i)
+),
+bcount AS (SELECT x, y, COUNT(*) AS n_xy FROM bi GROUP BY x, y),
+btotal AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS big_b FROM bcount)
+SELECT b.x, b.y, b.n_xy, ux.n AS n_x, uy.n AS n_y,
+       CAST(b.n_xy AS DOUBLE) * ut.big_n * ut.big_n
+         / (CAST(bt.big_b AS DOUBLE) * ux.n * uy.n) AS lift
+FROM bcount b
+JOIN ucount ux ON b.x = ux.tok
+JOIN ucount uy ON b.y = uy.tok
+CROSS JOIN utotal ut CROSS JOIN btotal bt
+WHERE b.n_xy >= {BIGRAM_MIN_COUNT}
+ORDER BY b.n_xy DESC, b.x, b.y
+LIMIT {BIGRAM_TOP_K}
+""",
+)
+def text_bigram_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram association statistics: observed bigram count vs the count
+    expected under unigram independence (lift = P(xy) / P(x)P(y), the
+    exp(PMI)) — the collocation/template detector behind phrase mining and
+    boilerplate discovery in corpus analysis.
+
+    Cross-engine exactness without rounding: lift is a pure scalar
+    expression over exact integers (counts and totals), evaluated in the
+    same left-to-right binary64 order on both engines — unlike the entropy
+    aggregate there is no float reduction whose order could differ, so the
+    doubles are bit-identical. Ranking and selection use only integer
+    counts (n_xy, then lexicographic tie-break).
+
+    Scale: token explode → two hash aggregates (unigrams, bigrams) with
+    map-side partial aggregation, then joins keyed on token — the unigram
+    table is vocabulary-sized (sublinear in corpus), and the two totals are
+    single-row broadcasts. No all-pairs work anywhere.
+    """
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
+    t = d.select("doc_id", toks.alias("t"))
+    uni = t.select(F.explode("t").alias("tok"))
+    ucount = uni.groupBy("tok").agg(F.count("*").alias("n"))
+    # consecutive pairs, array-local (no positional window shuffle)
+    pairs = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)").alias("x"),
+                F.expr("slice(t, 2, size(t) - 1)").alias("y"),
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    bcount = pairs.groupBy("x", "y").agg(F.count("*").alias("n_xy"))
+    big_n = ucount.agg(F.sum("n").cast("long").alias("big_n"))
+    big_b = bcount.agg(F.sum("n_xy").cast("long").alias("big_b"))
+    ux = ucount.select(F.col("tok").alias("x"), F.col("n").alias("n_x"))
+    uy = ucount.select(F.col("tok").alias("y"), F.col("n").alias("n_y"))
+    lift = (F.col("n_xy").cast("double") * F.col("big_n") * F.col("big_n")) / (
+        F.col("big_b").cast("double") * F.col("n_x") * F.col("n_y")
+    )
+    return (
+        bcount.filter(F.col("n_xy") >= BIGRAM_MIN_COUNT)
+        .join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(big_n))
+        .crossJoin(F.broadcast(big_b))
+        .select("x", "y", "n_xy", "n_x", "n_y", lift.alias("lift"))
+        .orderBy(F.desc("n_xy"), "x", "y")
+        .limit(BIGRAM_TOP_K)
+    )
+
+
+RARE_DF_MAX = 3
+
+
+@register(
+    "text_rarity_score",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')) AS token
+  FROM documents
+),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_toks,
+       CAST(SUM(d.df) AS BIGINT) AS sum_df,
+       CAST(SUM(d.df) AS DOUBLE) / COUNT(*) AS avg_token_df,
+       CAST(SUM(CASE WHEN d.df <= {RARE_DF_MAX} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_frac
+FROM tok t JOIN df d ON t.token = d.token
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity profile per document: mean document
+    frequency of the doc's tokens (with multiplicity) and the fraction of
+    near-hapax tokens (df ≤ {RARE_DF_MAX}) — the frequency-based quality
+    signal behind CCNet-style perplexity filtering, expressed in exact
+    integer arithmetic (no language model, no logs) so both engines agree
+    bit-for-bit: integer sums divided once in binary64.
+
+    A doc of common vocabulary scores high avg_token_df (likely fluent /
+    also likely boilerplate); a doc dominated by rare garbage tokens shows
+    high rare_frac — both tails get review in a real pipeline.
+
+    Scale: explode → vocabulary-sized distinct aggregate → join back on
+    token → per-doc aggregate. The df table is sublinear in the corpus;
+    the join is token-keyed (no skew beyond natural Zipf, which partial
+    aggregation absorbs map-side).
+    """
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
+    tok = d.select("doc_id", F.explode(toks).alias("token"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        tok.join(df, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("df").cast("long").alias("sum_df"),
+            (F.sum("df").cast("double") / F.count("*")).alias("avg_token_df"),
+            (
+                F.sum(F.when(F.col("df") <= RARE_DF_MAX, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("rare_frac"),
+        )
+        .orderBy("doc_id")
+    )
