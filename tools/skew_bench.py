@@ -31,10 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-N_EVENTS = 6_000_000
+N_EVENTS = 24_000_000
 N_USERS = 200_000
 HOT_USER = 7
-HOT_FRACTION = 0.3
+HOT_FRACTION = 0.5
 SALT_BUCKETS = 16
 RUNS = 3
 
@@ -117,15 +117,26 @@ def main() -> None:
     # warmup both plans once (codegen compile)
     plain_join(e, d).write.format("noop").mode("overwrite").save()
     salted_join(e, d).write.format("noop").mode("overwrite").save()
-    # sanity: identical results (order-insensitive)
+    # sanity: identical results on the exact columns (sum_value is a
+    # double reduction whose addition order differs between the two plans,
+    # so it is excluded — the operator's registered query proves value
+    # equality through its decimal-exact oracle instead)
     mismatch = (
         plain_join(e, d)
-        .exceptAll(salted_join(e, d).select("user_id", "c_mktsegment", "n_events", "sum_value"))
+        .select("user_id", "c_mktsegment", "n_events")
+        .exceptAll(salted_join(e, d).select("user_id", "c_mktsegment", "n_events"))
         .count()
     )
     assert mismatch == 0, f"salted join result differs from plain join: {mismatch} rows"
     plain = timed(plain_join, e, d)
     salted = timed(salted_join, e, d)
+    # third variant: let AQE's runtime skew splitting rescue the PLAIN plan
+    # (the Spark-first fix when the skewed side is a plain shuffle join) —
+    # manual salting remains for the cases AQE can't touch (the skewed key
+    # feeding an aggregation, streaming state, or pre-AQE engines)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    plain_aqe = timed(plain_join, e, d)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     print(
         json.dumps(
             {
@@ -134,7 +145,8 @@ def main() -> None:
                 "salt_buckets": SALT_BUCKETS,
                 "plain_sec": round(plain, 3),
                 "salted_sec": round(salted, 3),
-                "speedup": round(plain / salted, 2),
+                "plain_aqe_skewjoin_sec": round(plain_aqe, 3),
+                "speedup_salted_vs_plain": round(plain / salted, 2),
                 "runs": RUNS,
                 "stat": "median",
             }
