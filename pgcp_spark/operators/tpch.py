@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from pgcp_spark.operators._decimal import davg, dec, dsum, sql_davg, sql_dsum
 from pgcp_spark.registry import register
-from pgcp_spark.sources import load_table
+from pgcp_spark.sources import load_table, load_table_parallel
 
 # Testdata dates span 1995-01-01..2001-11-04 (FIXTURES.md); cutoffs chosen to
 # keep every branch selective but non-empty.
@@ -50,9 +50,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: single shuffle on (returnflag, linestatus) — 6 groups — after
     map-side partial aggregation; the shipdate filter and the 7-column
-    projection push down to the parquet scan.
+    projection push down to the parquet scan (through the round-robin
+    exchange — verified in test_plans). The parallel load matters HERE
+    and not in the join queries: q1's expensive work is the 8-aggregate
+    decimal partial aggregation, which runs inside the scan stage — on a
+    single-file input that is one core unless repartitioned (measured
+    1.6 s → 1.1 s at sf0.1). Join-shaped queries already shuffle the fact
+    on the join key, so a pre-repartition would only add data movement.
+    On a multi-file lake the repartition is skipped (load_table_parallel
+    guard) and the scan parallelizes natively.
     """
-    l = load_table(spark, sf_dir, "lineitem")
+    l = load_table_parallel(spark, sf_dir, "lineitem")
     disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     charge = disc_price * (F.lit(1) + dec("l_tax"))
     return (
