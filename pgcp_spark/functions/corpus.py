@@ -256,3 +256,68 @@ def corpus_decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("doc_id")
     )
+
+
+NEG_PER_DOC = 4
+_NEG_STEP = 40503  # odd constant decorrelating the per-pair index
+
+
+@register(
+    "corpus_contrastive_negatives",
+    oracle=f"""
+WITH mx AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+cand AS (
+  SELECT d.doc_id,
+         CAST(i.i AS INT) AS pair_idx,
+         (d.doc_id * {KNUTH} + i.i * {_NEG_STEP}) % mx.n AS neg_doc_id
+  FROM documents d, mx, UNNEST(range({NEG_PER_DOC})) AS i(i)
+)
+SELECT c.doc_id, c.pair_idx, c.neg_doc_id, n.source AS neg_source, n.lang AS neg_lang
+FROM cand c JOIN documents n ON c.neg_doc_id = n.doc_id
+WHERE c.neg_doc_id <> c.doc_id
+ORDER BY c.doc_id, c.pair_idx
+""",
+)
+def corpus_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair sampling for contrastive training: each
+    document draws NEG_PER_DOC pseudo-random partner docs via the same
+    multiplicative-hash scheme as the split assignment — reproducible
+    across reruns and engines (no RNG), so the pairing is stable under
+    retries and incremental rebuilds, which real training pipelines
+    require. Self-pairs are dropped; candidate ids that don't exist in the
+    corpus simply fail the inner join (no dense-id assumption, no global
+    row_number window).
+
+    Scale: a row-local explode (×NEG_PER_DOC) and one equi-join back to
+    documents on the sampled id — both shuffle-bounded by corpus size;
+    nothing quadratic, nothing driver-side.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg((F.max("doc_id") + 1).alias("n"))
+    cand = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.explode(F.array(*[F.lit(i) for i in range(NEG_PER_DOC)])).alias("pair_idx"),
+            F.col("n"),
+        )
+        .select(
+            "doc_id",
+            "pair_idx",
+            ((F.col("doc_id") * KNUTH + F.col("pair_idx") * _NEG_STEP) % F.col("n")).alias(
+                "neg_doc_id"
+            ),
+        )
+    )
+    neg = d.select(
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("source").alias("neg_source"),
+        F.col("lang").alias("neg_lang"),
+    )
+    return (
+        cand.join(neg, "neg_doc_id")
+        .filter(F.col("neg_doc_id") != F.col("doc_id"))
+        .select("doc_id", "pair_idx", "neg_doc_id", "neg_source", "neg_lang")
+        .orderBy("doc_id", "pair_idx")
+    )
