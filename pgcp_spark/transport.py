@@ -203,6 +203,21 @@ class Transport:
         df = self.spark.read.json(json_path)
         self._staged_write(df, dest, CopyOptions())
 
+    def copy_from_parquet(self, parquet_path: str, dest_tablename: str) -> None:
+        """Columnar ingest (parquet): schema comes from file metadata (no
+        inference pass), scans are vectorized and column-pruned — the
+        preferred lake→warehouse path; same staged write as O16."""
+        dest = QualifiedName.parse(dest_tablename)
+        df = self.spark.read.parquet(parquet_path)
+        self._staged_write(df, dest, CopyOptions())
+
+    def copy_from_orc(self, orc_path: str, dest_tablename: str) -> None:
+        """Columnar ingest (ORC): Spark reads ORC natively with the same
+        vectorized/pruned scan properties as parquet; same staged write."""
+        dest = QualifiedName.parse(dest_tablename)
+        df = self.spark.read.orc(orc_path)
+        self._staged_write(df, dest, CopyOptions())
+
     # ---------------- internals ----------------
 
     def _create_dest_table(self, src: QualifiedName, dest: QualifiedName) -> bool:

@@ -105,3 +105,33 @@ def test_jsonl_ingest_roundtrip(spark, tmp_path):
     assert '"id" BIGINT' in joined
     assert '"name" TEXT' in joined
     assert dest.transactions and 'RENAME TO "people_json"' in dest.transactions[0][-1]
+
+
+def test_parquet_ingest_roundtrip(spark, tmp_path):
+    src = tmp_path / "people.parquet"
+    spark.createDataFrame(
+        [(1, "ann", 2.5), (2, "bob", 3.5), (3, "cid", 4.5)], "id long, name string, score double"
+    ).write.parquet(str(src))
+    dest = FakeClient()
+    tr, writes = make_transport(spark, dest)
+    tr.copy_from_parquet(str(src), "public.people_pq")
+    assert writes and writes[0][1] == 3
+    joined = "\n".join(dest.executed)
+    assert '"id" BIGINT' in joined
+    assert '"score" DOUBLE PRECISION' in joined
+    assert dest.transactions and 'RENAME TO "people_pq"' in dest.transactions[0][-1]
+
+
+def test_orc_ingest_roundtrip(spark, tmp_path):
+    src = tmp_path / "people.orc"
+    spark.createDataFrame(
+        [(1, "ann"), (2, "bob")], "id long, name string"
+    ).write.orc(str(src))
+    dest = FakeClient()
+    tr, writes = make_transport(spark, dest)
+    tr.copy_from_orc(str(src), "public.people_orc")
+    assert writes and writes[0][1] == 2
+    joined = "\n".join(dest.executed)
+    assert '"id" BIGINT' in joined
+    assert '"name" TEXT' in joined
+    assert dest.transactions and 'RENAME TO "people_orc"' in dest.transactions[0][-1]
