@@ -50,6 +50,20 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--sf-dir", default=None, help="lake directory (default $SPARK_GRAFT_SF_DIR)")
     q.add_argument("--output", default=None, help="write result as parquet to this path")
     q.add_argument("--limit", type=int, default=20, help="rows to print when not writing")
+    ing = sub.add_parser(
+        "ingest",
+        help="load a file (csv/jsonl/parquet/orc) into a destination table "
+        "via the staged-write + hotswap path (O16 and its columnar siblings)",
+    )
+    ing.add_argument("path", help="input file or directory (globs allowed)")
+    ing.add_argument("-d", "--dest", required=True, help="destination database alias")
+    ing.add_argument("-t", "--table", required=True, help="destination schema.table")
+    ing.add_argument(
+        "--format", choices=("csv", "jsonl", "parquet", "orc"), default="csv"
+    )
+    ing.add_argument("--no-header", action="store_true", help="CSV has no header row")
+    ing.add_argument("-c", "--config", default=None, help="config path (default ~/.pgcp.yml)")
+    ing.add_argument("-l", "--log", default=None, help="log file (default stdout)")
     return p
 
 
@@ -84,12 +98,45 @@ def run_sql(args) -> int:
     return 0
 
 
+def run_ingest(args) -> int:
+    """``pgcp-spark ingest``: file → staged write → atomic hotswap into the
+    destination table, dispatching on format."""
+    from pgcp_spark.config import load_config
+    from pgcp_spark.session import get_spark
+    from pgcp_spark.transport import Transport
+
+    try:
+        cfg = load_config(args.config)
+    except FileNotFoundError as e:
+        raise SystemExit(f"config file not found: {e.filename} (pass -c or create ~/.pgcp.yml)")
+    try:
+        dest_cfg = cfg.database(args.dest)
+    except KeyError as e:
+        raise SystemExit(f"error: {e.args[0]}")
+    validate_table_arg(args.table)
+    spark = get_spark("pgcp_spark_ingest")
+    tr = Transport(spark, dest_cfg, dest_cfg)
+    if args.format == "csv":
+        tr.copy_from_csv(args.path, args.table, header=not args.no_header)
+    elif args.format == "jsonl":
+        tr.copy_from_jsonl(args.path, args.table)
+    elif args.format == "parquet":
+        tr.copy_from_parquet(args.path, args.table)
+    else:
+        tr.copy_from_orc(args.path, args.table)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "sql":
         handlers = [logging.StreamHandler(sys.stdout)]
         logging.basicConfig(level=logging.INFO, handlers=handlers, force=True)
         return run_sql(args)
+    if args.command == "ingest":
+        handlers = [logging.FileHandler(args.log)] if args.log else [logging.StreamHandler(sys.stdout)]
+        logging.basicConfig(level=logging.INFO, handlers=handlers, force=True)
+        return run_ingest(args)
     if args.command != "cp":
         build_parser().print_help()
         return 1

@@ -359,3 +359,26 @@ def test_psql_client_builds_conninfo_args():
     for flag, val in (("-h", "/tmp/sock"), ("-p", "5544"), ("-U", "u"), ("-d", "db")):
         assert val == args[args.index(flag) + 1]
     assert "ON_ERROR_STOP=1" in args
+
+
+def test_cli_parses_ingest_flags():
+    from pgcp_spark.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["ingest", "/tmp/x.orc", "-d", "warehouse", "-t", "public.t", "--format", "orc"]
+    )
+    assert args.format == "orc" and args.dest == "warehouse" and args.path == "/tmp/x.orc"
+    args = build_parser().parse_args(
+        ["ingest", "/tmp/x.csv", "-d", "w", "-t", "s.t", "--no-header"]
+    )
+    assert args.format == "csv" and args.no_header
+
+
+def test_cli_ingest_missing_config_fails_loudly(tmp_path):
+    from pgcp_spark.cli import main
+
+    with pytest.raises(SystemExit, match="config file not found"):
+        main(
+            ["ingest", "/tmp/x.csv", "-d", "w", "-t", "s.t",
+             "-c", str(tmp_path / "missing.yml")]
+        )
