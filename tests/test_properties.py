@@ -120,3 +120,38 @@ def test_chunking_reconstructs_documents(spark):
             toks = r.chunk_text.split(" ")
             rebuilt.extend(toks if r.chunk_idx == 0 else toks[CHUNK_OVERLAP:])
         assert rebuilt == docs[doc_id], f"doc {doc_id} reconstruction mismatch"
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10**7),
+       n=st.integers(min_value=2, max_value=10**7),
+       i=st.integers(min_value=0, max_value=15))
+def test_negative_sampling_hash_in_range(doc_id, n, i):
+    """The contrastive-negative candidate id is always a valid modulo-n
+    value and deterministic — pure integer math, no RNG."""
+    from pgcp_spark.functions.corpus import KNUTH as K, _NEG_STEP
+
+    neg = (doc_id * K + i * _NEG_STEP) % n
+    assert 0 <= neg < n
+    assert neg == (doc_id * K + i * _NEG_STEP) % n
+
+
+def test_rarity_and_negatives_invariants(spark):
+    """Row-level invariants of the round-3 corpus ops: rarity fractions
+    are probabilities, avg df bounded by corpus size; each doc draws at
+    most NEG_PER_DOC negatives, never itself."""
+    from pgcp_spark.functions.corpus import NEG_PER_DOC, corpus_contrastive_negatives
+    from pgcp_spark.functions.text import text_rarity_score
+    from tests.conftest import SF_DIR
+
+    r = text_rarity_score(spark, SF_DIR).collect()
+    n_docs = len(r)
+    for row in r:
+        assert 0.0 <= row.rare_frac <= 1.0
+        assert 1.0 <= row.avg_token_df <= n_docs
+
+    negs = corpus_contrastive_negatives(spark, SF_DIR).collect()
+    per_doc = {}
+    for row in negs:
+        assert row.neg_doc_id != row.doc_id
+        per_doc.setdefault(row.doc_id, []).append(row.pair_idx)
+    assert per_doc and all(len(v) <= NEG_PER_DOC for v in per_doc.values())
