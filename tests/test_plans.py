@@ -332,3 +332,38 @@ def test_scd2_windows_share_one_exchange(spark):
     df = q("scd2_user_state_history", spark)
     assert ex.shuffle_exchange_count(df) <= 2
     assert not ex.has_nested_loop_join(df)
+
+
+def test_bigram_lift_totals_broadcast_no_cartesian(spark):
+    """The two single-row totals must join as broadcasts (BNLJ with a
+    1-row build side is the scalar-subquery shape), never a
+    CartesianProduct; vocabulary joins stay hash-based at this size."""
+    df = q("text_bigram_lift_top", spark)
+    assert ex.count_occurrences(df, "CartesianProduct") == 0
+    assert ex.has_broadcast_hash_join(df, at_least=1)
+
+
+def test_rarity_score_prunes_documents_scan(spark):
+    """rarity reads only doc_id + text of the 5-column documents table."""
+    df = q("text_rarity_score", spark)
+    assert ex.count_occurrences(df, "CartesianProduct") == 0
+    schemas = ex.read_schemas(df)
+    assert all("source" not in s and "lang" not in s for s in schemas), schemas
+
+
+def test_contrastive_negatives_id_join_stays_hash_based(spark):
+    df = q("corpus_contrastive_negatives", spark)
+    assert ex.count_occurrences(df, "CartesianProduct") == 0
+    assert ex.has_broadcast_hash_join(df, at_least=1)
+
+
+def test_minhash_distinct_rows_are_narrow(spark):
+    """The candidate-dedup distinct must not shuffle signature arrays —
+    its exchange carries only (doc_a, doc_b, est_jaccard)."""
+    df = q("dedup_minhash_lsh_candidates", spark)
+    plan = ex.physical_plan(df)
+    import re
+    dedup_aggs = [m for m in re.findall(r"Keys \[\d+\]: \[([^\]]*)\]", plan)
+                  if "doc_a" in m]
+    assert dedup_aggs, "distinct aggregate not found"
+    assert all("sig" not in m for m in dedup_aggs), dedup_aggs
