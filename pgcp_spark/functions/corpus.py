@@ -321,3 +321,64 @@ def corpus_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pair_idx", "neg_doc_id", "neg_source", "neg_lang")
         .orderBy("doc_id", "pair_idx")
     )
+
+
+@register(
+    "corpus_mix_rebalance",
+    oracle=f"""
+WITH stats AS (
+  SELECT source, COUNT(*) AS n_before FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_before) AS BIGINT) AS n, COUNT(*) AS n_sources FROM stats),
+rates AS (
+  SELECT s.source, s.n_before,
+         LEAST(1.0, (CAST(t.n AS DOUBLE) / t.n_sources) / s.n_before) AS rate
+  FROM stats s CROSS JOIN tot t
+)
+SELECT r.source, r.n_before, r.rate,
+       CAST(SUM(CASE WHEN (d.doc_id * {KNUTH}) % {MOD} < r.rate * {MOD}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+FROM documents d JOIN rates r ON d.source = r.source
+GROUP BY r.source, r.n_before, r.rate
+ORDER BY r.source
+""",
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix rebalancing: compute per-source down-sampling rates that
+    equalize each source's share of the corpus (rate_s = min(1, target/n_s)
+    with target = N/n_sources), then apply them with the deterministic
+    multiplicative-hash coin — the domain-weighting pass every training
+    mix runs, reproducible across engines and reruns (no RNG).
+
+    Exactness: rates are one double division over exact integers and the
+    keep decision compares an exact integer hash against rate*2^32 — both
+    sides evaluate the same binary64 expression, so counts match the
+    oracle bit-for-bit.
+
+    Scale: one aggregate for the per-source histogram (vocabulary-sized),
+    a broadcast join of the rates back onto documents, and a second
+    aggregate — the sampled subset never materializes driver-side.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(F.count("*").alias("n_before"))
+    tot = stats.agg(
+        F.sum("n_before").cast("long").alias("n"), F.count("*").alias("n_sources")
+    )
+    rates = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_before",
+            F.least(
+                F.lit(1.0),
+                (F.col("n").cast("double") / F.col("n_sources")) / F.col("n_before"),
+            ).alias("rate"),
+        )
+    )
+    keep = (F.col("doc_id") * KNUTH) % MOD < F.col("rate") * MOD
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_before", "rate")
+        .agg(F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_after"))
+        .orderBy("source")
+    )

@@ -669,3 +669,116 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SPAN_FP_DF_CAP = 20  # drop boilerplate fingerprints shared by too many docs
+SPAN_MIN_SHARED = 3  # pairs must share at least this many winnow minima
+
+
+@register(
+    "text_repeated_span_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t) - {WINNOW_GRAM - 2}),
+                        i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+  FROM toks WHERE len(t) >= {WINNOW_GRAM + WINNOW_WINDOW - 1}
+),
+winnow AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(range(1, len(g) - {WINNOW_WINDOW - 2}),
+                                             j -> list_min(g[j:j+{WINNOW_WINDOW - 1}])))) AS fp
+  FROM grams
+),
+kept AS (
+  SELECT doc_id, fp FROM winnow
+  WHERE fp IN (SELECT fp FROM winnow GROUP BY fp HAVING COUNT(*) <= {SPAN_FP_DF_CAP})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM winnow GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       CAST(p.n_shared AS DOUBLE) / LEAST(sa.sz, sb.sz) AS containment
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE p.n_shared >= {SPAN_MIN_SHARED}
+ORDER BY p.doc_a, p.doc_b
+""",
+)
+def text_repeated_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection: document pairs sharing
+    ≥ SPAN_MIN_SHARED winnowing fingerprints, scored by containment
+    (shared minima / smaller doc's fingerprint set) — the substring-level
+    near-dup signal that whole-doc Jaccard misses (a paragraph pasted into
+    an otherwise-unrelated document). This is the pairwise companion of
+    ``text_winnow_fingerprints``.
+
+    Scale: inverted-index self-join on fingerprint (only docs sharing a
+    winnow minimum ever meet — never all-pairs), with boilerplate
+    fingerprints dropped by a document-frequency cap BEFORE the join
+    (SPAN_FP_DF_CAP, the same skew mitigation as the hot-shingle-capped
+    Jaccard). Containment divides two exact integers once in binary64, so
+    the DuckDB comparison is bit-exact. Sizes are computed from the
+    UNCAPPED sets (capping only prunes candidate generation, not the
+    denominator semantics).
+    """
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
+    d = d.select("doc_id", toks.alias("t")).filter(
+        F.size("t") >= WINNOW_GRAM + WINNOW_WINDOW - 1
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (WINNOW_GRAM - 1)),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at("t", i),
+                F.element_at("t", i + 1),
+                F.element_at("t", i + 2),
+            )
+        ),
+    )
+    winnow_set = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("g") - (WINNOW_WINDOW - 1)),
+            lambda j: F.array_min(F.slice("g", j, WINNOW_WINDOW)),
+        )
+    )
+    fps = (
+        d.select("doc_id", grams.alias("g"))
+        .select("doc_id", F.explode(winnow_set).alias("fp"))
+        .localCheckpoint()  # feeds sizes, the df-cap, and both join sides
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    rare = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= SPAN_FP_DF_CAP
+    )
+    kept = fps.join(rare.select("fp"), "fp")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= SPAN_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.least("sz_a", "sz_b")).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
