@@ -48,6 +48,40 @@ pairs AS (
 """
 
 
+def connected_labels(edges: DataFrame) -> DataFrame:
+    """Min-label propagation to fixpoint over a symmetric edge frame
+    (s, d) → (node, label). Each iteration is one join + one aggregate;
+    state is localCheckpoint'd so the plan stays constant-size."""
+    labels = (
+        edges.select("s").distinct().select(F.col("s").alias("node"), F.col("s").alias("label"))
+    ).localCheckpoint()
+    while True:
+        neigh_min = (
+            edges.join(labels, edges.d == labels.node)
+            .groupBy("s")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.s, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+
+
 @register(
     "graph_connected_dup_clusters",
     oracle=f"""
@@ -88,35 +122,7 @@ def graph_connected_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        edges.select("s").distinct().select(F.col("s").alias("node"), F.col("s").alias("label"))
-    ).localCheckpoint()
-
-    while True:
-        neigh_min = (
-            edges.join(labels, edges.d == labels.node)
-            .groupBy("s")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neigh_min, labels.node == neigh_min.s, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = connected_labels(edges)
 
     return (
         labels.groupBy("label")
@@ -217,6 +223,86 @@ def graph_pagerank_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").cast("long").alias("doc_id"),
             F.round("rank", 6).alias("pagerank"),
             F.col("out_deg").cast("long").alias("degree"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=f"""
+WITH RECURSIVE {_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.s, r.d FROM edges e JOIN reach r ON r.s = e.d
+),
+labels AS (SELECT s AS node, MIN(d) AS label FROM reach GROUP BY s),
+clustered AS (
+  SELECT doc.doc_id, CAST(COALESCE(l.label, doc.doc_id) AS BIGINT) AS cluster_id,
+         doc.n_chars
+  FROM documents doc LEFT JOIN labels l ON doc.doc_id = l.node
+)
+SELECT doc_id, cluster_id,
+       CAST(FIRST_VALUE(doc_id) OVER w AS BIGINT) AS canonical_doc,
+       doc_id = FIRST_VALUE(doc_id) OVER w AS is_kept
+FROM clustered
+WINDOW w AS (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY doc_id
+""",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production dedup decision: every document mapped to its
+    near-dup cluster (connected components of the ≥0.3-Jaccard graph;
+    singletons cluster with themselves) with one canonical survivor per
+    cluster — longest document wins, doc_id breaks ties — and an is_kept
+    verdict. This composes the pair generator (dedup.py), the component
+    labeller (connected_labels), and a keep-rule into the drop-list a
+    training pipeline actually applies.
+
+    Scale: the iterative labelling touches only documents that appear in
+    a pair (dup clusters are sparse in a real corpus); the full corpus
+    joins in once at the end (left join on doc_id) and the canonical
+    election is a per-cluster window — cluster-sized partitions, not
+    corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    from pgcp_spark.functions.dedup import dedup_ngram_jaccard_pairs
+    from pgcp_spark.sources import load_table
+
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = connected_labels(edges)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clustered = d.join(labels, d.doc_id == labels.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).cast("long").alias("cluster_id"),
+        "n_chars",
+    )
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    canonical = F.first("doc_id").over(w)
+    return (
+        clustered.select(
+            "doc_id",
+            "cluster_id",
+            canonical.cast("long").alias("canonical_doc"),
+            (F.col("doc_id") == canonical).alias("is_kept"),
         )
         .orderBy("doc_id")
     )
