@@ -58,3 +58,35 @@ def test_foreach_batch_upsert_commits_lake_snapshots(spark):
     assert len(rows) == 150  # one row per user
     # latest-per-user invariant holds inside the result
     assert len({r.user_id for r in rows}) == len(rows)
+
+
+def test_ts_divisor_probe_detects_unit(spark, tmp_path):
+    """The streaming source must not assume the raw long ts unit: probe
+    returns 1 for microsecond-magnitude values and 1000 for nanosecond
+    magnitude (the round-2 silent-1970-collapse bug)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pgcp_spark.streaming.events import _TS_DIVISOR_CACHE, _ts_divisor
+
+    us_2024 = 1_704_067_200_000_000          # 2024-01-01 in µs
+    ns_2024 = us_2024 * 1000                 # same instant in ns
+    for name, val, expected in (("us", us_2024, 1), ("ns", ns_2024, 1000)):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([1], pa.int64()),
+                    "ts": pa.array([val], pa.int64()),
+                    "user_id": pa.array([1], pa.int64()),
+                    "event_type": pa.array(["click"]),
+                    "value": pa.array([1.0]),
+                    "props": pa.array(["{}"]),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        _TS_DIVISOR_CACHE.clear()
+        assert _ts_divisor(spark, str(d), "events.parquet") == expected, name
+    _TS_DIVISOR_CACHE.clear()
