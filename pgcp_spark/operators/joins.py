@@ -404,3 +404,74 @@ def join_band_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()  # a pair can meet in up to 2 neighboring buckets
         .orderBy("error_id", "purchase_id")
     )
+
+
+@register(
+    "join_asof_forward_next_view",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+  FROM events
+),
+views AS (
+  SELECT user_id, ts, MIN(event_id) AS view_id
+  FROM ev WHERE event_type = 'view' GROUP BY 1, 2
+),
+purch AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.ts, v.view_id AS next_view
+FROM purch p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND v.ts > p.ts
+ORDER BY purchase_id
+""",
+)
+def join_asof_forward_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase matched to the user's first view
+    event STRICTLY AFTER it (post-purchase behavior attribution) — the
+    mirror of the backward as-of, and a distinct plan shape: the carry
+    runs with a forward window frame instead of a backward one.
+
+    Same union-and-carry technique as join_asof_click_attribution, one
+    shuffle on user_id, linear per-user work: both sides stack into one
+    frame; at equal ts the view sorts BEFORE the purchase, so the
+    (currentRow → unboundedFollowing) first(ignorenulls) frame excludes
+    same-instant views — exactly the strict `>` DuckDB's forward ASOF
+    applies. Views pre-deduped to one per (user, instant) by MIN event_id
+    (the tiebreak DuckDB's ASOF sees).
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("view_id"))
+        .select(
+            "user_id",
+            "ts",
+            "view_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.lit(0).alias("side"),
+        )
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("view_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        views.unionByName(purch)
+        .withColumn("next_view", F.first("view_id", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("purchase_id", "user_id", "ts", "next_view")
+        .orderBy("purchase_id")
+    )

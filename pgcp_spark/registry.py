@@ -55,7 +55,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # multimodal_feature_extract to re-prove under its new real oracle.
 # A green round here completes driver verification of the entire registry.
 #
-# Round-4 rotation: the six round-3 additions (text_bigram_lift_top,
+# Round-4 rotation: the round-3 additions (text_bigram_lift_top, join_asof_forward_next_view,
 # text_rarity_score, text_repeated_span_pairs, corpus_contrastive_negatives,
 # corpus_mix_rebalance, dedup_cluster_canonical) are the only queries that
 # will then lack a driver row — pin them first next round (all six already
