@@ -55,11 +55,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # multimodal_feature_extract to re-prove under its new real oracle.
 # A green round here completes driver verification of the entire registry.
 #
-# Round-4 rotation: the round-3 additions (text_bigram_lift_top, join_asof_forward_next_view,
+# Round-4 rotation: the round-3 additions (text_bigram_lift_top,
 # text_rarity_score, text_repeated_span_pairs, corpus_contrastive_negatives,
-# corpus_mix_rebalance, dedup_cluster_canonical) are the only queries that
-# will then lack a driver row — pin them first next round (all six already
-# pass the local mimic bit-exactly at sf0.01 AND sf0.1).
+# corpus_mix_rebalance, dedup_cluster_canonical, join_asof_forward_next_view)
+# are the only queries that will then lack a driver row — pin them first
+# next round (all pass the local mimic bit-exactly at sf0.01 AND sf0.1).
 _AUDIT_PRIORITY: list[str] = [
     # streaming family (6 of these produced wrong answers before the
     # events.ts µs/ns fix — front of the window per the round-2 verdict)
