@@ -270,7 +270,12 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pair (dup clusters are sparse in a real corpus); the full corpus
     joins in once at the end (left join on doc_id) and the canonical
     election is a per-cluster window — cluster-sized partitions, not
-    corpus-sized.
+    corpus-sized. The pair GENERATOR is the op's scale ceiling: the
+    uncapped inverted-index join used here (so the recursive-CTE oracle
+    matches exactly) explodes quadratically per hot shingle under heavy
+    replication — at corpus scale swap in
+    dedup_jaccard_hot_shingle_capped or the MinHash candidates (same
+    (doc_a, doc_b) interface); the labeller and election are unchanged.
     """
     from pyspark.sql import Window
 

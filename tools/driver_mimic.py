@@ -60,7 +60,10 @@ def main() -> int:
 
     for t in TABLES:
         path = f"{SF_DIR}/{t}.parquet"
-        if os.path.exists(path):
+        if os.path.isdir(path):
+            # multi-file lake layout (tools/make_scale.py): glob the parts
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/*.parquet')")
+        elif os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs = all_queries()
