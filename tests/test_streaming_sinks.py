@@ -90,3 +90,73 @@ def test_ts_divisor_probe_detects_unit(spark, tmp_path):
         _TS_DIVISOR_CACHE.clear()
         assert _ts_divisor(spark, str(d), "events.parquet") == expected, name
     _TS_DIVISOR_CACHE.clear()
+
+
+def test_streaming_agg_across_multiple_microbatches(spark, tmp_path):
+    """The driver testdata is one file = one micro-batch, so cross-batch
+    state merging never actually executes there. Split events into three
+    files and stream with maxFilesPerTrigger=1: the tumbling aggregation
+    must merge window state across three real micro-batches and equal the
+    batch groupBy exactly."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pgcp_spark.sources import load_table
+    from pgcp_spark.streaming.events import (
+        RAW_EVENT_SCHEMA,
+        _stream_partitions,
+        read_events_stream,
+    )
+
+    e = load_table(spark, str(__import__("tests.conftest", fromlist=["SF_DIR"]).SF_DIR), "events")
+    raw = e.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    out = tmp_path / "events.parquet"
+    # three appends → three files → three micro-batches under
+    # maxFilesPerTrigger=1 (a keyed repartition can hash-collide to fewer)
+    for b in range(3):
+        raw.filter(F.pmod("event_id", F.lit(3)) == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(out))
+
+    s = (
+        spark.readStream.schema(RAW_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(out))
+        .withColumn("ts", F.timestamp_micros("ts"))
+    )
+    agg = s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    assert q.lastProgress is not None and q.recentProgress, "stream never ran"
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+
+    got = {
+        (r["w"]["start"], r["event_type"]): r["n"]
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["w"]["start"], r["event_type"]): r["n"]
+        for r in e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
