@@ -227,6 +227,14 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMHASH_BITS = 64
 SIMHASH_MAX_HAMMING = 3
+# Chunk buckets larger than this are boilerplate-degenerate (a 16-bit
+# chunk shared by hundreds of docs is a template signature, not a near-dup
+# signal) and their pair count is quadratic in bucket size — measured at
+# the 10×-replicated sf1 lake, the uncapped join OOM'd a 48 GB heap. The
+# cap bounds per-bucket work to cap² pairs, the same mitigation as
+# HOT_SHINGLE_DF_CAP; exact-duplicate groups (≈10 docs under the 10×
+# replication artifact) sit far below it.
+SIMHASH_BUCKET_CAP = 64
 
 
 @register(
@@ -239,7 +247,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc (token-hash bit votes folded with array
     expressions), near-dup pairs = hamming distance ≤ 3, found by banding
     the signature into four 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at
-    least one chunk identical — candidates come from chunk equi-joins).
+    least one chunk identical — candidates come from chunk equi-joins,
+    with degenerate hot buckets dropped first, see SIMHASH_BUCKET_CAP).
     """
     d = load_table_parallel(spark, sf_dir, "documents")  # 64-wide bit votes per row
     toks = F.array_distinct(F.split(_normalized(), " "))
@@ -291,10 +300,23 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ch"),
     ).select("doc_id", "bits", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
 
+    # drop degenerate hot buckets before the self-join (see cap rationale)
+    small = (
+        chunks.groupBy("ci", "cv")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= SIMHASH_BUCKET_CAP)
+        .select("ci", "cv")
+    )
+    chunks = chunks.join(small, ["ci", "cv"])
+
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.size(
         F.filter(F.zip_with(F.col("a.bits"), F.col("b.bits"), lambda x, y: x != y), lambda m: m)
     )
+    # hamming computed per collision and filtered BEFORE the dedup-distinct
+    # (same shuffle-bytes reasoning as the MinHash candidates): the
+    # exchange carries (doc_a, doc_b, hamming) for surviving pairs only,
+    # never the 64-long bit arrays.
     return (
         a.join(
             b,
@@ -307,8 +329,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             hamming.cast("long").alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
