@@ -367,60 +367,80 @@ def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH s AS (
   SELECT l_returnflag,
-         CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         SUM(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS syy,
+         SUM(CAST(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sxy
   FROM lineitem
   GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag,
+         CAST(n AS BIGINT) AS n_rows,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS d1,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS d2,
+         CAST(n * syy - sy * sy AS DOUBLE) AS d3,
+         CAST(sy * sxx - sx * sxy AS DOUBLE) AS nu
+  FROM s
 )
-SELECT l_returnflag,
-       CAST(n AS BIGINT) AS n_rows,
-       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
-       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
-FROM s
+SELECT l_returnflag, n_rows,
+       d1 / d2 AS slope,
+       nu / d2 / 100.0 AS intercept,
+       (d1 * d1) / (d2 * d3) AS r2
+FROM m
 ORDER BY l_returnflag
 """,
 )
 def agg_regression_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-regression aggregates (slope / intercept / R² of price on
-    quantity per return flag) — regr_slope/regr_intercept/regr_r2 semantics
-    computed from EXACT decimal co-sums, so the result is bit-identical
-    across engines with no rounding tolerance: the five sums Σx, Σy, Σx²,
-    Σy², Σxy accumulate as decimals (associative, order-independent), and
-    only the final closed-form formula runs in double — the same IEEE ops
-    on both sides.
+    quantity per return flag) — regr_slope/regr_intercept/regr_r2
+    semantics, bit-identical across engines with no rounding tolerance.
+
+    Exactness discipline: EVERYTHING up to and including the centered
+    moments d1=nΣxy−ΣxΣy, d2=nΣx²−(Σx)², d3=nΣy²−(Σy)² is integer-cents
+    DECIMAL(38,0) arithmetic (scale-0 decimals can't hit Spark's
+    precision-loss scale reduction; magnitudes stay < 1e27 at sf1). Only
+    ratios run in double, and each is pure multiply/divide — no a*b−c
+    shape survives to the float stage, because a C++-compiled engine may
+    legally contract that to an FMA and shift the last ulp (observed: at
+    the 10× lake, DuckDB's fused nΣy²−(Σy)² differed from the JVM's
+    two-op version by 2 ulps of r2; the pre-centering formulation hid it
+    at smaller scales). The cents factor cancels in slope/r2 and divides
+    out of the intercept once.
 
     Scale: partial-aggregatable sums, one shuffle on the group key — the
     same profile as any hash aggregate.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("decimal(12,2)")
-    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    xc = F.round(F.col("l_quantity") * 100).cast("long")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec38 = "decimal(38,0)"
     s = l.groupBy("l_returnflag").agg(
-        F.count("*").cast("double").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        F.count("*").cast(dec38).alias("n"),
+        F.sum(xc.cast(dec38)).alias("sx"),
+        F.sum(yc.cast(dec38)).alias("sy"),
+        F.sum((xc * xc).cast(dec38)).alias("sxx"),
+        F.sum((yc * yc).cast(dec38)).alias("syy"),
+        F.sum((xc * yc).cast(dec38)).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    return s.select(
+    m = s.select(
         "l_returnflag",
         n.cast("long").alias("n_rows"),
-        slope.alias("slope"),
-        ((sy - slope * sx) / n).alias("intercept"),
-        (
-            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
-        ).alias("r2"),
+        (n * sxy - sx * sy).cast("double").alias("d1"),
+        (n * sxx - sx * sx).cast("double").alias("d2"),
+        (n * syy - sy * sy).cast("double").alias("d3"),
+        (sy * sxx - sx * sxy).cast("double").alias("nu"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n_rows",
+        (F.col("d1") / F.col("d2")).alias("slope"),
+        (F.col("nu") / F.col("d2") / F.lit(100.0)).alias("intercept"),
+        ((F.col("d1") * F.col("d1")) / (F.col("d2") * F.col("d3"))).alias("r2"),
     ).orderBy("l_returnflag")
 
 
