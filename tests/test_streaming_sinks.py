@@ -160,3 +160,76 @@ def test_streaming_agg_across_multiple_microbatches(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Exactly-once across restarts: run a windowed count to completion
+    with a checkpoint, append a new file, restart with the SAME
+    checkpoint — the resumed stream must process only the new file and
+    the final counts must equal the batch answer (no double counting)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pgcp_spark.sources import load_table
+    from pgcp_spark.streaming.events import RAW_EVENT_SCHEMA, _stream_partitions
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "events")
+    raw = e.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    src = tmp_path / "events.parquet"
+    ckpt = str(tmp_path / "ckpt")
+    half = raw.filter(F.pmod("event_id", F.lit(2)) == 0)
+    rest = raw.filter(F.pmod("event_id", F.lit(2)) == 1)
+    half.coalesce(1).write.mode("append").parquet(str(src))
+
+    name = f"ck_{uuid.uuid4().hex[:8]}"
+
+    def run_stream():
+        s = (
+            spark.readStream.schema(RAW_EVENT_SCHEMA)
+            .parquet(str(src))
+            .withColumn("ts", F.timestamp_micros("ts"))
+        )
+        agg = s.groupBy(F.window("ts", "1 day").alias("w")).agg(
+            F.count("*").alias("n")
+        )
+        with _stream_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return q
+
+    q1 = run_stream()
+    first_total = sum(r["n"] for r in spark.table(name).collect())
+    assert first_total == half.count()
+
+    rest.coalesce(1).write.mode("append").parquet(str(src))
+    q2 = run_stream()
+    rows_second = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert rows_second == rest.count(), (
+        f"resume reprocessed data: {rows_second} vs {rest.count()} new rows"
+    )
+    got = {
+        (r["w"]["start"]): r["n"] for r in spark.table(name).collect()
+    }
+    want = {
+        r["w"]["start"]: r["n"]
+        for r in e.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
