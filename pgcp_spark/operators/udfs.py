@@ -249,3 +249,62 @@ def udf_sql_registered_priority_class(spark: SparkSession, sf_dir: str) -> DataF
         FROM orders_udf GROUP BY 1 ORDER BY klass
         """
     )
+
+
+TOPK_TOKENS = 3
+
+
+@register(
+    "udtf_top_tokens_per_doc",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE doc_id < 50
+),
+counts AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT doc_id, token, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, token) AS INT) AS rnk
+  FROM counts
+)
+SELECT doc_id, rnk, token, n FROM ranked WHERE rnk <= {TOPK_TOKENS}
+ORDER BY doc_id, rnk
+""",
+)
+def udtf_top_tokens_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (the third leg of UDF/UDAF/UDTF): a
+    table-valued function registered with spark.udtf.register and invoked
+    from SQL via LATERAL — each document row fans out into its top-k
+    (rank, token, count) rows, computed in Python with deterministic
+    (count desc, token asc) tie-breaking so the relational oracle matches
+    exactly.
+
+    Like the SQL-registered scalar UDF above, this registers the API
+    surface, not a hot path: the UDTF runs row-at-a-time Python, so it is
+    demonstrated on a 50-doc projection; the same result at corpus scale
+    is the relational counts+window formulation (text.py's token ops).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="rnk int, token string, n bigint")
+    class TopTokens:
+        def eval(self, text: str):
+            from collections import Counter
+            import re
+
+            toks = re.sub(" +", " ", text.lower().strip()).split(" ")
+            best = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))
+            for i, (token, n) in enumerate(best[:TOPK_TOKENS], start=1):
+                yield (i, token, n)
+
+    spark.udtf.register("top_tokens", TopTokens)
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "docs_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.rnk, t.token, t.n
+        FROM docs_udtf d, LATERAL top_tokens(d.text) t
+        ORDER BY d.doc_id, t.rnk
+        """
+    )
