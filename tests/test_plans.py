@@ -367,3 +367,26 @@ def test_minhash_distinct_rows_are_narrow(spark):
                   if "doc_a" in m]
     assert dedup_aggs, "distinct aggregate not found"
     assert all("sig" not in m for m in dedup_aggs), dedup_aggs
+
+
+def test_forward_asof_is_single_window_no_join(spark):
+    """The forward as-of must stay the union-and-carry shape: one window
+    over the stacked frame, no join of any kind (the naive inequality
+    join is quadratic per user)."""
+    df = q("join_asof_forward_next_view", spark)
+    plan = ex.physical_plan(df)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                 "CartesianProduct", "ShuffledHashJoin"):
+        assert node not in plan, f"unexpected {node} in forward as-of plan"
+    assert "Window" in plan
+
+
+def test_simhash_hot_buckets_dropped_before_join(spark):
+    """The bucket-size cap must prune BEFORE the candidate self-join:
+    the plan contains the bucket-count aggregate feeding the join."""
+    df = q("dedup_simhash_pairs", spark)
+    plan = ex.physical_plan(df)
+    assert plan.count("HashAggregate") >= 2  # bucket sizes + dedup-distinct
+    dedup_keys = [k for k in __import__("re").findall(r"Keys \[\d+\]: \[([^\]]*)\]", plan)
+                  if "doc_a" in k]
+    assert dedup_keys and all("bits" not in k for k in dedup_keys), dedup_keys
