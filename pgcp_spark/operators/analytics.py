@@ -407,3 +407,80 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stacked = row if stacked is None else stacked.unionAll(row)
     return stacked.orderBy("column_name")
+
+
+@register(
+    "analytics_conversion_ztest",
+    oracle="""
+WITH ev AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS all_events,
+         CAST(SUM(n_conv) AS BIGINT) AS all_conv
+  FROM ev
+)
+SELECT ev.segment, ev.n_events, ev.n_conv,
+       CAST(ev.n_conv AS DOUBLE) / ev.n_events AS p_seg,
+       CAST(tot.all_conv - ev.n_conv AS DOUBLE) / (tot.all_events - ev.n_events) AS p_rest,
+       (CAST(ev.n_conv AS DOUBLE) / ev.n_events
+        - CAST(tot.all_conv - ev.n_conv AS DOUBLE) / (tot.all_events - ev.n_events))
+       / sqrt((CAST(tot.all_conv AS DOUBLE) / tot.all_events)
+              * (1.0 - CAST(tot.all_conv AS DOUBLE) / tot.all_events)
+              * (1.0 / ev.n_events + 1.0 / (tot.all_events - ev.n_events))) AS z_score
+FROM ev CROSS JOIN tot
+ORDER BY ev.segment
+""",
+)
+def analytics_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per customer segment: is this segment's
+    purchase-conversion rate significantly different from the rest of the
+    population? The standard A/B-readout statistic (pooled proportion,
+    normal approximation), computed from exact integer counts.
+
+    Cross-engine exactness without tolerance: counts are integers, each
+    ratio is one binary64 division, and the z expression contains no
+    multiply-feeding-add shape a compiler could contract to an FMA; IEEE
+    754 requires correctly-rounded sqrt, so both engines produce the same
+    bits. Scale: one fact aggregate keyed on segment (customer joins in
+    broadcast-eligible), one single-row total broadcast back — the same
+    two-aggregate profile as the mix rebalancer.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ev = (
+        e.join(c, e.user_id == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_conv"),
+        )
+    )
+    tot = ev.agg(
+        F.sum("n_events").cast("long").alias("all_events"),
+        F.sum("n_conv").cast("long").alias("all_conv"),
+    )
+    p_seg = F.col("n_conv").cast("double") / F.col("n_events")
+    rest_events = F.col("all_events") - F.col("n_events")
+    p_rest = (F.col("all_conv") - F.col("n_conv")).cast("double") / rest_events
+    pool = F.col("all_conv").cast("double") / F.col("all_events")
+    z = (p_seg - p_rest) / F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n_events") + F.lit(1.0) / rest_events)
+    )
+    return (
+        ev.crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_conv").cast("long").alias("n_conv"),
+            p_seg.alias("p_seg"),
+            p_rest.alias("p_rest"),
+            z.alias("z_score"),
+        )
+        .orderBy("segment")
+    )
