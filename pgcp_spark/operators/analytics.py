@@ -484,3 +484,61 @@ def analytics_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "analytics_chisq_segment_event_type",
+    oracle="""
+WITH obs AS (
+  SELECT c.c_mktsegment AS segment, e.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY 1, 2
+),
+rt AS (SELECT segment, CAST(SUM(n) AS BIGINT) AS row_tot FROM obs GROUP BY 1),
+ct AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS col_tot FROM obs GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS grand FROM obs),
+cells AS (
+  SELECT o.segment, o.event_type, o.n,
+         CAST(rt.row_tot * ct.col_tot AS DOUBLE) / tot.grand AS expected
+  FROM obs o JOIN rt USING (segment) JOIN ct USING (event_type) CROSS JOIN tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(SUM((n - expected) * (n - expected) / expected), 6) AS chi2
+FROM cells
+""",
+)
+def analytics_chisq_segment_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of segment × event_type — is event
+    mix independent of customer segment? (The categorical counterpart of
+    the conversion z-test.) Expected counts come from exact integer
+    margins via one double division; the statistic is rounded to 1e-6 on
+    both sides because the Σ over cells is a float reduction whose
+    association order is engine-specific (the entropy precedent) — the
+    per-cell terms themselves are deterministic.
+
+    Scale: one fact aggregate on (segment, type) — a |segments × types|
+    grid — then margins and the scalar statistic over that tiny grid.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = (
+        e.join(c, e.user_id == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    rt = obs.groupBy("segment").agg(F.sum("n").cast("long").alias("row_tot"))
+    ct = obs.groupBy("event_type").agg(F.sum("n").cast("long").alias("col_tot"))
+    tot = obs.agg(F.sum("n").cast("long").alias("grand"))
+    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("grand")
+    cells = (
+        obs.join(rt, "segment")
+        .join(ct, "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select("segment", "event_type", "n", expected.alias("expected"))
+    )
+    diff = F.col("n") - F.col("expected")
+    return cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.sum(diff * diff / F.col("expected")), 6).alias("chi2"),
+    )

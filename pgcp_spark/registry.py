@@ -58,7 +58,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Round-4 rotation: the round-3 additions (text_bigram_lift_top,
 # text_rarity_score, text_repeated_span_pairs, corpus_contrastive_negatives,
 # corpus_mix_rebalance, dedup_cluster_canonical, join_asof_forward_next_view,
-# udtf_top_tokens_per_doc, analytics_conversion_ztest)
+# udtf_top_tokens_per_doc, analytics_conversion_ztest,
+# analytics_chisq_segment_event_type)
 # are the only queries that will then lack a driver row — pin them first
 # next round (all pass the local mimic bit-exactly at sf0.01 AND sf0.1).
 _AUDIT_PRIORITY: list[str] = [
