@@ -337,11 +337,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HOT_SHINGLE_DF_CAP = 20  # drop shingles appearing in more docs than this
 
-
-@register(
-    "dedup_jaccard_hot_shingle_capped",
-    oracle=f"""
-WITH sh0 AS (
+# DuckDB CTE chain for the df-capped inverted-index join, shared by the
+# capped query's own oracle and the graph-family oracles (graph.py): the
+# production edge source must be provably identical wherever it is reused.
+_CAPPED_INTER_CTE = f"""sh0 AS (
   SELECT doc_id, UNNEST(list_distinct(list_transform(
            range(len(t) - {SHINGLE_WIDTH - 1}),
            i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) AS shingle
@@ -355,25 +354,25 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT i.doc_a, i.doc_b, i.n_shared,
-       CAST(i.n_shared AS DOUBLE) / (sa.sz + sb.sz - i.n_shared) AS jaccard
-FROM inter i
-JOIN sizes sa ON i.doc_a = sa.doc_id
-JOIN sizes sb ON i.doc_b = sb.doc_id
-WHERE CAST(i.n_shared AS DOUBLE) / (sa.sz + sb.sz - i.n_shared) >= {JACCARD_THRESHOLD}
-ORDER BY doc_a, doc_b
-""",
-)
-def dedup_jaccard_hot_shingle_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION variant of the shingle inverted-index join: shingles
-    whose document frequency exceeds HOT_SHINGLE_DF_CAP are dropped before
-    the self-join. Boilerplate shingles ("all rights reserved ...") are
-    exactly the skewed join keys that stall a cluster — a df cap bounds
-    every bucket's pairwise work while barely moving Jaccard for real
-    near-dups (their signal lives in rare shingles). Jaccard is computed
-    over the capped shingle universe on both sides, so the oracle matches
-    exactly.
+)"""
+
+# Exported: `pairs(doc_a, doc_b)` under the df cap — splice into a
+# `WITH [RECURSIVE] {CAPPED_PAIRS_CTE}, ...` oracle.
+CAPPED_PAIRS_CTE = f"""{_CAPPED_INTER_CTE},
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_shared AS DOUBLE) / (sa.sz + sb.sz - i.n_shared) >= {JACCARD_THRESHOLD}
+)"""
+
+
+def capped_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_shared, jaccard) under the df≤cap shingle universe,
+    unsorted — the production near-dup pair generator. The graph family
+    (functions/graph.py) builds its edges from this; the uncapped
+    ``dedup_ngram_jaccard_pairs`` exists only as MinHash's exactness oracle.
     """
     sh0 = _doc_shingles(spark, sf_dir)
     keep = (
@@ -397,8 +396,33 @@ def dedup_jaccard_hot_shingle_capped(spark: SparkSession, sf_dir: str) -> DataFr
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", "n_shared", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_jaccard_hot_shingle_capped",
+    oracle=f"""
+WITH {_CAPPED_INTER_CTE}
+SELECT i.doc_a, i.doc_b, i.n_shared,
+       CAST(i.n_shared AS DOUBLE) / (sa.sz + sb.sz - i.n_shared) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_shared AS DOUBLE) / (sa.sz + sb.sz - i.n_shared) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_jaccard_hot_shingle_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION variant of the shingle inverted-index join: shingles
+    whose document frequency exceeds HOT_SHINGLE_DF_CAP are dropped before
+    the self-join. Boilerplate shingles ("all rights reserved ...") are
+    exactly the skewed join keys that stall a cluster — a df cap bounds
+    every bucket's pairwise work while barely moving Jaccard for real
+    near-dups (their signal lives in rare shingles). Jaccard is computed
+    over the capped shingle universe on both sides, so the oracle matches
+    exactly.
+    """
+    return capped_jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 EMB_DUP_THRESHOLD = 0.4  # random 64-dim corpus: max pairwise cos ≈ 0.51

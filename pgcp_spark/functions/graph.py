@@ -20,32 +20,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pgcp_spark.functions.dedup import CAPPED_PAIRS_CTE, capped_jaccard_pairs
 from pgcp_spark.registry import register
 
-# The pair generator (same expression as dedup_ngram_jaccard_pairs' oracle,
-# embedded as a CTE so the oracle is self-contained).
-_PAIRS_CTE = """
-sh AS (
-  SELECT doc_id, UNNEST(list_distinct(list_transform(
-           range(len(t) - 2),
-           i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) AS shingle
-  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t
-        FROM documents)
-),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT i.doc_a, i.doc_b
-  FROM inter i
-  JOIN sizes sa ON i.doc_a = sa.doc_id
-  JOIN sizes sb ON i.doc_b = sb.doc_id
-  WHERE CAST(i.n_shared AS DOUBLE) / (sa.sz + sb.sz - i.n_shared) >= 0.3
-)
-"""
+# The edge source is the PRODUCTION df-capped pair generator (shingles with
+# document frequency > HOT_SHINGLE_DF_CAP dropped before the self-join) —
+# the same CTE dedup_jaccard_hot_shingle_capped proves against its Spark
+# twin, re-exported so the graph oracles stay provably identical to it.
+# The UNCAPPED generator (dedup_ngram_jaccard_pairs) grows candidate pairs
+# quadratically per hot shingle under heavy duplication and exists only as
+# MinHash's exactness oracle; wiring it here was the one scale anti-pattern
+# flagged in round 3 (graph family excluded from the sf1 sweep).
+_PAIRS_CTE = CAPPED_PAIRS_CTE
+
+
+def _dup_edges(spark: SparkSession, sf_dir: str, pairs_fn=None) -> DataFrame:
+    """Symmetric, deduped (s, d) edge frame from a near-dup pair generator.
+
+    ``pairs_fn`` defaults to the df-capped Jaccard generator; any source
+    with the (doc_a, doc_b) interface slots in (MinHash candidates at
+    corpus scale). localCheckpoint'd: every fixpoint iteration re-reads the
+    edges, and truncated lineage keeps each round's plan constant-size.
+    """
+    pairs = (pairs_fn or capped_jaccard_pairs)(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
 
 
 def connected_labels(edges: DataFrame) -> DataFrame:
@@ -104,25 +107,16 @@ ORDER BY cluster_id
 """,
 )
 def graph_connected_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components of the ≥0.3-Jaccard near-dup graph by
-    min-label propagation (iterate: label ← min(label, neighbors' labels)
-    until fixpoint), then per-cluster stats.
+    """Connected components of the ≥0.3-Jaccard near-dup graph (df-capped
+    production edge source) by min-label propagation (iterate: label ←
+    min(label, neighbors' labels) until fixpoint), then per-cluster stats.
 
     Each iteration: edges ⋈ labels → per-node neighbor minimum → join back
     → new labels (one shuffle pair); the frame is localCheckpoint'd so
     lineage doesn't grow with iterations. Convergence is checked with a
     cheap count of changed labels.
     """
-    from pgcp_spark.functions.dedup import dedup_ngram_jaccard_pairs
-
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
-        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = connected_labels(edges)
+    labels = connected_labels(_dup_edges(spark, sf_dir))
 
     return (
         labels.groupBy("label")
@@ -183,15 +177,7 @@ def graph_pagerank_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranks are rounded to 1e-6 on both sides: float contributions sum in
     engine-specific order, and ~1e-15 accumulated difference is legitimate.
     """
-    from pgcp_spark.functions.dedup import dedup_ngram_jaccard_pairs
-
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
-        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _dup_edges(spark, sf_dir)
     deg = edges.groupBy("s").agg(F.count("*").alias("out_deg"))
     nodes = edges.select(F.col("s").alias("node")).distinct()
     n_nodes = nodes.count()
@@ -270,26 +256,16 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pair (dup clusters are sparse in a real corpus); the full corpus
     joins in once at the end (left join on doc_id) and the canonical
     election is a per-cluster window — cluster-sized partitions, not
-    corpus-sized. The pair GENERATOR is the op's scale ceiling: the
-    uncapped inverted-index join used here (so the recursive-CTE oracle
-    matches exactly) explodes quadratically per hot shingle under heavy
-    replication — at corpus scale swap in
-    dedup_jaccard_hot_shingle_capped or the MinHash candidates (same
-    (doc_a, doc_b) interface); the labeller and election are unchanged.
+    corpus-sized. The edge source is the df-capped production generator
+    (a hot-shingle cap bounds every bucket's pairwise work); the MinHash
+    candidates slot into the same (doc_a, doc_b) interface at corpus
+    scale, and the labeller and election are unchanged either way.
     """
     from pyspark.sql import Window
 
-    from pgcp_spark.functions.dedup import dedup_ngram_jaccard_pairs
     from pgcp_spark.sources import load_table
 
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
-        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = connected_labels(edges)
+    labels = connected_labels(_dup_edges(spark, sf_dir))
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     clustered = d.join(labels, d.doc_id == labels.node, "left").select(
         "doc_id",

@@ -49,75 +49,71 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # queries that still need a green driver row come first; families already
 # proven green in a prior round's CORRECTNESS_r{N}.json rotate to the back.
 #
-# Round-3 window: the 46 queries with no driver row in r01 ∪ r02 —
-# streaming (timestamp-unit bug fixed this round), timeseries, udfs,
-# analytics, corpus, and the round-2 singles — pinned explicitly, plus
-# multimodal_feature_extract to re-prove under its new real oracle.
-# A green round here completes driver verification of the entire registry.
-#
-# Round-4 rotation: the round-3 additions (text_bigram_lift_top,
-# text_rarity_score, text_repeated_span_pairs, corpus_contrastive_negatives,
-# corpus_mix_rebalance, dedup_cluster_canonical, join_asof_forward_next_view,
-# udtf_top_tokens_per_doc, analytics_conversion_ztest,
-# analytics_chisq_segment_event_type)
-# are the only queries that will then lack a driver row — pin them first
-# next round (all pass the local mimic bit-exactly at sf0.01 AND sf0.1).
+# Round-4 window: the 10 round-3 additions are the only registered queries
+# that have never received a driver CORRECTNESS row (r1 ∪ r2 ∪ r3 covers
+# the other 142) — pinned first; a green round completes driver
+# verification of the entire registry. Next come the queries whose code or
+# oracle CHANGED this round (graph family on the df-capped edge source;
+# profile_orders_columns' stack/melt plan; multimodal_feature_extract's
+# empty-doc-safe oracle; the exact-arithmetic ztest/chi-square are already
+# in the first 10). The remaining slots re-prove the LLM-pipeline ops and
+# TPC-H flagships whose last driver rows date to round 1.
 _AUDIT_PRIORITY: list[str] = [
-    # streaming family (6 of these produced wrong answers before the
-    # events.ts µs/ns fix — front of the window per the round-2 verdict)
-    "streaming_tumbling_event_counts",
-    "streaming_sliding_window_value",
-    "streaming_session_windows",
-    "streaming_static_join_segment_value",
-    "streaming_stateful_user_stats",
-    "streaming_dedup_user_event_types",
-    "rollup_cascade_events_daily",
-    "streaming_append_finalized_windows",
-    "streaming_stream_stream_join_click_purchase",
-    "streaming_foreach_batch_lake_upsert",
-    # timeseries (interarrival hard-errored before the NTZ cast fix)
-    "timeseries_gapfill_locf",
-    "timeseries_interarrival_gap_stats",
-    "scd2_user_state_history",
-    "scd2_point_in_time_lookup",
-    # UDF/UDAF/UDTF surface — rotated out of both prior windows
-    "udf_pandas_price_tier",
-    "udf_grouped_map_priority_order_stats",
-    "pivot_segment_by_priority",
-    "percentile_exact_quantity",
-    "percentile_approx_price",  # no-oracle sketch: expect rows-only, not a crash
-    "udf_map_in_arrow_doc_stats",
-    "udf_sql_registered_priority_class",
-    # event analytics (added round 2)
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "anomaly_hourly_event_zscore",
-    "markov_event_type_transitions",
-    "path_top_event_sequences",
-    "profile_orders_columns",
-    # corpus shaping (added round 2)
-    "corpus_chunk_fixed_tokens",
-    "corpus_train_val_test_split",
-    "corpus_pack_token_budget",
-    "corpus_decontaminate_eval_overlap",
-    # round-2 singles in otherwise-green modules
-    "scalar_case_when_order_size",
-    "scalar_json_extract_events",
-    "scalar_from_json_struct",
-    "scalar_array_functions",
-    "agg_grouping_id_rollup",
-    "agg_regression_price_on_qty",
-    "agg_winsorized_quantity_stats",
-    "agg_mode_priority_deterministic",
-    "join_salted_skew_events_per_user",
-    "reshape_unpivot_order_metrics",
+    # --- never driver-checked (round-3 additions), all mimic-green at
+    # sf0.01 + sf0.1 ---
+    "udtf_top_tokens_per_doc",
+    "join_asof_forward_next_view",
+    "dedup_cluster_canonical",
+    "text_bigram_lift_top",
+    "text_rarity_score",
+    "text_repeated_span_pairs",
+    "corpus_contrastive_negatives",
+    "corpus_mix_rebalance",
+    "analytics_conversion_ztest",
+    "analytics_chisq_segment_event_type",
+    # --- changed this round: re-prove under the new code/oracle ---
+    "graph_connected_dup_clusters",
     "graph_pagerank_dup_docs",
-    "sample_weighted_bernoulli_documents",
-    "sim_embedding_int8_quantize",
-    "text_repetition_quality",
-    "text_source_token_entropy",
-    # rows-only in r01/r02 — re-prove under the new real byte-histogram oracle
+    "profile_orders_columns",
     "multimodal_feature_extract",
+    # --- LLM-pipeline ops last driver-verified in round 1 ---
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_jaccard_hot_shingle_capped",
+    "dedup_embedding_cosine_pairs",
+    "pipeline_training_data_prep",
+    "sim_cosine_bruteforce_topk",
+    "sim_label_profile",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid_markers",
+    "text_fingerprint_groups",
+    "text_source_lang_profile",
+    "text_winnow_fingerprints",
+    "text_tfidf_top_terms",
+    "multimodal_payload_stats",
+    "multimodal_format_detect",
+    "multimodal_frame_sample",
+    "sample_stratified_documents",
+    "sample_hash_threshold_events",
+    # --- TPC-H flagships last driver-verified in round 1 ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q21_sole_late_supplier",
+    "q2_cheapest_part_per_type",
+    "q4_priority_with_late_line",
+    "q7_nation_pair_volume",
+    "q8_market_share",
+    "q14_promo_revenue_share",
+    "q16_brand_supplier_counts_not_in",
+    "q17_small_quantity_order_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_join_revenue",
+    "q22_idle_rich_customers",
 ]
 
 _MODULE_AUDIT_ORDER: list[str] = [
