@@ -105,16 +105,26 @@ def fake_features(payload: bytes) -> list[float]:
     # relational, so the oracle replays it exactly: payload text is ASCII
     # (asserted by multimodal_payload_stats' size_consistent check), so
     # ord(char) == byte, and count/total in IEEE double is bit-identical
-    # across engines because both operands are exact integers.
+    # across engines because both operands are exact integers. Driven from
+    # documents LEFT JOIN the exploded bins so an empty-text doc (UNNEST
+    # over an empty range yields no rows) still produces the same
+    # n_bytes=0 / all-zero-features row fake_features emits.
     oracle=f"""
 WITH b AS (
   SELECT doc_id, ord(substring(text, CAST(i.i AS INT), 1)) % {FEATURE_DIM} AS bin
   FROM documents, UNNEST(range(1, length(text)+1)) AS i(i)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bytes,
+         {", ".join(f"CAST(COUNT(*) FILTER (bin={k}) AS DOUBLE)/COUNT(*) AS f{k}" for k in range(FEATURE_DIM))}
+  FROM b GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_bytes,
-       {", ".join(f"CAST(COUNT(*) FILTER (bin={k}) AS DOUBLE)/COUNT(*) AS f{k}" for k in range(FEATURE_DIM))}
-FROM b GROUP BY doc_id ORDER BY doc_id
+SELECT d.doc_id,
+       COALESCE(a.n_bytes, 0) AS n_bytes,
+       {", ".join(f"COALESCE(a.f{k}, 0.0) AS f{k}" for k in range(FEATURE_DIM))}
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
 """,
     doc="mapInPandas decode→feature pipeline over binary payloads",
 )

@@ -426,12 +426,16 @@ tot AS (
 )
 SELECT ev.segment, ev.n_events, ev.n_conv,
        CAST(ev.n_conv AS DOUBLE) / ev.n_events AS p_seg,
-       CAST(tot.all_conv - ev.n_conv AS DOUBLE) / (tot.all_events - ev.n_events) AS p_rest,
-       (CAST(ev.n_conv AS DOUBLE) / ev.n_events
-        - CAST(tot.all_conv - ev.n_conv AS DOUBLE) / (tot.all_events - ev.n_events))
-       / sqrt((CAST(tot.all_conv AS DOUBLE) / tot.all_events)
-              * (1.0 - CAST(tot.all_conv AS DOUBLE) / tot.all_events)
-              * (1.0 / ev.n_events + 1.0 / (tot.all_events - ev.n_events))) AS z_score
+       CASE WHEN tot.all_events - ev.n_events > 0
+            THEN CAST(tot.all_conv - ev.n_conv AS DOUBLE) / (tot.all_events - ev.n_events)
+            END AS p_rest,
+       CASE WHEN tot.all_events - ev.n_events > 0
+            THEN (CAST(ev.n_conv AS DOUBLE) / ev.n_events
+                  - CAST(tot.all_conv - ev.n_conv AS DOUBLE) / (tot.all_events - ev.n_events))
+                 / sqrt((CAST(tot.all_conv AS DOUBLE) / tot.all_events)
+                        * (1.0 - CAST(tot.all_conv AS DOUBLE) / tot.all_events)
+                        * (1.0 / ev.n_events + 1.0 / (tot.all_events - ev.n_events)))
+            END AS z_score
 FROM ev CROSS JOIN tot
 ORDER BY ev.segment
 """,
@@ -446,9 +450,12 @@ def analytics_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio is one binary64 division, and the z expression contains no
     multiply-feeding-add shape a compiler could contract to an FMA; IEEE
     754 requires correctly-rounded sqrt, so both engines produce the same
-    bits. Scale: one fact aggregate keyed on segment (customer joins in
-    broadcast-eligible), one single-row total broadcast back — the same
-    two-aggregate profile as the mix rebalancer.
+    bits. A single-segment input makes the rest-of-population empty
+    (rest_events = 0); p_rest and z_score are NULL then on both sides
+    rather than an engine-specific 0/0. Scale: one fact aggregate keyed
+    on segment (customer joins in broadcast-eligible), one single-row
+    total broadcast back — the same two-aggregate profile as the mix
+    rebalancer.
     """
     e = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -472,6 +479,7 @@ def analytics_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pool * (F.lit(1.0) - pool)
         * (F.lit(1.0) / F.col("n_events") + F.lit(1.0) / rest_events)
     )
+    defined = rest_events > 0  # single-segment input: no rest-population
     return (
         ev.crossJoin(F.broadcast(tot))
         .select(
@@ -479,8 +487,8 @@ def analytics_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("long").alias("n_events"),
             F.col("n_conv").cast("long").alias("n_conv"),
             p_seg.alias("p_seg"),
-            p_rest.alias("p_rest"),
-            z.alias("z_score"),
+            F.when(defined, p_rest).alias("p_rest"),
+            F.when(defined, z).alias("z_score"),
         )
         .orderBy("segment")
     )
@@ -498,24 +506,38 @@ WITH obs AS (
 rt AS (SELECT segment, CAST(SUM(n) AS BIGINT) AS row_tot FROM obs GROUP BY 1),
 ct AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS col_tot FROM obs GROUP BY 1),
 tot AS (SELECT CAST(SUM(n) AS BIGINT) AS grand FROM obs),
-cells AS (
-  SELECT o.segment, o.event_type, o.n,
-         CAST(rt.row_tot * ct.col_tot AS DOUBLE) / tot.grand AS expected
+terms AS (
+  SELECT ((CAST(o.n AS HUGEINT) * CAST(tot.grand AS HUGEINT)
+           - CAST(rt.row_tot AS HUGEINT) * CAST(ct.col_tot AS HUGEINT))
+          * (CAST(o.n AS HUGEINT) * CAST(tot.grand AS HUGEINT)
+             - CAST(rt.row_tot AS HUGEINT) * CAST(ct.col_tot AS HUGEINT))
+          * CAST(1000000000 AS HUGEINT))
+         // (CAST(tot.grand AS HUGEINT) * CAST(rt.row_tot AS HUGEINT)
+             * CAST(ct.col_tot AS HUGEINT)) AS t_fixed
   FROM obs o JOIN rt USING (segment) JOIN ct USING (event_type) CROSS JOIN tot
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
-       ROUND(SUM((n - expected) * (n - expected) / expected), 6) AS chi2
-FROM cells
+       CAST(SUM(t_fixed) AS DOUBLE) / 1e9 AS chi2
+FROM terms
 """,
 )
 def analytics_chisq_segment_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test of segment × event_type — is event
     mix independent of customer segment? (The categorical counterpart of
-    the conversion z-test.) Expected counts come from exact integer
-    margins via one double division; the statistic is rounded to 1e-6 on
-    both sides because the Σ over cells is a float reduction whose
-    association order is engine-specific (the entropy precedent) — the
-    per-cell terms themselves are deterministic.
+    the conversion z-test.)
+
+    Cross-engine determinism WITHOUT a rounding tolerance: each cell term
+    (n − E)²/E with E = row·col/grand is rewritten over exact integers as
+    (n·grand − row·col)² / (grand·row·col), floor-divided at 1e-9 fixed
+    point in 128-bit integer arithmetic (Spark DECIMAL(38,0) `div`,
+    DuckDB HUGEINT `//` — verified to agree), SUMMED as exact integers
+    (order-independent, unlike a float Σ whose association order is
+    engine-specific), and divided by 1e9 once at the end. The statistic
+    is thus defined to 1e-9-per-cell fixed point and bit-identical across
+    engines. Bounds at ≤ sf1 (events ≤ ~1e6 rows): |n·grand − row·col| ≤
+    grand² = 1e12, so the scaled square ≤ 1e33 < 10^38 (both engines'
+    128-bit ceiling) and the summed fixed-point value < 2^53 (exact as
+    double).
 
     Scale: one fact aggregate on (segment, type) — a |segments × types|
     grid — then margins and the scalar statistic over that tiny grid.
@@ -530,15 +552,18 @@ def analytics_chisq_segment_event_type(spark: SparkSession, sf_dir: str) -> Data
     rt = obs.groupBy("segment").agg(F.sum("n").cast("long").alias("row_tot"))
     ct = obs.groupBy("event_type").agg(F.sum("n").cast("long").alias("col_tot"))
     tot = obs.agg(F.sum("n").cast("long").alias("grand"))
-    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("grand")
-    cells = (
+    d = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    diff = d("n") * d("grand") - d("row_tot") * d("col_tot")
+    num = diff * diff * F.lit(1_000_000_000).cast("decimal(38,0)")
+    den = d("grand") * d("row_tot") * d("col_tot")
+    terms = (
         obs.join(rt, "segment")
         .join(ct, "event_type")
         .crossJoin(F.broadcast(tot))
-        .select("segment", "event_type", "n", expected.alias("expected"))
+        .select(num.alias("num"), den.alias("den"))
+        .selectExpr("num div den AS t_fixed")
     )
-    diff = F.col("n") - F.col("expected")
-    return cells.agg(
+    return terms.agg(
         F.count("*").cast("long").alias("n_cells"),
-        F.round(F.sum(diff * diff / F.col("expected")), 6).alias("chi2"),
+        (F.sum("t_fixed").cast("double") / F.lit(1e9)).alias("chi2"),
     )

@@ -71,3 +71,40 @@ def test_cohort_offsets_count_from_first_week(spark, tmp_path):
     assert cells[("2024-01-01", 2)] == (1, 1)
     assert cells[("2024-01-08", 0)] == (1, 1)
     assert ("2024-01-01", 1) not in cells
+
+
+def test_ztest_single_segment_yields_null_not_nan(spark, tmp_path):
+    """With only one customer segment the rest-of-population is empty
+    (rest_events = 0); p_rest and z_score must be NULL on both engines,
+    never an engine-specific 0/0 NaN/Infinity."""
+    import duckdb
+
+    from pgcp_spark.operators.analytics import analytics_conversion_ztest
+    from pgcp_spark.registry import all_queries
+
+    sf_dir = _write_events(
+        tmp_path, [(1, 0, "view"), (1, 1, "purchase"), (2, 0, "view")]
+    )
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2], pa.int64()),
+            "c_name": pa.array(["a", "b"], pa.string()),
+            "c_nationkey": pa.array([0, 0], pa.int32()),
+            "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+            "c_mktsegment": pa.array(["BUILDING", "BUILDING"], pa.string()),
+        }
+    )
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+
+    rows = analytics_conversion_ztest(spark, sf_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].p_rest is None and rows[0].z_score is None
+
+    con = duckdb.connect()
+    for t in ("events", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    orows = con.execute(all_queries()["analytics_conversion_ztest"].oracle).fetchall()
+    assert len(orows) == 1
+    seg, n_events, n_conv, p_seg, p_rest, z = orows[0]
+    assert p_rest is None and z is None
+    assert (n_events, n_conv, p_seg) == (rows[0].n_events, rows[0].n_conv, rows[0].p_seg)

@@ -79,3 +79,38 @@ def test_int8_quantize_zero_vector_guard(spark, tmp_path):
     assert rows[1].q_min == 0 and rows[1].q_max == 0
     # max|x| = 2 → q = round(x·127/2) = [64, -127, 32]
     assert rows[2].q_min == -127 and rows[2].q_max == 64 and rows[2].q_sum == -31
+
+
+def test_feature_extract_empty_document_matches_oracle(spark, tmp_path):
+    """An empty-text document must appear on BOTH sides with n_bytes=0 and
+    all-zero features — the oracle's UNNEST over an empty range yields no
+    rows, so it is driven from documents LEFT JOIN the exploded bins."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pgcp_spark.registry import all_queries
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["abc", ""], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["web", "web"], pa.string()),
+            "n_chars": pa.array([3, 0], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    q = all_queries()["multimodal_feature_extract"]
+
+    srows = {r.doc_id: r for r in q.fn(spark, str(tmp_path)).collect()}
+    assert srows[2].n_bytes == 0
+    assert all(srows[2][f"f{k}"] == 0.0 for k in range(8))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    orows = {r[0]: r for r in con.execute(q.oracle).fetchall()}
+    assert set(orows) == set(srows) == {1, 2}
+    for did in (1, 2):
+        assert orows[did][1] == srows[did].n_bytes
+        assert tuple(orows[did][2:]) == tuple(srows[did][f"f{k}"] for k in range(8))
