@@ -377,10 +377,12 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and min/max per profiled column, stacked one row per column.
 
     ONE scan computes every column's aggregates side by side (Spark fuses
-    the per-column aggs into a single hash-aggregate pass over the fact);
-    the stacking union is over 1-row aggregate results, so the plan cost is
-    a single table pass regardless of how many columns are profiled — the
-    way a 100 TB profiler must work (never one scan per column).
+    the per-column aggs into a single hash-aggregate pass over the fact),
+    then melting wide→long is a single explode of a struct array over the
+    1-row aggregate: one Project + one Generate node however many columns
+    are profiled (a per-column union would build an N-leg plan — a
+    500-column table must not mean a 500-leg union), and the table pass
+    stays single — the way a 100 TB profiler must work.
     """
     o = load_table(spark, sf_dir, "orders")
     aggs = []
@@ -392,21 +394,23 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
-    # the stacked union references the wide 1-row aggregate once per
-    # column — materialize it so the table is scanned exactly ONCE
-    wide = o.agg(*aggs).localCheckpoint()
-    stacked = None
-    for c in _PROFILE_COLS:
-        row = wide.select(
-            F.lit(c).alias("column_name"),
-            F.col(f"{c}__rows").cast("long").alias("n_rows"),
-            F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
-            F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
-            F.col(f"{c}__min").alias("min_value"),
-            F.col(f"{c}__max").alias("max_value"),
+    wide = o.agg(*aggs)
+    melted = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col(f"{c}__rows").cast("long").alias("n_rows"),
+                    F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+                    F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+                    F.col(f"{c}__min").alias("min_value"),
+                    F.col(f"{c}__max").alias("max_value"),
+                )
+                for c in _PROFILE_COLS
+            ]
         )
-        stacked = row if stacked is None else stacked.unionAll(row)
-    return stacked.orderBy("column_name")
+    )
+    return wide.select(melted.alias("p")).select("p.*").orderBy("column_name")
 
 
 @register(

@@ -319,10 +319,10 @@ def test_winsorized_bounds_join_broadcasts(spark):
 
 
 def test_profile_scans_table_exactly_once(spark):
-    # N profiled columns must not mean N scans: the wide aggregate is
-    # materialized and the per-column stacking unions read it, not the table
+    # N profiled columns must not mean N scans: one fused wide aggregate
+    # reads the table once and the melt explodes its single row
     df = q("profile_orders_columns", spark)
-    assert ex.simple_plan(df).count("Scan parquet") == 0  # post-checkpoint plan
+    assert ex.simple_plan(df).count("Scan parquet") == 1
     assert ex.shuffle_exchange_count(df) <= 1
 
 
@@ -390,3 +390,14 @@ def test_simhash_hot_buckets_dropped_before_join(spark):
     dedup_keys = [k for k in __import__("re").findall(r"Keys \[\d+\]: \[([^\]]*)\]", plan)
                   if "doc_a" in k]
     assert dedup_keys and all("bits" not in k for k in dedup_keys), dedup_keys
+
+
+def test_profile_melt_is_constant_size_no_union(spark):
+    """Profiling melts wide→long with one explode, not a per-column union:
+    the plan must contain a Generate node and NO Union however many
+    columns are profiled (a 500-column table means 500 union legs
+    otherwise)."""
+    df = q("profile_orders_columns", spark)
+    plan = ex.physical_plan(df)
+    assert "Generate" in plan, plan
+    assert "Union" not in plan, "profiling built a per-column union plan"
