@@ -1,0 +1,131 @@
+"""Live exercise of the JVM JDBC seam (O1/O2's transport path and
+JvmJdbcClient's catalog path) against a real JDBC database.
+
+No PostgreSQL JDBC driver jar exists in this container (checked every
+round), but a DuckDB JDBC driver (public Maven artifact
+org.duckdb:duckdb_jdbc) is present in the local artifact cache — and the
+seam under test is deliberately URL-generic: ``spark.read/write.format
+("jdbc")`` plus ``java.sql.DriverManager`` via py4j. Driving it against
+``jdbc:duckdb:`` proves the same plumbing PG would use — partitioned JDBC
+scan options, batched append into a pre-created table, driver-side
+statements and transaction rollback — executes live end-to-end on the
+JVM, which the fake-client unit tests cannot.
+
+The test runs in a subprocess because the session-scoped Spark fixture's
+JVM was started without the driver jar (spark.jars is fixed at JVM
+launch).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _find_duckdb_jdbc_jar() -> str | None:
+    for root in ("~/.cache/coursier", "~/.m2", "~/.ivy2"):
+        hits = glob.glob(
+            os.path.join(os.path.expanduser(root), "**", "duckdb_jdbc-*.jar"),
+            recursive=True,
+        )
+        if hits:
+            return sorted(hits)[-1]
+    return None
+
+
+_JAR = _find_duckdb_jdbc_jar()
+
+_SCRIPT = r"""
+import sys
+
+jar, dbfile = sys.argv[1], sys.argv[2]
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.jars", jar)
+    .config("spark.driver.extraClassPath", jar)
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("jdbc-live")
+    .getOrCreate()
+)
+sys.path.insert(0, "{repo}")
+from pgcp_spark.pg.client import JvmJdbcClient
+
+url = f"jdbc:duckdb:{{}}".format(dbfile)
+client = JvmJdbcClient(spark, url, "", "")
+
+# driver-side catalog path: DDL + DML + fetch
+client.execute("CREATE TABLE src (id BIGINT PRIMARY KEY, val VARCHAR)")
+client.execute(
+    "INSERT INTO src SELECT i, 'row-' || i FROM range(1, 101) t(i)"
+)
+assert client.fetch("SELECT COUNT(*) FROM src")[0][0] == 100
+
+# O1: partitioned JDBC scan through Spark's JDBC datasource
+df = (
+    spark.read.format("jdbc")
+    .option("url", url)
+    .option("dbtable", "src")
+    .option("partitionColumn", "id")
+    .option("lowerBound", "1")
+    .option("upperBound", "100")
+    .option("numPartitions", "4")
+    .load()
+)
+assert df.rdd.getNumPartitions() == 4, df.rdd.getNumPartitions()
+rows = df.collect()
+assert len(rows) == 100 and {r.id for r in rows} == set(range(1, 101))
+
+# O2: batched append into a PRE-CREATED table (exact types preserved --
+# the transport never lets Spark create the destination)
+client.execute("CREATE TABLE dst (id BIGINT, val VARCHAR)")
+(
+    df.write.format("jdbc")
+    .option("url", url)
+    .option("dbtable", "dst")
+    .option("batchsize", "50")
+    .mode("append")
+    .save()
+)
+assert client.fetch("SELECT COUNT(*) FROM dst")[0][0] == 100
+
+# O8-style transactional hotswap + rollback on failure
+client.execute_transaction(
+    ["ALTER TABLE dst RENAME TO dst_old", "ALTER TABLE src RENAME TO dst"]
+)
+assert client.fetch("SELECT COUNT(*) FROM dst")[0][0] == 100
+try:
+    client.execute_transaction(
+        ["DELETE FROM dst_old", "INSERT INTO nonexistent VALUES (1)"]
+    )
+    raise AssertionError("transaction should have failed")
+except AssertionError:
+    raise
+except Exception:
+    pass
+assert client.fetch("SELECT COUNT(*) FROM dst_old")[0][0] == 100, "rollback lost rows"
+
+client.close()
+print("JDBC_LIVE_OK")
+"""
+
+
+@pytest.mark.skipif(_JAR is None, reason="no duckdb_jdbc jar in local artifact caches")
+def test_jvm_jdbc_seam_live_round_trip(tmp_path):
+    script = _SCRIPT.replace("{repo}", REPO_ROOT)
+    proc = subprocess.run(
+        [sys.executable, "-c", script, _JAR, str(tmp_path / "live.db")],
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "JDBC_LIVE_OK" in proc.stdout
