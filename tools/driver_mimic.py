@@ -48,15 +48,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     from pyspark.sql import SparkSession
 
+    cpus = os.environ.get("MIMIC_CPUS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
+        # sf1-lake sweeps OOM the default driver heap on large collects
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .appName("driver-mimic")
         .getOrCreate()
     )
     con = duckdb.connect()
-    import os
 
     for t in TABLES:
         path = f"{SF_DIR}/{t}.parquet"
