@@ -426,7 +426,22 @@ def dedup_jaccard_hot_shingle_capped(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 EMB_DUP_THRESHOLD = 0.4  # random 64-dim corpus: max pairwise cos ≈ 0.51
-EMB_BLOCKS = 8
+# Block-count tuning for the exact block-matmul grid. B must rise with the
+# corpus so a packed block row stays executor-sized (memory bound), and
+# must give enough grid cells B(B+1)/2 to feed every core (cpu bound);
+# past that, larger B only inflates the O(B·n) block-replication traffic.
+EMB_BLOCK_TARGET_ROWS = 4096  # ~2 MB of 64-dim float64 vectors per block row
+EMB_BLOCKS_MIN = 8
+EMB_BLOCKS_MAX = 64
+
+
+def _emb_blocks(n_vecs: int, parallelism: int) -> int:
+    import math
+
+    by_mem = math.ceil(n_vecs / EMB_BLOCK_TARGET_ROWS)
+    # smallest B with B(B+1)/2 >= 2*parallelism (two grid cells per core)
+    by_cpu = math.ceil((math.sqrt(1 + 16 * parallelism) - 1) / 2)
+    return min(EMB_BLOCKS_MAX, max(EMB_BLOCKS_MIN, by_mem, by_cpu))
 
 
 @register(
@@ -454,16 +469,20 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are packed into ONE row (id list + matrix); the B(B+1)/2 block-pair
     grid is the join output — communication O(B·n), not O(n²) row pairs —
     and each grid cell does a single vectorized numpy float64 matmul.
-    At larger corpora raise EMB_BLOCKS so a block fits an executor core;
-    the all-pairs work is still quadratic — that is inherent to EXACT
-    near-dup; the LSH/IVF variants are the subquadratic approximate path.
+    B auto-tunes from the corpus row count (one metadata-cheap count())
+    and session parallelism via ``_emb_blocks``: enough blocks that a
+    packed row stays ~EMB_BLOCK_TARGET_ROWS vectors AND the grid feeds
+    every core, capped because communication grows O(B·n). The all-pairs
+    work is still quadratic — that is inherent to EXACT near-dup; the
+    LSH/IVF variants are the subquadratic approximate path.
     """
     import numpy as np
     import pandas as pd
 
     e = load_table_parallel(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blocks = _emb_blocks(e.count(), spark.sparkContext.defaultParallelism)
     packed = (
-        e.groupBy((F.col("vec_id") % EMB_BLOCKS).alias("block"))
+        e.groupBy((F.col("vec_id") % blocks).alias("block"))
         .agg(
             F.collect_list("vec_id").alias("ids"),
             F.collect_list("embedding").alias("vecs"),
@@ -505,7 +524,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         {"vec_a": lo, "vec_b": hi, "cos_sim": sims[xi, yi]}
                     )
 
-    out = grid.repartition(EMB_BLOCKS * (EMB_BLOCKS + 1) // 2).mapInPandas(
+    out = grid.repartition(blocks * (blocks + 1) // 2).mapInPandas(
         block_pairs, schema="vec_a long, vec_b long, cos_sim double"
     )
     return out.orderBy("vec_a", "vec_b")
