@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pgcp_spark.functions.similarity import EMB_VALID_SQL, valid_embedding
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table, load_table_parallel
 
@@ -452,7 +453,8 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
              6) AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM (SELECT * FROM embeddings WHERE {EMB_VALID_SQL}) a
+JOIN (SELECT * FROM embeddings WHERE {EMB_VALID_SQL}) b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
@@ -479,7 +481,11 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load_table_parallel(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = (
+        load_table_parallel(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(valid_embedding())  # same corpus contract as similarity.py
+    )
     blocks = _emb_blocks(e.count(), spark.sparkContext.defaultParallelism)
     packed = (
         e.groupBy((F.col("vec_id") % blocks).alias("block"))

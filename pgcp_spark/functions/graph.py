@@ -181,6 +181,10 @@ def graph_pagerank_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("s").agg(F.count("*").alias("out_deg"))
     nodes = edges.select(F.col("s").alias("node")).distinct()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # no near-dup edges (e.g. an empty or all-unique corpus): the rank
+        # seed 1/n is undefined, and the fixpoint loop has nothing to do
+        return spark.createDataFrame([], "doc_id long, pagerank double, degree long")
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint()
     weighted = edges.join(deg, "s").localCheckpoint()  # (s, d, out_deg)

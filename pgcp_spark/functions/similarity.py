@@ -34,6 +34,38 @@ QUERY_STRIDE = 50  # every 50th vector is a "query"; full table is the corpus
 # OOMing the driver.
 BRUTE_FORCE_MAX_CORPUS = 1_000_000
 
+# The index dimension: every similarity path ingests vectors of exactly
+# this width. Real lakes carry data errors — NULL embeddings, truncated
+# arrays, all-zero vectors (cosine undefined) — and a 100 TB index build
+# must quarantine them with a row-local filter, not crash mid-shuffle on
+# a ragged numpy stack.
+EMB_DIM = 64
+
+# DuckDB WHERE fragment mirroring _valid_embeddings, spliced into every
+# oracle that scores vectors so both engines ingest the same set.
+EMB_VALID_SQL = (
+    f"embedding IS NOT NULL AND len(embedding) = {EMB_DIM}"
+    " AND len(list_filter(embedding, x -> x <> 0)) > 0"
+)
+
+
+def valid_embedding() -> F.Column:
+    """Row-local predicate for index-valid vectors: non-NULL, exactly
+    EMB_DIM wide, nonzero norm. Pure array expressions — the filter fuses
+    into the scan's codegen stage. Shared with the dedup cosine path so
+    every vector scorer ingests the identical corpus."""
+    return (
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == EMB_DIM)
+        & F.exists("embedding", lambda x: x != 0)
+    )
+
+
+def _valid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding) restricted to index-valid vectors."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.filter(valid_embedding())
+
 
 def _pair_dot(left: str, right: str) -> F.Column:
     """Exact float64 dot product of two aliased embedding columns,
@@ -66,12 +98,15 @@ def _vec_norm(side: str) -> F.Column:
 @register(
     "sim_cosine_bruteforce_topk",
     oracle=f"""
-WITH pairs AS (
+WITH valid AS (
+  SELECT vec_id, embedding FROM embeddings WHERE {EMB_VALID_SQL}
+),
+pairs AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
          ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id % {QUERY_STRIDE} = 0 AND a.vec_id <> b.vec_id
+  FROM valid a JOIN valid b ON a.vec_id % {QUERY_STRIDE} = 0 AND a.vec_id <> b.vec_id
 ),
 ranked AS (
   SELECT vec_id, neighbor_id, cos_sim,
@@ -94,7 +129,7 @@ def sim_cosine_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-count guard; past the guard the subquadratic paths below
     (sim_cosine_lsh_pairs / sim_cosine_ivf_topk) are the 100 TB answer.
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _valid_embeddings(spark, sf_dir)
     queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0)
 
     n_corpus = e.count()
@@ -103,6 +138,8 @@ def sim_cosine_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"brute-force corpus of {n_corpus} rows exceeds the broadcast guard "
             f"({BRUTE_FORCE_MAX_CORPUS}); use the LSH/IVF variants at this scale"
         )
+    if n_corpus == 0:  # empty lake / all rows quarantined: no neighbors
+        return spark.createDataFrame([], "vec_id long, neighbor_id long, rank long")
     rows = e.collect()
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     order = np.argsort(ids)
@@ -129,6 +166,8 @@ def sim_cosine_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             sims[corpus_ids[None, :] == qids[:, None]] = -np.inf  # exclude self
             comp = sims - tie[None, :]
             k = min(TOP_K, comp.shape[1] - 1)
+            if k < 1:  # single-vector corpus: a query's only row is itself
+                continue
             part = np.argpartition(-comp, kth=k - 1, axis=1)[:, :k]
             out = []
             for i in range(len(qids)):
@@ -157,10 +196,9 @@ def sim_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-local — OR across tables buys recall, AND across bits precision.
     Exact cosine for candidates is computed JVM-side (zip_with/aggregate).
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dim = 64
+    e = _valid_embeddings(spark, sf_dir)
     rng = np.random.RandomState(42)
-    planes = rng.randn(LSH_TABLES, LSH_PLANES, dim)
+    planes = rng.randn(LSH_TABLES, LSH_PLANES, EMB_DIM)
     b_planes = spark.sparkContext.broadcast(planes)
 
     def bucketize(batches):
@@ -236,10 +274,20 @@ def sim_cosine_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _valid_embeddings(spark, sf_dir)
+    # a coarse quantizer needs ≥1 training vector and at most one cell per
+    # vector; count() here is one cheap job on the index-BUILD path (the
+    # k-means fit that follows scans the corpus 10 times anyway)
+    n_corpus = e.count()
+    if n_corpus == 0:
+        return spark.createDataFrame([], "vec_id long, neighbor_id long, rank long")
     vecs = e.withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
     model = KMeans(
-        k=IVF_LISTS, seed=42, maxIter=10, featuresCol="features", predictionCol="list_id"
+        k=min(IVF_LISTS, n_corpus),
+        seed=42,
+        maxIter=10,
+        featuresCol="features",
+        predictionCol="list_id",
     ).fit(vecs)
     corpus = model.transform(vecs).select("vec_id", "embedding", "list_id")
 
@@ -249,16 +297,17 @@ def sim_cosine_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def probe(batches):
         cent = b_cent.value
         cnorm = np.sqrt((cent * cent).sum(axis=1))
+        nprobe = min(IVF_NPROBE, cent.shape[0])  # tiny corpus: fewer cells
         for batch in batches:
             if len(batch) == 0:
                 continue
             q = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
             qnorm = np.sqrt((q * q).sum(axis=1))
             sims = (q @ cent.T) / (qnorm[:, None] * cnorm[None, :] + 1e-12)
-            nearest = np.argsort(-sims, axis=1)[:, :IVF_NPROBE]
+            nearest = np.argsort(-sims, axis=1)[:, :nprobe]
             out = {
-                "vec_id": np.repeat(batch["vec_id"].to_numpy(), IVF_NPROBE),
-                "embedding": batch["embedding"].repeat(IVF_NPROBE).to_numpy(),
+                "vec_id": np.repeat(batch["vec_id"].to_numpy(), nprobe),
+                "embedding": batch["embedding"].repeat(nprobe).to_numpy(),
                 "list_id": nearest.ravel().astype(np.int32),
             }
             yield pd.DataFrame(out)
@@ -325,12 +374,13 @@ def sim_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_embedding_int8_quantize",
-    oracle="""
+    oracle=f"""
 WITH q AS (
   SELECT vec_id,
          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
          embedding
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
 ),
 quant AS (
   SELECT vec_id, max_abs,
@@ -363,7 +413,11 @@ def sim_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantized vectors themselves would be written back to the lake as
     array<tinyint> + scale in production (4× smaller scans for ANN builds).
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        # storage transform, not index math: zero vectors quantize fine
+        # (scale 0 branch), but NULL / wrong-width rows are data errors
+        F.col("embedding").isNotNull() & (F.size("embedding") == EMB_DIM)
+    )
     max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
     qvec = F.when(F.col("max_abs") == 0, F.transform("embedding", lambda x: F.lit(0).cast("long"))).otherwise(
         F.transform("embedding", lambda x: F.round(x.cast("double") * 127 / F.col("max_abs")).cast("long"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pgcp_spark.operators._ansi_empty import with_empty_grand_total
 from pgcp_spark.operators._decimal import dec, dsum, sql_dsum
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table
@@ -73,13 +74,12 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
         F.broadcast(r), n.n_regionkey == r.r_regionkey
     )
-    return (
-        joined.rollup("r_name", "n_name")
-        .agg(
-            F.count("*").alias("n_customers"),
-            dsum("c_acctbal").alias("sum_acctbal"),
-        )
-        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    agg = joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        dsum("c_acctbal").alias("sum_acctbal"),
+    )
+    return with_empty_grand_total(agg, joined, {"n_customers": 0}).orderBy(
+        F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name")
     )
 
 
@@ -97,10 +97,11 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 def agg_cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all grouping-set combinations of (returnflag, linestatus)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.cube("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n_items"), dsum("l_quantity").alias("sum_qty"))
-        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    agg = l.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"), dsum("l_quantity").alias("sum_qty")
+    )
+    return with_empty_grand_total(agg, l, {"n_items": 0}).orderBy(
+        F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
     )
 
 
@@ -345,7 +346,7 @@ def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata of the grouping set, zero extra compute.
     """
     o = load_table(spark, sf_dir, "orders")
-    return (
+    agg = (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.grouping("o_orderstatus").cast("long").alias("g_status"),
@@ -353,12 +354,14 @@ def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
         .select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n_orders")
-        .orderBy(
-            "g_status",
-            "g_prio",
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
-        )
+    )
+    return with_empty_grand_total(
+        agg, o, {"g_status": 1, "g_prio": 1, "n_orders": 0}
+    ).orderBy(
+        "g_status",
+        "g_prio",
+        F.col("o_orderstatus").asc_nulls_first(),
+        F.col("o_orderpriority").asc_nulls_first(),
     )
 
 

@@ -98,18 +98,19 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         counts = row if counts is None else counts.unionAll(row)
     w = Window.orderBy("step_idx")
-    return (
-        counts.withColumn(
-            "conversion_from_prev",
-            F.col("n_users").cast("double")
-            / F.lag("n_users", 1, None).over(w).cast("double"),
-        )
-        .withColumn(
-            "conversion_from_prev",
-            F.coalesce(F.col("conversion_from_prev"), F.lit(1.0)),
-        )
-        .orderBy("step_idx")
-    )
+    # mirror the oracle's LAG(n, 1, n): the first step divides by itself
+    # (1.0 whenever any user entered). try_divide, not /: a zero previous
+    # step (possible whenever no user completes step 1 — empty lake, or a
+    # lake with no 'view' events at all) must yield NULL like DuckDB's
+    # division by zero, not an ANSI DIVIDE_BY_ZERO error.
+    prev = F.lag("n_users", 1, None).over(w)
+    return counts.withColumn(
+        "conversion_from_prev",
+        F.try_divide(
+            F.col("n_users").cast("double"),
+            F.coalesce(prev, F.col("n_users")).cast("double"),
+        ),
+    ).orderBy("step_idx")
 
 
 @register(

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pgcp_spark.operators._ansi_empty import with_empty_grand_total
 from pgcp_spark.operators._decimal import dsum
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table, register_views
@@ -32,15 +33,21 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither rollup nor cube): per-status,
     per-priority, and grand total in one pass (single shuffle over the
     expanded grouping keys)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
-    return spark.sql(
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    agg = spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
         """
+    )
+    # the () set is in the grouping sets, so ANSI emits the grand-total
+    # row even over empty input (Spark alone does not — see _ansi_empty)
+    return with_empty_grand_total(agg, o, {"n_orders": 0}).orderBy(
+        F.col("o_orderstatus").asc_nulls_first(),
+        F.col("o_orderpriority").asc_nulls_first(),
     )
 
 
