@@ -34,13 +34,24 @@ def _normalized(col: str = "text") -> Column:
 
 
 def _shingles(toks: Column, width: int = SHINGLE_WIDTH) -> Column:
-    """Distinct word n-gram shingles from a token array (JVM array ops)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - width),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(width)]),
-        )
-    )
+    """Distinct word n-gram shingles from a token array (JVM array ops).
+
+    A doc shorter than ``width`` tokens has ZERO shingles — guarded
+    explicitly because ``sequence(0, negative)`` is DESCENDING in Spark
+    and would index out of bounds (ANSI error) on empty/whitespace/NULL
+    text; DuckDB's ``range()`` is empty there, so the guard is also what
+    keeps both engines on the same shingle set."""
+    return F.when(
+        F.size(toks) >= width,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - width),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(width)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,12 +141,16 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in batches:
             if len(batch) == 0:
                 continue
-            feats = [fake_features(bytes(x)) for x in batch["payload"]]
+            # NULL payload (NULL text upstream) decodes as zero bytes —
+            # the same n_bytes=0 / all-zero-features row the oracle's
+            # LEFT JOIN + COALESCE produces for docs with no byte rows
+            payloads = [b"" if x is None else bytes(x) for x in batch["payload"]]
+            feats = [fake_features(x) for x in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"],
                     "features": feats,
-                    "n_bytes": [len(bytes(x)) for x in batch["payload"]],
+                    "n_bytes": [len(x) for x in payloads],
                 }
             )
 

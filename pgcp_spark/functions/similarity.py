@@ -276,22 +276,37 @@ def sim_cosine_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _valid_embeddings(spark, sf_dir)
     # a coarse quantizer needs ≥1 training vector and at most one cell per
-    # vector; count() here is one cheap job on the index-BUILD path (the
-    # k-means fit that follows scans the corpus 10 times anyway)
-    n_corpus = e.count()
-    if n_corpus == 0:
+    # DISTINCT point — Spark's k-means|| init crashes mid-fit when k
+    # exceeds the distinct-point count (a constant-corpus lake). The bound
+    # uses countDistinct over a 64-bit hash of the vector: one partial
+    # aggregate on the index-BUILD path (the fit that follows scans the
+    # corpus 10×), and hash collisions can only LOWER the bound — safe.
+    counts = e.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.xxhash64("embedding")).alias("nd"),
+    ).collect()[0]
+    if counts["n"] == 0:
         return spark.createDataFrame([], "vec_id long, neighbor_id long, rank long")
-    vecs = e.withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
-    model = KMeans(
-        k=min(IVF_LISTS, n_corpus),
-        seed=42,
-        maxIter=10,
-        featuresCol="features",
-        predictionCol="list_id",
-    ).fit(vecs)
-    corpus = model.transform(vecs).select("vec_id", "embedding", "list_id")
-
-    centroids = np.stack(model.clusterCenters())  # k × dim, driver-side
+    if counts["nd"] < 2:
+        # a single distinct point (KMeans requires k ≥ 2): the whole
+        # corpus IS one inverted list, its centroid the point itself
+        corpus = e.withColumn("list_id", F.lit(0))
+        centroids = np.array(
+            [e.select("embedding").head()[0]], dtype=np.float64
+        )
+    else:
+        vecs = e.withColumn(
+            "features", array_to_vector(F.col("embedding").cast("array<double>"))
+        )
+        model = KMeans(
+            k=min(IVF_LISTS, counts["nd"]),
+            seed=42,
+            maxIter=10,
+            featuresCol="features",
+            predictionCol="list_id",
+        ).fit(vecs)
+        corpus = model.transform(vecs).select("vec_id", "embedding", "list_id")
+        centroids = np.stack(model.clusterCenters())  # k × dim, driver-side
     b_cent = spark.sparkContext.broadcast(centroids)
 
     def probe(batches):

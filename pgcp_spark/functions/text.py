@@ -395,7 +395,7 @@ DUP_BIGRAM_FRAC_MAX = 0.60  # reject docs that are mostly repeated bigrams
     oracle=f"""
 WITH t AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS toks
+         string_split(trim(regexp_replace(lower(COALESCE(text, '')), ' +', ' ', 'g')), ' ') AS toks
   FROM documents
 ),
 s AS (
@@ -432,19 +432,30 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     linearly with corpus size and parallelizes per-partition.
     """
     d = load_table_parallel(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
+    # NULL text scores as empty text (both sides COALESCE) so every doc
+    # gets a fully-defined quality row instead of NULL-poisoned metrics
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), " +", " ")),
+        " ",
+    )
     top_n = F.array_max(
         F.transform(
             F.array_distinct(F.col("toks")),
             lambda x: F.size(F.filter(F.col("toks"), lambda y: y == x)),
         )
     )
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(F.col("toks")) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(F.col("toks"), i + 1), F.element_at(F.col("toks"), i + 2)
+    # sub-2-token docs (empty/whitespace/NULL text) have zero bigrams;
+    # without the guard sequence(0, -1) runs DESCENDING and element_at
+    # indexes past the array (ANSI error)
+    bigrams = F.when(
+        F.size(F.col("toks")) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("toks")) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("toks"), i + 1), F.element_at(F.col("toks"), i + 2)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     dup_frac = F.when(F.size(F.col("bigrams")) == 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(F.col("bigrams"))).cast("double") / F.size(F.col("bigrams"))
     )

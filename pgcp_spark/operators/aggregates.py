@@ -224,33 +224,120 @@ def agg_histogram_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_stats_correlation",
     oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         SUM(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                  THEN CAST(1 AS DECIMAL(38,0)) ELSE 0 END) AS np,
+         SUM(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                  THEN CAST(CAST(round(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0)) ELSE 0 END) AS sx,
+         SUM(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                  THEN CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0)) ELSE 0 END) AS sy,
+         SUM(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                  THEN CAST(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0)) ELSE 0 END) AS sxx,
+         SUM(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                  THEN CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0)) ELSE 0 END) AS syy,
+         SUM(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                  THEN CAST(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0)) ELSE 0 END) AS sxy,
+         SUM(CASE WHEN l_quantity IS NOT NULL THEN CAST(1 AS DECIMAL(38,0)) ELSE 0 END) AS nx,
+         SUM(CASE WHEN l_quantity IS NOT NULL
+                  THEN CAST(CAST(round(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0)) ELSE 0 END) AS qsx,
+         SUM(CASE WHEN l_quantity IS NOT NULL
+                  THEN CAST(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0)) ELSE 0 END) AS qsxx,
+         SUM(CASE WHEN l_discount IS NOT NULL THEN CAST(1 AS DECIMAL(38,0)) ELSE 0 END) AS nd,
+         SUM(CASE WHEN l_discount IS NOT NULL
+                  THEN CAST(CAST(round(l_discount * 100) AS BIGINT) AS DECIMAL(38,0)) ELSE 0 END) AS dsx,
+         SUM(CASE WHEN l_discount IS NOT NULL
+                  THEN CAST(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT) AS DECIMAL(38,0)) ELSE 0 END) AS dsxx
+  FROM lineitem
+  GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-       ROUND(covar_samp(l_quantity, l_extendedprice), 3) AS qty_price_covar,
-       ROUND(stddev_samp(l_quantity), 6) AS qty_stddev,
-       ROUND(var_samp(l_discount), 6) AS disc_var
-FROM lineitem
-GROUP BY l_returnflag
+       CAST(np * sxy - sx * sy AS DOUBLE)
+         / NULLIF(sqrt(CAST(np * sxx - sx * sx AS DOUBLE) * CAST(np * syy - sy * sy AS DOUBLE)), 0)
+         AS qty_price_corr,
+       CAST(np * sxy - sx * sy AS DOUBLE) / NULLIF(CAST(np * (np - 1) AS DOUBLE), 0) / 10000.0
+         AS qty_price_covar,
+       sqrt(CAST(nx * qsxx - qsx * qsx AS DOUBLE) / NULLIF(CAST(nx * (nx - 1) AS DOUBLE), 0)) / 100.0
+         AS qty_stddev,
+       CAST(nd * dsxx - dsx * dsx AS DOUBLE) / NULLIF(CAST(nd * (nd - 1) AS DOUBLE), 0) / 10000.0
+         AS disc_var
+FROM s
 ORDER BY l_returnflag
 """,
 )
 def agg_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (corr / covar / stddev / variance) — the
-    profiling pass of a data pipeline. Co-moments merge associatively, so
-    these stay single-shuffle partial aggregates at any scale; results are
-    rounded (1e-6 / 1e-3) before comparison because float co-moment
-    accumulation order differs legitimately between engines."""
+    profiling pass of a data pipeline — with sample semantics and the
+    repo's exactness discipline: all moments are integer-cents
+    DECIMAL(38,0) sums (associative, partial-aggregatable, one shuffle),
+    and only the final ratio / sqrt runs in IEEE double with an identical
+    op sequence on both engines, so results are BIT-exact with no rounding
+    tolerance. Native F.corr/covar accumulate co-moments in
+    engine-specific order AND F.corr raises an ANSI DIVIDE_BY_ZERO on a
+    zero-variance (constant) group; here a zero-variance or n<2 group is
+    NULL, matching SQL semantics. Pairwise (x,y) moments use only rows
+    with BOTH sides non-NULL (corr/covar semantics); per-column moments
+    skip their own NULLs (stddev/var semantics).
+    """
     l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias("qty_price_covar"),
-            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
-            F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
-        )
-        .orderBy("l_returnflag")
+    dec38 = "decimal(38,0)"
+    xc = F.round(F.col("l_quantity") * 100).cast("long")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    pair = F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    qn = F.col("l_quantity").isNotNull()
+    dn = F.col("l_discount").isNotNull()
+
+    def csum(cond, expr):
+        return F.sum(F.when(cond, expr).otherwise(F.lit(0)).cast(dec38))
+
+    s = l.groupBy("l_returnflag").agg(
+        csum(pair, F.lit(1)).alias("np"),
+        csum(pair, xc).alias("sx"),
+        csum(pair, yc).alias("sy"),
+        csum(pair, xc * xc).alias("sxx"),
+        csum(pair, yc * yc).alias("syy"),
+        csum(pair, xc * yc).alias("sxy"),
+        csum(qn, F.lit(1)).alias("nx"),
+        csum(qn, xc).alias("qsx"),
+        csum(qn, xc * xc).alias("qsxx"),
+        csum(dn, F.lit(1)).alias("nd"),
+        csum(dn, dc).alias("dsx"),
+        csum(dn, dc * dc).alias("dsxx"),
     )
+    np_, sx, sy = F.col("np"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    nx, qsx, qsxx = F.col("nx"), F.col("qsx"), F.col("qsxx")
+    nd, dsx, dsxx = F.col("nd"), F.col("dsx"), F.col("dsxx")
+    corr = F.try_divide(
+        (np_ * sxy - sx * sy).cast("double"),
+        F.sqrt(
+            (np_ * sxx - sx * sx).cast("double") * (np_ * syy - sy * sy).cast("double")
+        ),
+    )
+    covar = (
+        F.try_divide((np_ * sxy - sx * sy).cast("double"), (np_ * (np_ - 1)).cast("double"))
+        / F.lit(10000.0)
+    )
+    stddev = (
+        F.sqrt(
+            F.try_divide(
+                (nx * qsxx - qsx * qsx).cast("double"), (nx * (nx - 1)).cast("double")
+            )
+        )
+        / F.lit(100.0)
+    )
+    var_d = (
+        F.try_divide((nd * dsxx - dsx * dsx).cast("double"), (nd * (nd - 1)).cast("double"))
+        / F.lit(10000.0)
+    )
+    return s.select(
+        "l_returnflag",
+        corr.alias("qty_price_corr"),
+        covar.alias("qty_price_covar"),
+        stddev.alias("qty_stddev"),
+        var_d.alias("disc_var"),
+    ).orderBy("l_returnflag")
 
 
 @register(
@@ -377,6 +464,7 @@ WITH s AS (
          SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS syy,
          SUM(CAST(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sxy
   FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
   GROUP BY l_returnflag
 ),
 m AS (
@@ -389,9 +477,9 @@ m AS (
   FROM s
 )
 SELECT l_returnflag, n_rows,
-       d1 / d2 AS slope,
-       nu / d2 / 100.0 AS intercept,
-       (d1 * d1) / (d2 * d3) AS r2
+       CASE WHEN d2 <> 0 THEN d1 / d2 END AS slope,
+       CASE WHEN d2 <> 0 THEN nu / d2 / 100.0 END AS intercept,
+       CASE WHEN d2 <> 0 AND d3 <> 0 THEN (d1 * d1) / (d2 * d3) END AS r2
 FROM m
 ORDER BY l_returnflag
 """,
@@ -416,7 +504,11 @@ def agg_regression_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: partial-aggregatable sums, one shuffle on the group key — the
     same profile as any hash aggregate.
     """
-    l = load_table(spark, sf_dir, "lineitem")
+    # regr_* semantics: only (x, y) pairs with BOTH sides non-NULL enter
+    # the moments (a one-sided SUM skip would mix inconsistent denominators)
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
     xc = F.round(F.col("l_quantity") * 100).cast("long")
     yc = F.round(F.col("l_extendedprice") * 100).cast("long")
     dec38 = "decimal(38,0)"
@@ -438,12 +530,17 @@ def agg_regression_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * syy - sy * sy).cast("double").alias("d3"),
         (sy * sxx - sx * sxy).cast("double").alias("nu"),
     )
+    # try_divide: a zero-variance group (every x identical — the constant
+    # lake, or any single-row group) has an undefined fit; SQL regr_slope
+    # yields NULL there, and ANSI Spark would otherwise raise
     return m.select(
         "l_returnflag",
         "n_rows",
-        (F.col("d1") / F.col("d2")).alias("slope"),
-        (F.col("nu") / F.col("d2") / F.lit(100.0)).alias("intercept"),
-        ((F.col("d1") * F.col("d1")) / (F.col("d2") * F.col("d3"))).alias("r2"),
+        F.try_divide(F.col("d1"), F.col("d2")).alias("slope"),
+        (F.try_divide(F.col("nu"), F.col("d2")) / F.lit(100.0)).alias("intercept"),
+        F.try_divide(
+            F.col("d1") * F.col("d1"), F.col("d2") * F.col("d3")
+        ).alias("r2"),
     ).orderBy("l_returnflag")
 
 

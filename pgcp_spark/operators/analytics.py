@@ -234,7 +234,11 @@ def anomaly_hourly_event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = hourly.groupBy("event_type").agg(
         F.avg("n_events").alias("mean_n"), F.stddev_samp("n_events").alias("sd_n")
     )
-    z = (F.col("n_events") - F.col("mean_n")) / F.col("sd_n")
+    # try_divide: a type with one bucket has sd_n NULL (sample stddev of
+    # n=1) and identical-count buckets have sd_n = 0 — both mean the
+    # z-score is undefined (NULL), and an undefined z is NOT an anomaly
+    # (flag 0, same as the oracle's CASE falling through to ELSE)
+    z = F.try_divide(F.col("n_events") - F.col("mean_n"), F.col("sd_n"))
     return (
         hourly.join(stats, "event_type")
         .select(
@@ -243,7 +247,9 @@ def anomaly_hourly_event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("long").alias("n_events"),
             "sum_value",
             F.round(z, 6).alias("zscore"),
-            (F.abs(z) >= ZSCORE_FLAG).cast("int").alias("is_anomalous"),
+            F.coalesce((F.abs(z) >= ZSCORE_FLAG).cast("int"), F.lit(0)).alias(
+                "is_anomalous"
+            ),
         )
         .orderBy("event_type", "bucket")
     )
@@ -255,7 +261,7 @@ def anomaly_hourly_event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH seq AS (
   SELECT user_id, event_type,
          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 trans AS (
   SELECT prev_type, event_type AS next_type, COUNT(*) AS n
@@ -282,7 +288,8 @@ def markov_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # event-time contract: sequence adjacency is undefined for NULL ts
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
     # trans feeds totals AND the final join — materialize the 25-row

@@ -276,7 +276,7 @@ def join_cross_grid_nation_priority(spark: SparkSession, sf_dir: str) -> DataFra
 WITH ev AS (
   SELECT event_id, user_id, event_type,
          CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
-  FROM events
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ),
 clicks AS (
   SELECT user_id, ts, MAX(event_id) AS click_id
@@ -305,7 +305,13 @@ def join_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    # as-of contract: attribution needs an entity key and an event time —
+    # a NULL user_id can never satisfy the ASOF equality (p.user_id =
+    # c.user_id is NULL), and a NULL ts can never satisfy the inequality,
+    # so both are filtered identically on the oracle side
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     clicks = (
         e.filter(F.col("event_type") == "click")
         .groupBy("user_id", "ts")
@@ -412,7 +418,7 @@ def join_band_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ev AS (
   SELECT event_id, user_id, event_type,
          CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
-  FROM events
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ),
 views AS (
   SELECT user_id, ts, MIN(event_id) AS view_id
@@ -443,7 +449,10 @@ def join_asof_forward_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    # same entity/time contract as join_asof_click_attribution
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     views = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id", "ts")

@@ -22,7 +22,7 @@ SELECT c_custkey,
        LOWER(c_mktsegment) AS segment_lower,
        SUBSTRING(c_name, 1, 8) AS name_prefix,
        LENGTH(c_name) AS name_len,
-       CONCAT(c_name, ':', c_mktsegment) AS name_seg,
+       CONCAT(COALESCE(c_name, ''), ':', COALESCE(c_mktsegment, '')) AS name_seg,
        REPLACE(c_name, '#', '-') AS name_dashed
 FROM customer
 ORDER BY c_custkey
@@ -38,7 +38,14 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower("c_mktsegment").alias("segment_lower"),
             F.substring("c_name", 1, 8).alias("name_prefix"),
             F.length("c_name").cast("long").alias("name_len"),
-            F.concat_ws(":", "c_name", "c_mktsegment").alias("name_seg"),
+            # COALESCE pinned on both sides: concat_ws silently DROPS null
+            # args (losing the separator) while SQL CONCAT engines differ on
+            # null treatment — explicit '' is the only portable semantic
+            F.concat_ws(
+                ":",
+                F.coalesce(F.col("c_name"), F.lit("")),
+                F.coalesce(F.col("c_mktsegment"), F.lit("")),
+            ).alias("name_seg"),
             F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
         )
         .orderBy("c_custkey")

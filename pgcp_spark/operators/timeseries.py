@@ -113,7 +113,7 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ev AS (
   SELECT user_id, event_type, CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts,
          event_id
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 gaps AS (
   SELECT event_type,
@@ -143,12 +143,19 @@ def timeseries_interarrival_gap_stats(spark: SparkSession, sf_dir: str) -> DataF
     one aggregate on event_type."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        # unix_micros rejects TIMESTAMP_NTZ (how events.ts reads back under
-        # this Spark); the cast to LTZ is value-exact under the UTC session
-        # timezone — same workaround as windows.py:324 / joins.py:380.
-        "ts",
-        F.col("ts").cast("timestamp"),
+    # event-time contract: NULL ts has no position in an arrival sequence
+    # (and NULL window sort keys also trigger nondeterministic DuckDB
+    # parallel-window output, so the oracle filters identically)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn(
+            # unix_micros rejects TIMESTAMP_NTZ (how events.ts reads back
+            # under this Spark); the cast to LTZ is value-exact under the
+            # UTC session timezone — same as windows.py:324 / joins.py:380.
+            "ts",
+            F.col("ts").cast("timestamp"),
+        )
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.select(
@@ -175,7 +182,7 @@ def timeseries_interarrival_gap_stats(spark: SparkSession, sf_dir: str) -> DataF
 WITH ev AS (
   SELECT user_id, event_type,
          CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts, event_id
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 changes AS (
   SELECT user_id, event_type, ts, event_id,
@@ -206,7 +213,8 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties are event_id-broken so both engines emit identical intervals."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # event-time contract: a NULL ts has no place in a validity timeline
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = ev.select(
         "user_id", "event_type", "ts", "event_id",
@@ -234,7 +242,7 @@ AS_OF_TS = "2024-01-15 00:00:00"
 WITH ev AS (
   SELECT user_id, event_type,
          CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts, event_id
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 changes AS (
   SELECT user_id, event_type, ts, event_id,

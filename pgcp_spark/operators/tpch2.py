@@ -308,8 +308,16 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
+    # ANSI NULL semantics of the EXISTS forms: `l2.l_suppkey <> l1.l_suppkey`
+    # is NULL (never true) when either side is NULL, so a NULL-suppkey line
+    # can neither witness "another supplier" nor count as a late supplier.
+    # The decorrelated aggregate must therefore exclude NULL-suppkey groups
+    # from n_supp/n_late_supp — without this filter an order with suppliers
+    # {5, NULL} wrongly passes the multi-supplier test.
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .filter(F.col("l_suppkey").isNotNull())
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
 

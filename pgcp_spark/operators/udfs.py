@@ -25,7 +25,11 @@ from pgcp_spark.sources import load_table
 SELECT tier, COUNT(*) AS n_orders
 FROM (
   SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) / 50000 AS BIGINT) AS raw_tier,
-         LEAST(CAST(FLOOR(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) / 50000) AS BIGINT), 9) AS tier
+         -- CASE, not bare LEAST: LEAST *skips* NULL args, which would
+         -- silently bucket an unknown price into the top tier
+         CASE WHEN o_totalprice IS NULL THEN NULL
+              ELSE LEAST(CAST(FLOOR(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) / 50000) AS BIGINT), 9)
+         END AS tier
   FROM orders
 )
 GROUP BY tier
@@ -43,7 +47,10 @@ def udf_pandas_price_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         p = np.round(price.to_numpy(), 2)  # normalize like DECIMAL(12,2)
-        return pd.Series(np.minimum(np.floor(p / 50000).astype("int64"), 9))
+        # keep NaN (NULL price) as NULL: a raw astype(int64) would turn
+        # NaN into int64 garbage and invent a phantom tier group
+        tiers = np.minimum(np.floor(p / 50000), 9)
+        return pd.Series(tiers).astype("Int64")
 
     return (
         o.select(tier("o_totalprice").alias("tier"))
@@ -82,13 +89,19 @@ def udf_grouped_map_priority_order_stats(spark: SparkSession, sf_dir: str) -> Da
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        cents = np.round(pdf["o_totalprice"].to_numpy() * 100).astype("int64")
+        # SQL aggregates skip NULLs: drop NaN before the exact-cents math
+        # (astype(int64) on NaN is garbage, not an error) and emit NULL
+        # sums/ranges for an all-NULL group like SUM/MAX/MIN would
+        vals = pdf["o_totalprice"].dropna().to_numpy()
+        cents = np.round(vals * 100).astype("int64")
         return pd.DataFrame(
             {
                 "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
                 "n_orders": [len(pdf)],
-                "total_spent": [cents.sum() / 100.0],
-                "price_range": [(cents.max() - cents.min()) / 100.0],
+                "total_spent": [cents.sum() / 100.0 if len(cents) else None],
+                "price_range": [
+                    (cents.max() - cents.min()) / 100.0 if len(cents) else None
+                ],
             }
         )
 
@@ -258,7 +271,7 @@ TOPK_TOKENS = 3
     "udtf_top_tokens_per_doc",
     oracle=f"""
 WITH tok AS (
-  SELECT doc_id, UNNEST(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')) AS token
+  SELECT doc_id, UNNEST(string_split(trim(regexp_replace(lower(COALESCE(text, '')), ' +', ' ', 'g')), ' ')) AS token
   FROM documents WHERE doc_id < 50
 ),
 counts AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
@@ -292,7 +305,9 @@ def udtf_top_tokens_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             from collections import Counter
             import re
 
-            toks = re.sub(" +", " ", text.lower().strip()).split(" ")
+            # NULL text ≡ empty text (COALESCE in the oracle): both sides
+            # tokenize '' to the single empty token
+            toks = re.sub(" +", " ", (text or "").lower().strip()).split(" ")
             best = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))
             for i, (token, n) in enumerate(best[:TOPK_TOKENS], start=1):
                 yield (i, token, n)

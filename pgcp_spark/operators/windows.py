@@ -79,7 +79,7 @@ SELECT o_custkey, o_orderkey, o_orderdate,
        LEAD(o_orderdate) OVER w AS next_date,
        CAST(DATE_DIFF('day', LAG(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
 ORDER BY o_custkey, o_orderdate, o_orderkey
 """,
 )
@@ -87,7 +87,12 @@ def window_lag_lead_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead analytics: previous/next order date per customer and the
     day gap between consecutive orders."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # o_orderdate is nullable: pin NULLS FIRST explicitly on both sides
+    # (ANSI leaves default null ordering implementation-defined — Spark
+    # defaults FIRST for ASC, DuckDB LAST, so an unpinned key diverges)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_first("o_orderdate"), "o_orderkey"
+    )
     return (
         o.select(
             "o_custkey",
@@ -111,7 +116,7 @@ def window_lag_lead_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey, o_orderkey, o_orderdate,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
 FROM orders
 ORDER BY o_custkey, o_orderdate, o_orderkey
@@ -123,7 +128,7 @@ def window_running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataF
     o = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_first("o_orderdate"), "o_orderkey")  # pinned
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -182,7 +187,7 @@ SELECT DISTINCT l_orderkey,
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_part,
        COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
 FROM lineitem
-WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey)
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey NULLS FIRST)
 ORDER BY l_orderkey
 """,
 )
@@ -192,7 +197,9 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     # l_linenumber ties exist in the synthetic data — l_partkey tiebreak
     # makes first/last deterministic.
-    w_ord = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    w_ord = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", F.asc_nulls_first("l_partkey")
+    )
     w_full = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     w_part = Window.partitionBy("l_orderkey")
     return (
@@ -212,7 +219,7 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey, o_orderkey, o_orderdate,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST
                   RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS trailing_30d_revenue
 FROM orders
@@ -231,7 +238,7 @@ def window_range_frame_30day_revenue(spark: SparkSession, sf_dir: str) -> DataFr
     trailing = F.expr(
         """
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
-          PARTITION BY o_custkey ORDER BY o_orderdate
+          PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST
           RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
         """
     )
@@ -245,8 +252,8 @@ def window_range_frame_30day_revenue(spark: SparkSession, sf_dir: str) -> DataFr
     "window_percent_rank_cume_dist",
     oracle="""
 SELECT s_suppkey, s_acctbal,
-       PERCENT_RANK() OVER (ORDER BY s_acctbal, s_suppkey) AS pct_rank,
-       CUME_DIST() OVER (ORDER BY s_acctbal, s_suppkey) AS cume
+       PERCENT_RANK() OVER (ORDER BY s_acctbal NULLS FIRST, s_suppkey) AS pct_rank,
+       CUME_DIST() OVER (ORDER BY s_acctbal NULLS FIRST, s_suppkey) AS cume
 FROM supplier
 ORDER BY s_suppkey
 """,
@@ -257,7 +264,7 @@ def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame
     is a bounded dimension; fact-sized inputs must partition first (see
     module docstring)."""
     s = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_acctbal", "s_suppkey")
+    w = Window.orderBy(F.asc_nulls_first("s_acctbal"), "s_suppkey")  # pinned
     return (
         s.select(
             "s_suppkey",
@@ -278,7 +285,7 @@ SESSION_GAP_MIN = 600  # minutes; events median inter-event gap ≈ 441 min
 WITH e AS (
   SELECT user_id, event_id, value,
          CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT user_id, event_id, value, ts,
@@ -316,7 +323,8 @@ def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-local. Micros-exact gap arithmetic (unix_micros) so the
     DuckDB oracle computes identical integers.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    # event-time contract: a NULL event time cannot be sessionized
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_id",
         "value",
@@ -353,7 +361,7 @@ def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey, o_orderkey,
        COUNT(DISTINCT o_orderpriority) OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS distinct_prios_so_far
 FROM orders
 """,
@@ -371,7 +379,7 @@ def window_running_distinct_priorities(spark: SparkSession, sf_dir: str) -> Data
     o = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_first("o_orderdate"), "o_orderkey")  # pinned
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return o.select(

@@ -49,18 +49,21 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # queries that still need a green driver row come first; families already
 # proven green in a prior round's CORRECTNESS_r{N}.json rotate to the back.
 #
-# Round-4 window: the 10 round-3 additions are the only registered queries
-# that have never received a driver CORRECTNESS row (r1 ∪ r2 ∪ r3 covers
-# the other 142) — pinned first; a green round completes driver
-# verification of the entire registry. Next come the queries whose code or
-# oracle CHANGED this round (graph family on the df-capped edge source;
-# profile_orders_columns' stack/melt plan; multimodal_feature_extract's
-# empty-doc-safe oracle; the exact-arithmetic ztest/chi-square are already
-# in the first 10). The remaining slots re-prove the LLM-pipeline ops and
-# TPC-H flagships whose last driver rows date to round 1.
+# Round-4 window: the 10 round-3 additions have never received a driver
+# CORRECTNESS row (r1 ∪ r2 ∪ r3 covers the other 142) — pinned first; a
+# green round completes driver verification of the entire registry. The
+# remaining 40 slots re-prove queries whose code or oracle CHANGED this
+# round under the adversarial-lake hardening (ANSI empty-input grand
+# totals, event-time/entity NULL contracts, window null-ordering pins,
+# the q21 EXISTS-NULL decorrelation fix, the embedding validity contract,
+# zero-variance statistic guards, pandas-UDF NaN handling) plus the
+# earlier round-4 changes (df-capped graph edges, melted profiler,
+# empty-doc-safe multimodal oracle). Changed queries that don't fit the
+# window (sliding/static/append/stream-stream/foreach-batch streaming,
+# LSH/IVF rows-only, sessionize, forward-asof dependents) carry mimic
+# evidence at sf0.01+sf0.1 and on all three edge lakes (COVERAGE.md).
 _AUDIT_PRIORITY: list[str] = [
-    # --- never driver-checked (round-3 additions), all mimic-green at
-    # sf0.01 + sf0.1 ---
+    # --- never driver-checked (round-3 additions), all mimic-green ---
     "udtf_top_tokens_per_doc",
     "join_asof_forward_next_view",
     "dedup_cluster_canonical",
@@ -71,50 +74,50 @@ _AUDIT_PRIORITY: list[str] = [
     "corpus_mix_rebalance",
     "analytics_conversion_ztest",
     "analytics_chisq_segment_event_type",
-    # --- changed this round: re-prove under the new code/oracle ---
+    # --- changed earlier in round 4 ---
     "graph_connected_dup_clusters",
     "graph_pagerank_dup_docs",
     "profile_orders_columns",
     "multimodal_feature_extract",
-    # --- LLM-pipeline ops last driver-verified in round 1 ---
-    "dedup_exact_documents",
+    # --- changed in the adversarial-lake hardening ---
+    "q21_sole_late_supplier",
+    "agg_rollup_region_nation",
+    "agg_cube_returnflag_linestatus",
+    "agg_grouping_id_rollup",
+    "agg_grouping_sets",
+    "funnel_view_click_purchase",
+    "agg_regression_price_on_qty",
+    "agg_stats_correlation",
+    "anomaly_hourly_event_zscore",
+    "markov_event_type_transitions",
+    "scd2_user_state_history",
+    "scd2_point_in_time_lookup",
+    "timeseries_interarrival_gap_stats",
+    "window_lag_lead_order_dates",
+    "window_running_total_per_customer",
+    "window_running_distinct_priorities",
+    "window_percent_rank_cume_dist",
+    "window_first_last_value",
+    "window_range_frame_30day_revenue",
+    "window_sessionize_events",
+    "join_asof_click_attribution",
+    "scalar_string_functions",
+    "udf_pandas_price_tier",
+    "udf_grouped_map_priority_order_stats",
+    "sim_cosine_bruteforce_topk",
+    "sim_embedding_int8_quantize",
+    "dedup_embedding_cosine_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_jaccard_hot_shingle_capped",
-    "dedup_embedding_cosine_pairs",
-    "pipeline_training_data_prep",
-    "sim_cosine_bruteforce_topk",
-    "sim_label_profile",
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid_markers",
-    "text_fingerprint_groups",
-    "text_source_lang_profile",
-    "text_winnow_fingerprints",
-    "text_tfidf_top_terms",
-    "multimodal_payload_stats",
-    "multimodal_format_detect",
-    "multimodal_frame_sample",
-    "sample_stratified_documents",
-    "sample_hash_threshold_events",
-    # --- TPC-H flagships last driver-verified in round 1 ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q21_sole_late_supplier",
-    "q2_cheapest_part_per_type",
-    "q4_priority_with_late_line",
-    "q7_nation_pair_volume",
-    "q8_market_share",
-    "q14_promo_revenue_share",
-    "q16_brand_supplier_counts_not_in",
-    "q17_small_quantity_order_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_join_revenue",
-    "q22_idle_rich_customers",
+    "dedup_minhash_lsh_candidates",
+    "corpus_decontaminate_eval_overlap",
+    "text_repetition_quality",
+    "streaming_tumbling_event_counts",
+    "streaming_stateful_user_stats",
+    "streaming_dedup_user_event_types",
+    "rollup_cascade_events_daily",
 ]
+
 
 _MODULE_AUDIT_ORDER: list[str] = [
     # every module below is fully green in r01 ∪ r02 (minus the pinned

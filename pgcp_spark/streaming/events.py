@@ -38,7 +38,7 @@ RAW_EVENT_SCHEMA = (
 # every oracle reads events through this µs-truncation CTE
 _EVENTS_US = (
     "SELECT event_id, CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts, "
-    "user_id, event_type, value, props FROM events"
+    "user_id, event_type, value, props FROM events WHERE ts IS NOT NULL"
 )
 
 
@@ -93,7 +93,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = reader.parquet(path)
     divisor = _ts_divisor(spark, path, glob)
     micros = F.expr(f"ts div {divisor}") if divisor != 1 else F.col("ts")
-    return sdf.withColumn("ts", F.timestamp_micros(micros))
+    # event-time contract: a NULL event time can never be assigned to a
+    # window, compared to a watermark, or sessionized — such records are
+    # dropped at ingest (every oracle filters ts IS NOT NULL identically)
+    return sdf.withColumn("ts", F.timestamp_micros(micros)).filter(
+        F.col("ts").isNotNull()
+    )
 
 
 # Streaming state-store partition count. A stateful streaming query spins
@@ -259,7 +264,7 @@ SELECT user_id,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
        COUNT(DISTINCT event_type) AS n_types
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY user_id
 ORDER BY user_id
 """,
@@ -283,19 +288,25 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     def update_stats(key, pdfs, state: GroupState):
         import pandas as pd
 
-        n, cents, types = state.get if state.exists else (0, 0, [])
+        n, nvals, cents, types = state.get if state.exists else (0, 0, 0, [])
         types = set(types)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
-            types |= set(pdf["event_type"])
-        state.update((n, cents, sorted(types)))
+            # NULL values arrive as NaN; the oracle's SUM / COUNT(DISTINCT)
+            # skip NULLs, so drop them before the exact-cents accumulation —
+            # and an all-NULL key must emit NULL (SQL SUM), not 0.0, hence
+            # the non-null counter in the state tuple
+            v = pdf["value"].dropna()
+            nvals += len(v)
+            cents += int((v * 100).round().astype("int64").sum())
+            types |= set(pdf["event_type"].dropna())
+        state.update((n, nvals, cents, sorted(types)))
         yield pd.DataFrame(
             [
                 {
                     "user_id": key[0],
                     "n_events": n,
-                    "sum_value": cents / 100.0,
+                    "sum_value": cents / 100.0 if nvals else None,
                     "n_types": len(types),
                 }
             ]
@@ -306,7 +317,7 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .applyInPandasWithState(
             update_stats,
             outputStructType="user_id long, n_events long, sum_value double, n_types long",
-            stateStructType="n long, cents long, types array<string>",
+            stateStructType="n long, nvals long, cents long, types array<string>",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
@@ -317,7 +328,7 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "streaming_dedup_user_event_types",
     oracle="""
-SELECT DISTINCT user_id, event_type FROM events
+SELECT DISTINCT user_id, event_type FROM events WHERE ts IS NOT NULL
 ORDER BY user_id, event_type
 """,
 )
@@ -361,7 +372,8 @@ def rollup_cascade_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     persists and refreshes incrementally (the streaming windows above are
     the continuous form of the same computation).
     """
-    e = load_table(spark, sf_dir, "events")
+    # same event-time contract as the streams: NULL ts has no bucket
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     minute = (
         e.groupBy(
             F.date_trunc("minute", "ts").alias("minute"), "event_type"

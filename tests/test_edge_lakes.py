@@ -1,0 +1,98 @@
+"""Adversarial-lake regression tests: hostile data shapes through the
+Spark-vs-DuckDB oracle compare.
+
+``tools/make_edge_lake.py`` builds three schema-identical variants of the
+testdata lake — empty (zero rows everywhere), nulls (hash-sliced NULLs in
+every nullable column, ''/whitespace docs, empty embedding arrays), and
+degenerate (constant values, one timestamp, identical docs/vectors plus a
+zero vector). The full 152-query sweep runs as a tool
+(`MIMIC_SF_DIR=... tools/driver_mimic.py`, recorded in COVERAGE.md); this
+file pins the queries that FAILED on first contact with each lake, so the
+specific defect classes fixed in round 4 stay fixed:
+
+  - Spark's zero-row rollup/cube deviation from the ANSI grand-total row
+  - ANSI DIVIDE_BY_ZERO in funnel / regression / correlation / z-score
+  - descending-sequence element_at crashes on sub-shingle-width docs
+  - window ORDER BY null-ordering divergence (Spark NULLS FIRST vs
+    DuckDB NULLS LAST defaults)
+  - the q21 decorrelation counting NULL-suppkey groups as "suppliers"
+  - ragged/NULL/zero embeddings crashing numpy stacks and k-means
+  - NaN poisoning in pandas UDF / stateful-streaming accumulators
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+
+from tests.oracle_check import compare
+
+# (query name, lakes it must stay green on)
+EDGE_CASES = [
+    # ANSI empty-input grand total
+    ("agg_rollup_region_nation", ("empty", "nulls", "degenerate")),
+    ("agg_grouping_sets", ("empty",)),
+    ("agg_grouping_id_rollup", ("empty",)),
+    ("agg_cube_returnflag_linestatus", ("empty",)),
+    # division guards
+    ("funnel_view_click_purchase", ("empty", "degenerate")),
+    ("agg_regression_price_on_qty", ("nulls", "degenerate")),
+    ("agg_stats_correlation", ("degenerate",)),
+    ("anomaly_hourly_event_zscore", ("degenerate",)),
+    # tokenizer guards (descending sequence / element_at)
+    ("dedup_ngram_jaccard_pairs", ("empty", "nulls")),
+    ("text_repetition_quality", ("nulls",)),
+    ("graph_connected_dup_clusters", ("nulls",)),
+    # null-ordering pins
+    ("window_lag_lead_order_dates", ("nulls",)),
+    ("window_running_total_per_customer", ("nulls",)),
+    ("window_percent_rank_cume_dist", ("nulls",)),
+    # NULL-semantics of decorrelated EXISTS
+    ("q21_sole_late_supplier", ("nulls",)),
+    # event-time contract
+    ("window_sessionize_events", ("nulls",)),
+    ("join_asof_click_attribution", ("nulls",)),
+    ("scd2_user_state_history", ("nulls",)),
+    ("markov_event_type_transitions", ("nulls",)),
+    # embedding validity contract + tie-breaking determinism
+    ("sim_cosine_bruteforce_topk", ("empty", "nulls", "degenerate")),
+    ("dedup_embedding_cosine_pairs", ("nulls", "degenerate")),
+    ("sim_embedding_int8_quantize", ("nulls", "degenerate")),
+    # pandas UDF NaN handling
+    ("udf_pandas_price_tier", ("nulls",)),
+    ("udf_grouped_map_priority_order_stats", ("nulls",)),
+    ("udtf_top_tokens_per_doc", ("nulls",)),
+    ("multimodal_feature_extract", ("nulls",)),
+]
+
+
+@pytest.fixture(scope="session")
+def edge_lakes(tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("edge_lakes")
+    subprocess.run(
+        [sys.executable, "tools/make_edge_lake.py", "/root/testdata/sf0.001", str(root)],
+        check=True,
+        capture_output=True,
+    )
+    return str(root)
+
+
+def _params():
+    for name, lakes in EDGE_CASES:
+        for lake in lakes:
+            yield pytest.param(name, lake, id=f"{name}-{lake}")
+
+
+@pytest.mark.parametrize(("name", "lake"), list(_params()))
+def test_edge_lake_oracle_parity(spark, edge_lakes, name, lake):
+    from pgcp_spark.registry import all_queries
+
+    q = all_queries()[name]
+    sf_dir = f"{edge_lakes}/{lake}"
+    if q.oracle is None:
+        # rows-only query: executing without an exception IS the check
+        q.fn(spark, sf_dir).collect()
+    else:
+        compare(spark, sf_dir, f"{name}@{lake}", q.fn, q.oracle)

@@ -65,11 +65,14 @@ def test_int8_quantize_zero_vector_guard(spark, tmp_path):
 
     from pgcp_spark.functions.similarity import sim_embedding_int8_quantize
 
+    # vectors padded to the 64-dim corpus contract (shorter rows are now
+    # quarantined by the width filter, not quantized)
+    zero_vec = [0.0] * 64
+    pad_vec = [1.0, -2.0, 0.5] + [0.0] * 61
     table = pa.table(
         {
             "vec_id": pa.array([1, 2], pa.int64()),
-            "embedding": pa.array([[0.0, 0.0, 0.0], [1.0, -2.0, 0.5]],
-                                  pa.list_(pa.float32())),
+            "embedding": pa.array([zero_vec, pad_vec], pa.list_(pa.float32())),
             "label": pa.array([0, 1], pa.int32()),
         }
     )

@@ -211,8 +211,10 @@ def build_degenerate(con, src: str, dest: str) -> None:
         # embedding dimension) plus one all-zero vector (norm 0 -> 0/0):
         # both engines must agree on the result bits and every top-k must
         # break ties deterministically
+        # vec_ids are multiples of the similarity QUERY_STRIDE (50) so every
+        # vector doubles as a query point — maximal tie-breaking stress
         "embeddings": """
-            SELECT CAST(i AS BIGINT) AS vec_id,
+            SELECT CAST(i * 50 AS BIGINT) AS vec_id,
                    CASE WHEN i = 6
                         THEN CAST(list_transform(range(64), x -> 0.0) AS FLOAT[])
                         ELSE CAST(list_transform(range(64), x -> 0.5 - 0.25 * (x % 3)) AS FLOAT[])
