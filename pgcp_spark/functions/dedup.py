@@ -443,7 +443,8 @@ EMB_DUP_THRESHOLD = 0.4  # random 64-dim corpus: max pairwise cos ≈ 0.51
 # must give enough grid cells B(B+1)/2 to feed every core (cpu bound);
 # past that, larger B only inflates the O(B·n) block-replication traffic.
 EMB_BLOCK_TARGET_ROWS = 4096  # ~2 MB of 64-dim float64 vectors per block row
-EMB_BLOCKS_MIN = 8
+EMB_BLOCK_MIN_ROWS = 1024  # below this a cell's matmul is overhead-dominated
+EMB_BLOCKS_MIN = 1
 EMB_BLOCKS_MAX = 64
 
 
@@ -451,8 +452,13 @@ def _emb_blocks(n_vecs: int, parallelism: int) -> int:
     import math
 
     by_mem = math.ceil(n_vecs / EMB_BLOCK_TARGET_ROWS)
-    # smallest B with B(B+1)/2 >= 2*parallelism (two grid cells per core)
+    # smallest B with B(B+1)/2 >= 2*parallelism (two grid cells per core) —
+    # but never fragment blocks below EMB_BLOCK_MIN_ROWS vectors: on a
+    # small corpus, per-task + Arrow round-trip overhead beats the matmul
+    # (measured at sf0.1/5k vectors: B=11 → 2.9 s vs B=4 → 1.5 s), and a
+    # big numpy matmul is already the fastest way through a small cell.
     by_cpu = math.ceil((math.sqrt(1 + 16 * parallelism) - 1) / 2)
+    by_cpu = min(by_cpu, max(1, n_vecs // EMB_BLOCK_MIN_ROWS))
     return min(EMB_BLOCKS_MAX, max(EMB_BLOCKS_MIN, by_mem, by_cpu))
 
 
