@@ -401,3 +401,21 @@ def test_profile_melt_is_constant_size_no_union(spark):
     plan = ex.physical_plan(df)
     assert "Generate" in plan, plan
     assert "Union" not in plan, "profiling built a per-column union plan"
+
+
+def test_empty_grand_total_probe_is_constant_cost(spark):
+    """The ANSI empty-input grand-total union (operators/_ansi_empty.py)
+    must cost O(1) on the non-empty path: the aggregate side scans the
+    fact once with real columns, while the probe side is a LocalLimit 1
+    over a ZERO-column scan (ReadSchema struct<>) — short-circuited after
+    one row — broadcast into a 1-row anti-join. A second full-column or
+    full-table read of the fact here would double the 100 TB scan cost."""
+    df = q("agg_cube_returnflag_linestatus", spark)
+    plan = ex.physical_plan(df)
+    assert "LocalLimit" in plan, plan
+    assert "LeftAnti" in plan, plan
+    schemas = ex.read_schemas(df)
+    assert len(schemas) == 2, schemas
+    assert sum(1 for s in schemas if s in ("struct<>", "")) == 1, (
+        "probe scan must read zero columns: " + repr(schemas)
+    )
