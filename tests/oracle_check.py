@@ -40,12 +40,21 @@ def _canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
-def compare(spark, sf_dir: str, name: str, fn, oracle: str) -> None:
+def compare(
+    spark, sf_dir: str, name: str, fn, oracle: str, oracle_sf_dir: str | None = None
+) -> None:
+    """Assert the Spark query over ``sf_dir`` matches the oracle SQL.
+
+    ``oracle_sf_dir`` points DuckDB at a different lake holding the same
+    row multiset (e.g. the canonical layout while Spark reads the
+    scrambled one) — equality then proves the result is independent of
+    physical row order.
+    """
     sdf = fn(spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
-    con = duckdb_connection(sf_dir)
+    con = duckdb_connection(oracle_sf_dir or sf_dir)
     try:
         res = con.execute(oracle)
         ocols = [d[0] for d in res.description]

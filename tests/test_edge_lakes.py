@@ -96,3 +96,62 @@ def test_edge_lake_oracle_parity(spark, edge_lakes, name, lake):
         q.fn(spark, sf_dir).collect()
     else:
         compare(spark, sf_dir, f"{name}@{lake}", q.fn, q.oracle)
+
+
+# ---------------------------------------------------------------------------
+# Input-order invariance: the "scrambled" lake holds the SAME rows as the
+# canonical testdata in a deterministic hash-permuted physical order —
+# different parquet row groups, min/max stats, and scan order. Spark runs
+# on the scrambled layout while the DuckDB oracle reads the CANONICAL one,
+# so equality proves the result doesn't leak scan order anywhere: no
+# unordered first()/LIMIT, no accumulation-order-dependent float, no tie
+# broken by file position. The queries here are the order-risk surface;
+# the full 146-query sweep ran green as a tool (COVERAGE.md).
+ORDER_RISK = [
+    "q1_pricing_summary",             # decimal aggregation order
+    "window_top3_orders_per_customer",  # rank ties
+    "window_rank_dense_rank_suppliers",  # global rank ladder
+    "agg_collect_sorted_priorities",  # collect_set iteration order
+    "percentile_exact_quantity",      # exact percentile interpolation
+    "sim_cosine_bruteforce_topk",     # top-k ties
+    "dedup_exact_documents",          # canonical-doc keep rule
+    "streaming_tumbling_event_counts",  # file order into micro-batches
+]
+
+
+@pytest.mark.parametrize("name", ORDER_RISK)
+def test_scrambled_layout_matches_canonical_oracle(spark, edge_lakes, name):
+    from pgcp_spark.registry import all_queries
+
+    q = all_queries()[name]
+    compare(
+        spark,
+        f"{edge_lakes}/scrambled",
+        f"{name}@scrambled",
+        q.fn,
+        q.oracle,
+        oracle_sf_dir="/root/testdata/sf0.001",
+    )
+
+
+def test_hash_sketches_are_layout_invariant(spark, edge_lakes):
+    # MinHash / SimHash / LSH signatures hash CONTENT, never position:
+    # the candidate sets must be bit-identical across physical layouts.
+    # (IVF is the documented exception — k-means|| initialization samples
+    # partition-dependently, so its index, and therefore its candidate
+    # set, is layout-dependent; its contract is recall, tested in
+    # tests/test_similarity.py.)
+    from pgcp_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in (
+        "dedup_minhash_lsh_candidates",
+        "dedup_simhash_pairs",
+        "sim_cosine_lsh_pairs",
+    ):
+        def rows(sf):
+            got = [tuple(r) for r in qs[name].fn(spark, sf).collect()]
+            got.sort(key=lambda r: [(v is None, str(v)) for v in r])
+            return got
+
+        assert rows("/root/testdata/sf0.001") == rows(f"{edge_lakes}/scrambled"), name

@@ -20,6 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pgcp_spark.registry import all_queries
 
 SF_DIR = os.environ.get("MIMIC_SF_DIR", "/root/testdata/sf0.01")
+# Where DuckDB reads its tables. Defaults to the Spark lake; point it at a
+# DIFFERENT physical layout of the same rows (tools/make_edge_lake.py's
+# "scrambled" variant) to prove input-order invariance: Spark on the
+# permuted lake must still match the canonical lake's oracle bit-exactly.
+ORACLE_SF_DIR = os.environ.get("MIMIC_ORACLE_SF_DIR", SF_DIR)
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "partsupp",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -61,7 +66,7 @@ def main() -> int:
     con = duckdb.connect()
 
     for t in TABLES:
-        path = f"{SF_DIR}/{t}.parquet"
+        path = f"{ORACLE_SF_DIR}/{t}.parquet"
         if os.path.isdir(path):
             # multi-file lake layout (tools/make_scale.py): glob the parts
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/*.parquet')")

@@ -19,10 +19,15 @@ query registry can be swept through `tools/driver_mimic.py` against each:
                vector), single-group statistics, and tie-breaking
                determinism in every top-k.
 
+  scrambled  — identical rows in a deterministic hash-permuted physical
+               order (different row groups, different min/max stats,
+               different scan order).  Swept against the CANONICAL lake's
+               oracle to prove input-order invariance of every result.
+
 Everything is derived from the source lake (default sf0.001) through
 DuckDB SQL only — no RNG, rerunnable bit-identically.
 
-Usage: python tools/make_edge_lake.py [src_dir] [dest_root]
+Usage: python tools/make_edge_lake.py [src_dir] [dest_root] [variant ...]
 """
 
 from __future__ import annotations
@@ -227,16 +232,48 @@ def build_degenerate(con, src: str, dest: str) -> None:
     print(f"degenerate lake -> {dest}")
 
 
-def main(src: str, dest_root: str) -> None:
+def build_scrambled(con, src: str, dest: str) -> None:
+    """Same rows, hostile PHYSICAL order: every table rewritten in a
+    deterministic hash permutation of its row order — so parquet row
+    groups, their min/max statistics, and the scan order all differ from
+    the canonical lake while the data multiset is identical.  Swept with
+    the ORACLE pointed at the CANONICAL lake
+    (``MIMIC_ORACLE_SF_DIR=<canonical> MIMIC_SF_DIR=<here>``): a
+    bit-exact match proves every query's result is input-order-invariant
+    — no unordered LIMIT/first() leaking scan order, no float
+    accumulation order dependence, no tie broken by file position."""
+    os.makedirs(dest, exist_ok=True)
+    for t in TABLES:
+        cols = [
+            r[0]
+            for r in con.execute(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()
+        ]
+        row = ", ".join(cols)
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet' ORDER BY hash(ROW({row}))) "
+            f"TO '{dest}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    print(f"scrambled lake -> {dest}")
+
+
+VARIANTS = {
+    "empty": build_empty,
+    "nulls": build_nulls,
+    "degenerate": build_degenerate,
+    "scrambled": build_scrambled,
+}
+
+
+def main(src: str, dest_root: str, only: list[str] | None = None) -> None:
     import duckdb
 
     con = duckdb.connect()
-    build_empty(con, src, os.path.join(dest_root, "empty"))
-    build_nulls(con, src, os.path.join(dest_root, "nulls"))
-    build_degenerate(con, src, os.path.join(dest_root, "degenerate"))
+    selected = only or list(VARIANTS)
+    for variant in selected:
+        VARIANTS[variant](con, src, os.path.join(dest_root, variant))
     # schema parity check: every variant must read back with the source's
     # exact physical types, or the sweep tests a different lake
-    for variant in ("empty", "nulls", "degenerate"):
+    for variant in selected:
         for t in TABLES:
             want = con.execute(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()
             got = con.execute(
@@ -250,4 +287,4 @@ def main(src: str, dest_root: str) -> None:
 if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     dest_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/edge_lakes"
-    main(src, dest_root)
+    main(src, dest_root, only=sys.argv[3:] or None)
