@@ -155,3 +155,31 @@ def test_hash_sketches_are_layout_invariant(spark, edge_lakes):
             return got
 
         assert rows("/root/testdata/sf0.001") == rows(f"{edge_lakes}/scrambled"), name
+
+
+# ---------------------------------------------------------------------------
+# Skewed lake: one hot key per fact table (50% of events on one user, 50%
+# of orders on one customer, a third of lineitem on one supplier/part) and
+# a boilerplate sentence in a third of documents. Skew must change neither
+# results (same-lake oracle parity below) nor complexity class (the full
+# 151-query sweep at a skewed sf0.1 lake ran green as a tool, COVERAGE.md).
+# The hot keys deliberately DIFFER per table: a shared hot key on two
+# multi-row sides of one join is a semantic n²/4 cross-product no engine
+# avoids — that both-sides-hot shape is measured in tools/skew_bench.py
+# instead of swept here.
+SKEW_RISK = [
+    "window_sessionize_events",       # hot user's 50% in ONE window partition
+    "markov_event_type_transitions",  # per-user sequence on the hot user
+    "window_top3_orders_per_customer",  # hot customer's order pile, top-3 state
+    "join_range_events_near_order",   # equi+range join across both skewed tables
+    "dedup_jaccard_hot_shingle_capped",  # df cap vs the boilerplate shingles
+    "streaming_stateful_user_stats",  # hot key in the state store
+]
+
+
+@pytest.mark.parametrize("name", SKEW_RISK)
+def test_skewed_lake_oracle_parity(spark, edge_lakes, name):
+    from pgcp_spark.registry import all_queries
+
+    q = all_queries()[name]
+    compare(spark, f"{edge_lakes}/skewed", f"{name}@skewed", q.fn, q.oracle)

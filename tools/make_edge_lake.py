@@ -23,6 +23,12 @@ query registry can be swept through `tools/driver_mimic.py` against each:
                order (different row groups, different min/max stats,
                different scan order).  Swept against the CANONICAL lake's
                oracle to prove input-order invariance of every result.
+  skewed     — one hot key per fact table (50% of events on one user,
+               50% of orders on one customer, a third of lineitem on one
+               supplier/part) and a boilerplate sentence in a third of
+               documents.  Swept for same-lake oracle parity AND timed
+               against the clean lake: skew must change neither results
+               nor complexity class.
 
 Everything is derived from the source lake (default sf0.001) through
 DuckDB SQL only — no RNG, rerunnable bit-identically.
@@ -256,11 +262,70 @@ def build_scrambled(con, src: str, dest: str) -> None:
     print(f"scrambled lake -> {dest}")
 
 
+# skewed lake: one hot key per fact table (the bot-account / default-value
+# shape real lakes develop) plus a boilerplate sentence shared by a third
+# of all documents (the hot-shingle shape of scraped corpora).  Values are
+# substituted deterministically by row-key parity, so the lake is
+# rerunnable bit-identically and the DuckDB oracle sees the same rows.
+# DISTINCT hot keys per table: a shared hot key on two MULTI-ROW sides of
+# the same join (events.user_id ∩ orders.o_custkey) is a semantic
+# cross-product — 50%×50% of both tables meeting on one key is ~n²/4 join
+# OUTPUT rows, a cost inherent to the data, which no engine (Spark or the
+# DuckDB oracle) can avoid.  That both-sides-hot shape is measured
+# deliberately in tools/skew_bench.py; THIS lake stresses single-side
+# skew, the kind plans must absorb without changing complexity class.
+SKEW_HOT_USER = 7      # events.user_id — joins orders/customers as probe side
+SKEW_HOT_CUST = 11     # orders.o_custkey — different key, no hot∩hot meet
+SKEW_HOT_SUPP = 7      # lineitem → supplier is a unique-keyed dim: no fan-out
+SKEW_HOT_PART = 11     # lineitem → part likewise
+SKEW_BOILERPLATE = (
+    " terms apply all rights reserved contact support for help today"
+)
+SKEW_RULES: dict[str, dict[str, str]] = {
+    "events": {  # ONE user owns 50% of all events
+        "user_id": f"CASE WHEN event_id % 2 = 0 THEN {SKEW_HOT_USER} ELSE user_id END"
+    },
+    "orders": {  # ONE customer owns 50% of all orders
+        "o_custkey": f"CASE WHEN o_orderkey % 2 = 0 THEN {SKEW_HOT_CUST} ELSE o_custkey END"
+    },
+    "lineitem": {  # ONE supplier and ONE part each take a third of lineitem
+        "l_suppkey": f"CASE WHEN (l_orderkey * 7 + l_linenumber) % 3 = 0 THEN {SKEW_HOT_SUPP} ELSE l_suppkey END",
+        "l_partkey": f"CASE WHEN (l_orderkey * 7 + l_linenumber) % 3 = 1 THEN {SKEW_HOT_PART} ELSE l_partkey END",
+    },
+    "documents": {  # hot shingles: a third of all docs share one sentence
+        "text": f"CASE WHEN doc_id % 3 = 0 THEN text || '{SKEW_BOILERPLATE}' ELSE text END"
+    },
+}
+
+
+def build_skewed(con, src: str, dest: str) -> None:
+    """Hot-key lake (see SKEW_RULES).  Swept for CORRECTNESS (same-lake
+    oracle parity — skew must never change a result) and for BLOW-UP
+    (`tools/time_registry.py` against it vs the clean lake: no query may
+    go quadratic on a hot key or hot shingle).  The deliberately-uncapped
+    `dedup_ngram_jaccard_pairs` is the documented exclusion — a df≈n/3
+    shingle is exactly the case its df-capped production twin exists for."""
+    os.makedirs(dest, exist_ok=True)
+    for t in TABLES:
+        rules = SKEW_RULES.get(t, {})
+        cols = [
+            r[0]
+            for r in con.execute(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()
+        ]
+        sel = ", ".join(f"{rules[c]} AS {c}" if c in rules else c for c in cols)
+        con.execute(
+            f"COPY (SELECT {sel} FROM '{src}/{t}.parquet') "
+            f"TO '{dest}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    print(f"skewed lake -> {dest}")
+
+
 VARIANTS = {
     "empty": build_empty,
     "nulls": build_nulls,
     "degenerate": build_degenerate,
     "scrambled": build_scrambled,
+    "skewed": build_skewed,
 }
 
 
