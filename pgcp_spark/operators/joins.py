@@ -436,16 +436,23 @@ ORDER BY purchase_id
 def join_asof_forward_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join: each purchase matched to the user's first view
     event STRICTLY AFTER it (post-purchase behavior attribution) — the
-    mirror of the backward as-of, and a distinct plan shape: the carry
-    runs with a forward window frame instead of a backward one.
+    mirror of the backward as-of.
 
     Same union-and-carry technique as join_asof_click_attribution, one
-    shuffle on user_id, linear per-user work: both sides stack into one
-    frame; at equal ts the view sorts BEFORE the purchase, so the
-    (currentRow → unboundedFollowing) first(ignorenulls) frame excludes
-    same-instant views — exactly the strict `>` DuckDB's forward ASOF
-    applies. Views pre-deduped to one per (user, instant) by MIN event_id
-    (the tiebreak DuckDB's ASOF sees).
+    shuffle on user_id, linear per-user work. The carry is expressed as a
+    RUNNING frame over a DESCENDING (ts, side) sort — last(ignorenulls)
+    over (unboundedPreceding → currentRow) — NOT as first() over a
+    (currentRow → unboundedFollowing) frame: Spark evaluates running
+    frames incrementally (O(rows) per partition) but re-scans an
+    UnboundedFollowing frame from scratch for every row (O(rows²) —
+    measured 14× on a lake where one user owns half the events; the skew
+    sweep that caught it is pinned in tests/test_edge_lakes.py). Under
+    the descending sort a purchase's frame holds exactly the rows with
+    ts > its own (same-instant views order AFTER the purchase, desc side
+    puts side=1 first), and last(ignorenulls) walks back from the frame
+    end to the SMALLEST view ts above it — the strict `>` forward match
+    DuckDB's ASOF applies. Views pre-deduped to one per (user, instant)
+    by MIN event_id (the tiebreak DuckDB's ASOF sees).
     """
     from pyspark.sql import Window
 
@@ -474,12 +481,12 @@ def join_asof_forward_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("ts"), F.desc("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         views.unionByName(purch)
-        .withColumn("next_view", F.first("view_id", ignorenulls=True).over(w))
+        .withColumn("next_view", F.last("view_id", ignorenulls=True).over(w))
         .filter(F.col("side") == 1)
         .select("purchase_id", "user_id", "ts", "next_view")
         .orderBy("purchase_id")
