@@ -58,10 +58,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # the q21 EXISTS-NULL decorrelation fix, the embedding validity contract,
 # zero-variance statistic guards, pandas-UDF NaN handling) plus the
 # earlier round-4 changes (df-capped graph edges, melted profiler,
-# empty-doc-safe multimodal oracle). Changed queries that don't fit the
-# window (sliding/static/append/stream-stream/foreach-batch streaming,
-# LSH/IVF rows-only, sessionize, forward-asof dependents) carry mimic
-# evidence at sf0.01+sf0.1 and on all three edge lakes (COVERAGE.md).
+# empty-doc-safe multimodal oracle) and the late skew fixes (running-
+# frame as-of carry, time-bucketed stream-stream join key). Changed
+# queries that don't fit the window (sliding/static/append/foreach-batch
+# streaming, LSH/IVF rows-only, sessionize, forward-asof dependents)
+# carry mimic evidence at sf0.01+sf0.1 and on the five adversarial lakes
+# (COVERAGE.md).
 _AUDIT_PRIORITY: list[str] = [
     # --- never driver-checked (round-3 additions), all mimic-green ---
     "udtf_top_tokens_per_doc",
@@ -79,6 +81,10 @@ _AUDIT_PRIORITY: list[str] = [
     "graph_pagerank_dup_docs",
     "profile_orders_columns",
     "multimodal_feature_extract",
+    # --- changed late in round 4 (skew fixes: running-frame as-of carry is
+    # re-proven via join_asof_forward_next_view above; the time-bucketed
+    # stream-stream join key is re-proven here) ---
+    "streaming_stream_stream_join_click_purchase",
     # --- changed in the adversarial-lake hardening ---
     "q21_sole_late_supplier",
     "agg_rollup_region_nation",
@@ -115,7 +121,6 @@ _AUDIT_PRIORITY: list[str] = [
     "streaming_tumbling_event_counts",
     "streaming_stateful_user_stats",
     "streaming_dedup_user_event_types",
-    "rollup_cascade_events_daily",
 ]
 
 

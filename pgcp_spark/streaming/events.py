@@ -465,14 +465,28 @@ def streaming_stream_stream_join_click_purchase(
     Spark prunes join state as the watermark advances — state is
     O(users × 30min of events), not O(stream). Inner-join matches emit as
     found (append mode needs no window finalization).
+
+    The join key is TIME-BUCKETED: Spark's symmetric hash join scans a
+    key's ENTIRE buffered state for every arriving row (the state store
+    is not time-indexed), so a hot key degrades quadratically even though
+    the time-bounded RESULT is near-linear — measured 12.5× on a lake
+    where one user owns half the events. Keying on (user, 30-min bucket),
+    with each click duplicated into its own and the NEXT bucket, shrinks
+    the per-arrival scan from |user's state| to |one bucket|. A matching
+    click (c_ts ∈ [p_ts−30min, p_ts]) lives in the purchase's bucket or
+    the one before, so exactly ONE of its two copies carries the
+    purchase's bucket value — every pair emits exactly once, no dedup.
     """
+    bucket_s = 1800  # = the 30-minute join bound, so ±1 bucket covers it
     s = read_events_stream(spark, sf_dir)
+    cb = (F.unix_timestamp("ts") / bucket_s).cast("long")
     clicks = (
         s.filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("c_ts"),
+            F.explode(F.array(cb, cb + 1)).alias("c_bucket"),
         )
         .withWatermark("c_ts", "1 hour")
     )
@@ -482,12 +496,14 @@ def streaming_stream_stream_join_click_purchase(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
+            cb.alias("p_bucket"),
         )
         .withWatermark("p_ts", "1 hour")
     )
     joined = clicks.join(
         purchases,
         (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_bucket") == F.col("p_bucket"))
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
         "inner",
