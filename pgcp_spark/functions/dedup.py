@@ -6,8 +6,9 @@ Training-data-pipeline dedup (BASELINE.json north star), all Spark-first:
   - exact dedup: hash-groupBy on a normalized fingerprint — one shuffle.
   - n-gram Jaccard: shingle inverted-index self-join (never O(n²) pairs;
     only docs sharing a shingle meet). At 100 TB hot shingles skew the
-    join — AQE skew-join handles moderate skew; drop-top-frequency-shingle
-    filtering is the production mitigation.
+    join, so the REGISTERED variant drops high-document-frequency shingles
+    before the self-join (``dedup_jaccard_hot_shingle_capped``); the
+    uncapped exact form is unregistered, test-oracle-only.
   - MinHash+LSH: per-doc signatures via k seeded xxhash64 mins, banded so
     candidate pairs come from equi-joins on (band, band-hash) buckets.
   - SimHash: 64-bit signatures folded JVM-side with array expressions,
@@ -88,9 +89,10 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard_pairs",
-    oracle=f"""
+# DuckDB twin of ``exact_jaccard_pairs`` below — kept so the exact
+# generator stays oracle-checkable from tests even though it is no longer
+# a registered query.
+EXACT_JACCARD_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id, UNNEST(list_distinct(list_transform(
            range(len(t) - {SHINGLE_WIDTH - 1}),
@@ -111,11 +113,21 @@ JOIN sizes sa ON i.doc_a = sa.doc_id
 JOIN sizes sb ON i.doc_b = sb.doc_id
 WHERE CAST(i.n_shared AS DOUBLE) / (sa.sz + sb.sz - i.n_shared) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
-""",
-)
-def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by word-{3}-gram Jaccard ≥ threshold via a shingle
-    inverted-index self-join (the exactness oracle for MinHash)."""
+"""
+
+
+def exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-{3}-gram Jaccard ≥ threshold via an UNCAPPED
+    shingle inverted-index self-join — MinHash's exactness oracle.
+
+    NOT REGISTERED (quarantined in round 5): with no document-frequency cap
+    the candidate-pair count is quadratic in the size of a hot-shingle
+    bucket, so on a duplicate-heavy corpus (e.g. the 10×-replicated sf1
+    lake, or any boilerplate-laden crawl at 100 TB) this blows up by
+    design. Users get ``dedup_jaccard_hot_shingle_capped`` (identical
+    semantics over the df-capped shingle universe);
+    this exact form exists only so tests/test_dedup.py can measure MinHash
+    recall against ground truth on the small correctness lake."""
     # The inverted index feeds three plan branches (sizes + both join sides);
     # materialize it once instead of re-shingling per branch.
     sh = _doc_shingles(spark, sf_dir).localCheckpoint()
@@ -384,7 +396,8 @@ def capped_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, n_shared, jaccard) under the df≤cap shingle universe,
     unsorted — the production near-dup pair generator. The graph family
     (functions/graph.py) builds its edges from this; the uncapped
-    ``dedup_ngram_jaccard_pairs`` exists only as MinHash's exactness oracle.
+    ``exact_jaccard_pairs`` (unregistered) exists only as MinHash's
+    exactness oracle.
     """
     sh0 = _doc_shingles(spark, sf_dir)
     keep = (

@@ -27,7 +27,8 @@ from pgcp_spark.registry import register
 # document frequency > HOT_SHINGLE_DF_CAP dropped before the self-join) —
 # the same CTE dedup_jaccard_hot_shingle_capped proves against its Spark
 # twin, re-exported so the graph oracles stay provably identical to it.
-# The UNCAPPED generator (dedup_ngram_jaccard_pairs) grows candidate pairs
+# The UNCAPPED generator (exact_jaccard_pairs, unregistered since round 5)
+# grows candidate pairs
 # quadratically per hot shingle under heavy duplication and exists only as
 # MinHash's exactness oracle; wiring it here was the one scale anti-pattern
 # flagged in round 3 (graph family excluded from the sf1 sweep).

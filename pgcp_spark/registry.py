@@ -44,83 +44,95 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The external driver's CORRECTNESS gate checks a bounded prefix of
-# ``queries()`` in dict order (rounds 1 and 2 each recorded exactly the
+# ``queries()`` in dict order (every round so far recorded exactly the
 # first 50 registry entries).  Order therefore encodes audit priority:
-# queries that still need a green driver row come first; families already
-# proven green in a prior round's CORRECTNESS_r{N}.json rotate to the back.
+# queries whose driver row is oldest relative to their last code change
+# come first; entries already re-proven in a recent round's
+# CORRECTNESS_r{N}.json rotate to the back.
 #
-# Round-4 window: the 10 round-3 additions have never received a driver
-# CORRECTNESS row (r1 ∪ r2 ∪ r3 covers the other 142) — pinned first; a
-# green round completes driver verification of the entire registry. The
-# remaining 40 slots re-prove queries whose code or oracle CHANGED this
-# round under the adversarial-lake hardening (ANSI empty-input grand
-# totals, event-time/entity NULL contracts, window null-ordering pins,
-# the q21 EXISTS-NULL decorrelation fix, the embedding validity contract,
-# zero-variance statistic guards, pandas-UDF NaN handling) plus the
-# earlier round-4 changes (df-capped graph edges, melted profiler,
-# empty-doc-safe multimodal oracle) and the late skew fixes (running-
-# frame as-of carry, time-bucketed stream-stream join key). Changed
-# queries that don't fit the window (sliding/static/append/foreach-batch
-# streaming, LSH/IVF rows-only, sessionize, forward-asof dependents)
-# carry mimic evidence at sf0.01+sf0.1 and on the five adversarial lakes
-# (COVERAGE.md).
+# Round-5 window (freshness rotation, per the round-4 verdict): after r4,
+# all registered queries were driver-checked at least once (r1∪r2∪r3∪r4),
+# so this window eliminates STALENESS — every entry whose implementation
+# (function body or in-module callee, per-function git history) changed
+# after its latest driver row gets a fresh row, then the remaining slots
+# re-prove the queries with the oldest rows.  Composition:
+#   * 2 changed in round 5 itself (floor-based stream-stream bucketing;
+#     the capped Jaccard query whose module hosts the round-5 quarantine
+#     of the uncapped exact generator — see functions/dedup.py).
+#   * 14 stale from rounds 2-4: the six streaming queries whose shared
+#     source/sink helpers changed in the r4 skew hardening but that did
+#     not fit the r4 window (incl. rollup_cascade_events_daily, which the
+#     r4 window displaced), plus function-level stragglers whose bodies
+#     changed after their last row (sim_label_profile, band join,
+#     partsupp revenue, hash-threshold sampling, TF-IDF).  Three of these
+#     (SimHash, LSH, IVF) are rows-only by design — xxhash64 signatures
+#     have no DuckDB twin, so `err: no_oracle` rows are the ONLY driver
+#     evidence they can ever receive; their value evidence is the recall/
+#     invariant tests plus the measured sf1 recall curves in SCALE.md.
+#     Window arithmetic is therefore 47 hash-green-capable + 3 structural
+#     rows-only.
+#   * 26 never re-proven since round 1 (oldest rows; the one other
+#     r1-row query, agg_approx_distinct_customers, is rows-only AND
+#     unchanged since r1, so a new row would add nothing — excluded).
+#   * 8 r2-row queries from modules touched in round 4.
+# Everything outside the window has a driver row from r3/r4 that is no
+# older than its implementation, plus mimic evidence at sf0.01/sf0.1/sf1
+# and on the five adversarial lakes (COVERAGE.md).
 _AUDIT_PRIORITY: list[str] = [
-    # --- never driver-checked (round-3 additions), all mimic-green ---
-    "udtf_top_tokens_per_doc",
-    "join_asof_forward_next_view",
-    "dedup_cluster_canonical",
-    "text_bigram_lift_top",
-    "text_rarity_score",
-    "text_repeated_span_pairs",
-    "corpus_contrastive_negatives",
-    "corpus_mix_rebalance",
-    "analytics_conversion_ztest",
-    "analytics_chisq_segment_event_type",
-    # --- changed earlier in round 4 ---
-    "graph_connected_dup_clusters",
-    "graph_pagerank_dup_docs",
-    "profile_orders_columns",
-    "multimodal_feature_extract",
-    # --- changed late in round 4 (skew fixes: running-frame as-of carry is
-    # re-proven via join_asof_forward_next_view above; the time-bucketed
-    # stream-stream join key is re-proven here) ---
+    # --- changed in round 5 ---
     "streaming_stream_stream_join_click_purchase",
-    # --- changed in the adversarial-lake hardening ---
-    "q21_sole_late_supplier",
-    "agg_rollup_region_nation",
-    "agg_cube_returnflag_linestatus",
-    "agg_grouping_id_rollup",
-    "agg_grouping_sets",
-    "funnel_view_click_purchase",
-    "agg_regression_price_on_qty",
-    "agg_stats_correlation",
-    "anomaly_hourly_event_zscore",
-    "markov_event_type_transitions",
-    "scd2_user_state_history",
-    "scd2_point_in_time_lookup",
-    "timeseries_interarrival_gap_stats",
-    "window_lag_lead_order_dates",
-    "window_running_total_per_customer",
-    "window_running_distinct_priorities",
-    "window_percent_rank_cume_dist",
-    "window_first_last_value",
-    "window_range_frame_30day_revenue",
-    "window_sessionize_events",
-    "join_asof_click_attribution",
-    "scalar_string_functions",
-    "udf_pandas_price_tier",
-    "udf_grouped_map_priority_order_stats",
-    "sim_cosine_bruteforce_topk",
-    "sim_embedding_int8_quantize",
-    "dedup_embedding_cosine_pairs",
-    "dedup_ngram_jaccard_pairs",
     "dedup_jaccard_hot_shingle_capped",
-    "dedup_minhash_lsh_candidates",
-    "corpus_decontaminate_eval_overlap",
-    "text_repetition_quality",
-    "streaming_tumbling_event_counts",
-    "streaming_stateful_user_stats",
-    "streaming_dedup_user_event_types",
+    # --- stale: implementation changed after latest driver row ---
+    "streaming_sliding_window_value",
+    "streaming_session_windows",
+    "streaming_static_join_segment_value",
+    "rollup_cascade_events_daily",
+    "streaming_append_finalized_windows",
+    "streaming_foreach_batch_lake_upsert",
+    "sim_label_profile",
+    "sim_cosine_lsh_pairs",
+    "sim_cosine_ivf_topk",
+    "dedup_simhash_pairs",
+    "join_band_time_bucketed",
+    "join_partsupp_revenue",
+    "sample_hash_threshold_events",
+    "text_tfidf_top_terms",
+    # --- oldest driver rows: round 1, never since re-proven ---
+    "agg_avg_order_gap_days",
+    "agg_collect_sorted_priorities",
+    "agg_distinct_parts_per_supplier",
+    "agg_having_big_customers",
+    "agg_histogram_order_value",
+    "agg_orders_by_status_priority",
+    "dedup_exact_documents",
+    "join_anti_parts_never_shipped",
+    "join_cross_grid_nation_priority",
+    "join_customer_nation_region",
+    "join_full_outer_supplier_part_usage",
+    "join_left_outer_order_counts",
+    "join_range_events_near_order",
+    "join_semi_customers_with_urgent_orders",
+    "multimodal_format_detect",
+    "multimodal_frame_sample",
+    "multimodal_payload_stats",
+    "sample_stratified_documents",
+    "scalar_posexplode_tokens",
+    "sql_api_yearly_revenue",
+    "text_fingerprint_groups",
+    "text_langid_markers",
+    "text_quality_score",
+    "text_source_lang_profile",
+    "text_token_stats",
+    "text_winnow_fingerprints",
+    # --- round-2 driver rows in modules touched during round 4 ---
+    "q9_product_type_profit",
+    "q11_important_part_value",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q20_promotion_supplier_candidates",
+    "window_top3_orders_per_customer",
+    "window_rank_dense_rank_suppliers",
+    "window_ntile_customer_value",
 ]
 
 

@@ -479,7 +479,10 @@ def streaming_stream_stream_join_click_purchase(
     """
     bucket_s = 1800  # = the 30-minute join bound, so ±1 bucket covers it
     s = read_events_stream(spark, sf_dir)
-    cb = (F.unix_timestamp("ts") / bucket_s).cast("long")
+    # floor, not cast: cast("long") truncates toward zero, which for
+    # pre-epoch (negative) timestamps rounds UP and breaks the ±1-bucket
+    # adjacency guarantee; floor keeps bucketing monotone for all ranges
+    cb = F.floor(F.unix_timestamp("ts") / bucket_s).cast("long")
     clicks = (
         s.filter(F.col("event_type") == "click")
         .select(

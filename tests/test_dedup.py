@@ -3,15 +3,30 @@ MinHash/LSH recall against the exact Jaccard pairs, SimHash invariants."""
 
 from __future__ import annotations
 
+from pgcp_spark.functions.dedup import EXACT_JACCARD_ORACLE, exact_jaccard_pairs
 from pgcp_spark.registry import all_queries
 from tests.conftest import SF_DIR_CORRECTNESS
+from tests.oracle_check import compare
+
+
+def test_exact_jaccard_matches_duckdb_oracle(spark):
+    """The quarantined (unregistered) exact generator no longer gets a
+    driver CORRECTNESS row, so its oracle parity is pinned here instead —
+    it must stay trustworthy as the ground truth for MinHash recall."""
+    compare(
+        spark,
+        SF_DIR_CORRECTNESS,
+        "exact_jaccard_pairs",
+        exact_jaccard_pairs,
+        EXACT_JACCARD_ORACLE,
+    )
 
 
 def test_minhash_recall_vs_exact_jaccard(spark):
     qs = all_queries()
     exact = {
         (r.doc_a, r.doc_b)
-        for r in qs["dedup_ngram_jaccard_pairs"].fn(spark, SF_DIR_CORRECTNESS).collect()
+        for r in exact_jaccard_pairs(spark, SF_DIR_CORRECTNESS).collect()
     }
     approx = {
         (r.doc_a, r.doc_b)

@@ -1,11 +1,13 @@
 """Adversarial-lake regression tests: hostile data shapes through the
 Spark-vs-DuckDB oracle compare.
 
-``tools/make_edge_lake.py`` builds three schema-identical variants of the
+``tools/make_edge_lake.py`` builds five schema-identical variants of the
 testdata lake — empty (zero rows everywhere), nulls (hash-sliced NULLs in
-every nullable column, ''/whitespace docs, empty embedding arrays), and
+every nullable column, ''/whitespace docs, empty embedding arrays),
 degenerate (constant values, one timestamp, identical docs/vectors plus a
-zero vector). The full 152-query sweep runs as a tool
+zero vector), scrambled (same rows, hash-permuted physical order — see the
+input-order-invariance section below), and skewed (hot user/day/shingle
+keys for blow-up timing audits). The full registry sweep runs as a tool
 (`MIMIC_SF_DIR=... tools/driver_mimic.py`, recorded in COVERAGE.md); this
 file pins the queries that FAILED on first contact with each lake, so the
 specific defect classes fixed in round 4 stay fixed:
@@ -42,7 +44,7 @@ EDGE_CASES = [
     ("agg_stats_correlation", ("degenerate",)),
     ("anomaly_hourly_event_zscore", ("degenerate",)),
     # tokenizer guards (descending sequence / element_at)
-    ("dedup_ngram_jaccard_pairs", ("empty", "nulls")),
+    ("dedup_jaccard_hot_shingle_capped", ("empty", "nulls")),
     ("text_repetition_quality", ("nulls",)),
     ("graph_connected_dup_clusters", ("nulls",)),
     # null-ordering pins
@@ -96,6 +98,21 @@ def test_edge_lake_oracle_parity(spark, edge_lakes, name, lake):
         q.fn(spark, sf_dir).collect()
     else:
         compare(spark, sf_dir, f"{name}@{lake}", q.fn, q.oracle)
+
+
+@pytest.mark.parametrize("lake", ["empty", "nulls"])
+def test_exact_jaccard_tokenizer_guard_on_edge_lakes(spark, edge_lakes, lake):
+    """The quarantined (unregistered) exact Jaccard generator keeps its
+    tokenizer-guard edge-lake pin even though it left the registry."""
+    from pgcp_spark.functions.dedup import EXACT_JACCARD_ORACLE, exact_jaccard_pairs
+
+    compare(
+        spark,
+        f"{edge_lakes}/{lake}",
+        f"exact_jaccard_pairs@{lake}",
+        exact_jaccard_pairs,
+        EXACT_JACCARD_ORACLE,
+    )
 
 
 # ---------------------------------------------------------------------------

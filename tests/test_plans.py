@@ -60,9 +60,14 @@ def test_range_join_keeps_equi_conjunct_hash_join(spark):
 
 
 def test_dedup_candidate_joins_are_equi(spark):
-    for name in ["dedup_ngram_jaccard_pairs", "dedup_simhash_pairs"]:
+    from pgcp_spark.functions.dedup import exact_jaccard_pairs
+
+    for name in ["dedup_jaccard_hot_shingle_capped", "dedup_simhash_pairs"]:
         df = q(name, spark)
         assert not ex.has_nested_loop_join(df), f"{name} must bucket-join, not nested-loop"
+    # the quarantined exact generator (test-oracle only) still bucket-joins
+    df = exact_jaccard_pairs(spark, SF_DIR)
+    assert not ex.has_nested_loop_join(df), "exact_jaccard_pairs must bucket-join"
 
 
 def test_q4_exists_decorrelates_to_semi_join(spark):

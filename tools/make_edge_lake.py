@@ -302,9 +302,12 @@ def build_skewed(con, src: str, dest: str) -> None:
     """Hot-key lake (see SKEW_RULES).  Swept for CORRECTNESS (same-lake
     oracle parity — skew must never change a result) and for BLOW-UP
     (`tools/time_registry.py` against it vs the clean lake: no query may
-    go quadratic on a hot key or hot shingle).  The deliberately-uncapped
-    `dedup_ngram_jaccard_pairs` is the documented exclusion — a df≈n/3
-    shingle is exactly the case its df-capped production twin exists for."""
+    go quadratic on a hot key or hot shingle).  Since round 5 every
+    REGISTERED query is skew-safe by construction: the deliberately
+    uncapped exact Jaccard generator was quarantined out of the registry
+    (`pgcp_spark.functions.dedup.exact_jaccard_pairs`, test-oracle only) —
+    a df≈n/3 shingle is exactly the case its df-capped production twin
+    `dedup_jaccard_hot_shingle_capped` exists for."""
     os.makedirs(dest, exist_ok=True)
     for t in TABLES:
         rules = SKEW_RULES.get(t, {})
@@ -334,6 +337,11 @@ def main(src: str, dest_root: str, only: list[str] | None = None) -> None:
 
     con = duckdb.connect()
     selected = only or list(VARIANTS)
+    unknown = [v for v in selected if v not in VARIANTS]
+    if unknown:
+        raise SystemExit(
+            f"unknown variant(s) {unknown}; valid: {', '.join(VARIANTS)}"
+        )
     for variant in selected:
         VARIANTS[variant](con, src, os.path.join(dest_root, variant))
     # schema parity check: every variant must read back with the source's
