@@ -38,6 +38,32 @@ HEADLINE = [
 ]
 
 
+# Box-state calibration probe: a FIXED synthetic workload (2e9-id range
+# sum, pure whole-stage-codegen arithmetic, no IO, no shuffle) timed once
+# per bench pass. Its median is reported as probe_sec and each query's
+# probe-normalized time alongside the raw one, so a cross-round delta can
+# be read directly: raw moved but normalized didn't → ambient box drift
+# (the r3→r4 comparison needed manual forensics for exactly this);
+# normalized moved → a real plan/code regression.
+PROBE_ROWS = 2_000_000_000
+PROBE_PARTITIONS = 32  # fixed, NOT the session default — the probe must
+# measure the box, so its shape can't drift with config changes
+
+
+def _run_probe(spark) -> float:
+    import time as _t
+
+    t0 = _t.perf_counter()
+    (
+        spark.range(0, PROBE_ROWS, 1, PROBE_PARTITIONS)
+        .selectExpr("sum(id * 2654435761 % 1000003) as s")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return _t.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -64,16 +90,23 @@ def main() -> None:
     # so a round-over-round comparison needs the dispersion to be
     # falsifiable.
     runs_n = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    _run_probe(spark)  # probe warmup (codegen compile), outside the samples
+    probe_samples: list[float] = []
     runs: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(runs_n):
+        # one probe sample per pass brackets the pass's ambient box state
+        probe_samples.append(_run_probe(spark))
         for name in names:
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs[name].append(time.perf_counter() - t0)
+    probe_samples.append(_run_probe(spark))  # closing bracket
+    probe_sec = round(statistics.median(probe_samples), 4)
     timings = {n: round(statistics.median(rs), 4) for n, rs in runs.items()}
     spread = {
         n: [round(min(rs), 4), round(max(rs), 4)] for n, rs in runs.items()
     }
+    normalized = {n: round(t / probe_sec, 2) for n, t in timings.items()}
 
     total = round(sum(timings.values()), 4)
     print(
@@ -84,6 +117,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "probe_sec": probe_sec,
+                "probe_spread": [
+                    round(min(probe_samples), 4),
+                    round(max(probe_samples), 4),
+                ],
+                "queries_normalized": normalized,
+                "normalized_total": round(total / probe_sec, 2),
                 "runs_per_query": runs_n,
                 "stat": "median",
                 "sf": sf,
