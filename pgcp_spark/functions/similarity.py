@@ -184,22 +184,25 @@ LSH_PLANES = 8  # sign bits per table (AND-amplification for precision)
 SIM_THRESHOLD = 0.4  # this corpus is random 64-dim (max pairwise cos ≈ 0.51)
 
 
-@register(
-    "sim_cosine_lsh_pairs",
-    oracle=None,  # approximate bucketing; recall asserted in tests/test_similarity.py
-    doc="random-hyperplane LSH near-neighbor pairs (rows-only check)",
-)
-def sim_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: multi-table sign-random-projection LSH (8 tables ×
-    8 hyperplanes). A vector lands in one bucket per table; candidate pairs
-    exist ONLY where some table's buckets collide, so pairwise work is
-    bucket-local — OR across tables buys recall, AND across bits precision.
-    Exact cosine for candidates is computed JVM-side (zip_with/aggregate).
+def lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
+    threshold: float = SIM_THRESHOLD,
+) -> DataFrame:
+    """Parameterized sign-random-projection LSH near-neighbor pairs.
+
+    ``tables`` is OR-amplification (more tables → higher recall, more
+    candidate work), ``planes`` is AND-amplification (more sign bits →
+    fewer, higher-precision collisions). The registered query pins the
+    production defaults; `tools/ann_curve.py` sweeps this surface to
+    record the measured recall/time trade at sf1 (SCALE.md).
     """
     e = _valid_embeddings(spark, sf_dir)
     rng = np.random.RandomState(42)
-    planes = rng.randn(LSH_TABLES, LSH_PLANES, EMB_DIM)
-    b_planes = spark.sparkContext.broadcast(planes)
+    plane_mat = rng.randn(tables, planes, EMB_DIM)
+    b_planes = spark.sparkContext.broadcast(plane_mat)
 
     def bucketize(batches):
         pl = b_planes.value
@@ -208,9 +211,9 @@ def sim_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
             frames = []
-            for t in range(LSH_TABLES):
+            for t in range(tables):
                 signs = (mat @ pl[t].T) > 0
-                buckets = signs.dot(1 << np.arange(LSH_PLANES)).astype(np.int64)
+                buckets = signs.dot(1 << np.arange(planes)).astype(np.int64)
                 frames.append(
                     pd.DataFrame(
                         {
@@ -244,32 +247,42 @@ def sim_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos_sim"),
         )
         .distinct()  # a pair can collide in several tables
-        .filter(F.col("cos_sim") >= SIM_THRESHOLD)
+        .filter(F.col("cos_sim") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "sim_cosine_lsh_pairs",
+    oracle=None,  # approximate bucketing; recall asserted in tests/test_similarity.py
+    doc="random-hyperplane LSH near-neighbor pairs (rows-only check)",
+)
+def sim_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: multi-table sign-random-projection LSH (8 tables ×
+    8 hyperplanes). A vector lands in one bucket per table; candidate pairs
+    exist ONLY where some table's buckets collide, so pairwise work is
+    bucket-local — OR across tables buys recall, AND across bits precision.
+    Exact cosine for candidates is computed JVM-side (zip_with/aggregate).
+    """
+    return lsh_pairs(spark, sf_dir)
 
 
 IVF_LISTS = 16  # coarse-quantizer cells (≈ sqrt(corpus) at this scale)
 IVF_NPROBE = 4  # cells probed per query
 
 
-@register(
-    "sim_cosine_ivf_topk",
-    oracle=None,  # approximate (probes a subset of cells); recall vs the
-    # brute-force baseline asserted in tests/test_similarity.py
-    doc="IVF ANN: k-means coarse quantizer + nprobe cell search (rows-only check)",
-)
-def sim_cosine_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: train a k-means coarse quantizer (pyspark.ml, the
-    distributed trainer), assign every corpus vector to its nearest
-    centroid's inverted list, probe the ``IVF_NPROBE`` nearest lists per
-    query, and score ONLY those lists' vectors (exact cosine, JVM-side).
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    lists: int = IVF_LISTS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Parameterized IVF ANN core (see ``sim_cosine_ivf_topk``).
 
-    Scale: the index build is one k-means fit + one transform (both
-    shuffle-light); queries touch nprobe/k of the corpus instead of all of
-    it, and the candidate join is an equi-join on list_id — the classic
-    IVF trade: recall vs fraction of corpus scanned. Centroids (k×dim
-    floats) broadcast to every task.
+    ``lists`` = coarse-quantizer cells, ``nprobe`` = cells scanned per
+    query; recall and cost both scale ≈ nprobe/lists. The registered
+    query pins the production defaults; `tools/ann_curve.py` sweeps this
+    surface for the measured sf1 recall/time curve (SCALE.md).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -299,7 +312,7 @@ def sim_cosine_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "features", array_to_vector(F.col("embedding").cast("array<double>"))
         )
         model = KMeans(
-            k=min(IVF_LISTS, counts["nd"]),
+            k=min(lists, counts["nd"]),
             seed=42,
             maxIter=10,
             featuresCol="features",
@@ -312,17 +325,17 @@ def sim_cosine_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def probe(batches):
         cent = b_cent.value
         cnorm = np.sqrt((cent * cent).sum(axis=1))
-        nprobe = min(IVF_NPROBE, cent.shape[0])  # tiny corpus: fewer cells
+        eff_nprobe = min(nprobe, cent.shape[0])  # tiny corpus: fewer cells
         for batch in batches:
             if len(batch) == 0:
                 continue
             q = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
             qnorm = np.sqrt((q * q).sum(axis=1))
             sims = (q @ cent.T) / (qnorm[:, None] * cnorm[None, :] + 1e-12)
-            nearest = np.argsort(-sims, axis=1)[:, :nprobe]
+            nearest = np.argsort(-sims, axis=1)[:, :eff_nprobe]
             out = {
-                "vec_id": np.repeat(batch["vec_id"].to_numpy(), nprobe),
-                "embedding": batch["embedding"].repeat(nprobe).to_numpy(),
+                "vec_id": np.repeat(batch["vec_id"].to_numpy(), eff_nprobe),
+                "embedding": batch["embedding"].repeat(eff_nprobe).to_numpy(),
                 "list_id": nearest.ravel().astype(np.int32),
             }
             yield pd.DataFrame(out)
@@ -355,6 +368,27 @@ def sim_cosine_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
         .orderBy("vec_id", "rank")
     )
+
+
+@register(
+    "sim_cosine_ivf_topk",
+    oracle=None,  # approximate (probes a subset of cells); recall vs the
+    # brute-force baseline asserted in tests/test_similarity.py
+    doc="IVF ANN: k-means coarse quantizer + nprobe cell search (rows-only check)",
+)
+def sim_cosine_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: train a k-means coarse quantizer (pyspark.ml, the
+    distributed trainer), assign every corpus vector to its nearest
+    centroid's inverted list, probe the ``IVF_NPROBE`` nearest lists per
+    query, and score ONLY those lists' vectors (exact cosine, JVM-side).
+
+    Scale: the index build is one k-means fit + one transform (both
+    shuffle-light); queries touch nprobe/k of the corpus instead of all of
+    it, and the candidate join is an equi-join on list_id — the classic
+    IVF trade: recall vs fraction of corpus scanned. Centroids (k×dim
+    floats) broadcast to every task.
+    """
+    return ivf_topk(spark, sf_dir)
 
 
 @register(

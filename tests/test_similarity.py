@@ -19,6 +19,65 @@ def test_lsh_pairs_are_high_similarity(spark):
         assert r.cos_sim >= 0.4
 
 
+def test_lsh_recall_curve_lower_bounds(spark):
+    """Measured recall floors for the parameterized LSH surface (the
+    substitute evidence for its rows-only driver row; the sf1 curve lives
+    in SCALE.md via tools/ann_curve.py).
+
+    Determinism note: ``rng.randn(tables, planes, dim)`` consumes the
+    seeded stream in C order, so the first 4 tables of the 8-table (and
+    16-table) configuration are bit-identical to the 4-table one — the
+    candidate-pair sets are therefore provably NESTED as tables grow, and
+    recall is monotone by construction, not by luck.
+    """
+    from pgcp_spark.functions.dedup import dedup_embedding_cosine_pairs
+    from pgcp_spark.functions.similarity import lsh_pairs
+
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in dedup_embedding_cosine_pairs(spark, SF_DIR_CORRECTNESS).collect()
+    }
+    assert exact
+    got = {}
+    for tables in (4, 8, 16):
+        got[tables] = {
+            (r.vec_a, r.vec_b)
+            for r in lsh_pairs(spark, SF_DIR_CORRECTNESS, tables=tables).collect()
+        }
+    assert got[4] <= got[8] <= got[16], "prefix-planes nesting violated"
+    recalls = {t: len(got[t] & exact) / len(exact) for t in got}
+    # measured at sf0.01: 0.203 / 0.305 / 0.458 — floors leave headroom
+    assert recalls[4] >= 0.10, recalls
+    assert recalls[8] >= 0.20, recalls
+    assert recalls[16] >= 0.35, recalls
+
+
+def test_ivf_recall_curve_lower_bounds(spark):
+    """Measured recall floors for the parameterized IVF surface: more
+    probed cells must buy recall (same quantizer — k-means is seeded and
+    the probe sets are prefix-nested per query)."""
+    from pgcp_spark.functions.similarity import ivf_topk
+
+    qs = all_queries()
+    exact = {
+        (r.vec_id, r.neighbor_id)
+        for r in qs["sim_cosine_bruteforce_topk"].fn(spark, SF_DIR_CORRECTNESS).collect()
+    }
+    assert exact
+    recalls = {}
+    for nprobe in (2, 4, 8):
+        got = {
+            (r.vec_id, r.neighbor_id)
+            for r in ivf_topk(spark, SF_DIR_CORRECTNESS, nprobe=nprobe).collect()
+        }
+        recalls[nprobe] = len(got & exact) / len(exact)
+    assert recalls[2] <= recalls[4] <= recalls[8], recalls
+    # measured at sf0.01: 0.467 / 0.767 / 0.967 — floors leave headroom
+    assert recalls[2] >= 0.30, recalls
+    assert recalls[4] >= 0.60, recalls
+    assert recalls[8] >= 0.85, recalls
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """IVF with nprobe=4/16 cells must recover most of the exact top-k.
 
