@@ -364,7 +364,7 @@ def test_contrastive_negatives_id_join_stays_hash_based(spark):
 
 def test_minhash_distinct_rows_are_narrow(spark):
     """The candidate-dedup distinct must not shuffle signature arrays —
-    its exchange carries only (doc_a, doc_b, est_jaccard)."""
+    its exchange carries only (doc_a, doc_b)."""
     df = q("dedup_minhash_lsh_candidates", spark)
     plan = ex.physical_plan(df)
     import re
@@ -372,6 +372,31 @@ def test_minhash_distinct_rows_are_narrow(spark):
                   if "doc_a" in m]
     assert dedup_aggs, "distinct aggregate not found"
     assert all("sig" not in m for m in dedup_aggs), dedup_aggs
+
+
+def test_minhash_no_shuffle_exchange_carries_signatures(spark):
+    """No SHUFFLE exchange in the MinHash plan may carry the 32-long
+    signature array: the band self-join exchanges (doc_id, band, bucket)
+    only, the candidate distinct (doc_a, doc_b) only, and signatures
+    re-attach to the (far smaller) surviving pair set afterwards. The
+    band explode replicates each doc 8× per join side, so a signature
+    column on that exchange rides the wire ~16× per doc — the
+    shuffle-bytes term that dominates at corpus scale (8.44 → 6.81 s
+    at the 50k-doc sf1 lake from this rewrite alone). BroadcastExchange
+    is exempt: the checkpointed signature table legitimately broadcasts
+    one copy for the re-attach joins at test scale."""
+    df = q("dedup_minhash_lsh_candidates", spark)
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+    shuffles = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert shuffles, "no shuffle exchange found in MinHash plan"
+    assert all("sig" not in s for s in shuffles), shuffles
 
 
 def test_forward_asof_is_single_window_no_join(spark):
