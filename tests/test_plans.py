@@ -374,6 +374,33 @@ def test_minhash_distinct_rows_are_narrow(spark):
     assert all("sig" not in m for m in dedup_aggs), dedup_aggs
 
 
+def _shuffle_exchange_inputs(df):
+    """Input column lists of every SHUFFLE Exchange in the formatted plan
+    (BroadcastExchange excluded — broadcasting one copy of a small side
+    is the point, replicating wide columns through a shuffle is not)."""
+    import re
+
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    return re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+
+
+def test_lsh_no_shuffle_exchange_carries_embeddings(spark):
+    """The similarity-LSH bucket self-join must exchange (vec_id,
+    table_id, bucket) / (vec_a, vec_b) only — never the 64-float
+    embedding array, which the tables-way explode would otherwise
+    replicate through the wire per join side (measured 36.0 → 14.3 s at
+    a 50k-vector lake from the ids-only rewrite). Embeddings re-attach
+    to surviving pairs via equi-joins (broadcast at test scale)."""
+    df = q("sim_cosine_lsh_pairs", spark)
+    shuffles = _shuffle_exchange_inputs(df)
+    assert shuffles, "no shuffle exchange found in LSH plan"
+    assert all("embedding" not in s for s in shuffles), shuffles
+
+
 def test_minhash_no_shuffle_exchange_carries_signatures(spark):
     """No SHUFFLE exchange in the MinHash plan may carry the 32-long
     signature array: the band self-join exchanges (doc_id, band, bucket)
@@ -386,15 +413,7 @@ def test_minhash_no_shuffle_exchange_carries_signatures(spark):
     is exempt: the checkpointed signature table legitimately broadcasts
     one copy for the re-attach joins at test scale."""
     df = q("dedup_minhash_lsh_candidates", spark)
-    plan = df._jdf.queryExecution().explainString(
-        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
-    import re
-    shuffles = re.findall(
-        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
-    )
+    shuffles = _shuffle_exchange_inputs(df)
     assert shuffles, "no shuffle exchange found in MinHash plan"
     assert all("sig" not in s for s in shuffles), shuffles
 
