@@ -132,15 +132,18 @@ def sim_cosine_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _valid_embeddings(spark, sf_dir)
     queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0)
 
-    n_corpus = e.count()
-    if n_corpus > BRUTE_FORCE_MAX_CORPUS:
+    # ONE action guards and collects: limit(cap+1) stops the scan at the
+    # guard boundary (never materializes an over-cap corpus driver-side),
+    # and an overflow row proves the corpus exceeds the guard without a
+    # separate count() pass over the embeddings.
+    rows = e.limit(BRUTE_FORCE_MAX_CORPUS + 1).collect()
+    if len(rows) > BRUTE_FORCE_MAX_CORPUS:
         raise ValueError(
-            f"brute-force corpus of {n_corpus} rows exceeds the broadcast guard "
-            f"({BRUTE_FORCE_MAX_CORPUS}); use the LSH/IVF variants at this scale"
+            f"brute-force corpus exceeds the broadcast guard "
+            f"({BRUTE_FORCE_MAX_CORPUS} rows); use the LSH/IVF variants at this scale"
         )
-    if n_corpus == 0:  # empty lake / all rows quarantined: no neighbors
+    if not rows:  # empty lake / all rows quarantined: no neighbors
         return spark.createDataFrame([], "vec_id long, neighbor_id long, rank long")
-    rows = e.collect()
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     order = np.argsort(ids)
     ids = ids[order]
