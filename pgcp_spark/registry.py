@@ -82,6 +82,14 @@ _AUDIT_PRIORITY: list[str] = [
     # --- changed in round 5 ---
     "streaming_stream_stream_join_click_purchase",
     "dedup_jaccard_hot_shingle_capped",
+    # late-round-5 changes: the ids-only MinHash band join and the
+    # limit(cap+1) brute-force guard fold. Pinning them displaces the two
+    # LOWEST-priority window entries (window_rank_dense_rank_suppliers,
+    # window_ntile_customer_value — r2 rows whose module's semantics were
+    # already re-proven by the seven r4 window rows and the full r5 mimic
+    # matrix; their own r2 rows postdate their last code change).
+    "dedup_minhash_lsh_candidates",
+    "sim_cosine_bruteforce_topk",
     # --- stale: implementation changed after latest driver row ---
     "streaming_sliding_window_value",
     "streaming_session_windows",
