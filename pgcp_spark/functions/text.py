@@ -343,9 +343,23 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms per doc. Scores round to 1e-6 before ranking so ties and hashes
     agree across engines.
 
-    Scale: two shuffles (doc-term aggregate, term df) + a broadcast of the
-    df table (|vocab| rows) back onto the term stream; the per-doc top-k is
-    the standard window + filter. No Python anywhere.
+    Scale: ONE corpus scan + ONE token explode feed a single
+    (doc_id, tok, n) aggregate, materialized once (localCheckpoint — the
+    same discipline as the MinHash signature table; production would
+    persist it to the lake as the standard inverted-index artifact). Both
+    branches read the materialized frame: tf normalizes it per doc, and
+    df derives from it by counting rows per term — the rows are already
+    distinct (doc, term) pairs, so count(*) ≡ countDistinct(doc_id)
+    without re-exploding the corpus or shuffling token-granularity
+    (tok, doc_id) pairs. (Without the checkpoint, per-branch column
+    pruning builds two non-identical aggregate subplans, defeats
+    ReusedExchange, and the corpus scans + explodes TWICE — measured in
+    the formatted plan.) n_docs (= docs surviving the explode, i.e.
+    non-NULL text: split() of '' is [''], one token, in both engines)
+    comes from a column-pruned count on the raw table, not a third
+    explode. Then a broadcast of the df table (|vocab| rows) back onto
+    the term stream; the per-doc top-k is the standard window + filter.
+    No Python anywhere.
     """
     from pyspark.sql import Window
 
@@ -356,16 +370,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok"
         ),
     )
-    tf = (
-        toks.groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("n"))
-        .withColumn(
-            "tf",
-            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("doc_id")),
-        )
+    doc_term = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n")).localCheckpoint()
+    tf = doc_term.withColumn(
+        "tf",
+        F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("doc_id")),
     )
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = toks.select("doc_id").distinct().count()
+    df = doc_term.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = d.filter(F.col("text").isNotNull()).count()
     scored = tf.join(F.broadcast(df), "tok").select(
         "doc_id",
         "tok",
