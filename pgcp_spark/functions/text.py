@@ -527,7 +527,12 @@ def text_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two hash aggregates (token counts, per-source totals) + a broadcast-
     sized join back — token explode is the only row-multiplying step and
-    partial aggregation collapses it map-side.
+    partial aggregation collapses it map-side. The (source, token, c)
+    aggregate is vocabulary-sized and feeds both the totals branch and
+    the entropy join, so it is materialized once (per-branch column
+    pruning otherwise builds two non-identical subplans, defeats
+    ReusedExchange, and the corpus scans + tokenizes TWICE — verified in
+    the formatted plan).
     """
     d = load_table_parallel(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
@@ -535,6 +540,7 @@ def text_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", F.explode(toks).alias("token"))
         .groupBy("source", "token")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint()
     )
     totals = counts.groupBy("source").agg(
         F.sum("c").cast("long").alias("n_tokens"), F.count("*").alias("n_distinct")
@@ -599,13 +605,19 @@ def text_bigram_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: token explode → two hash aggregates (unigrams, bigrams) with
     map-side partial aggregation, then joins keyed on token — the unigram
     table is vocabulary-sized (sublinear in corpus), and the two totals are
-    single-row broadcasts. No all-pairs work anywhere.
+    single-row broadcasts. No all-pairs work anywhere. Both aggregates are
+    materialized once (localCheckpoint): each feeds TWO consumers (its
+    total and a join side), and per-consumer column pruning otherwise
+    builds non-identical subplans, defeats ReusedExchange, and re-scans +
+    re-tokenizes the corpus once per consumer — four full passes, verified
+    in the formatted plan. Materialized, the corpus is read exactly twice
+    (once per n-gram order), and what persists is vocabulary-sized.
     """
     d = load_table_parallel(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
     t = d.select("doc_id", toks.alias("t"))
     uni = t.select(F.explode("t").alias("tok"))
-    ucount = uni.groupBy("tok").agg(F.count("*").alias("n"))
+    ucount = uni.groupBy("tok").agg(F.count("*").alias("n")).localCheckpoint()
     # consecutive pairs, array-local (no positional window shuffle)
     pairs = t.select(
         F.explode(
@@ -615,7 +627,7 @@ def text_bigram_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
-    bcount = pairs.groupBy("x", "y").agg(F.count("*").alias("n_xy"))
+    bcount = pairs.groupBy("x", "y").agg(F.count("*").alias("n_xy")).localCheckpoint()
     big_n = ucount.agg(F.sum("n").cast("long").alias("big_n"))
     big_b = bcount.agg(F.sum("n_xy").cast("long").alias("big_b"))
     ux = ucount.select(F.col("tok").alias("x"), F.col("n").alias("n_x"))
@@ -668,25 +680,36 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     also likely boilerplate); a doc dominated by rare garbage tokens shows
     high rare_frac — both tails get review in a real pipeline.
 
-    Scale: explode → vocabulary-sized distinct aggregate → join back on
-    token → per-doc aggregate. The df table is sublinear in the corpus;
-    the join is token-keyed (no skew beyond natural Zipf, which partial
-    aggregation absorbs map-side).
+    Scale: ONE corpus scan + ONE explode feed a (doc_id, token, n)
+    aggregate, materialized once (the standard inverted-index artifact —
+    same discipline as the TF-IDF query above; without it the df branch
+    and the join stream each re-scan + re-explode the corpus, verified in
+    the formatted plan). df derives from it by counting rows per token
+    (the rows are already distinct (doc, token) pairs, so count(*) ≡
+    countDistinct(doc_id)), and the per-doc sums weight each distinct
+    token by its in-doc multiplicity n — exact integer arithmetic, and
+    the token-keyed join now streams distinct doc-term pairs instead of
+    every token occurrence.
     """
     d = load_table_parallel(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
     tok = d.select("doc_id", F.explode(toks).alias("token"))
-    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    doc_term = tok.groupBy("doc_id", "token").agg(F.count("*").alias("n")).localCheckpoint()
+    df = doc_term.groupBy("token").agg(F.count("*").alias("df"))
+    n_toks = F.sum("n")
+    sum_df = F.sum(F.col("n") * F.col("df"))
     return (
-        tok.join(df, "token")
+        doc_term.join(df, "token")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_toks"),
-            F.sum("df").cast("long").alias("sum_df"),
-            (F.sum("df").cast("double") / F.count("*")).alias("avg_token_df"),
+            n_toks.cast("long").alias("n_toks"),
+            sum_df.cast("long").alias("sum_df"),
+            (sum_df.cast("double") / n_toks).alias("avg_token_df"),
             (
-                F.sum(F.when(F.col("df") <= RARE_DF_MAX, 1).otherwise(0)).cast("double")
-                / F.count("*")
+                F.sum(F.when(F.col("df") <= RARE_DF_MAX, F.col("n")).otherwise(0)).cast(
+                    "double"
+                )
+                / n_toks
             ).alias("rare_frac"),
         )
         .orderBy("doc_id")
