@@ -82,14 +82,20 @@ _AUDIT_PRIORITY: list[str] = [
     # --- changed in round 5 ---
     "streaming_stream_stream_join_click_purchase",
     "dedup_jaccard_hot_shingle_capped",
-    # late-round-5 changes: the ids-only MinHash band join and the
-    # limit(cap+1) brute-force guard fold. Pinning them displaces the two
-    # LOWEST-priority window entries (window_rank_dense_rank_suppliers,
-    # window_ntile_customer_value — r2 rows whose module's semantics were
-    # already re-proven by the seven r4 window rows and the full r5 mimic
-    # matrix; their own r2 rows postdate their last code change).
+    # late-round-5 changes: the ids-only MinHash band join, the
+    # limit(cap+1) brute-force guard fold, and the single-materialization
+    # rewrites of the three multi-pass text aggregations (TF-IDF was
+    # already in the stale list below). Pinning them displaces the FIVE
+    # lowest-priority window entries (window_rank_dense_rank_suppliers,
+    # window_ntile_customer_value, window_top3_orders_per_customer,
+    # q20_promotion_supplier_candidates, q13_customer_order_distribution
+    # — r2 rows that postdate their last code change, their modules
+    # re-proven by r4 driver rows and the full r5 mimic matrix).
     "dedup_minhash_lsh_candidates",
     "sim_cosine_bruteforce_topk",
+    "text_source_token_entropy",
+    "text_bigram_lift_top",
+    "text_rarity_score",
     # --- stale: implementation changed after latest driver row ---
     "streaming_sliding_window_value",
     "streaming_session_windows",
