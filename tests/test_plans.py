@@ -388,6 +388,33 @@ def _shuffle_exchange_inputs(df):
     return re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
 
 
+import pytest
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_tfidf_top_terms",
+        "text_source_token_entropy",
+        "text_bigram_lift_top",
+        "text_rarity_score",
+    ],
+)
+def test_corpus_stat_queries_materialize_shared_aggregates(spark, name):
+    """Each of these feeds one vocabulary-sized aggregate to multiple
+    consumers. Per-consumer column pruning builds non-identical subplans,
+    defeats ReusedExchange, and re-scans + re-tokenizes the corpus once
+    per consumer (2-4 full passes, measured round 5) — so the shared
+    aggregate must be materialized (localCheckpoint), leaving ZERO
+    parquet scans in the final plan (every input is the checkpointed
+    RDD). A parquet scan reappearing here means a consumer regressed to
+    re-deriving the aggregate from the raw corpus."""
+    df = q(name, spark)
+    plan = ex.physical_plan(df)
+    assert "Scan parquet" not in plan, f"{name} re-scans the corpus"
+    assert "ExistingRDD" in plan, f"{name} lost its materialized aggregate"
+
+
 def test_lsh_no_shuffle_exchange_carries_embeddings(spark):
     """The similarity-LSH bucket self-join must exchange (vec_id,
     table_id, bucket) / (vec_a, vec_b) only — never the 64-float
