@@ -70,12 +70,25 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each step is one conditional aggregation joined on user_id; the step
     tables are ≤ |users| rows, so the per-step joins are broadcast-sized
     long before the raw events are, and every exchange shares user_id.
+
+    Scan discipline: s1 and s2 each feed TWO consumers (the next step's
+    join and their own funnel count), and an unmaterialized cascade
+    recomputes the whole chain per consumer — SIX type-filtered fact
+    scans for a 3-step funnel, measured in the formatted plan. The
+    user-level step tables are materialized (localCheckpoint, ≤ |users|
+    narrow rows), so the fact is scanned exactly once per step, each
+    scan with its event_type pushed to parquet (reading 3 disjoint
+    type-slices beats materializing their union: row-group stats skip
+    the rest of the fact).
     """
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    s1 = ev.filter(F.col("event_type") == FUNNEL_STEPS[0]).groupBy("user_id").agg(
-        F.min("ts").alias("t1")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .localCheckpoint()
     )
     s2 = (
         ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
@@ -83,6 +96,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint()
     )
     s3 = (
         ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
@@ -144,17 +158,24 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-activity week, each
     cohort's share of users still active N weeks later.
 
-    Two aggregations over events (first-seen, distinct user-week) joined on
-    user_id, then one reporting aggregate on (cohort_week, offset) — the
-    classic retention triangle with exchanges only on user-sized keys.
+    ONE aggregation over events (the distinct user-week frame,
+    materialized at ≤ |users|·|weeks| rows), then everything derives from
+    it: first-seen is min(activity_week) per user — identical to
+    date_trunc(week, min(ts)) because date_trunc is monotone — and the
+    retention triangle is a reporting aggregate on (cohort_week, offset).
+    The unmaterialized form re-scanned the fact three times (first_seen
+    feeding both its consumers plus the activity pass, measured in the
+    formatted plan); exchanges stay on user-sized keys.
     """
     ev = load_table(spark, sf_dir, "events")
-    first_seen = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    activity = (
+        ev.select("user_id", F.date_trunc("week", "ts").alias("activity_week"))
+        .distinct()
+        .localCheckpoint()
     )
-    activity = ev.select(
-        "user_id", F.date_trunc("week", "ts").alias("activity_week")
-    ).distinct()
+    first_seen = activity.groupBy("user_id").agg(
+        F.min("activity_week").alias("cohort_week")
+    )
     sizes = first_seen.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
     cells = (
         first_seen.join(activity, "user_id")
@@ -552,7 +573,11 @@ def analytics_chisq_segment_event_type(spark: SparkSession, sf_dir: str) -> Data
     double).
 
     Scale: one fact aggregate on (segment, type) — a |segments × types|
-    grid — then margins and the scalar statistic over that tiny grid.
+    grid, materialized once (localCheckpoint): it feeds FOUR consumers
+    (row margins, column margins, grand total, and the terms join), and
+    the unmaterialized form recomputed the events⋈customer aggregate per
+    consumer — four full fact passes, measured in the formatted plan.
+    Margins and the scalar statistic then run over the tiny grid.
     """
     e = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -560,6 +585,7 @@ def analytics_chisq_segment_event_type(spark: SparkSession, sf_dir: str) -> Data
         e.join(c, e.user_id == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint()
     )
     rt = obs.groupBy("segment").agg(F.sum("n").cast("long").alias("row_tot"))
     ct = obs.groupBy("event_type").agg(F.sum("n").cast("long").alias("col_tot"))
