@@ -96,6 +96,12 @@ _AUDIT_PRIORITY: list[str] = [
     "text_source_token_entropy",
     "text_bigram_lift_top",
     "text_rarity_score",
+    # ...and the cascading-rescan fixes (funnel step tables, cohort's
+    # derived first-seen, chi-square's materialized grid), displacing
+    # q9/q11/q12 on the same grounds as the five above.
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "analytics_chisq_segment_event_type",
     # --- stale: implementation changed after latest driver row ---
     "streaming_sliding_window_value",
     "streaming_session_windows",
