@@ -289,9 +289,12 @@ def test_repetition_quality_is_shuffle_free(spark):
 
 def test_funnel_steps_join_hash_based_no_nested_loop(spark):
     # each funnel step joins a ≤|users| step table back to events — must be
-    # hash-family joins (broadcast at this sf), never a nested loop
+    # hash-family joins (broadcast at this sf), never a nested loop. Since
+    # the step tables are materialized (see the scans-once pin below), the
+    # FINAL plan holds only the last step's join; the earlier ones ran in
+    # the eager checkpoint jobs with the same shape.
     df = q("funnel_view_click_purchase", spark)
-    assert ex.simple_plan(df).count("BroadcastHashJoin") >= 2
+    assert ex.simple_plan(df).count("BroadcastHashJoin") >= 1
     assert not ex.has_nested_loop_join(df)
 
 
@@ -398,6 +401,8 @@ import pytest
         "text_source_token_entropy",
         "text_bigram_lift_top",
         "text_rarity_score",
+        "cohort_weekly_retention",
+        "analytics_chisq_segment_event_type",
     ],
 )
 def test_corpus_stat_queries_materialize_shared_aggregates(spark, name):
@@ -413,6 +418,18 @@ def test_corpus_stat_queries_materialize_shared_aggregates(spark, name):
     plan = ex.physical_plan(df)
     assert "Scan parquet" not in plan, f"{name} re-scans the corpus"
     assert "ExistingRDD" in plan, f"{name} lost its materialized aggregate"
+
+
+def test_funnel_scans_fact_once_per_remaining_step(spark):
+    """The funnel's user-level step tables are materialized, so the final
+    plan scans events exactly ONCE (the last step's purchase slice; the
+    earlier steps' scans ran eagerly at checkpoint time). Unmaterialized,
+    the cascade recomputed the whole chain per funnel count — SIX
+    type-filtered fact scans for three steps."""
+    df = q("funnel_view_click_purchase", spark)
+    plan = ex.physical_plan(df)
+    import re
+    assert len(re.findall(r"/events\.parquet", plan)) <= 1, "funnel cascade regressed"
 
 
 def test_lsh_no_shuffle_exchange_carries_embeddings(spark):
