@@ -355,12 +355,15 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides evaluate the same binary64 expression, so counts match the
     oracle bit-for-bit.
 
-    Scale: one aggregate for the per-source histogram (vocabulary-sized),
-    a broadcast join of the rates back onto documents, and a second
-    aggregate — the sampled subset never materializes driver-side.
+    Scale: one aggregate for the per-source histogram (materialized at
+    |sources| rows — it feeds both the grand total and the rates join,
+    and without the checkpoint each consumer re-scanned the corpus for
+    its own copy of the aggregate), a broadcast join of the rates back
+    onto documents, and a second aggregate — the sampled subset never
+    materializes driver-side.
     """
     d = load_table(spark, sf_dir, "documents")
-    stats = d.groupBy("source").agg(F.count("*").alias("n_before"))
+    stats = d.groupBy("source").agg(F.count("*").alias("n_before")).localCheckpoint()
     tot = stats.agg(
         F.sum("n_before").cast("long").alias("n"), F.count("*").alias("n_sources")
     )
