@@ -97,11 +97,15 @@ _AUDIT_PRIORITY: list[str] = [
     "text_bigram_lift_top",
     "text_rarity_score",
     # ...and the cascading-rescan fixes (funnel step tables, cohort's
-    # derived first-seen, chi-square's materialized grid), displacing
-    # q9/q11/q12 on the same grounds as the five above.
+    # derived first-seen, chi-square's materialized grid, mix-rebalance's
+    # histogram), displacing q9/q11/q12 and text_winnow_fingerprints —
+    # the first r1-row displacement this round, justified because winnow's
+    # code is UNCHANGED since its green row (old-but-valid) while these
+    # four changed in round 5 (the staleness invariant has priority).
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
     "analytics_chisq_segment_event_type",
+    "corpus_mix_rebalance",
     # --- stale: implementation changed after latest driver row ---
     "streaming_sliding_window_value",
     "streaming_session_windows",
