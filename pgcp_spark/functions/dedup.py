@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgcp_spark.functions.similarity import EMB_VALID_SQL, valid_embedding
+from pgcp_spark.plans.materialize import materialize
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table, load_table_parallel
 
@@ -55,11 +56,17 @@ def _shingles(toks: Column, width: int = SHINGLE_WIDTH) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # shingling + hashing dominates: spread docs across all cores
-    d = load_table_parallel(spark, sf_dir, "documents")
+def doc_shingles_of(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded from any documents-shaped frame. Shared
+    with the incremental index (functions/dedup_index.py) so the stored
+    postings and a fresh batch's shingles come from one definition."""
     toks = F.split(_normalized(), " ")
     return d.select("doc_id", F.explode(_shingles(toks)).alias("shingle"))
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shingling + hashing dominates: spread docs across all cores
+    return doc_shingles_of(load_table_parallel(spark, sf_dir, "documents"))
 
 
 @register(
@@ -130,7 +137,7 @@ def exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall against ground truth on the small correctness lake."""
     # The inverted index feeds three plan branches (sizes + both join sides);
     # materialize it once instead of re-shingling per branch.
-    sh = _doc_shingles(spark, sf_dir).localCheckpoint()
+    sh = _doc_shingles(spark, sf_dir).transform(materialize)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -154,6 +161,65 @@ MINHASH_K = 32  # signature length
 LSH_BANDS = 8  # 8 bands × 4 rows
 
 
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, sig array<long>) MinHash signatures (k=MINHASH_K, seeded
+    xxhash64) for every doc with ≥ SHINGLE_WIDTH tokens.
+
+    Hash each shingle STRING once (the expensive part), then derive the k
+    signature hashes from the cheap 8-byte value — 1 string hash + k
+    fixed-width hashes per shingle instead of k string hashes. Min-hashes
+    are ROW-LOCAL: array_min over the doc's shingle-hash array — no
+    explode, no shuffle, no aggregate. The sub-shingle-width guard filters
+    on a CHEAP token count, not on size(g_arr): filters are pushed below
+    the round-robin repartition, so a g_arr-dependent predicate would
+    evaluate the whole shingle+hash pipeline on the single
+    pre-repartition scan partition.
+
+    Shared by the one-shot LSH query below and the persisted signature
+    index (functions/dedup_index.py): signatures stored in the lake are
+    bit-identical to freshly computed ones by construction.
+    """
+    g_arr = F.transform(_shingles(F.split(_normalized(), " ")), lambda s: F.xxhash64(s))
+    sig_arr = F.array(
+        *[
+            F.array_min(F.transform(F.col("g_arr"), lambda g: F.xxhash64(F.lit(i), g)))
+            for i in range(MINHASH_K)
+        ]
+    )
+    return (
+        d.filter(F.size(F.split(_normalized(), " ")) >= SHINGLE_WIDTH)
+        .select("doc_id", g_arr.alias("g_arr"))
+        .select("doc_id", sig_arr.alias("sig"))
+    )
+
+
+def band_buckets(sigs: DataFrame, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) — one row per LSH band, bucket = xxhash64 of
+    that band's signature slice. ``bands`` must divide MINHASH_K; fewer
+    rows per band (= more bands) raises recall at the banding threshold
+    (1-(1-j^rows)^bands). Carries ids only: the exploded band exchange
+    replicates every doc ``bands``×, so wide columns must never ride it
+    (see the round-5 measurement in dedup_minhash_lsh_candidates)."""
+    assert MINHASH_K % bands == 0, (MINHASH_K, bands)
+    rows_per_band = MINHASH_K // bands
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 @register(
     "dedup_minhash_lsh_candidates",
     oracle=None,  # xxhash64-seeded MinHash isn't reproducible in DuckDB SQL;
@@ -168,37 +234,16 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: no pairwise work outside hash-equal buckets — two shuffles
     (signature groupBy, band self-join) regardless of corpus size.
     """
-    # hash each shingle STRING once (the expensive part), then derive the
-    # k signature hashes from the cheap 8-byte value — 1 string hash + k
-    # fixed-width hashes per shingle instead of k string hashes.
-    # Min-hashes are ROW-LOCAL: array_min over the doc's shingle-hash array
-    # — no explode, no shuffle, no aggregate. (The explode→groupBy(min)
-    # formulation computes identical values but shuffles |shingles| rows.)
+    # Signature build shared with the persisted index (minhash_signatures
+    # above). Materialize the signatures (n_docs × k longs — tiny next to
+    # the corpus) before the band self-join: without this the whole
+    # shingle→hash→min pipeline runs TWICE, once per join side; the
+    # production-shaped alternative — persist them to the lake and dedup
+    # future batches against the stored index without recomputing the
+    # corpus — is dedup_incremental_batch_vs_index (dedup_index.py).
     d = load_table_parallel(spark, sf_dir, "documents")
-    g_arr = F.transform(_shingles(F.split(_normalized(), " ")), lambda s: F.xxhash64(s))
-    sig_arr = F.array(
-        *[
-            F.array_min(F.transform(F.col("g_arr"), lambda g: F.xxhash64(F.lit(i), g)))
-            for i in range(MINHASH_K)
-        ]
-    )
-    # Materialize the signatures (n_docs × k longs — tiny next to the corpus)
-    # before the band self-join: without this the whole shingle→hash→min
-    # pipeline runs TWICE, once per join side. localCheckpoint stores the
-    # blocks executor-side and truncates lineage; production would persist
-    # the signature table to the lake for reuse across dedup runs.
-    # The sub-shingle-width guard filters on a CHEAP token count, not on
-    # size(g_arr): filters are pushed below the round-robin repartition, so
-    # a g_arr-dependent predicate would evaluate the whole shingle+hash
-    # pipeline on the single pre-repartition scan partition.
-    sigs = (
-        d.filter(F.size(F.split(_normalized(), " ")) >= SHINGLE_WIDTH)
-        .select("doc_id", g_arr.alias("g_arr"))
-        .select("doc_id", sig_arr.alias("sig"))
-        .localCheckpoint()
-    )
+    sigs = minhash_signatures(d).transform(materialize)
 
-    rows_per_band = MINHASH_K // LSH_BANDS
     # Carry only (doc_id, band, bucket) through the exploded band self-join
     # — NOT the 32-long signature. The band exchange replicates every doc 8×
     # on both join sides, so each signature column rides the wire 16×; with
@@ -206,7 +251,7 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle-bytes term that dominates at corpus scale drops ~10×.
     # Candidate pairs are distinct'd FIRST (multi-band collisions collapse
     # before any scoring work), then the surviving pairs re-attach their
-    # signatures via two equi-joins against the localCheckpoint'd `sigs`
+    # signatures via two equi-joins against the materialized `sigs`
     # (no recompute — the blocks are already executor-side) for the exact
     # same row-local agreement score. Same rewrite as the similarity-LSH
     # bucket join (similarity.py), where it measured 36.0 → 14.3 s on a
@@ -215,22 +260,7 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crossover is scale: at sf0.1 the two small re-joins cost ~0.15 s
     # more than the saved bytes — the shuffle-byte term they remove grows
     # with corpus size and signature width, the join overhead doesn't.
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(*[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]).alias(
-                            "bucket"
-                        ),
-                    )
-                    for bi in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = band_buckets(sigs, LSH_BANDS)
 
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
@@ -317,7 +347,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # materialize: the 64-hash-per-token vote fold is the expensive part and
     # feeds both sides of the chunk self-join
-    sigs = d.select("doc_id", bits.alias("bits"), *chunk).localCheckpoint()
+    sigs = d.select("doc_id", bits.alias("bits"), *chunk).transform(materialize)
 
     # explode to (doc_id, chunk_idx, chunk_val) so candidates come from an
     # EQUI-join on (chunk_idx, chunk_val) — an OR-of-chunk-equalities join
@@ -417,7 +447,7 @@ def capped_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= HOT_SHINGLE_DF_CAP)
         .select("shingle")
     )
-    sh = sh0.join(keep, "shingle").localCheckpoint()
+    sh = sh0.join(keep, "shingle").transform(materialize)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -534,7 +564,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list("vec_id").alias("ids"),
             F.collect_list("embedding").alias("vecs"),
         )
-        .localCheckpoint()  # feeds both sides of the grid self-join
+        .transform(materialize)  # feeds both sides of the grid self-join
     )
     a, b = packed.alias("a"), packed.alias("b")
     grid = a.join(b, F.col("a.block") <= F.col("b.block")).select(

@@ -1,0 +1,257 @@
+"""Incremental dedup against a lake-persisted MinHash signature index.
+
+Every one-shot dedup query recomputes signatures from the full corpus; a
+production 100 TB pipeline cannot — it dedups TODAY'S batch against an
+index built from everything already ingested, touching the old corpus
+zero times. This module is that shape, built on the existing lake layer
+(`sources/lake.py` snapshot commit protocol):
+
+  **Index build** (once per corpus version): from the already-ingested
+  docs, persist four lake tables under one index directory —
+
+    signatures/    (doc_id, sig array<long>)   MinHash k=32, shared
+                   definition with the one-shot query (dedup.py), so
+                   stored and fresh signatures are bit-identical
+    postings/      (shingle, doc_id)           df-capped inverted index
+    sizes/         (doc_id, sz)                capped shingle count/doc
+    hot_shingles/  (shingle)                   the dropped hot shingles
+
+  **Batch-vs-index query** (every run): signatures for the NEW batch only
+  are computed fresh; candidates come from an LSH band equi-join of the
+  batch's band buckets against the STORED signatures' buckets (ids-only
+  exchange, the round-5 discipline); candidates are then verified with
+  EXACT capped Jaccard using the STORED postings/sizes — the old corpus
+  text is never re-read, let alone re-shingled.
+
+Banding for the incremental path is 16 bands × 2 rows (vs the one-shot
+query's 8 × 4): the output contract here is exact-verified pairs, so
+banding is purely a candidate pruner and is tuned for recall — a true
+pair at jaccard j is missed with probability (1-j²)^16, ≤ 1.1e-7 at the
+j ≥ 0.8 this corpus's real near-dups sit at (verified equal to the
+exhaustive oracle on every test lake; a production corpus with many pairs
+NEAR the 0.3 threshold would raise bands further — at j = 0.3 the miss
+probability is 0.22, which is what the one-shot capped query is for).
+
+The "new batch" is the deterministic slice doc_id % BATCH_MOD == 0 (a
+stand-in for today's crawl); everything else is the indexed corpus.
+
+Reference anchor: none — the reference (holistics/pgcp, a Postgres copy
+tool) has no dedup surface; this is north-star LLM-pipeline territory,
+promised by the round-5 docstrings ("production would persist the
+signature table to the lake for reuse across dedup runs").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcp_spark.functions.dedup import (
+    HOT_SHINGLE_DF_CAP,
+    JACCARD_THRESHOLD,
+    band_buckets,
+    doc_shingles_of,
+    minhash_signatures,
+)
+from pgcp_spark.plans.materialize import materialize
+from pgcp_spark.registry import register
+from pgcp_spark.sources import load_table_parallel
+from pgcp_spark.sources.lake import current_snapshot, read_current, write_snapshot
+
+BATCH_MOD = 10  # doc_id % 10 == 0 → "new batch"; else → indexed corpus
+INC_BANDS = 16  # 16 bands × 2 rows of the k=32 signature (recall-tuned)
+
+INDEX_ROOT = os.environ.get("SPARK_GRAFT_INDEX_ROOT", "/tmp/pgcp_dedup_index")
+_SUBTABLES = ("signatures", "postings", "sizes", "hot_shingles")
+
+
+def index_dir_for(sf_dir: str) -> str:
+    """Deterministic index location keyed by the CONTENT VERSION of the
+    corpus (path + file sizes + mtimes of documents.parquet): a
+    regenerated lake under the same path fingerprints differently, so a
+    stale index can never serve a changed corpus — it is simply a
+    different directory, and the build runs again."""
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    parts = [os.path.abspath(sf_dir)]
+    if os.path.isdir(doc_path):
+        for name in sorted(os.listdir(doc_path)):
+            st = os.stat(os.path.join(doc_path, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(doc_path):
+        st = os.stat(doc_path)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    digest = hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(INDEX_ROOT, digest)
+
+
+def _indexed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table_parallel(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % BATCH_MOD != 0
+    )
+
+
+def _batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table_parallel(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % BATCH_MOD == 0
+    )
+
+
+def build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Build + commit the dedup index from the already-ingested corpus.
+
+    One shingle pass feeds postings and the hot list; sizes derive from
+    the COMMITTED postings parquet (read back, aggregate — zero
+    recompute); signatures are their own row-local pass. Each table
+    commits through the lake's atomic pointer swap, so a concurrent
+    reader sees complete old or complete new tables, never halves.
+    """
+    d = _indexed_corpus(spark, sf_dir)
+    write_snapshot(minhash_signatures(d), os.path.join(index_dir, "signatures"))
+
+    sh0 = materialize(doc_shingles_of(d))  # feeds hot + postings
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > HOT_SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    write_snapshot(hot, os.path.join(index_dir, "hot_shingles"))
+    hot_stored = read_current(spark, os.path.join(index_dir, "hot_shingles"))
+    postings = sh0.join(hot_stored, "shingle", "left_anti")
+    write_snapshot(postings, os.path.join(index_dir, "postings"))
+    sizes = (
+        read_current(spark, os.path.join(index_dir, "postings"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    write_snapshot(sizes, os.path.join(index_dir, "sizes"))
+
+
+def ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the index iff this corpus version has none yet; return its dir."""
+    index_dir = index_dir_for(sf_dir)
+    if any(
+        current_snapshot(os.path.join(index_dir, t)) is None for t in _SUBTABLES
+    ):
+        build_index(spark, sf_dir, index_dir)
+    return index_dir
+
+
+def batch_vs_index(spark: SparkSession, sf_dir: str, index_dir: str) -> DataFrame:
+    """Near-dup pairs between the new batch and the INDEXED corpus, with
+    the indexed side served entirely from the stored lake tables.
+
+    Plan shape: batch signatures are one row-local pass over the batch
+    slice (the doc_id % filter pushes to the parquet scan); the band join
+    is an ids-only equi-join on (band, bucket) — no a<b predicate needed,
+    the sides are disjoint by construction; verification restricts the
+    stored postings and the batch's shingles to CANDIDATE docs first
+    (semi-joins on narrow ids), so the exact-Jaccard work is bounded by
+    candidate count, not corpus size.
+    """
+    sigs_stored = read_current(spark, os.path.join(index_dir, "signatures"))
+    hot_stored = read_current(spark, os.path.join(index_dir, "hot_shingles"))
+    postings = read_current(spark, os.path.join(index_dir, "postings"))
+    sizes_old = read_current(spark, os.path.join(index_dir, "sizes"))
+
+    batch_docs = _batch(spark, sf_dir)
+    batch_sigs = materialize(minhash_signatures(batch_docs))
+
+    n = band_buckets(batch_sigs, INC_BANDS).alias("n")
+    o = band_buckets(sigs_stored, INC_BANDS).alias("o")
+    cand = materialize(
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band")) & (F.col("n.bucket") == F.col("o.bucket")),
+        )
+        .select(F.col("n.doc_id").alias("doc_new"), F.col("o.doc_id").alias("doc_old"))
+        .distinct()
+    )
+
+    # exact verification over the capped shingle universe (df computed on
+    # the INDEXED corpus — the index defines the universe; a batch shingle
+    # unseen by the index has df_old = 0 and counts)
+    batch_sh = doc_shingles_of(batch_docs).join(hot_stored, "shingle", "left_anti")
+    batch_sh_c = batch_sh.join(
+        cand.select(F.col("doc_new").alias("doc_id")).distinct(), "doc_id", "semi"
+    )
+    sz_new = batch_sh_c.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    postings_c = postings.join(
+        cand.select(F.col("doc_old").alias("doc_id")).distinct(), "doc_id", "semi"
+    )
+    inter = (
+        batch_sh_c.alias("bn")
+        .join(postings_c.alias("po"), F.col("bn.shingle") == F.col("po.shingle"))
+        .groupBy(
+            F.col("bn.doc_id").alias("doc_new"), F.col("po.doc_id").alias("doc_old")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .join(cand, ["doc_new", "doc_old"])  # candidates only
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sz_new") + F.col("sz_old") - F.col("n_shared")
+    )
+    return (
+        inter.join(
+            sz_new.select(F.col("doc_id").alias("doc_new"), F.col("sz").alias("sz_new")),
+            "doc_new",
+        )
+        .join(
+            sizes_old.select(F.col("doc_id").alias("doc_old"), F.col("sz").alias("sz_old")),
+            "doc_old",
+        )
+        .select("doc_new", "doc_old", "n_shared", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_new", "doc_old")
+    )
+
+
+@register(
+    "dedup_incremental_batch_vs_index",
+    oracle=f"""
+WITH sh0 AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(len(t) - 2),
+           i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) AS shingle
+  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t
+        FROM documents)
+),
+old_sh AS (SELECT * FROM sh0 WHERE doc_id % {BATCH_MOD} <> 0),
+new_sh AS (SELECT * FROM sh0 WHERE doc_id % {BATCH_MOD} = 0),
+hot AS (SELECT shingle FROM old_sh GROUP BY shingle HAVING COUNT(*) > {HOT_SHINGLE_DF_CAP}),
+postings AS (SELECT * FROM old_sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+batch AS (SELECT * FROM new_sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes_old AS (SELECT doc_id, COUNT(*) AS sz FROM postings GROUP BY doc_id),
+sizes_new AS (SELECT doc_id, COUNT(*) AS sz FROM batch GROUP BY doc_id),
+inter AS (
+  SELECT n.doc_id AS doc_new, o.doc_id AS doc_old, COUNT(*) AS n_shared
+  FROM batch n JOIN postings o ON n.shingle = o.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_new, i.doc_old, i.n_shared,
+       ROUND(CAST(i.n_shared AS DOUBLE) / (sn.sz + so.sz - i.n_shared), 6) AS jaccard
+FROM inter i
+JOIN sizes_new sn ON i.doc_new = sn.doc_id
+JOIN sizes_old so ON i.doc_old = so.doc_id
+WHERE ROUND(CAST(i.n_shared AS DOUBLE) / (sn.sz + so.sz - i.n_shared), 6) >= {JACCARD_THRESHOLD}
+ORDER BY doc_new, doc_old
+""",
+)
+def dedup_incremental_batch_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a new batch against the lake-persisted signature index: LSH
+    band candidates (batch vs STORED signatures) verified with exact
+    capped Jaccard from the STORED postings — the daily-ingest shape of a
+    100 TB dedup pipeline. The index is built once per corpus version
+    (``ensure_index``); reruns reuse it untouched (pinned by
+    tests/test_dedup_index.py).
+
+    The oracle is the exhaustive capped-Jaccard join restricted to
+    new-vs-old pairs; equality additionally proves banding recall 1.0 on
+    this lake's true pairs (see module docstring for the miss-probability
+    math and where that claim stops generalizing).
+    """
+    index_dir = ensure_index(spark, sf_dir)
+    return batch_vs_index(spark, sf_dir, index_dir)

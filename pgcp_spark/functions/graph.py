@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgcp_spark.functions.dedup import CAPPED_PAIRS_CTE, capped_jaccard_pairs
+from pgcp_spark.plans.materialize import materialize
 from pgcp_spark.registry import register
 
 # The edge source is the PRODUCTION df-capped pair generator (shingles with
@@ -48,7 +49,7 @@ def _dup_edges(spark: SparkSession, sf_dir: str, pairs_fn=None) -> DataFrame:
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
 
 
@@ -58,7 +59,7 @@ def connected_labels(edges: DataFrame) -> DataFrame:
     state is localCheckpoint'd so the plan stays constant-size."""
     labels = (
         edges.select("s").distinct().select(F.col("s").alias("node"), F.col("s").alias("label"))
-    ).localCheckpoint()
+    ).transform(materialize)
     while True:
         neigh_min = (
             edges.join(labels, edges.d == labels.node)
@@ -73,7 +74,7 @@ def connected_labels(edges: DataFrame) -> DataFrame:
                     "label"
                 ),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
         changed = (
             new_labels.alias("n")
@@ -187,8 +188,8 @@ def graph_pagerank_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # seed 1/n is undefined, and the fixpoint loop has nothing to do
         return spark.createDataFrame([], "doc_id long, pagerank double, degree long")
 
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint()
-    weighted = edges.join(deg, "s").localCheckpoint()  # (s, d, out_deg)
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).transform(materialize)
+    weighted = edges.join(deg, "s").transform(materialize)  # (s, d, out_deg)
     for _ in range(PR_ITERS):
         contribs = (
             weighted.join(ranks, weighted.s == ranks.node)
@@ -205,7 +206,7 @@ def graph_pagerank_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + PR_DAMPING * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
 
     return (

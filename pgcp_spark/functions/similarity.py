@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pgcp_spark.plans.materialize import materialize
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table
 
@@ -193,14 +194,23 @@ def lsh_pairs(
     tables: int = LSH_TABLES,
     planes: int = LSH_PLANES,
     threshold: float = SIM_THRESHOLD,
+    probes: int = 1,
 ) -> DataFrame:
     """Parameterized sign-random-projection LSH near-neighbor pairs.
 
     ``tables`` is OR-amplification (more tables → higher recall, more
     candidate work), ``planes`` is AND-amplification (more sign bits →
-    fewer, higher-precision collisions). The registered query pins the
-    production defaults; `tools/ann_curve.py` sweeps this surface to
-    record the measured recall/time trade at sf1 (SCALE.md).
+    fewer, higher-precision collisions), and ``probes`` is multi-probe
+    (round-6): per table, one side of the join additionally probes the
+    ``probes-1`` neighbor buckets obtained by flipping the sign bits with
+    the SMALLEST projection margin — the bits most likely to disagree for
+    a true near neighbor. Multi-probe buys the recall of more tables for
+    the hashing cost of fewer: extra probe rows are bucket-join rows
+    (24 B ids), not extra signature passes over the corpus, so cost grows
+    sub-linearly vs adding tables (measured on the sf1 curve in SCALE.md:
+    8 tables × 2 probes ≥ 16-table recall at roughly half its wall).
+    The registered query pins the production defaults;
+    `tools/ann_curve.py` sweeps this surface at sf1.
 
     Shuffle shape (round-5 rewrite): the bucket self-join carries ONLY
     (vec_id, table_id, bucket) — 24 bytes/row — never the embedding.
@@ -212,6 +222,8 @@ def lsh_pairs(
     id-only shape is 2.5× faster (36.0 s → 14.3 s, identical output), and
     the byte ratio grows with ``tables`` and vector width at 100 TB.
     """
+    if not 1 <= probes <= planes + 1:
+        raise ValueError(f"probes must be in [1, planes+1], got {probes}")
     e = _valid_embeddings(spark, sf_dir)
     rng = np.random.RandomState(42)
     plane_mat = rng.randn(tables, planes, EMB_DIM)
@@ -219,42 +231,81 @@ def lsh_pairs(
 
     def bucketize(batches):
         pl = b_planes.value
+        bit_vals = 1 << np.arange(planes)
         for batch in batches:
             if len(batch) == 0:
                 continue
             mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
             frames = []
             for t in range(tables):
-                signs = (mat @ pl[t].T) > 0
-                buckets = signs.dot(1 << np.arange(planes)).astype(np.int64)
+                proj = mat @ pl[t].T
+                buckets = (proj > 0).dot(bit_vals).astype(np.int64)
                 frames.append(
                     pd.DataFrame(
                         {
                             "vec_id": batch["vec_id"],
                             "table_id": t,
                             "bucket": buckets,
+                            "is_probe": np.zeros(len(buckets), dtype=np.int32),
                         }
                     )
                 )
+                if probes > 1:
+                    # neighbor buckets: flip the probes-1 lowest-|margin|
+                    # bits — a vectorized argsort per batch, no extra
+                    # projection work
+                    flip_bits = np.argsort(np.abs(proj), axis=1)[:, : probes - 1]
+                    flipped = buckets[:, None] ^ bit_vals[flip_bits]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": np.repeat(
+                                    batch["vec_id"].to_numpy(), probes - 1
+                                ),
+                                "table_id": t,
+                                "bucket": flipped.ravel().astype(np.int64),
+                                "is_probe": np.ones(
+                                    len(buckets) * (probes - 1), dtype=np.int32
+                                ),
+                            }
+                        )
+                    )
             yield pd.concat(frames, ignore_index=True)
 
     # materialize the bucket assignments: the self-join would otherwise run
     # the Python bucketize pass once per side
     bucketed = e.mapInPandas(
-        bucketize, schema="vec_id long, table_id int, bucket long"
-    ).localCheckpoint()
+        bucketize, schema="vec_id long, table_id int, bucket long, is_probe int"
+    ).transform(materialize)
 
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    pairs = (
-        a.join(
+    base = bucketed.filter(F.col("is_probe") == 0).drop("is_probe")
+    if probes == 1:
+        # symmetric base-vs-base join: each unordered pair meets once
+        a, b = base.alias("a"), base.alias("b")
+        raw = a.join(
             b,
             (F.col("a.table_id") == F.col("b.table_id"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    else:
+        # asymmetric: one side keeps base buckets, the other also probes
+        # its flipped neighbors (collision ⇔ codes within hamming-1 of a
+        # probed bit). The a<b trick would silently drop the half of the
+        # probe collisions where the probing side has the smaller id, so
+        # orient with least/greatest and let the distinct collapse the
+        # double-counted base-base collisions — still an ids-only exchange.
+        a, b = base.alias("a"), bucketed.alias("b")
+        raw = a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        ).select(
+            F.least("a.vec_id", "b.vec_id").alias("vec_a"),
+            F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
         )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()  # a pair can collide in several tables — dedup pre-score
-    )
+    pairs = raw.distinct()  # multi-table/multi-probe collisions collapse pre-score
     ea, eb = e.alias("ea"), e.alias("eb")
     cos = _pair_dot("ea", "eb") / (_vec_norm("ea") * _vec_norm("eb"))
     return (

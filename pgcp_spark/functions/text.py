@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pgcp_spark.plans.materialize import materialize
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table, load_table_parallel
 
@@ -354,10 +355,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tok, doc_id) pairs. (Without the checkpoint, per-branch column
     pruning builds two non-identical aggregate subplans, defeats
     ReusedExchange, and the corpus scans + explodes TWICE — measured in
-    the formatted plan.) n_docs (= docs surviving the explode, i.e.
-    non-NULL text: split() of '' is [''], one token, in both engines)
-    comes from a column-pruned count on the raw table, not a third
-    explode. Then a broadcast of the df table (|vocab| rows) back onto
+    the formatted plan.) n_docs = COUNT(DISTINCT doc_id) like the oracle,
+    computed on the already-materialized doc_term frame (a distinct +
+    count over (doc, term) rows — zero extra corpus scans); counting raw
+    non-NULL-text rows instead would silently diverge on a lake with
+    duplicate doc_id rows. Then a broadcast of the df table (|vocab| rows)
+    back onto
     the term stream; the per-doc top-k is the standard window + filter.
     No Python anywhere.
     """
@@ -370,13 +373,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok"
         ),
     )
-    doc_term = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n")).localCheckpoint()
+    doc_term = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n")).transform(materialize)
     tf = doc_term.withColumn(
         "tf",
         F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("doc_id")),
     )
     df = doc_term.groupBy("tok").agg(F.count("*").alias("df"))
-    n_docs = d.filter(F.col("text").isNotNull()).count()
+    n_docs = doc_term.select("doc_id").distinct().count()
     scored = tf.join(F.broadcast(df), "tok").select(
         "doc_id",
         "tok",
@@ -540,7 +543,7 @@ def text_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", F.explode(toks).alias("token"))
         .groupBy("source", "token")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     totals = counts.groupBy("source").agg(
         F.sum("c").cast("long").alias("n_tokens"), F.count("*").alias("n_distinct")
@@ -617,7 +620,7 @@ def text_bigram_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
     t = d.select("doc_id", toks.alias("t"))
     uni = t.select(F.explode("t").alias("tok"))
-    ucount = uni.groupBy("tok").agg(F.count("*").alias("n")).localCheckpoint()
+    ucount = uni.groupBy("tok").agg(F.count("*").alias("n")).transform(materialize)
     # consecutive pairs, array-local (no positional window shuffle)
     pairs = t.select(
         F.explode(
@@ -627,7 +630,7 @@ def text_bigram_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
-    bcount = pairs.groupBy("x", "y").agg(F.count("*").alias("n_xy")).localCheckpoint()
+    bcount = pairs.groupBy("x", "y").agg(F.count("*").alias("n_xy")).transform(materialize)
     big_n = ucount.agg(F.sum("n").cast("long").alias("big_n"))
     big_b = bcount.agg(F.sum("n_xy").cast("long").alias("big_b"))
     ux = ucount.select(F.col("tok").alias("x"), F.col("n").alias("n_x"))
@@ -694,7 +697,7 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_parallel(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
     tok = d.select("doc_id", F.explode(toks).alias("token"))
-    doc_term = tok.groupBy("doc_id", "token").agg(F.count("*").alias("n")).localCheckpoint()
+    doc_term = tok.groupBy("doc_id", "token").agg(F.count("*").alias("n")).transform(materialize)
     df = doc_term.groupBy("token").agg(F.count("*").alias("df"))
     n_toks = F.sum("n")
     sum_df = F.sum(F.col("n") * F.col("df"))
@@ -800,7 +803,7 @@ def text_repeated_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = (
         d.select("doc_id", grams.alias("g"))
         .select("doc_id", F.explode(winnow_set).alias("fp"))
-        .localCheckpoint()  # feeds sizes, the df-cap, and both join sides
+        .transform(materialize)  # feeds sizes, the df-cap, and both join sides
     )
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("sz"))
     rare = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pgcp_spark.plans.materialize import materialize
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table
 
@@ -88,7 +89,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     s2 = (
         ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
@@ -96,7 +97,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     s3 = (
         ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
@@ -171,7 +172,7 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity = (
         ev.select("user_id", F.date_trunc("week", "ts").alias("activity_week"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     first_seen = activity.groupBy("user_id").agg(
         F.min("activity_week").alias("cohort_week")
@@ -250,7 +251,7 @@ def anomaly_hourly_event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     stats = hourly.groupBy("event_type").agg(
         F.avg("n_events").alias("mean_n"), F.stddev_samp("n_events").alias("sd_n")
@@ -319,7 +320,7 @@ def markov_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame
         seq.filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     totals = trans.groupBy("prev_type").agg(F.sum("n").alias("total"))
     return (
@@ -585,7 +586,7 @@ def analytics_chisq_segment_event_type(spark: SparkSession, sf_dir: str) -> Data
         e.join(c, e.user_id == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     rt = obs.groupBy("segment").agg(F.sum("n").cast("long").alias("row_tot"))
     ct = obs.groupBy("event_type").agg(F.sum("n").cast("long").alias("col_tot"))

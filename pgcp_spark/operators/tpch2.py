@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgcp_spark.operators._decimal import dec
+from pgcp_spark.plans.materialize import materialize
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table
 
@@ -326,7 +327,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"))
-    ).localCheckpoint()  # feeds both sides of the self-join below
+    ).transform(materialize)  # feeds both sides of the self-join below
     per_order = per_supp.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
         F.count("*").alias("n_supp"),
         F.sum((F.col("late_lines") > 0).cast("int")).alias("n_late_supp"),

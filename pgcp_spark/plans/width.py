@@ -1,0 +1,179 @@
+"""Fleet-wide shuffle-width audit (library form; CLI in tools/width_audit.py).
+
+The expensive failure mode at 100 TB is a wide column — document text, an
+embedding array, a MinHash signature — riding a hash-partitioned exchange,
+where join-side replication multiplies its bytes (the round-5 ids-only
+LSH/MinHash rewrites each bought 1.5-2.5× from removing exactly this).
+This module walks every registered query's formatted physical plan and
+reports each hashpartitioning Exchange whose input carries a wide column,
+so the next regression is a failing test instead of a forensic sweep
+(round-6: wired into pytest via tests/test_width.py).
+
+Two round-6 hardenings over the round-5 tool:
+
+- **Through-checkpoint coverage.** Plans are built under
+  ``plans.materialize.plan_only()``, so eager localCheckpoint sub-jobs
+  neither run nor truncate the plan to ExistingRDD — a wide exchange
+  *inside* a normally-checkpointed segment (e.g. the signature build) is
+  now visible. The round-5 tool read only final plans and could report
+  CLEAN while a checkpointed segment regressed.
+- **Whole-token marker matching.** Column names are split into
+  ``_``-separated tokens and markers must equal a token — ``sig_a``
+  matches marker ``sig``, but a hypothetical ``design_stage`` or
+  ``context_len`` no longer false-positives on ``sig``/``text``.
+
+Partitioning kinds:
+  - hashpartitioning  — audited: a join/aggregate exchange should carry
+    keys + narrow payload only (re-attach wide columns after).
+  - rangepartitioning — ignored: the final result sort legitimately
+    carries whatever the query RETURNS (e.g. chunk text).
+  - roundrobin        — ignored: the test-lake loader's parallelism
+    repartition (sources/tables.py), a no-op on multi-file lakes.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pgcp_spark.plans.materialize import plan_only
+
+# Markers for columns whose payload is unbounded-or-fat per row: raw text,
+# token/shingle/embedding arrays, hash-signature arrays, binary payloads,
+# JSON maps. Matched against whole '_'-tokens of the column name.
+WIDE_MARKERS = frozenset(
+    {"text", "embedding", "embeddings", "sig", "sigs", "g_arr", "vecs",
+     "bits", "props", "payload", "body", "toks", "shingles", "bigrams"}
+)
+
+# query -> list of (column-name-prefix, reason) pairs where a wide column
+# on a hash exchange is the query's own semantics, with the reason inline.
+ALLOWLIST: dict[str, list[tuple[str, str]]] = {
+    # The block-matmul pack: groupBy(block) EXISTS to co-locate vectors
+    # into one packed row per block — each embedding rides this single
+    # exchange exactly once (O(n) bytes, no join-side replication), as a
+    # collect_list aggregation buffer. Visible only in plan_only mode
+    # (the packed frame is materialized before the grid self-join).
+    "dedup_embedding_cosine_pairs": [
+        ("embedding", "block-pack collect_list ships each vector once into its block row"),
+    ],
+}
+
+
+@dataclass(frozen=True)
+class Finding:
+    query: str
+    columns: tuple[str, ...]
+    exchange_input: str  # first 120 chars of the Exchange's Input list
+
+
+def _is_wide(col: str) -> bool:
+    return col in WIDE_MARKERS or any(t in WIDE_MARKERS for t in col.split("_"))
+
+
+def _wide_cols(cols: list[str], allow_prefixes: tuple[str, ...]) -> list[str]:
+    return [c for c in cols if _is_wide(c) and not c.startswith(allow_prefixes)]
+
+
+# A formatted-plan tree line: indentation art, node name, (id).
+_TREE_LINE = re.compile(r"^([\s:+\-*]*)([A-Za-z][\w ]*?) \((\d+)\)\s*$")
+# A partial-aggregate function call's argument columns, e.g.
+# partial_collect_list(embedding#19, 0, 0) → "embedding".
+_AGG_ARG_COLS = re.compile(r"\w+\(([\w]+)#\d+")
+
+
+def _buffer_arg_cols(plan: str) -> dict[str, list[str]]:
+    """Map each Exchange node id → the argument column names of its direct
+    child's aggregate Functions.
+
+    Hash exchanges below a partial ObjectHashAggregate carry the aggregate
+    STATE as opaque ``buf#N`` columns, so a ``collect_list(text)`` pack
+    hides its payload from name-based matching. Resolving the exchange's
+    child node in the plan tree and reading its ``Functions [...]``
+    arguments recovers the real columns riding the wire.
+    """
+    lines = plan.splitlines()
+    # depth-first tree: an exchange's first child is the next tree line
+    # with deeper indentation
+    nodes = []  # (line_idx, indent, name, id)
+    for i, line in enumerate(lines):
+        m = _TREE_LINE.match(line)
+        if m:
+            nodes.append((i, len(m.group(1)), m.group(2).strip(), m.group(3)))
+    child_of: dict[str, str] = {}
+    for j, (_, indent, nm, nid) in enumerate(nodes):
+        if "Exchange" in nm and j + 1 < len(nodes) and nodes[j + 1][1] > indent:
+            child_of[nid] = nodes[j + 1][3]
+    # details section: node id → its Functions arg columns
+    funcs: dict[str, list[str]] = {}
+    cur = None
+    for line in lines:
+        m = re.match(r"^\((\d+)\) ", line)
+        if m:
+            cur = m.group(1)
+        elif cur and line.startswith("Functions ["):
+            funcs[cur] = _AGG_ARG_COLS.findall(line)
+    return {ex: funcs.get(ch, []) for ex, ch in child_of.items()}
+
+
+def audit_plan(name: str, plan: str) -> list[Finding]:
+    """Scan one formatted plan string for wide hash exchanges.
+
+    Checks both the exchange's named input columns and — when the input
+    carries opaque aggregation buffers (``buf#N``) — the argument columns
+    of the child partial aggregate, so wide payloads packed via
+    collect_list/collect_set are audited too.
+    """
+    allow = tuple(a for a, _ in ALLOWLIST.get(name, ()))
+    buffer_args = _buffer_arg_cols(plan)
+    findings = []
+    for nid, inp, kind in re.findall(
+        r"\((\d+)\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: (\w+)", plan
+    ):
+        if kind != "hashpartitioning":
+            continue
+        cols = [c.strip().split("#")[0] for c in inp.split(",")]
+        wide = _wide_cols(cols, allow)
+        if any(c == "buf" or c.startswith("buf") for c in cols):
+            hidden = _wide_cols(buffer_args.get(nid, []), allow)
+            wide += [f"collect({c})" for c in hidden]
+        if wide:
+            findings.append(Finding(name, tuple(wide), inp[:120]))
+    return findings
+
+
+def formatted_plan(df: DataFrame) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def audit_queries(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> tuple[list[Finding], list[str]]:
+    """Audit registered queries' plans under plan_only (full visibility).
+
+    Returns (findings, plan_errors). Graph-family fixpoint queries still
+    execute real jobs at plan-construction time (their loops converge by
+    running count()s); everything else is plan-only.
+    """
+    from pgcp_spark.registry import all_queries
+
+    qs = all_queries()
+    findings: list[Finding] = []
+    errors: list[str] = []
+    with plan_only():
+        for name, qry in qs.items():
+            if names is not None and name not in names:
+                continue
+            try:
+                df = qry.fn(spark, sf_dir)
+                plan = formatted_plan(df)
+            except Exception as exc:  # noqa: BLE001 — report, don't mask peers
+                errors.append(f"{name}: PLAN ERR {type(exc).__name__}: {exc}")
+                continue
+            findings.extend(audit_plan(name, plan))
+    return findings, errors

@@ -215,6 +215,7 @@ def _load_operator_modules() -> None:
     # Imports for side effect of @register decorators.
     import pgcp_spark.functions.corpus  # noqa: F401
     import pgcp_spark.functions.dedup  # noqa: F401
+    import pgcp_spark.functions.dedup_index  # noqa: F401
     import pgcp_spark.functions.graph  # noqa: F401
     import pgcp_spark.functions.multimodal  # noqa: F401
     import pgcp_spark.functions.pipeline  # noqa: F401

@@ -104,38 +104,70 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming state-store partition count. A stateful streaming query spins
 # up one state-store instance per shuffle partition AT FIRST RUN and keeps
 # that layout for the stream's lifetime (it is baked into the checkpoint).
-# Batch parallelism is the wrong default here: these windowed aggs hold
-# |windows × keys| ≈ 10³-10⁴ state rows, and 32 instances cost 2.5× the
-# query time in per-instance maintenance (measured: 3.36 s → 1.30 s at
-# sf0.1 going 32 → 8). Size state partitions to STATE CARDINALITY, not
-# input size — a production deployment with millions of keys raises this.
+# Batch parallelism is the wrong default here: state-store instance
+# maintenance (snapshot+commit per instance per batch) is the dominant
+# cost for small state, so partitions are sized to STATE CARDINALITY, not
+# input size (measured at sf0.1: 32 → 8 took the tumbling agg 3.36 s →
+# 1.30 s in round 3; the round-6 breakdown put ~70% of the remaining
+# batch in state commit, and 8 → 2 took the median 1.87 s → 0.58 s).
+# Per-query: the window aggs hold |windows × types| ≈ 10²-10³ state rows
+# (STREAM_PARTITIONS_SMALL_STATE); per-user/state-heavy queries (session,
+# stateful, dedup, stream-stream join) keep the larger default. A
+# production deployment with millions of keys raises both.
 STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+STREAM_PARTITIONS_SMALL_STATE = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS_SMALL", "2")
+)
+
+# Checkpoint base. Unset, Spark puts temp checkpoints under /tmp, which is
+# DISK-backed in this container — and the WAL + state snapshot fsyncs are
+# a fixed per-batch tax (measured: the 8-partition tumbling agg drops
+# 1.87 s → 0.89 s moving checkpoints to tmpfs). availableNow harness runs
+# are throwaway streams, so volatile-memory checkpoints are correct here;
+# a production deployment points this at durable storage and pays the
+# fsync for exactly-once recovery.
+_SHM = "/dev/shm"
+STREAM_CHECKPOINT_BASE = os.environ.get(
+    "SPARK_GRAFT_STREAM_CKPT",
+    os.path.join(_SHM, "pgcp_stream_ckpt") if os.path.isdir(_SHM) else "",
+)
 
 
 @contextmanager
-def _stream_partitions(spark: SparkSession):
+def _stream_partitions(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTITIONS):
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
-    spark.conf.set(key, str(STREAM_SHUFFLE_PARTITIONS))
+    spark.conf.set(key, str(n))
     try:
         yield
     finally:
         spark.conf.set(key, old)
 
 
-def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
+def _run_to_memory(
+    agg: DataFrame, mode: str, partitions: int = STREAM_SHUFFLE_PARTITIONS
+) -> DataFrame:
     """Execute the streaming plan to completion into a memory sink and
-    return the materialized table."""
+    return the materialized table. ``partitions`` sizes the state-store
+    layout for the query's state cardinality (see constants above)."""
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    with _stream_partitions(agg.sparkSession):
-        q = (
+    with _stream_partitions(agg.sparkSession, partitions):
+        writer = (
             agg.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
             .trigger(availableNow=True)
-            .start()
         )
+        if STREAM_CHECKPOINT_BASE:
+            writer = writer.option(
+                "checkpointLocation", os.path.join(STREAM_CHECKPOINT_BASE, name)
+            )
+        q = writer.start()
         q.awaitTermination()
+    if STREAM_CHECKPOINT_BASE:
+        import shutil
+
+        shutil.rmtree(os.path.join(STREAM_CHECKPOINT_BASE, name), ignore_errors=True)
     return agg.sparkSession.table(name)
 
 
@@ -162,7 +194,9 @@ def streaming_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
         )
     )
-    return _run_to_memory(agg, "complete").orderBy("window_start", "event_type")
+    return _run_to_memory(agg, "complete", STREAM_PARTITIONS_SMALL_STATE).orderBy(
+        "window_start", "event_type"
+    )
 
 
 @register(
@@ -189,7 +223,7 @@ def streaming_sliding_window_value(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
-    return _run_to_memory(agg, "complete").orderBy("window_start")
+    return _run_to_memory(agg, "complete", STREAM_PARTITIONS_SMALL_STATE).orderBy("window_start")
 
 
 @register(
@@ -254,7 +288,7 @@ def streaming_static_join_segment_value(spark: SparkSession, sf_dir: str) -> Dat
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
     )
-    return _run_to_memory(agg, "complete").orderBy("c_mktsegment")
+    return _run_to_memory(agg, "complete", STREAM_PARTITIONS_SMALL_STATE).orderBy("c_mktsegment")
 
 
 @register(
@@ -437,7 +471,7 @@ def streaming_append_finalized_windows(spark: SparkSession, sf_dir: str) -> Data
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
-    return _run_to_memory(agg, "append").orderBy("window_start")
+    return _run_to_memory(agg, "append", STREAM_PARTITIONS_SMALL_STATE).orderBy("window_start")
 
 
 @register(

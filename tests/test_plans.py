@@ -298,6 +298,19 @@ def test_funnel_steps_join_hash_based_no_nested_loop(spark):
     assert not ex.has_nested_loop_join(df)
 
 
+def test_funnel_step_builds_join_hash_based_pre_checkpoint(spark):
+    # the s2/s3 STEP-BUILD joins normally execute inside checkpoint jobs,
+    # so the previous pin could only see the last one; under plan_only the
+    # whole cascade is one plan — both step-build joins plus the final
+    # count branches must be hash-family, never nested-loop.
+    from pgcp_spark.plans.materialize import plan_only
+
+    with plan_only():
+        df = q("funnel_view_click_purchase", spark)
+        assert ex.simple_plan(df).count("BroadcastHashJoin") >= 2
+        assert not ex.has_nested_loop_join(df)
+
+
 def test_cohort_retention_hash_joins_only(spark):
     df = q("cohort_weekly_retention", spark)
     assert not ex.has_nested_loop_join(df)

@@ -25,7 +25,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-LSH_POINTS = [(4, 8), (8, 8), (16, 8)]  # (tables, planes); (8, 8) = production
+# (tables, planes, probes); (8, 8, 2) = production since round 6 — multi-probe
+# buys 16-table-class recall at 8-table hashing cost (see SCALE.md round-6)
+LSH_POINTS = [(4, 8, 1), (8, 8, 1), (16, 8, 1), (8, 8, 2), (8, 8, 3)]
 IVF_POINTS = [(16, 2), (16, 4), (16, 8)]  # (lists, nprobe); (16, 4) = production
 
 
@@ -69,15 +71,15 @@ def main() -> None:
         raise SystemExit("exact baselines returned nothing — wrong lake?")
 
     curve: dict[str, dict] = {}
-    for tables, planes in LSH_POINTS:
+    for tables, planes, probes in LSH_POINTS:
         got, sec = _timed(
-            lambda t=tables, p=planes: {
+            lambda t=tables, p=planes, q=probes: {
                 (r.vec_a, r.vec_b)
-                for r in lsh_pairs(spark, sf_dir, tables=t, planes=p).collect()
+                for r in lsh_pairs(spark, sf_dir, tables=t, planes=p, probes=q).collect()
             },
             runs,
         )
-        curve[f"lsh_t{tables}_p{planes}"] = {
+        curve[f"lsh_t{tables}_p{planes}_q{probes}"] = {
             "recall": round(len(got & exact_pairs) / len(exact_pairs), 4),
             "pairs": len(got),
             "sec": sec,
