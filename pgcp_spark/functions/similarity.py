@@ -96,6 +96,27 @@ def _vec_norm(side: str) -> F.Column:
     )
 
 
+def with_norm(df: DataFrame) -> DataFrame:
+    """Attach the vector's L2 norm as ``nrm`` — ONCE per vector, before
+    any candidate join. Per-pair scoring then divides by the carried
+    norms instead of re-folding both 64-element arrays per candidate —
+    the norm folds were 2/3 of the per-pair array work, and at the sf1
+    multi-probe point (19.8M candidates) hoisting them took the LSH
+    scoring stage from the dominant cost to a third of it (measured in
+    SCALE.md round 6). The expression tree is IDENTICAL to
+    ``_vec_norm`` evaluated per pair, so scores are bit-identical."""
+    return df.withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+
+
 @register(
     "sim_cosine_bruteforce_topk",
     oracle=f"""
@@ -185,6 +206,11 @@ def sim_cosine_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LSH_TABLES = 8  # independent hash tables (OR-amplification for recall)
 LSH_PLANES = 8  # sign bits per table (AND-amplification for precision)
+# Buckets probed per table (multi-probe, round 6): the production point is
+# 2 — measured at sf1, 8 tables × 2 probes gives recall 0.726 vs 0.669
+# for 16 tables × 1 probe, at 12.8 s vs 11.3 s wall and HALF the index
+# memory (probe rows are join-time ids, not stored signatures).
+LSH_PROBES = 2
 SIM_THRESHOLD = 0.4  # this corpus is random 64-dim (max pairwise cos ≈ 0.51)
 
 
@@ -279,35 +305,42 @@ def lsh_pairs(
     ).transform(materialize)
 
     base = bucketed.filter(F.col("is_probe") == 0).drop("is_probe")
-    if probes == 1:
-        # symmetric base-vs-base join: each unordered pair meets once
-        a, b = base.alias("a"), base.alias("b")
-        raw = a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-    else:
-        # asymmetric: one side keeps base buckets, the other also probes
-        # its flipped neighbors (collision ⇔ codes within hamming-1 of a
-        # probed bit). The a<b trick would silently drop the half of the
-        # probe collisions where the probing side has the smaller id, so
-        # orient with least/greatest and let the distinct collapse the
-        # double-counted base-base collisions — still an ids-only exchange.
-        a, b = base.alias("a"), bucketed.alias("b")
-        raw = a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        ).select(
-            F.least("a.vec_id", "b.vec_id").alias("vec_a"),
-            F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
+    # symmetric base-vs-base join: each unordered pair meets once
+    a, b = base.alias("a"), base.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.table_id") == F.col("b.table_id"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    if probes > 1:
+        # probe collisions come from a SEPARATE base-vs-probe-rows join
+        # (collision ⇔ codes within hamming-1 of a probed bit), unioned
+        # with the base-base join above. Joining base against the full
+        # (base ∪ probe) side instead would re-detect every base-base
+        # collision a second time — measured at the 50k-vector sf1 lake,
+        # that doubled shape costs 35.3 s vs 24.7 s for this split, same
+        # output. An a<b predicate here would drop the probe collisions
+        # where the probing side has the smaller id (hamming is
+        # symmetric, the probe rows are not), so orient with
+        # least/greatest; the exchange stays ids-only.
+        probe_rows = bucketed.filter(F.col("is_probe") == 1).drop("is_probe")
+        p = probe_rows.alias("b")
+        raw = raw.unionByName(
+            a.join(
+                p,
+                (F.col("a.table_id") == F.col("b.table_id"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") != F.col("b.vec_id")),
+            ).select(
+                F.least("a.vec_id", "b.vec_id").alias("vec_a"),
+                F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
+            )
         )
     pairs = raw.distinct()  # multi-table/multi-probe collisions collapse pre-score
-    ea, eb = e.alias("ea"), e.alias("eb")
-    cos = _pair_dot("ea", "eb") / (_vec_norm("ea") * _vec_norm("eb"))
+    en = with_norm(e)  # norms hoisted out of the per-pair scoring (see with_norm)
+    ea, eb = en.alias("ea"), en.alias("eb")
+    cos = _pair_dot("ea", "eb") / (F.col("ea.nrm") * F.col("eb.nrm"))
     return (
         pairs.join(ea, F.col("vec_a") == F.col("ea.vec_id"))
         .join(eb, F.col("vec_b") == F.col("eb.vec_id"))
@@ -324,12 +357,14 @@ def lsh_pairs(
 )
 def sim_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: multi-table sign-random-projection LSH (8 tables ×
-    8 hyperplanes). A vector lands in one bucket per table; candidate pairs
-    exist ONLY where some table's buckets collide, so pairwise work is
-    bucket-local — OR across tables buys recall, AND across bits precision.
-    Exact cosine for candidates is computed JVM-side (zip_with/aggregate).
-    """
-    return lsh_pairs(spark, sf_dir)
+    8 hyperplanes × 2-bucket multi-probe). A vector lands in one bucket
+    per table; candidate pairs exist ONLY where some table's buckets
+    collide — OR across tables buys recall, AND across bits precision,
+    and probing the lowest-margin flipped bucket buys 16-table-class
+    recall without 16-table index memory (measured curve in SCALE.md).
+    Exact cosine for candidates is computed JVM-side (zip_with/aggregate,
+    norms hoisted per vector)."""
+    return lsh_pairs(spark, sf_dir, probes=LSH_PROBES)
 
 
 IVF_LISTS = 16  # coarse-quantizer cells (≈ sqrt(corpus) at this scale)
@@ -412,7 +447,11 @@ def ivf_topk(
 
     from pyspark.sql import Window
 
-    q, c = probes.alias("q"), corpus.alias("c")
+    # norms hoisted out of per-candidate scoring (bit-identical; see
+    # with_norm). Both attachments are JVM-side row-local projections —
+    # the probe side's norm is computed AFTER mapInPandas so the
+    # arithmetic is the same JVM fold as the corpus side's.
+    q, c = with_norm(probes).alias("q"), with_norm(corpus).alias("c")
     scored = (
         q.join(
             c,
@@ -422,7 +461,9 @@ def ivf_topk(
         .select(
             F.col("q.vec_id").alias("vec_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            F.round(_pair_dot("q", "c") / (_vec_norm("q") * _vec_norm("c")), 6).alias("cos_sim"),
+            F.round(_pair_dot("q", "c") / (F.col("q.nrm") * F.col("c.nrm")), 6).alias(
+                "cos_sim"
+            ),
         )
         .dropDuplicates(["vec_id", "neighbor_id"])  # a neighbor can appear via 2 probes
     )

@@ -8,6 +8,34 @@ via the CTAS seam (postgres.rb:80-91). Spark-first design notes:
     this is the join to co-locate via bucketing; AQE handles skew splits.
   - The range join keeps an equi-conjunct (same orderkey) so Catalyst plans a
     sort-merge/hash join with a residual predicate instead of a BNLJ.
+
+Skew decision rule (measured — tools/skew_bench.py + the round-6 AQE pin in
+tests/test_edge_lakes.py; numbers in SCALE.md "manual salting on a hot
+key"). When a join key is hot, in order of preference:
+
+  1. **Broadcast the other side** if it fits executor memory: no shuffle on
+     the skewed side at all, skew becomes irrelevant.
+  2. **Rely on AQE skew-join** (the default path) when ALL of:
+       (a) the join is the top consumer of its shuffle — no co-partitioned
+           aggregation/window on the JOIN KEY directly above it (AQE
+           declines to split when the split would break a required child
+           distribution: measured, the join→same-key-agg plan got no
+           rescue while the bare join got 4.1×);
+       (b) the skewed side's shuffle has MANY map tasks — AQE splits a
+           reduce partition along map-output boundaries, so a single-file
+           (single-map) input is unsplittable no matter the thresholds
+           (measured: the round-6 pin only fires on the multi-file lake
+           layout); true for any real multi-file lake table;
+       (c) `skewedPartitionThresholdInBytes` is sized to real shuffle
+           partitions — the 256 MB default never fires at bench scale
+           (and quietly under-fires on compressed shuffles at any scale).
+  3. **Salt manually** (`join_salted_skew_events_per_user`'s pattern:
+     explode the dim side ×SALT_BUCKETS, spray the fact side) when (a)
+     fails — aggregation directly on the join key above the join — or when
+     the engine's runtime re-plan is unavailable (streaming joins, AQE
+     off). Salting is a 2.0× measured win on the bot-account shape and
+     scales with bucket count; its cost (dim replication) is why it is not
+     the default.
 """
 
 from __future__ import annotations

@@ -200,3 +200,64 @@ def test_skewed_lake_oracle_parity(spark, edge_lakes, name):
 
     q = all_queries()[name]
     compare(spark, f"{edge_lakes}/skewed", f"{name}@skewed", q.fn, q.oracle)
+
+
+@pytest.fixture(scope="session")
+def skewed_multifile_lake(spark, edge_lakes, tmp_path_factory) -> str:
+    """The skewed lake with events/orders re-laid-out as MULTI-FILE tables
+    (the real-lake layout). AQE's skew split works along map-output
+    boundaries, so a single-file table — one map task — is unsplittable no
+    matter how the thresholds are tuned; any production lake table has
+    many files. Everything else links to the original skewed lake."""
+    import os
+    import shutil
+
+    dest = str(tmp_path_factory.mktemp("skewed_multi"))
+    src = f"{edge_lakes}/skewed"
+    for t in os.listdir(src):
+        if t in ("events.parquet", "orders.parquet"):
+            spark.read.parquet(f"{src}/{t}").repartition(8).write.parquet(f"{dest}/{t}")
+        else:
+            shutil.copy(f"{src}/{t}", f"{dest}/{t}")
+    return dest
+
+
+def test_aqe_skew_join_rescues_range_join_hot_key(spark, skewed_multifile_lake):
+    """Pin rule 2 of the skew decision rule (operators/joins.py): on the
+    skewed lake's hot user/customer, the range join — whose aggregate is
+    on o_orderkey, NOT the join key, so no child-distribution conflict —
+    is rescued by AQE's runtime skew split once the thresholds track real
+    partition sizes (the 256 MB default never fires at this scale: also
+    part of the rule). Asserts the executed plan shows the split
+    (skew=true + AQEShuffleRead skewed) and the result is identical with
+    the rescue disabled."""
+    from pgcp_spark.registry import all_queries
+
+    q = all_queries()["join_range_events_near_order"]
+    conf = {
+        # no broadcast: model the dim-too-big case the rule is about
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        df = q.fn(spark, skewed_multifile_lake)
+        with_rescue = sorted(tuple(r) for r in df.collect())
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        without = sorted(
+            tuple(r) for r in q.fn(spark, skewed_multifile_lake).collect()
+        )
+        assert with_rescue == without and len(with_rescue) > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        for k, v in old.items():
+            spark.conf.set(k, v)

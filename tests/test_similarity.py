@@ -52,6 +52,42 @@ def test_lsh_recall_curve_lower_bounds(spark):
     assert recalls[16] >= 0.35, recalls
 
 
+def test_lsh_multiprobe_recall_dominates_more_tables(spark):
+    """Multi-probe floors (round 6): probing flipped neighbor buckets is
+    strictly additive (probe collisions union base collisions, so the
+    pair sets are nested in ``probes``), and the PRODUCTION point —
+    8 tables × 2 probes, what sim_cosine_lsh_pairs registers — must beat
+    the recall of doubling the tables, which is the whole argument for
+    multi-probe (16-table recall at 8-table index memory; sf1 curve in
+    SCALE.md: 0.726 vs 0.669)."""
+    from pgcp_spark.functions.dedup import dedup_embedding_cosine_pairs
+    from pgcp_spark.functions.similarity import lsh_pairs
+
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in dedup_embedding_cosine_pairs(spark, SF_DIR_CORRECTNESS).collect()
+    }
+    assert exact
+    got = {
+        probes: {
+            (r.vec_a, r.vec_b)
+            for r in lsh_pairs(spark, SF_DIR_CORRECTNESS, probes=probes).collect()
+        }
+        for probes in (1, 2, 3)
+    }
+    assert got[1] <= got[2] <= got[3], "probe nesting violated"
+    t16 = {
+        (r.vec_a, r.vec_b)
+        for r in lsh_pairs(spark, SF_DIR_CORRECTNESS, tables=16).collect()
+    }
+    recall = {k: len(v & exact) / len(exact) for k, v in got.items()}
+    recall_t16 = len(t16 & exact) / len(exact)
+    # measured at sf0.01: probes 0.305 / 0.547 / 0.648 vs 16-table 0.458
+    assert recall[2] >= recall_t16, (recall, recall_t16)
+    assert recall[2] >= 0.40, recall
+    assert recall[3] >= 0.50, recall
+
+
 def test_ivf_recall_curve_lower_bounds(spark):
     """Measured recall floors for the parameterized IVF surface: more
     probed cells must buy recall (same quantizer — k-means is seeded and
