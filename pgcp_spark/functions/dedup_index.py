@@ -99,8 +99,8 @@ def _batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
-    """Build + commit the dedup index from the already-ingested corpus.
+def build_index_from(spark: SparkSession, docs: DataFrame, index_dir: str) -> None:
+    """Build + commit the dedup index from a documents-shaped frame.
 
     One shingle pass feeds postings and the hot list; sizes derive from
     the COMMITTED postings parquet (read back, aggregate — zero
@@ -108,10 +108,9 @@ def build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     commits through the lake's atomic pointer swap, so a concurrent
     reader sees complete old or complete new tables, never halves.
     """
-    d = _indexed_corpus(spark, sf_dir)
-    write_snapshot(minhash_signatures(d), os.path.join(index_dir, "signatures"))
+    write_snapshot(minhash_signatures(docs), os.path.join(index_dir, "signatures"))
 
-    sh0 = materialize(doc_shingles_of(d))  # feeds hot + postings
+    sh0 = materialize(doc_shingles_of(docs))  # feeds hot + postings
     hot = (
         sh0.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -130,6 +129,57 @@ def build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     write_snapshot(sizes, os.path.join(index_dir, "sizes"))
 
 
+def build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Registered-query entry: build from the mod-BATCH_MOD indexed slice."""
+    build_index_from(spark, _indexed_corpus(spark, sf_dir), index_dir)
+
+
+def update_index(spark: SparkSession, batch: DataFrame, index_dir: str, keep: int = 2) -> None:
+    """Index maintenance: fold a just-deduped batch INTO the index so the
+    next batch dedups against it too — the daily upkeep step of the
+    production pipeline (dedup batch N against index, absorb batch N,
+    repeat). Copy-on-write through the lake layer:
+
+      - signatures/sizes: keyed MERGE (``lake.upsert`` on doc_id) — a
+        re-ingested doc replaces its old rows instead of duplicating;
+      - postings: append-shaped upsert keyed (shingle, doc_id), batch
+        shingles filtered through the CURRENT hot list first;
+      - hot_shingles: left as-is. The df cap is defined by the indexed
+        corpus at BUILD time; absorbing batches shifts true document
+        frequencies slowly, so production recomputes the hot list on a
+        rebuild cadence (weekly compaction), not per batch — documented
+        trade: a shingle that becomes hot between rebuilds costs extra
+        candidate pairs but never wrong results (verification is exact).
+    """
+    from pgcp_spark.sources.lake import upsert
+
+    upsert(
+        spark,
+        os.path.join(index_dir, "signatures"),
+        minhash_signatures(batch),
+        key=["doc_id"],
+        keep=keep,
+    )
+    hot_stored = read_current(spark, os.path.join(index_dir, "hot_shingles"))
+    batch_postings = materialize(
+        doc_shingles_of(batch).join(hot_stored, "shingle", "left_anti")
+    )
+    upsert(
+        spark,
+        os.path.join(index_dir, "postings"),
+        batch_postings,
+        key=["shingle", "doc_id"],
+        keep=keep,
+    )
+    upsert(
+        spark,
+        os.path.join(index_dir, "sizes"),
+        batch_postings.groupBy("doc_id").agg(F.count("*").alias("sz")),
+        key=["doc_id"],
+        keep=keep,
+    )
+
+
 def ensure_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the index iff this corpus version has none yet; return its dir."""
     index_dir = index_dir_for(sf_dir)
@@ -140,24 +190,25 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
-def batch_vs_index(spark: SparkSession, sf_dir: str, index_dir: str) -> DataFrame:
-    """Near-dup pairs between the new batch and the INDEXED corpus, with
-    the indexed side served entirely from the stored lake tables.
+def batch_vs_index_docs(
+    spark: SparkSession, batch_docs: DataFrame, index_dir: str
+) -> DataFrame:
+    """Near-dup pairs between a new batch frame and the INDEXED corpus,
+    with the indexed side served entirely from the stored lake tables.
 
     Plan shape: batch signatures are one row-local pass over the batch
-    slice (the doc_id % filter pushes to the parquet scan); the band join
-    is an ids-only equi-join on (band, bucket) — no a<b predicate needed,
-    the sides are disjoint by construction; verification restricts the
-    stored postings and the batch's shingles to CANDIDATE docs first
-    (semi-joins on narrow ids), so the exact-Jaccard work is bounded by
-    candidate count, not corpus size.
+    frame; the band join is an ids-only equi-join on (band, bucket) with
+    a doc_new ≠ doc_old guard (a no-op for disjoint batches, load-bearing
+    when re-running a batch already absorbed by ``update_index``);
+    verification restricts the stored postings and the batch's shingles
+    to CANDIDATE docs first (semi-joins on narrow ids), so the
+    exact-Jaccard work is bounded by candidate count, not corpus size.
     """
     sigs_stored = read_current(spark, os.path.join(index_dir, "signatures"))
     hot_stored = read_current(spark, os.path.join(index_dir, "hot_shingles"))
     postings = read_current(spark, os.path.join(index_dir, "postings"))
     sizes_old = read_current(spark, os.path.join(index_dir, "sizes"))
 
-    batch_docs = _batch(spark, sf_dir)
     batch_sigs = materialize(minhash_signatures(batch_docs))
 
     n = band_buckets(batch_sigs, INC_BANDS).alias("n")
@@ -165,12 +216,13 @@ def batch_vs_index(spark: SparkSession, sf_dir: str, index_dir: str) -> DataFram
     cand = materialize(
         n.join(
             o,
-            (F.col("n.band") == F.col("o.band")) & (F.col("n.bucket") == F.col("o.bucket")),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bucket") == F.col("o.bucket"))
+            & (F.col("n.doc_id") != F.col("o.doc_id")),
         )
         .select(F.col("n.doc_id").alias("doc_new"), F.col("o.doc_id").alias("doc_old"))
         .distinct()
     )
-
     # exact verification over the capped shingle universe (df computed on
     # the INDEXED corpus — the index defines the universe; a batch shingle
     # unseen by the index has df_old = 0 and counts)
@@ -207,6 +259,11 @@ def batch_vs_index(spark: SparkSession, sf_dir: str, index_dir: str) -> DataFram
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_new", "doc_old")
     )
+
+
+def batch_vs_index(spark: SparkSession, sf_dir: str, index_dir: str) -> DataFrame:
+    """Registered-query entry: dedup the mod-BATCH_MOD batch slice."""
+    return batch_vs_index_docs(spark, _batch(spark, sf_dir), index_dir)
 
 
 @register(

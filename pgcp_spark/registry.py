@@ -50,113 +50,93 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # come first; entries already re-proven in a recent round's
 # CORRECTNESS_r{N}.json rotate to the back.
 #
-# Round-5 window (freshness rotation, per the round-4 verdict): after r4,
-# all registered queries were driver-checked at least once (r1∪r2∪r3∪r4),
-# so this window eliminates STALENESS — every entry whose implementation
-# (function body or in-module callee, per-function git history) changed
-# after its latest driver row gets a fresh row, then the remaining slots
-# re-prove the queries with the oldest rows.  Composition:
-#   * 2 changed in round 5 itself (floor-based stream-stream bucketing;
-#     the capped Jaccard query whose module hosts the round-5 quarantine
-#     of the uncapped exact generator — see functions/dedup.py).
-#   * 14 stale from rounds 2-4: the six streaming queries whose shared
-#     source/sink helpers changed in the r4 skew hardening but that did
-#     not fit the r4 window (incl. rollup_cascade_events_daily, which the
-#     r4 window displaced), plus function-level stragglers whose bodies
-#     changed after their last row (sim_label_profile, band join,
-#     partsupp revenue, hash-threshold sampling, TF-IDF).  Three of these
-#     (SimHash, LSH, IVF) are rows-only by design — xxhash64 signatures
-#     have no DuckDB twin, so `err: no_oracle` rows are the ONLY driver
-#     evidence they can ever receive; their value evidence is the recall/
-#     invariant tests plus the measured sf1 recall curves in SCALE.md.
-#     Window arithmetic is therefore 47 hash-green-capable + 3 structural
-#     rows-only.
-#   * 26 never re-proven since round 1 (oldest rows; the one other
-#     r1-row query, agg_approx_distinct_customers, is rows-only AND
-#     unchanged since r1, so a new row would add nothing — excluded).
-#   * 8 r2-row queries from modules touched in round 4.
-# Everything outside the window has a driver row from r3/r4 that is no
-# older than its implementation, plus mimic evidence at sf0.01/sf0.1/sf1
-# and on the five adversarial lakes (COVERAGE.md).
+# Round-6 window. The staleness invariant (no entry's driver row predates
+# its current implementation) has priority, so the 30 queries whose
+# implementation changed in round 6 come first:
+#   * the materialization seam (localCheckpoint → plans/materialize) and
+#     the shared-helper extraction touched the bodies or in-module
+#     callees of: the dedup family (minhash/simhash/capped/embedding +
+#     the graph family built on capped_jaccard_pairs), the four
+#     materialized text aggregations (+ TF-IDF's COUNT(DISTINCT doc_id)
+#     semantics fix), the five materialized analytics queries, and q21;
+#   * every streaming query: the shared runner gained per-query
+#     state-partition sizing + tmpfs checkpoints;
+#   * the ANN surface: multi-probe LSH (new production point 8t × 2p)
+#     and hoisted-norm scoring (LSH + IVF — bit-identical scores, so
+#     these rows should reproduce their r5 values exactly);
+#   * dedup_incremental_batch_vs_index is NEW (never driver-checked):
+#     the lake-persisted signature-index query, hash-green-capable.
+#   Four of the changed set (SimHash, MinHash, LSH, IVF) are rows-only
+#   by design — xxhash64/k-means signatures have no DuckDB twin; their
+#   value evidence is the recall floors + the sf1 curves in SCALE.md.
+#   Window arithmetic: 46 hash-green-capable + 4 structural rows-only.
+# The remaining 20 slots re-prove the OLDEST rows (round-4 verdict
+# instruction #3): text_winnow_fingerprints (the last r1 row — its code
+# is unchanged since r1, old-but-valid, displaced from the r5 window)
+# and the 19 r2-row TPC-H q-series queries. Still excluded:
+# agg_approx_distinct_customers (rows-only AND unchanged since its r1
+# row — a new row adds nothing, same rationale as r5). Everything else
+# outside the window holds an r3-r5 row no older than its
+# implementation, plus the full mimic matrix (COVERAGE.md).
 _AUDIT_PRIORITY: list[str] = [
-    # --- changed in round 5 ---
-    "streaming_stream_stream_join_click_purchase",
-    "dedup_jaccard_hot_shingle_capped",
-    # late-round-5 changes: the ids-only MinHash band join, the
-    # limit(cap+1) brute-force guard fold, and the single-materialization
-    # rewrites of the three multi-pass text aggregations (TF-IDF was
-    # already in the stale list below). Pinning them displaces the FIVE
-    # lowest-priority window entries (window_rank_dense_rank_suppliers,
-    # window_ntile_customer_value, window_top3_orders_per_customer,
-    # q20_promotion_supplier_candidates, q13_customer_order_distribution
-    # — r2 rows that postdate their last code change, their modules
-    # re-proven by r4 driver rows and the full r5 mimic matrix).
+    # --- changed in round 6: never-checked first ---
+    "dedup_incremental_batch_vs_index",
+    # dedup + graph (seam, shared helpers, capped-pairs callee)
     "dedup_minhash_lsh_candidates",
-    "sim_cosine_bruteforce_topk",
+    "dedup_simhash_pairs",
+    "dedup_jaccard_hot_shingle_capped",
+    "dedup_embedding_cosine_pairs",
+    "graph_connected_dup_clusters",
+    "graph_pagerank_dup_docs",
+    "dedup_cluster_canonical",
+    # ANN surface (multi-probe + hoisted norms)
+    "sim_cosine_lsh_pairs",
+    "sim_cosine_ivf_topk",
+    # text materializations (+ TF-IDF n_docs semantics fix)
+    "text_tfidf_top_terms",
     "text_source_token_entropy",
     "text_bigram_lift_top",
     "text_rarity_score",
-    # ...and the cascading-rescan fixes (funnel step tables, cohort's
-    # derived first-seen, chi-square's materialized grid, mix-rebalance's
-    # histogram), displacing q9/q11/q12 and text_winnow_fingerprints —
-    # the first r1-row displacement this round, justified because winnow's
-    # code is UNCHANGED since its green row (old-but-valid) while these
-    # four changed in round 5 (the staleness invariant has priority).
+    "text_repeated_span_pairs",
+    # analytics materializations
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
     "analytics_chisq_segment_event_type",
-    "corpus_mix_rebalance",
-    # --- stale: implementation changed after latest driver row ---
+    "anomaly_hourly_event_zscore",
+    "markov_event_type_transitions",
+    # tpch2 (seam in the q21 self-join aggregate)
+    "q21_sole_late_supplier",
+    # streaming (shared runner: per-query state partitions + tmpfs ckpt)
+    "streaming_tumbling_event_counts",
     "streaming_sliding_window_value",
     "streaming_session_windows",
     "streaming_static_join_segment_value",
-    "rollup_cascade_events_daily",
+    "streaming_stateful_user_stats",
+    "streaming_dedup_user_event_types",
     "streaming_append_finalized_windows",
+    "streaming_stream_stream_join_click_purchase",
     "streaming_foreach_batch_lake_upsert",
-    "sim_label_profile",
-    "sim_cosine_lsh_pairs",
-    "sim_cosine_ivf_topk",
-    "dedup_simhash_pairs",
-    "join_band_time_bucketed",
-    "join_partsupp_revenue",
-    "sample_hash_threshold_events",
-    "text_tfidf_top_terms",
-    # --- oldest driver rows: round 1, never since re-proven ---
-    "agg_avg_order_gap_days",
-    "agg_collect_sorted_priorities",
-    "agg_distinct_parts_per_supplier",
-    "agg_having_big_customers",
-    "agg_histogram_order_value",
-    "agg_orders_by_status_priority",
-    "dedup_exact_documents",
-    "join_anti_parts_never_shipped",
-    "join_cross_grid_nation_priority",
-    "join_customer_nation_region",
-    "join_full_outer_supplier_part_usage",
-    "join_left_outer_order_counts",
-    "join_range_events_near_order",
-    "join_semi_customers_with_urgent_orders",
-    "multimodal_format_detect",
-    "multimodal_frame_sample",
-    "multimodal_payload_stats",
-    "sample_stratified_documents",
-    "scalar_posexplode_tokens",
-    "sql_api_yearly_revenue",
-    "text_fingerprint_groups",
-    "text_langid_markers",
-    "text_quality_score",
-    "text_source_lang_profile",
-    "text_token_stats",
+    # --- oldest rows: the last r1 row, then the 19 r2-row q-series ---
     "text_winnow_fingerprints",
-    # --- round-2 driver rows in modules touched during round 4 ---
+    "q2_cheapest_part_per_type",
+    "q4_priority_with_late_line",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_pair_volume",
+    "q8_market_share",
     "q9_product_type_profit",
+    "q10_returned_items",
     "q11_important_part_value",
     "q12_late_shipment_priority",
     "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_revenue_supplier",
+    "q16_brand_supplier_counts_not_in",
+    "q17_small_quantity_order_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_join_revenue",
     "q20_promotion_supplier_candidates",
-    "window_top3_orders_per_customer",
-    "window_rank_dense_rank_suppliers",
-    "window_ntile_customer_value",
+    "q22_idle_rich_customers",
 ]
 
 

@@ -120,3 +120,50 @@ def test_build_then_direct_batch_query(spark, tmp_path):
     rows = batch_vs_index(spark, SF_DIR, index_dir).collect()
     assert all(r.doc_new % BATCH_MOD == 0 and r.doc_old % BATCH_MOD != 0 for r in rows)
     assert all(r.jaccard >= 0.3 for r in rows)
+
+
+def test_rolling_ingest_update_index_absorbs_batches(spark, tmp_path):
+    """The full daily loop: build from day-1 docs, dedup day-2 against the
+    index, ABSORB day-2 (update_index: lake upserts), dedup day-3 — day-3
+    must now find pairs against BOTH day-1 and day-2 docs, and re-running
+    an absorbed batch must not emit self-pairs (the ≠ guard)."""
+    from pyspark.sql import functions as F
+
+    from pgcp_spark.functions.dedup_index import (
+        batch_vs_index_docs,
+        build_index_from,
+        update_index,
+    )
+    from pgcp_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    day1 = docs.filter(F.col("doc_id") % 3 == 1)
+    day2 = docs.filter(F.col("doc_id") % 3 == 2)
+    day3 = docs.filter(F.col("doc_id") % 3 == 0)
+    index_dir = str(tmp_path / "idx")
+
+    build_index_from(spark, day1, index_dir)
+    d2_pairs = batch_vs_index_docs(spark, day2, index_dir).collect()
+    assert all(r.doc_old % 3 == 1 for r in d2_pairs)  # index = day1 only
+
+    update_index(spark, day2, index_dir)
+    # an absorbed batch re-run: no self-pairs, and its day1 pairs persist
+    d2_rerun = batch_vs_index_docs(spark, day2, index_dir).collect()
+    assert all(r.doc_new != r.doc_old for r in d2_rerun)
+    assert {(r.doc_new, r.doc_old) for r in d2_rerun} >= {
+        (r.doc_new, r.doc_old) for r in d2_pairs
+    }
+
+    d3_pairs = batch_vs_index_docs(spark, day3, index_dir).collect()
+    olds = {r.doc_old % 3 for r in d3_pairs}
+    # the sf0.001 corpus has near-dups spread across the mod-3 slices, so
+    # day 3 should hit both generations of the index
+    assert olds == {1, 2}, d3_pairs
+
+    # absorbing must be idempotent at the snapshot level: a second
+    # update_index of the same batch replaces rather than duplicates
+    update_index(spark, day2, index_dir)
+    from pgcp_spark.sources.lake import read_current
+
+    sigs = read_current(spark, f"{index_dir}/signatures")
+    assert sigs.groupBy("doc_id").count().filter("count > 1").count() == 0
