@@ -1,4 +1,4 @@
-"""Incremental dedup against a lake-persisted MinHash signature index.
+"""Incremental dedup against a lake-persisted index (postings + MinHash).
 
 Every one-shot dedup query recomputes signatures from the full corpus; a
 production 100 TB pipeline cannot — it dedups TODAY'S batch against an
@@ -16,21 +16,29 @@ zero times. This module is that shape, built on the existing lake layer
     sizes/         (doc_id, sz)                capped shingle count/doc
     hot_shingles/  (shingle)                   the dropped hot shingles
 
-  **Batch-vs-index query** (every run): signatures for the NEW batch only
-  are computed fresh; candidates come from an LSH band equi-join of the
-  batch's band buckets against the STORED signatures' buckets (ids-only
-  exchange, the round-5 discipline); candidates are then verified with
-  EXACT capped Jaccard using the STORED postings/sizes — the old corpus
-  text is never re-read, let alone re-shingled.
+  **Exact batch-vs-index query** (the registered, oracle-checked path):
+  the new batch's shingles (hot-filtered through the stored hot list)
+  join the STORED postings — the same inverted-index join as the one-shot
+  capped query, but with the old side precomputed, so the indexed corpus
+  is never re-read, let alone re-shingled. Recall is 1.0 BY CONSTRUCTION
+  (every co-shingling pair meets in the join), and the df cap bounds
+  every shingle bucket at ≤ HOT_SHINGLE_DF_CAP stored docs — the
+  skew-proof shape, now with the build cost amortized across batches.
 
-Banding for the incremental path is 16 bands × 2 rows (vs the one-shot
-query's 8 × 4): the output contract here is exact-verified pairs, so
-banding is purely a candidate pruner and is tuned for recall — a true
-pair at jaccard j is missed with probability (1-j²)^16, ≤ 1.1e-7 at the
-j ≥ 0.8 this corpus's real near-dups sit at (verified equal to the
-exhaustive oracle on every test lake; a production corpus with many pairs
-NEAR the 0.3 threshold would raise bands further — at j = 0.3 the miss
-probability is 0.22, which is what the one-shot capped query is for).
+  **MinHash band candidates** (``batch_vs_index_minhash_candidates``,
+  the sub-quadratic scale path): band-join the batch's band buckets
+  against the STORED signatures' buckets (ids-only exchange). This is
+  APPROXIMATE — signatures hash the RAW shingle set while the exact
+  Jaccard above scores the CAPPED universe, and a pair can be
+  threshold-high in the capped universe while near-zero in raw Jaccard.
+  The round-6 sf1 sweep measured exactly that divergence: on the
+  10×-replicated lake, banding recalled only 700 of the 43,900
+  capped-exact pairs (borderline shingles inflate capped Jaccard;
+  replication-shared boilerplate deflates the raw signature agreement).
+  So the band path carries a RECALL contract (floors in
+  tests/test_dedup_index.py, like LSH/IVF), never an exactness one —
+  use it when even the df-capped postings join is too much corpus² and
+  approximate recall is the accepted trade; tune bands to the corpus.
 
 The "new batch" is the deterministic slice doc_id % BATCH_MOD == 0 (a
 stand-in for today's crawl); everything else is the indexed corpus.
@@ -181,7 +189,15 @@ def update_index(spark: SparkSession, batch: DataFrame, index_dir: str, keep: in
 
 
 def ensure_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build the index iff this corpus version has none yet; return its dir."""
+    """Build the index iff this corpus version has none yet; return its dir.
+
+    Concurrency contract: SINGLE WRITER per index dir — the lake layer's
+    pointer commit is atomic per table, but a concurrent builder's GC can
+    reap another builder's not-yet-committed snapshot dir as a crash
+    orphan. Readers are always safe (they resolve the committed pointer);
+    production serializes builds/updates behind its scheduler, the same
+    discipline every lock-service-free lakehouse table needs.
+    """
     index_dir = index_dir_for(sf_dir)
     if any(
         current_snapshot(os.path.join(index_dir, t)) is None for t in _SUBTABLES
@@ -193,55 +209,37 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
 def batch_vs_index_docs(
     spark: SparkSession, batch_docs: DataFrame, index_dir: str
 ) -> DataFrame:
-    """Near-dup pairs between a new batch frame and the INDEXED corpus,
-    with the indexed side served entirely from the stored lake tables.
+    """EXACT near-dup pairs between a new batch frame and the INDEXED
+    corpus, with the indexed side served entirely from the stored lake
+    tables (zero re-reads of the old corpus).
 
-    Plan shape: batch signatures are one row-local pass over the batch
-    frame; the band join is an ids-only equi-join on (band, bucket) with
-    a doc_new ≠ doc_old guard (a no-op for disjoint batches, load-bearing
-    when re-running a batch already absorbed by ``update_index``);
-    verification restricts the stored postings and the batch's shingles
-    to CANDIDATE docs first (semi-joins on narrow ids), so the
-    exact-Jaccard work is bounded by candidate count, not corpus size.
+    Candidates ARE the inverted-index join: batch shingles (hot-filtered
+    through the stored hot list — the index defines the capped universe;
+    a batch shingle unseen by the index has df_old = 0 and counts) join
+    the stored postings on shingle. Recall 1.0 by construction; the df
+    cap bounds each shingle's stored bucket at ≤ HOT_SHINGLE_DF_CAP docs,
+    so the join is skew-proof regardless of batch content. The
+    doc_new ≠ doc_old guard is a no-op for disjoint batches and
+    load-bearing when a batch already absorbed by ``update_index`` is
+    re-run. The batch's shingle frame is materialized once — it feeds
+    both the join and the batch-size aggregate.
     """
-    sigs_stored = read_current(spark, os.path.join(index_dir, "signatures"))
     hot_stored = read_current(spark, os.path.join(index_dir, "hot_shingles"))
     postings = read_current(spark, os.path.join(index_dir, "postings"))
     sizes_old = read_current(spark, os.path.join(index_dir, "sizes"))
 
-    batch_sigs = materialize(minhash_signatures(batch_docs))
-
-    n = band_buckets(batch_sigs, INC_BANDS).alias("n")
-    o = band_buckets(sigs_stored, INC_BANDS).alias("o")
-    cand = materialize(
-        n.join(
-            o,
-            (F.col("n.band") == F.col("o.band"))
-            & (F.col("n.bucket") == F.col("o.bucket"))
-            & (F.col("n.doc_id") != F.col("o.doc_id")),
-        )
-        .select(F.col("n.doc_id").alias("doc_new"), F.col("o.doc_id").alias("doc_old"))
-        .distinct()
+    batch_sh = materialize(
+        doc_shingles_of(batch_docs).join(hot_stored, "shingle", "left_anti")
     )
-    # exact verification over the capped shingle universe (df computed on
-    # the INDEXED corpus — the index defines the universe; a batch shingle
-    # unseen by the index has df_old = 0 and counts)
-    batch_sh = doc_shingles_of(batch_docs).join(hot_stored, "shingle", "left_anti")
-    batch_sh_c = batch_sh.join(
-        cand.select(F.col("doc_new").alias("doc_id")).distinct(), "doc_id", "semi"
-    )
-    sz_new = batch_sh_c.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    postings_c = postings.join(
-        cand.select(F.col("doc_old").alias("doc_id")).distinct(), "doc_id", "semi"
-    )
+    sz_new = batch_sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
-        batch_sh_c.alias("bn")
-        .join(postings_c.alias("po"), F.col("bn.shingle") == F.col("po.shingle"))
+        batch_sh.alias("bn")
+        .join(postings.alias("po"), F.col("bn.shingle") == F.col("po.shingle"))
+        .filter(F.col("bn.doc_id") != F.col("po.doc_id"))
         .groupBy(
             F.col("bn.doc_id").alias("doc_new"), F.col("po.doc_id").alias("doc_old")
         )
         .agg(F.count("*").alias("n_shared"))
-        .join(cand, ["doc_new", "doc_old"])  # candidates only
     )
     jac = F.col("n_shared").cast("double") / (
         F.col("sz_new") + F.col("sz_old") - F.col("n_shared")
@@ -257,6 +255,55 @@ def batch_vs_index_docs(
         )
         .select("doc_new", "doc_old", "n_shared", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_new", "doc_old")
+    )
+
+
+def batch_vs_index_minhash_candidates(
+    spark: SparkSession, batch_docs: DataFrame, index_dir: str, bands: int = INC_BANDS
+) -> DataFrame:
+    """APPROXIMATE near-dup candidates: band-join the batch's MinHash band
+    buckets against the STORED signatures — the sub-quadratic scale path
+    when even the df-capped postings join is too much corpus².
+
+    Returns (doc_new, doc_old, est_jaccard ≥ JACCARD_THRESHOLD) where
+    est_jaccard is the signature agreement fraction. RECALL contract,
+    not exactness (module docstring: raw-universe signatures vs
+    capped-universe Jaccard diverge on boilerplate-heavy corpora —
+    measured floors in tests/test_dedup_index.py). Shuffle shape: the
+    exploded band join carries ids only; signatures re-attach to the
+    distinct'd candidate set (the round-5 discipline).
+    """
+    from pgcp_spark.functions.dedup import MINHASH_K
+
+    sigs_stored = read_current(spark, os.path.join(index_dir, "signatures"))
+    batch_sigs = materialize(minhash_signatures(batch_docs))
+
+    n = band_buckets(batch_sigs, bands).alias("n")
+    o = band_buckets(sigs_stored, bands).alias("o")
+    cand = (
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bucket") == F.col("o.bucket"))
+            & (F.col("n.doc_id") != F.col("o.doc_id")),
+        )
+        .select(F.col("n.doc_id").alias("doc_new"), F.col("o.doc_id").alias("doc_old"))
+        .distinct()
+    )
+    sn = batch_sigs.select(F.col("doc_id").alias("doc_new"), F.col("sig").alias("sig_n"))
+    so = sigs_stored.select(F.col("doc_id").alias("doc_old"), F.col("sig").alias("sig_o"))
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_n", "sig_o", lambda x, y: x == y), lambda m: m)
+        ).cast("double")
+        / MINHASH_K
+    )
+    return (
+        cand.join(sn, "doc_new")
+        .join(so, "doc_old")
+        .select("doc_new", "doc_old", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_new", "doc_old")
     )
 
@@ -298,17 +345,20 @@ ORDER BY doc_new, doc_old
 """,
 )
 def dedup_incremental_batch_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup a new batch against the lake-persisted signature index: LSH
-    band candidates (batch vs STORED signatures) verified with exact
-    capped Jaccard from the STORED postings — the daily-ingest shape of a
-    100 TB dedup pipeline. The index is built once per corpus version
-    (``ensure_index``); reruns reuse it untouched (pinned by
-    tests/test_dedup_index.py).
+    """Dedup a new batch against the lake-persisted index: the batch's
+    shingles join the STORED postings (exact capped Jaccard, stored
+    sizes) — the daily-ingest shape of a 100 TB dedup pipeline, with the
+    indexed corpus read zero times per batch. The index is built once per
+    corpus version (``ensure_index``); reruns reuse it untouched (pinned
+    by tests/test_dedup_index.py).
 
     The oracle is the exhaustive capped-Jaccard join restricted to
-    new-vs-old pairs; equality additionally proves banding recall 1.0 on
-    this lake's true pairs (see module docstring for the miss-probability
-    math and where that claim stops generalizing).
+    new-vs-old pairs — equal BY CONSTRUCTION at any scale (the query is
+    that computation with the old side precomputed; verified through the
+    full lake matrix incl. the 10×-replicated sf1 lake, whose 43,900-pair
+    result is what disqualified the earlier MinHash-pruned hybrid — see
+    the module docstring and ``batch_vs_index_minhash_candidates`` for
+    the approximate scale path and its recall contract).
     """
     index_dir = ensure_index(spark, sf_dir)
     return batch_vs_index(spark, sf_dir, index_dir)

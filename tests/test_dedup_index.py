@@ -98,6 +98,33 @@ def test_equals_full_corpus_pairs_restricted_to_new_vs_old(spark, index_root):
     )
 
 
+def test_minhash_band_path_reuses_stored_signatures_with_recall(spark, index_root):
+    """The approximate band path must (a) serve the STORED signatures
+    untouched — snapshot identity across the call — and (b) recall the
+    strong near-dups the exact path finds (this lake's true pairs sit at
+    jaccard ≥ 0.8, where 16×2 banding misses with p ≤ 1e-7; the sf1
+    replicated lake is the documented counterexample for
+    threshold-adjacent pairs, which is why this path carries a recall
+    contract instead of an oracle)."""
+    from pgcp_spark.functions.dedup_index import batch_vs_index_minhash_candidates
+
+    index_dir = ensure_index(spark, SF_DIR)
+    snap = current_snapshot(os.path.join(index_dir, "signatures"))
+    batch = DI._batch(spark, SF_DIR)
+    approx = {
+        (r.doc_new, r.doc_old)
+        for r in batch_vs_index_minhash_candidates(spark, batch, index_dir).collect()
+    }
+    assert current_snapshot(os.path.join(index_dir, "signatures")) == snap
+    exact = {
+        (r.doc_new, r.doc_old)
+        for r in dedup_incremental_batch_vs_index(spark, SF_DIR).collect()
+    }
+    assert exact, "test lake should contain new-vs-old near-dups"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, (recall, len(approx), len(exact))
+
+
 def test_stale_corpus_gets_fresh_index_dir(tmp_path, index_root):
     """A regenerated lake under the same path must fingerprint to a new
     index dir (content-version keying — a stale index can never serve a
