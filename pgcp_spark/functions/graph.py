@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgcp_spark.functions.dedup import CAPPED_PAIRS_CTE, capped_jaccard_pairs
-from pgcp_spark.plans.materialize import materialize
+from pgcp_spark.plans.materialize import materialize, materialize_loop
 from pgcp_spark.registry import register
 
 # The edge source is the PRODUCTION df-capped pair generator (shingles with
@@ -74,7 +74,7 @@ def connected_labels(edges: DataFrame) -> DataFrame:
                     "label"
                 ),
             )
-            .transform(materialize)
+            .transform(materialize_loop)  # loop state: MUST truncate lineage
         )
         changed = (
             new_labels.alias("n")
@@ -206,7 +206,7 @@ def graph_pagerank_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + PR_DAMPING * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .transform(materialize)
+            .transform(materialize_loop)  # loop state: MUST truncate lineage
         )
 
     return (

@@ -69,17 +69,22 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #   Four of the changed set (SimHash, MinHash, LSH, IVF) are rows-only
 #   by design — xxhash64/k-means signatures have no DuckDB twin; their
 #   value evidence is the recall floors + the sf1 curves in SCALE.md.
-#   Window arithmetic: 46 hash-green-capable + 4 structural rows-only.
-# The remaining 20 slots re-prove the OLDEST rows (round-4 verdict
+#   Window arithmetic: 47 hash-green-capable + 4 structural rows-only
+#   (streaming_ingest_dedup_decisions is also NEW and never checked:
+#   the streaming crawl-ingest loop over the persisted index, oracle-
+#   backed — it takes the front slot and displaces q22 to just past the
+#   window edge; q22's r2 row stays valid, its code unchanged).
+# The remaining 19 slots re-prove the OLDEST rows (round-4 verdict
 # instruction #3): text_winnow_fingerprints (the last r1 row — its code
 # is unchanged since r1, old-but-valid, displaced from the r5 window)
-# and the 19 r2-row TPC-H q-series queries. Still excluded:
+# and the r2-row TPC-H q-series queries. Still excluded:
 # agg_approx_distinct_customers (rows-only AND unchanged since its r1
 # row — a new row adds nothing, same rationale as r5). Everything else
 # outside the window holds an r3-r5 row no older than its
 # implementation, plus the full mimic matrix (COVERAGE.md).
 _AUDIT_PRIORITY: list[str] = [
     # --- changed in round 6: never-checked first ---
+    "streaming_ingest_dedup_decisions",
     "dedup_incremental_batch_vs_index",
     # dedup + graph (seam, shared helpers, capped-pairs callee)
     "dedup_minhash_lsh_candidates",
@@ -216,5 +221,6 @@ def _load_operator_modules() -> None:
     import pgcp_spark.operators.udfs  # noqa: F401
     import pgcp_spark.operators.windows  # noqa: F401
     import pgcp_spark.streaming.events  # noqa: F401
+    import pgcp_spark.streaming.ingest_dedup  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,291 @@
+"""Streaming ingest dedup: the full production crawl-ingest loop.
+
+Composes the round-6 lake-persisted dedup index
+(``functions/dedup_index.py``) with Structured Streaming into the shape a
+100 TB training-data pipeline actually runs: documents arrive as a
+stream of crawl batches; each micro-batch is deduped against everything
+seen before it (the persisted index), per-doc keep/drop decisions are
+committed to a lake table, and the batch is folded into the index so the
+NEXT batch dedups against it too.
+
+    readStream(files) ──► foreachBatch:
+        pairs   = batch shingles ⋈ STORED postings   (exact capped Jaccard)
+                ∪ within-batch earlier-doc pairs      (same universe)
+        decide  = kept ⇔ zero matches against anything EARLIER
+        commit  = decisions → lake upsert; update_index(batch)
+
+Design decisions that make this production-shaped rather than demo-shaped:
+
+- **Decisions are independent of micro-batch boundaries.** A doc's stream
+  position is ``(seq, doc_id)`` derived from the DATA (seq = which crawl
+  day the doc belongs to), not from Spark's batch_id — "earlier" means
+  strictly smaller (seq, doc_id). If the file source coalesces two crawl
+  days into one micro-batch (availableNow does this when it falls
+  behind), the within-batch path applies the same ordering rule, so the
+  kept/dropped output is IDENTICAL under any trigger granularity. This
+  is what makes the result deterministic — and SQL-expressible as a
+  non-recursive oracle.
+- **The index absorbs ALL seen docs, kept and dropped** (first-seen
+  representative semantics, the same rule as ``dedup_cluster_canonical``:
+  a future copy of a dropped near-dup should also drop, collapsing
+  transitive chains toward the first-seen doc). This is also what keeps
+  keep/drop NON-RECURSIVE: kept(x) depends only on text seen before x,
+  never on earlier keep decisions.
+- **Same capped universe as the index**: the hot-shingle list is fixed at
+  index build time (production recomputes it on the weekly rebuild
+  cadence — see ``update_index``); within-batch pairs hot-filter through
+  the same stored list, so every Jaccard in the system scores one
+  universe. (The round-6 sf1 post-mortem in SCALE.md is exactly what
+  happens when two stages score different universes.)
+- **Each registered run works on a COPY of the shared per-corpus index**
+  (file-level copy of the committed snapshots — cheap vs recompute):
+  ``update_index`` mutates, and a registered query must be idempotent
+  across driver re-runs.
+
+Scale shape: per batch, one shingle pass over the batch only; the
+vs-index join is the df-capped postings join (every shingle bucket
+≤ HOT_SHINGLE_DF_CAP stored docs); the within-batch self-join is bounded
+by one crawl day's size. No exchange carries document text — shingles
+and ids only. The indexed corpus is never re-read.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pgcp_spark.functions.dedup import (
+    HOT_SHINGLE_DF_CAP,
+    JACCARD_THRESHOLD,
+    doc_shingles_of,
+)
+from pgcp_spark.functions.dedup_index import (
+    BATCH_MOD,
+    _SUBTABLES,
+    batch_vs_index_docs,
+    ensure_index,
+    update_index,
+)
+from pgcp_spark.plans.materialize import materialize
+from pgcp_spark.registry import register
+from pgcp_spark.sources import load_table_parallel
+from pgcp_spark.sources.lake import current_snapshot, read_current, upsert, write_snapshot
+
+N_STREAM_BATCHES = 3  # crawl "days": seq = (doc_id div BATCH_MOD) % 3
+
+_DECISION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("batch_seq", T.LongType()),
+        T.StructField("n_dup_prior", T.LongType()),
+        T.StructField("kept", T.BooleanType()),
+    ]
+)
+
+
+def _seq_col():
+    return F.expr(f"(doc_id div {BATCH_MOD}) % {N_STREAM_BATCHES}")
+
+
+def _stream_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streamed documents: the mod-BATCH_MOD batch slice (everything
+    else is the pre-built indexed corpus, same split as the one-shot
+    incremental query)."""
+    return load_table_parallel(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % BATCH_MOD == 0
+    )
+
+
+def _copy_index(seed_dir: str) -> str:
+    """File-level copy of the committed index snapshots into a throwaway
+    dir, so folding batches in cannot mutate the shared per-corpus index."""
+    work = tempfile.mkdtemp(prefix="pgcp_ingest_index_")
+    for t in _SUBTABLES:
+        shutil.copytree(os.path.join(seed_dir, t), os.path.join(work, t))
+    return work
+
+
+def _stage_stream_files(docs: DataFrame, n: int = N_STREAM_BATCHES) -> str:
+    """Write the stream slice as one parquet file per crawl day, with
+    strictly increasing mtimes so the file source delivers them oldest-
+    first (the decision logic does NOT depend on this order — see module
+    docstring — but deterministic delivery keeps runs bit-identical in
+    logs and progress too)."""
+    staging = tempfile.mkdtemp(prefix="pgcp_ingest_stream_")
+    base = 1_000_000_000  # fixed epoch: identical staging across runs
+    for k in range(n):
+        sub = docs.filter(_seq_col() == k).coalesce(1)
+        tmp = os.path.join(staging, f"_tmp{k}")
+        sub.write.mode("overwrite").parquet(tmp)
+        part = sorted(globmod.glob(os.path.join(tmp, "part-*.parquet")))[0]
+        dst = os.path.join(staging, f"batch_{k}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (base + 60 * k, base + 60 * k))
+        shutil.rmtree(tmp)
+    return staging
+
+
+def within_batch_pairs(batch_docs: DataFrame, index_dir: str) -> DataFrame:
+    """(doc_new, doc_old) pairs INSIDE one micro-batch where doc_old is
+    strictly earlier by (seq, doc_id) and capped Jaccard ≥ threshold —
+    the same universe (stored hot list) and the same rounding convention
+    as the vs-index path, so one threshold rule governs the whole system."""
+    spark = batch_docs.sparkSession
+    hot_stored = read_current(spark, os.path.join(index_dir, "hot_shingles"))
+    sh = materialize(
+        doc_shingles_of(batch_docs).join(hot_stored, "shingle", "left_anti")
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    seq_of = batch_docs.select("doc_id", _seq_col().alias("seq"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_new"), F.col("b.doc_id").alias("doc_old"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sz_new") + F.col("sz_old") - F.col("n_shared")
+    )
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("doc_new"), F.col("sz").alias("sz_new")), "doc_new")
+        .join(sz.select(F.col("doc_id").alias("doc_old"), F.col("sz").alias("sz_old")), "doc_old")
+        .join(seq_of.select(F.col("doc_id").alias("doc_new"), F.col("seq").alias("seq_new")), "doc_new")
+        .join(seq_of.select(F.col("doc_id").alias("doc_old"), F.col("seq").alias("seq_old")), "doc_old")
+        .filter(
+            (F.col("seq_old") < F.col("seq_new"))
+            | ((F.col("seq_old") == F.col("seq_new")) & (F.col("doc_old") < F.col("doc_new")))
+        )
+        .filter(F.round(jac, 6) >= JACCARD_THRESHOLD)
+        .select("doc_new", "doc_old")
+    )
+
+
+def run_ingest_dedup(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """Run the full streaming ingest-dedup loop; return the committed
+    per-doc decision table (doc_id, batch_seq, n_dup_prior, kept).
+
+    ``max_files_per_trigger=None`` lets availableNow swallow every crawl
+    day in ONE micro-batch — the decisions must come out identical (the
+    batch-boundary-invariance property; pinned in
+    tests/test_ingest_dedup.py)."""
+    seed = ensure_index(spark, sf_dir)
+    index_dir = _copy_index(seed)
+    staging = _stage_stream_files(_stream_slice(spark, sf_dir))
+    decisions_dir = tempfile.mkdtemp(prefix="pgcp_ingest_decisions_")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        batch = materialize(batch)
+        vs_index = batch_vs_index_docs(spark, batch, index_dir).select(
+            "doc_new", "doc_old"
+        )
+        within = within_batch_pairs(batch, index_dir)
+        prior = (
+            vs_index.unionByName(within)
+            .groupBy("doc_new")
+            .agg(F.countDistinct("doc_old").alias("n_dup_prior"))
+        )
+        decisions = (
+            batch.select("doc_id", _seq_col().alias("batch_seq"))
+            .join(prior.withColumnRenamed("doc_new", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                "batch_seq",
+                F.coalesce(F.col("n_dup_prior"), F.lit(0)).alias("n_dup_prior"),
+                (F.coalesce(F.col("n_dup_prior"), F.lit(0)) == 0).alias("kept"),
+            )
+        )
+        if current_snapshot(decisions_dir) is None:
+            write_snapshot(decisions, decisions_dir, keep=2)
+        else:
+            upsert(spark, decisions_dir, decisions, key=["doc_id"], keep=2)
+        update_index(spark, batch, index_dir)
+
+    reader = spark.readStream.schema(_stream_slice(spark, sf_dir).schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(staging)
+        .writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination()
+
+    if current_snapshot(decisions_dir) is None:  # zero-row stream slice
+        return spark.createDataFrame([], _DECISION_SCHEMA)
+    return read_current(spark, decisions_dir).orderBy("doc_id")
+
+
+@register(
+    "streaming_ingest_dedup_decisions",
+    oracle=f"""
+WITH sh0 AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(len(t) - 2),
+           i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) AS shingle
+  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t
+        FROM documents)
+),
+hot AS (
+  SELECT shingle FROM sh0 WHERE doc_id % {BATCH_MOD} <> 0
+  GROUP BY shingle HAVING COUNT(*) > {HOT_SHINGLE_DF_CAP}
+),
+capped AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
+stream AS (
+  SELECT doc_id, (doc_id // {BATCH_MOD}) % {N_STREAM_BATCHES} AS seq
+  FROM documents WHERE doc_id % {BATCH_MOD} = 0
+),
+pairs AS (
+  SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, COUNT(*) AS n_shared
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  WHERE a.doc_id % {BATCH_MOD} = 0
+  GROUP BY 1, 2
+),
+matches AS (
+  SELECT p.doc_new, p.doc_old
+  FROM pairs p
+  JOIN sizes sn ON p.doc_new = sn.doc_id
+  JOIN sizes so ON p.doc_old = so.doc_id
+  WHERE ROUND(CAST(p.n_shared AS DOUBLE) / (sn.sz + so.sz - p.n_shared), 6)
+        >= {JACCARD_THRESHOLD}
+),
+prior AS (
+  SELECT m.doc_new, COUNT(DISTINCT m.doc_old) AS n_dup_prior
+  FROM matches m
+  JOIN stream s ON m.doc_new = s.doc_id
+  LEFT JOIN stream so ON m.doc_old = so.doc_id
+  WHERE so.doc_id IS NULL
+     OR so.seq < s.seq
+     OR (so.seq = s.seq AND so.doc_id < s.doc_id)
+  GROUP BY 1
+)
+SELECT s.doc_id, s.seq AS batch_seq,
+       COALESCE(p.n_dup_prior, 0) AS n_dup_prior,
+       COALESCE(p.n_dup_prior, 0) = 0 AS kept
+FROM stream s LEFT JOIN prior p ON s.doc_id = p.doc_new
+ORDER BY s.doc_id
+""",
+)
+def streaming_ingest_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl-ingest dedup (module docstring): the mod-10 slice
+    of documents streams in as three crawl-day files; each
+    micro-batch dedups against the persisted index + its own earlier
+    docs, commits keep/drop decisions to a lake table, and is folded into
+    the index. The oracle replays the identical semantics exhaustively:
+    a streamed doc is dropped iff ANY doc strictly earlier by
+    (seq, doc_id) — indexed corpus counting as earlier-than-everything —
+    matches at capped Jaccard ≥ threshold over the build-time universe.
+    Expressible WITHOUT recursion precisely because the index absorbs
+    all seen docs (kept(x) never depends on kept(y))."""
+    return run_ingest_dedup(spark, sf_dir)
