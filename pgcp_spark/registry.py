@@ -69,12 +69,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #   Four of the changed set (SimHash, MinHash, LSH, IVF) are rows-only
 #   by design — xxhash64/k-means signatures have no DuckDB twin; their
 #   value evidence is the recall floors + the sf1 curves in SCALE.md.
-#   Window arithmetic: 47 hash-green-capable + 4 structural rows-only
-#   (streaming_ingest_dedup_decisions is also NEW and never checked:
-#   the streaming crawl-ingest loop over the persisted index, oracle-
-#   backed — it takes the front slot and displaces q22 to just past the
-#   window edge; q22's r2 row stays valid, its code unchanged).
-# The remaining 19 slots re-prove the OLDEST rows (round-4 verdict
+#   Window arithmetic: 47 hash-green-capable + 5 structural rows-only.
+#   Two more entries are NEW and never checked, taking the front slots:
+#   streaming_ingest_dedup_decisions (the streaming crawl-ingest loop
+#   over the persisted index, oracle-backed/hash-capable) and
+#   sim_incremental_batch_vs_ann_index (batch-vs-stored-IVF, rows-only
+#   like the other k-means/LSH sketches — recall floors in
+#   tests/test_ann_index.py). They displace q20/q22 to just past the
+#   window edge; both r2 rows stay valid, their code unchanged.
+# The remaining 18 slots re-prove the OLDEST rows (round-4 verdict
 # instruction #3): text_winnow_fingerprints (the last r1 row — its code
 # is unchanged since r1, old-but-valid, displaced from the r5 window)
 # and the r2-row TPC-H q-series queries. Still excluded:
@@ -85,6 +88,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 _AUDIT_PRIORITY: list[str] = [
     # --- changed in round 6: never-checked first ---
     "streaming_ingest_dedup_decisions",
+    "sim_incremental_batch_vs_ann_index",
     "dedup_incremental_batch_vs_index",
     # dedup + graph (seam, shared helpers, capped-pairs callee)
     "dedup_minhash_lsh_candidates",
@@ -200,6 +204,7 @@ def _load_operator_modules() -> None:
     # Imports for side effect of @register decorators.
     import pgcp_spark.functions.corpus  # noqa: F401
     import pgcp_spark.functions.dedup  # noqa: F401
+    import pgcp_spark.functions.ann_index  # noqa: F401
     import pgcp_spark.functions.dedup_index  # noqa: F401
     import pgcp_spark.functions.graph  # noqa: F401
     import pgcp_spark.functions.multimodal  # noqa: F401

@@ -1,0 +1,131 @@
+"""Pins for the incremental ANN index (functions/ann_index.py): recall
+floors vs the exact new-vs-stored brute force, index reuse across runs,
+fold-then-find through update_ann_index, and assignment consistency."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+import pgcp_spark.functions.ann_index as AI
+from pgcp_spark.functions.ann_index import (
+    batch_vs_ann_index,
+    ensure_ann_index,
+    update_ann_index,
+)
+from pgcp_spark.registry import all_queries
+from pgcp_spark.sources.lake import current_snapshot, read_current
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def ann_root(tmp_path, monkeypatch):
+    monkeypatch.setattr(AI, "ANN_INDEX_ROOT", str(tmp_path / "ann"))
+    return str(tmp_path / "ann")
+
+
+def _exact_topk(spark, k=3):
+    """Driver-side numpy ground truth: exact cosine top-k of each batch
+    vector against the indexed corpus (test-lake scale only)."""
+    batch = {r.vec_id: np.array(r.embedding, float) for r in AI._batch(spark, SF_DIR).collect()}
+    stored = {
+        r.vec_id: np.array(r.embedding, float)
+        for r in AI._indexed_corpus(spark, SF_DIR).collect()
+    }
+    sids = sorted(stored)
+    mat = np.stack([stored[i] for i in sids])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qid, q in batch.items():
+        sims = mat @ (q / np.linalg.norm(q))
+        order = np.lexsort((sids, -np.round(sims, 6)))[:k]
+        out[qid] = {sids[j] for j in order}
+    return out
+
+
+def test_recall_curve_vs_exact(spark, ann_root):
+    """Measured sf0.001 curve: recall 0.273/0.393/0.560/0.827/1.000 at
+    nprobe 1/2/4/8/16 — floors pinned with seed headroom, monotone
+    nondecreasing, and EXACT (1.0) when probing all 16 lists (the
+    all-lists probe IS the brute force, so any miss there is a scoring
+    bug, not an approximation)."""
+    exact = _exact_topk(spark)
+    index_dir = ensure_ann_index(spark, SF_DIR)
+    batch = AI._batch(spark, SF_DIR)
+    floors = {1: 0.2, 2: 0.3, 4: 0.45, 8: 0.7, 16: 1.0}
+    prev = 0.0
+    for nprobe, floor in sorted(floors.items()):
+        got = {}
+        for r in batch_vs_ann_index(spark, batch, index_dir, nprobe=nprobe).collect():
+            got.setdefault(r.vec_id, set()).add(r.neighbor_id)
+        assert set(got) == set(exact), "every batch vector must be answered"
+        hits = sum(len(got[i] & exact[i]) for i in exact)
+        recall = hits / sum(len(exact[i]) for i in exact)
+        assert recall >= floor, (nprobe, recall)
+        assert recall >= prev - 1e-9, f"recall must not drop as nprobe grows ({nprobe})"
+        prev = recall
+
+
+def test_index_reused_across_runs(spark, ann_root):
+    q = all_queries()["sim_incremental_batch_vs_ann_index"]
+    a = sorted(map(tuple, q.fn(spark, SF_DIR).collect()))
+    index_dir = ensure_ann_index(spark, SF_DIR)
+    snaps = {t: current_snapshot(os.path.join(index_dir, t)) for t in AI._SUBTABLES}
+    b = sorted(map(tuple, q.fn(spark, SF_DIR).collect()))
+    assert a == b
+    assert snaps == {
+        t: current_snapshot(os.path.join(index_dir, t)) for t in AI._SUBTABLES
+    }, "re-running the query must not rebuild or mutate the index"
+
+
+def test_fold_then_find(spark, ann_root, tmp_path):
+    """After update_ann_index folds the batch, the folded vectors must be
+    FINDABLE: re-querying the same batch (self excluded by the vec_id
+    guard) now surfaces batch members as neighbors wherever they outscore
+    the stored top-3 — and the result differs from the pre-fold run
+    exactly by such rows. Row count grows by the batch; refolding is
+    idempotent (MERGE, not append)."""
+    import shutil
+
+    seed = ensure_ann_index(spark, SF_DIR)
+    work = str(tmp_path / "work")
+    shutil.copytree(seed, work)
+    batch = AI._batch(spark, SF_DIR)
+    batch_ids = {r.vec_id for r in batch.select("vec_id").collect()}
+    before = {
+        (r.vec_id, r.neighbor_id) for r in batch_vs_ann_index(spark, batch, work).collect()
+    }
+    assert not any(n in batch_ids for _, n in before)
+    n_before = read_current(spark, os.path.join(work, "vectors")).count()
+    update_ann_index(spark, batch, work)
+    n_after = read_current(spark, os.path.join(work, "vectors")).count()
+    assert n_after == n_before + len(batch_ids)
+    after = {
+        (r.vec_id, r.neighbor_id) for r in batch_vs_ann_index(spark, batch, work).collect()
+    }
+    new_pairs = after - before
+    assert new_pairs, "folded batch vectors never surfaced as neighbors"
+    assert all(n in batch_ids for _, n in new_pairs), new_pairs
+    # and refolding is idempotent on the row count (MERGE, not append)
+    update_ann_index(spark, batch, work)
+    assert read_current(spark, os.path.join(work, "vectors")).count() == n_after
+
+
+def test_folded_assignment_matches_nearest_centroid(spark, ann_root, tmp_path):
+    import shutil
+
+    seed = ensure_ann_index(spark, SF_DIR)
+    work = str(tmp_path / "work")
+    shutil.copytree(seed, work)
+    update_ann_index(spark, AI._batch(spark, SF_DIR), work)
+    cents = AI._load_centroids(spark, work)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    folded = read_current(spark, os.path.join(work, "vectors")).filter(
+        "vec_id % 10 = 0"
+    )
+    for r in folded.collect():
+        v = np.array(r.embedding, float)
+        sims = cn @ (v / np.linalg.norm(v))
+        assert r.list_id == int(np.argmax(sims)), r.vec_id
