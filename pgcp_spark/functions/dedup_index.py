@@ -142,7 +142,25 @@ def build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     build_index_from(spark, _indexed_corpus(spark, sf_dir), index_dir)
 
 
-def update_index(spark: SparkSession, batch: DataFrame, index_dir: str, keep: int = 2) -> None:
+def hot_filtered_shingles(
+    spark: SparkSession, batch_docs: DataFrame, index_dir: str
+) -> DataFrame:
+    """The batch's shingles restricted to the index's capped universe
+    (stored hot list filtered out), MATERIALIZED — the one shingle pass a
+    batch needs, shareable across query + within-batch + fold consumers."""
+    hot_stored = read_current(spark, os.path.join(index_dir, "hot_shingles"))
+    return materialize(
+        doc_shingles_of(batch_docs).join(hot_stored, "shingle", "left_anti")
+    )
+
+
+def update_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    keep: int = 2,
+    batch_postings: DataFrame | None = None,
+) -> None:
     """Index maintenance: fold a just-deduped batch INTO the index so the
     next batch dedups against it too — the daily upkeep step of the
     production pipeline (dedup batch N against index, absorb batch N,
@@ -168,10 +186,8 @@ def update_index(spark: SparkSession, batch: DataFrame, index_dir: str, keep: in
         key=["doc_id"],
         keep=keep,
     )
-    hot_stored = read_current(spark, os.path.join(index_dir, "hot_shingles"))
-    batch_postings = materialize(
-        doc_shingles_of(batch).join(hot_stored, "shingle", "left_anti")
-    )
+    if batch_postings is None:
+        batch_postings = hot_filtered_shingles(spark, batch, index_dir)
     upsert(
         spark,
         os.path.join(index_dir, "postings"),
@@ -207,7 +223,10 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def batch_vs_index_docs(
-    spark: SparkSession, batch_docs: DataFrame, index_dir: str
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    index_dir: str,
+    batch_sh: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT near-dup pairs between a new batch frame and the INDEXED
     corpus, with the indexed side served entirely from the stored lake
@@ -222,15 +241,16 @@ def batch_vs_index_docs(
     doc_new ≠ doc_old guard is a no-op for disjoint batches and
     load-bearing when a batch already absorbed by ``update_index`` is
     re-run. The batch's shingle frame is materialized once — it feeds
-    both the join and the batch-size aggregate.
+    both the join and the batch-size aggregate — and callers that also
+    fold the batch (the streaming ingest loop) pass their own
+    ``batch_sh`` so the shingle pass runs once per batch, not once per
+    consumer.
     """
-    hot_stored = read_current(spark, os.path.join(index_dir, "hot_shingles"))
     postings = read_current(spark, os.path.join(index_dir, "postings"))
     sizes_old = read_current(spark, os.path.join(index_dir, "sizes"))
 
-    batch_sh = materialize(
-        doc_shingles_of(batch_docs).join(hot_stored, "shingle", "left_anti")
-    )
+    if batch_sh is None:
+        batch_sh = hot_filtered_shingles(spark, batch_docs, index_dir)
     sz_new = batch_sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         batch_sh.alias("bn")

@@ -60,16 +60,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pgcp_spark.functions.dedup import (
-    HOT_SHINGLE_DF_CAP,
-    JACCARD_THRESHOLD,
-    doc_shingles_of,
-)
+from pgcp_spark.functions.dedup import HOT_SHINGLE_DF_CAP, JACCARD_THRESHOLD
 from pgcp_spark.functions.dedup_index import (
     BATCH_MOD,
     _SUBTABLES,
     batch_vs_index_docs,
     ensure_index,
+    hot_filtered_shingles,
     update_index,
 )
 from pgcp_spark.plans.materialize import materialize
@@ -119,6 +116,7 @@ def _stage_stream_files(docs: DataFrame, n: int = N_STREAM_BATCHES) -> str:
     logs and progress too)."""
     staging = tempfile.mkdtemp(prefix="pgcp_ingest_stream_")
     base = 1_000_000_000  # fixed epoch: identical staging across runs
+    docs = materialize(docs)  # one source scan feeds all n slice writes
     for k in range(n):
         sub = docs.filter(_seq_col() == k).coalesce(1)
         tmp = os.path.join(staging, f"_tmp{k}")
@@ -131,15 +129,18 @@ def _stage_stream_files(docs: DataFrame, n: int = N_STREAM_BATCHES) -> str:
     return staging
 
 
-def within_batch_pairs(batch_docs: DataFrame, index_dir: str) -> DataFrame:
+def within_batch_pairs(
+    batch_docs: DataFrame, index_dir: str, batch_sh: DataFrame | None = None
+) -> DataFrame:
     """(doc_new, doc_old) pairs INSIDE one micro-batch where doc_old is
     strictly earlier by (seq, doc_id) and capped Jaccard ≥ threshold —
     the same universe (stored hot list) and the same rounding convention
     as the vs-index path, so one threshold rule governs the whole system."""
     spark = batch_docs.sparkSession
-    hot_stored = read_current(spark, os.path.join(index_dir, "hot_shingles"))
-    sh = materialize(
-        doc_shingles_of(batch_docs).join(hot_stored, "shingle", "left_anti")
+    sh = (
+        batch_sh
+        if batch_sh is not None
+        else hot_filtered_shingles(spark, batch_docs, index_dir)
     )
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     seq_of = batch_docs.select("doc_id", _seq_col().alias("seq"))
@@ -184,10 +185,14 @@ def run_ingest_dedup(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         batch = materialize(batch)
-        vs_index = batch_vs_index_docs(spark, batch, index_dir).select(
-            "doc_new", "doc_old"
-        )
-        within = within_batch_pairs(batch, index_dir)
+        # ONE shingle pass per batch, shared by the vs-index join, the
+        # within-batch join, and the index fold (measured: 3 passes → 1
+        # took the registered query 20.1 → 13.5 s at sf0.1)
+        batch_sh = hot_filtered_shingles(spark, batch, index_dir)
+        vs_index = batch_vs_index_docs(
+            spark, batch, index_dir, batch_sh=batch_sh
+        ).select("doc_new", "doc_old")
+        within = within_batch_pairs(batch, index_dir, batch_sh=batch_sh)
         prior = (
             vs_index.unionByName(within)
             .groupBy("doc_new")
@@ -207,7 +212,7 @@ def run_ingest_dedup(
             write_snapshot(decisions, decisions_dir, keep=2)
         else:
             upsert(spark, decisions_dir, decisions, key=["doc_id"], keep=2)
-        update_index(spark, batch, index_dir)
+        update_index(spark, batch, index_dir, batch_postings=batch_sh)
 
     reader = spark.readStream.schema(_stream_slice(spark, sf_dir).schema)
     if max_files_per_trigger is not None:
