@@ -237,10 +237,20 @@ def batch_vs_index_docs(
     a batch shingle unseen by the index has df_old = 0 and counts) join
     the stored postings on shingle. Recall 1.0 by construction; the df
     cap bounds each shingle's stored bucket at ≤ HOT_SHINGLE_DF_CAP docs,
-    so the join is skew-proof regardless of batch content. The
-    doc_new ≠ doc_old guard is a no-op for disjoint batches and
-    load-bearing when a batch already absorbed by ``update_index`` is
-    re-run. The batch's shingle frame is materialized once — it feeds
+    so the join is skew-proof regardless of batch content.
+
+    Replay contract: pairs are batch-vs-PRIOR-corpus — doc_old in the
+    current batch is anti-joined away (over the small candidate-pair set,
+    not the postings). On first delivery that's a no-op (the batch is not
+    yet folded); under Structured Streaming's at-least-once foreachBatch
+    replay, a batch already absorbed by ``update_index`` would otherwise
+    match its own docs in BOTH directions through the stored postings,
+    inflating the ingest loop's n_dup_prior for the earlier doc of every
+    same-batch near-dup pair and flipping its keep decision (the
+    within-batch path is the sole authority for same-batch ordering).
+    Pinned in tests/test_ingest_dedup.py::test_batch_replay_is_idempotent.
+
+    The batch's shingle frame is materialized once — it feeds
     both the join and the batch-size aggregate — and callers that also
     fold the batch (the streaming ingest loop) pass their own
     ``batch_sh`` so the shingle pass runs once per batch, not once per
@@ -260,6 +270,11 @@ def batch_vs_index_docs(
             F.col("bn.doc_id").alias("doc_new"), F.col("po.doc_id").alias("doc_old")
         )
         .agg(F.count("*").alias("n_shared"))
+        .join(
+            batch_docs.select(F.col("doc_id").alias("doc_old")),
+            "doc_old",
+            "left_anti",
+        )
     )
     jac = F.col("n_shared").cast("double") / (
         F.col("sz_new") + F.col("sz_old") - F.col("n_shared")

@@ -168,6 +168,52 @@ def within_batch_pairs(
     )
 
 
+def process_ingest_batch(
+    spark: SparkSession, batch: DataFrame, index_dir: str, decisions_dir: str
+) -> None:
+    """One micro-batch of the ingest loop: decide keep/drop for every doc
+    in ``batch`` against everything strictly earlier, commit the decisions
+    to the lake table at ``decisions_dir``, fold the batch into the index.
+
+    REPLAY-IDEMPOTENT by construction — foreachBatch is at-least-once (a
+    crash after the index fold but before the checkpoint commit
+    re-delivers the same batch), so every effect must converge under
+    re-execution: ``batch_vs_index_docs`` anti-joins away doc_old in the
+    current batch (else the already-folded batch matches itself in both
+    directions and flips same-batch keep decisions — see its docstring),
+    and both commits are keyed upserts. Pinned in
+    tests/test_ingest_dedup.py::test_batch_replay_is_idempotent."""
+    batch = materialize(batch)
+    # ONE shingle pass per batch, shared by the vs-index join, the
+    # within-batch join, and the index fold (measured: 3 passes → 1
+    # took the registered query 20.1 → 13.5 s at sf0.1)
+    batch_sh = hot_filtered_shingles(spark, batch, index_dir)
+    vs_index = batch_vs_index_docs(
+        spark, batch, index_dir, batch_sh=batch_sh
+    ).select("doc_new", "doc_old")
+    within = within_batch_pairs(batch, index_dir, batch_sh=batch_sh)
+    prior = (
+        vs_index.unionByName(within)
+        .groupBy("doc_new")
+        .agg(F.countDistinct("doc_old").alias("n_dup_prior"))
+    )
+    decisions = (
+        batch.select("doc_id", _seq_col().alias("batch_seq"))
+        .join(prior.withColumnRenamed("doc_new", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "batch_seq",
+            F.coalesce(F.col("n_dup_prior"), F.lit(0)).alias("n_dup_prior"),
+            (F.coalesce(F.col("n_dup_prior"), F.lit(0)) == 0).alias("kept"),
+        )
+    )
+    if current_snapshot(decisions_dir) is None:
+        write_snapshot(decisions, decisions_dir, keep=2)
+    else:
+        upsert(spark, decisions_dir, decisions, key=["doc_id"], keep=2)
+    update_index(spark, batch, index_dir, batch_postings=batch_sh)
+
+
 def run_ingest_dedup(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
 ) -> DataFrame:
@@ -184,35 +230,7 @@ def run_ingest_dedup(
     decisions_dir = tempfile.mkdtemp(prefix="pgcp_ingest_decisions_")
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        batch = materialize(batch)
-        # ONE shingle pass per batch, shared by the vs-index join, the
-        # within-batch join, and the index fold (measured: 3 passes → 1
-        # took the registered query 20.1 → 13.5 s at sf0.1)
-        batch_sh = hot_filtered_shingles(spark, batch, index_dir)
-        vs_index = batch_vs_index_docs(
-            spark, batch, index_dir, batch_sh=batch_sh
-        ).select("doc_new", "doc_old")
-        within = within_batch_pairs(batch, index_dir, batch_sh=batch_sh)
-        prior = (
-            vs_index.unionByName(within)
-            .groupBy("doc_new")
-            .agg(F.countDistinct("doc_old").alias("n_dup_prior"))
-        )
-        decisions = (
-            batch.select("doc_id", _seq_col().alias("batch_seq"))
-            .join(prior.withColumnRenamed("doc_new", "doc_id"), "doc_id", "left")
-            .select(
-                "doc_id",
-                "batch_seq",
-                F.coalesce(F.col("n_dup_prior"), F.lit(0)).alias("n_dup_prior"),
-                (F.coalesce(F.col("n_dup_prior"), F.lit(0)) == 0).alias("kept"),
-            )
-        )
-        if current_snapshot(decisions_dir) is None:
-            write_snapshot(decisions, decisions_dir, keep=2)
-        else:
-            upsert(spark, decisions_dir, decisions, key=["doc_id"], keep=2)
-        update_index(spark, batch, index_dir, batch_postings=batch_sh)
+        process_ingest_batch(spark, batch, index_dir, decisions_dir)
 
     reader = spark.readStream.schema(_stream_slice(spark, sf_dir).schema)
     if max_files_per_trigger is not None:

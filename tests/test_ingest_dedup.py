@@ -80,3 +80,35 @@ def test_rerun_is_deterministic(spark, index_root):
     a = _decisions(run_ingest_dedup(spark, SF_DIR))
     b = _decisions(run_ingest_dedup(spark, SF_DIR))
     assert a == b
+
+
+def test_batch_replay_is_idempotent(spark, index_root, tmp_path):
+    """foreachBatch is AT-LEAST-ONCE: a crash between the index fold and
+    the checkpoint commit re-delivers the same micro-batch. Delivering
+    every batch TWICE must produce bit-identical decisions. The teeth:
+    some batch must contain a same-batch near-dup pair — exactly the case
+    where a replayed, already-folded batch would otherwise match itself
+    in both directions through the stored postings and flip the earlier
+    doc's keep decision."""
+    from pgcp_spark.streaming.ingest_dedup import (
+        _copy_index,
+        _seq_col,
+        _stream_slice,
+        process_ingest_batch,
+        within_batch_pairs,
+    )
+    from pgcp_spark.sources.lake import read_current
+
+    baseline = _decisions(run_ingest_dedup(spark, SF_DIR))
+    index_dir = _copy_index(ensure_index(spark, SF_DIR))
+    decisions_dir = str(tmp_path / "decisions")
+    docs = _stream_slice(spark, SF_DIR)
+    n_within = 0
+    for k in range(N_STREAM_BATCHES):
+        b = docs.filter(_seq_col() == k)
+        n_within += within_batch_pairs(b, index_dir).count()  # pre-fold
+        process_ingest_batch(spark, b, index_dir, decisions_dir)
+        process_ingest_batch(spark, b, index_dir, decisions_dir)  # replay
+    assert n_within > 0, "test lake should contain a same-batch near-dup pair"
+    replayed = _decisions(read_current(spark, decisions_dir).orderBy("doc_id"))
+    assert replayed == baseline
