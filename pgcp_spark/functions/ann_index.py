@@ -27,9 +27,21 @@ two operations against it:
             centroid (nprobe=1, no re-fit) and MERGEs it into vectors —
             tomorrow's batch finds today's. Centroids are left as-is:
             like the dedup index's hot-shingle list, the quantizer is
-            recomputed on a rebuild cadence, not per batch — drift costs
-            recall (a vector sits in a slightly-wrong list), never wrong
-            scores (scoring is exact over the probed lists).
+            recomputed on a rebuild cadence, not per batch. What drift
+            actually costs was MEASURED (tools/ann_drift.py, SCALE.md
+            round-6 "IVF drift" section), and it is not what the naive
+            story says: scores are always exact over the probed lists,
+            iid folding is free on every axis, and a concentrating
+            distribution shift costs JOIN WORK, not recall — the shifted
+            mass crowds one list (max_list_frac 0.10 → 0.40 over five
+            folds at sf0.1) and per-probe join cost decays toward brute
+            force (0.29 → 0.53 of the corpus) while new-distribution
+            recall sits at 1.0. The re-fit trigger is therefore the
+            fold's list-size histogram (free out of the assignment
+            pass): re-fit when max_list_frac exceeds ~2× its build-time
+            value. ``assignment_quality`` is also recorded but measured
+            UNINFORMATIVE at this dimensionality (its docstring has the
+            numbers) — imbalance is the signal.
 
 Approximate-contract note: like ``sim_cosine_ivf_topk``, results probe
 nprobe of k lists, so the registered query is rows-only with recall
@@ -141,12 +153,19 @@ def _assign(batch: DataFrame, centroids: np.ndarray, nprobe: int) -> DataFrame:
 
 def build_ann_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     """Fit the coarse quantizer on the indexed slice and persist the
-    index: centroids + CLUSTER BY list_id assigned vectors with hoisted
-    norms. Same single-writer contract as the dedup index."""
+    index (see ``build_ann_index_from``)."""
+    build_ann_index_from(spark, _indexed_corpus(spark, sf_dir), index_dir)
+
+
+def build_ann_index_from(spark: SparkSession, corpus: DataFrame, index_dir: str) -> None:
+    """Fit the coarse quantizer on ``corpus`` (vec_id, embedding) and
+    persist the index: centroids + CLUSTER BY list_id assigned vectors
+    with hoisted norms. Same single-writer contract as the dedup index;
+    the corpus-frame seam (mirroring the dedup index's
+    ``build_index_from``) is what lets tools/ann_drift.py rebuild on an
+    arbitrary base+folded split to measure the re-fit payoff."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-
-    corpus = _indexed_corpus(spark, sf_dir)
     counts = corpus.agg(
         F.count("*").alias("n"),
         F.countDistinct(F.xxhash64("embedding")).alias("nd"),
@@ -256,6 +275,38 @@ def batch_vs_ann_index(
         )
         .orderBy("vec_id", "rank")
     )
+
+
+def assignment_quality(batch: DataFrame, centroids: np.ndarray) -> float:
+    """Mean cosine of each batch vector to its nearest STORED centroid —
+    free out of the probe matmul, recorded per fold as a drift signal,
+    and measured UNINFORMATIVE on this embedding distribution: at 64
+    dimensions with 16 lists the build-time heldout baseline is already
+    near the random-direction level (0.218 at sf0.1), and neither a
+    concentrating offset shift (which doubled per-probe join work) nor
+    data-scale hash noise moved the ratio off ~1.0 (tools/ann_drift.py,
+    SCALE.md). Keep computing it — cluster-structured or lower-dim
+    embeddings would move it — but the measured re-fit trigger is list
+    imbalance from the fold's assignment histogram, not this number.
+    Returns nan for an empty batch."""
+    spark = batch.sparkSession
+    b_cent = spark.sparkContext.broadcast(centroids)
+
+    def best(batches):
+        cent = b_cent.value
+        cnorm = np.sqrt((cent * cent).sum(axis=1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qnorm = np.sqrt((q * q).sum(axis=1))
+            sims = (q @ cent.T) / (qnorm[:, None] * cnorm[None, :] + 1e-12)
+            yield pd.DataFrame({"best": sims.max(axis=1)})
+
+    row = batch.mapInPandas(best, schema="best double").agg(
+        F.avg("best").alias("q")
+    ).collect()[0]
+    return float("nan") if row.q is None else float(row.q)
 
 
 def update_ann_index(spark: SparkSession, batch: DataFrame, index_dir: str, keep: int = 2) -> None:
