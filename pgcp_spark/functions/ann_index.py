@@ -81,7 +81,11 @@ def ann_index_dir_for(sf_dir: str) -> str:
     index: a regenerated lake fingerprints to a different directory, so a
     stale index can never serve a changed corpus)."""
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    parts = [os.path.abspath(sf_dir)]
+    # format-version salt: bumped when the index LAYOUT or TRAINING
+    # GEOMETRY changes (v2 = cosine-trained quantizer), so an index
+    # persisted by older code can never serve a newer probe kernel —
+    # it simply lives in a different directory and the build runs again.
+    parts = [os.path.abspath(sf_dir), "format:v2:cosine"]
     if os.path.isdir(emb_path):
         for name in sorted(os.listdir(emb_path)):
             st = os.stat(os.path.join(emb_path, name))
@@ -187,10 +191,17 @@ def build_ann_index_from(spark: SparkSession, corpus: DataFrame, index_dir: str)
         vecs = corpus.withColumn(
             "features", array_to_vector(F.col("embedding").cast("array<double>"))
         )
+        # One geometry end-to-end: _assign (probe + fold) and
+        # batch_vs_ann_index pick lists by COSINE, so the quantizer is
+        # trained and the stored corpus assigned by cosine as well —
+        # otherwise a vector could land in a different list at build time
+        # than the probe kernel would route it to, costing recall at low
+        # nprobe and confounding tools/ann_drift.py's drift measurements.
         model = KMeans(
             k=int(min(IVF_LISTS, counts["nd"])),
             seed=42,
             maxIter=10,
+            distanceMeasure="cosine",
             featuresCol="features",
             predictionCol="list_id",
         ).fit(vecs)

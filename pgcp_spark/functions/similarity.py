@@ -411,10 +411,18 @@ def ivf_topk(
         vecs = e.withColumn(
             "features", array_to_vector(F.col("embedding").cast("array<double>"))
         )
+        # distanceMeasure MUST match the probe kernel's geometry: probes
+        # pick the nprobe nearest centroids BY COSINE, so the quantizer is
+        # trained and the corpus assigned by cosine too. A Euclidean fit
+        # here would let the same vector land in different lists at build
+        # vs probe time, silently costing recall at low nprobe (zero-norm
+        # vectors — cosine-undefined — are already quarantined by
+        # valid_embedding before this point).
         model = KMeans(
             k=min(lists, counts["nd"]),
             seed=42,
             maxIter=10,
+            distanceMeasure="cosine",
             featuresCol="features",
             predictionCol="list_id",
         ).fit(vecs)

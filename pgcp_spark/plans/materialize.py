@@ -89,6 +89,16 @@ def _ensure_checkpoint_dir(df: DataFrame) -> None:
         sc.setCheckpointDir(ckpt)
 
 
+def current_mode() -> str:
+    """The materialization mode in effect (override > env > default).
+    Public so callers that manage on-disk intermediates can tell whether
+    ``materialize`` DETACHES a frame from its backing files (eager
+    localCheckpoint / reliable checkpoint → safe to delete them) or
+    leaves it reading lazily (persist / none → files must outlive the
+    frame)."""
+    return _mode()
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Materialize a shared intermediate (see module docstring).
 

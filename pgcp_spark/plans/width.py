@@ -79,9 +79,15 @@ def _wide_cols(cols: list[str], allow_prefixes: tuple[str, ...]) -> list[str]:
 
 # A formatted-plan tree line: indentation art, node name, (id).
 _TREE_LINE = re.compile(r"^([\s:+\-*]*)([A-Za-z][\w ]*?) \((\d+)\)\s*$")
-# A partial-aggregate function call's argument columns, e.g.
-# partial_collect_list(embedding#19, 0, 0) → "embedding".
-_AGG_ARG_COLS = re.compile(r"\w+\(([\w]+)#\d+")
+# Every column reference inside a Functions [...] details line, e.g.
+# partial_collect_list(embedding#19, 0, 0) → embedding;
+# partial_collect_list(struct(doc_id#3, text#7)) → doc_id, text. A
+# leading-argument-only pattern would miss a wide payload nested one
+# level deeper (collect_list over a struct) or a second wide argument,
+# and report the exchange clean. Over-capture is harmless: extra tokens
+# (the output buffer alias, group columns) are only ever TESTED against
+# WIDE_MARKERS, never reported unless wide.
+_AGG_ARG_COLS = re.compile(r"(\w+)#\d+")
 
 
 def _buffer_arg_cols(plan: str) -> dict[str, list[str]]:

@@ -37,6 +37,22 @@ Design decisions that make this production-shaped rather than demo-shaped:
   the same stored list, so every Jaccard in the system scores one
   universe. (The round-6 sf1 post-mortem in SCALE.md is exactly what
   happens when two stages score different universes.)
+- **A per-crawl-day df cap closes the batch-hot skew hole.** The stored
+  hot list only knows shingles hot in the INDEXED corpus — a boilerplate
+  template newly hot within one crawl day (thousands of docs in a single
+  batch, zero stored df) would sail through it and re-create the
+  quadratic shingle-bucket blowup the cap exists to prevent. So the
+  batch's shingle pass ALSO drops, per doc, shingles whose df within
+  that doc's OWN crawl day exceeds HOT_SHINGLE_DF_CAP
+  (``day_capped_shingles``). The cap keys on seq — derived from the
+  DATA, like everything else here — so a day's hot set is identical
+  whether the day arrives alone or coalesced with others, preserving
+  batch-boundary invariance; and because the day-capped postings are
+  what ``update_index`` folds, a doc's universe is the same in every
+  comparison it ever participates in (within-batch now, vs-index for
+  all future batches). Every shingle bucket in the within-batch
+  self-join is then ≤ cap docs per day present — skew-proof regardless
+  of batch content, the same bound the stored postings carry.
 - **Each registered run works on a COPY of the shared per-corpus index**
   (file-level copy of the committed snapshots — cheap vs recompute):
   ``update_index`` mutates, and a registered query must be idempotent
@@ -51,25 +67,29 @@ and ids only. The indexed corpus is never re-read.
 
 from __future__ import annotations
 
+import atexit
 import glob as globmod
 import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pgcp_spark.functions.dedup import HOT_SHINGLE_DF_CAP, JACCARD_THRESHOLD
+from pgcp_spark.functions.dedup import (
+    HOT_SHINGLE_DF_CAP,
+    JACCARD_THRESHOLD,
+    doc_shingles_of,
+)
 from pgcp_spark.functions.dedup_index import (
     BATCH_MOD,
     _SUBTABLES,
     batch_vs_index_docs,
     ensure_index,
-    hot_filtered_shingles,
     update_index,
 )
-from pgcp_spark.plans.materialize import materialize
+from pgcp_spark.plans.materialize import current_mode, materialize
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table_parallel
 from pgcp_spark.sources.lake import current_snapshot, read_current, upsert, write_snapshot
@@ -129,18 +149,54 @@ def _stage_stream_files(docs: DataFrame, n: int = N_STREAM_BATCHES) -> str:
     return staging
 
 
+def day_capped_shingles(
+    spark: SparkSession, batch_docs: DataFrame, index_dir: str
+) -> DataFrame:
+    """The ingest batch's ONE shingle pass: the stored capped universe
+    (hot list filtered out) minus, per doc, shingles day-hot within the
+    doc's OWN crawl day (df over seq-mates > HOT_SHINGLE_DF_CAP).
+
+    The day cap is what keeps the within-batch self-join skew-proof when
+    a boilerplate template is hot only in the incoming day (stored df 0,
+    so the build-time hot list cannot know it): without it, one such
+    shingle re-creates the quadratic bucket blowup the cap exists to
+    prevent. Keying the cap on seq — data-derived — rather than the
+    micro-batch keeps decisions trigger-invariant (a day's hot set is
+    the same coalesced or alone; the file source delivers whole days, so
+    a batch always contains complete seq groups), and folding THESE
+    postings into the index (``process_ingest_batch``) gives each doc
+    one universe across every comparison it will ever be part of.
+
+    One window exchange on (seq, shingle) computes the day df in the
+    same pass that carries the shingles — no second scan, no self-join.
+    MATERIALIZED: the frame feeds the vs-index join, the within-batch
+    join, and the index fold.
+    """
+    hot_stored = read_current(spark, os.path.join(index_dir, "hot_shingles"))
+    sh = doc_shingles_of(batch_docs).join(hot_stored, "shingle", "left_anti")
+    day_df = F.count("*").over(Window.partitionBy(_seq_col(), "shingle"))
+    return materialize(
+        sh.withColumn("day_df", day_df)
+        .filter(F.col("day_df") <= HOT_SHINGLE_DF_CAP)
+        .drop("day_df")
+    )
+
+
 def within_batch_pairs(
     batch_docs: DataFrame, index_dir: str, batch_sh: DataFrame | None = None
 ) -> DataFrame:
     """(doc_new, doc_old) pairs INSIDE one micro-batch where doc_old is
     strictly earlier by (seq, doc_id) and capped Jaccard ≥ threshold —
-    the same universe (stored hot list) and the same rounding convention
-    as the vs-index path, so one threshold rule governs the whole system."""
+    the same universe (stored hot list + own-day cap, see
+    ``day_capped_shingles``) and the same rounding convention as the
+    vs-index path, so one threshold rule governs the whole system. The
+    self-join is skew-proof: every shingle bucket holds ≤ cap docs per
+    day present in the batch."""
     spark = batch_docs.sparkSession
     sh = (
         batch_sh
         if batch_sh is not None
-        else hot_filtered_shingles(spark, batch_docs, index_dir)
+        else day_capped_shingles(spark, batch_docs, index_dir)
     )
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     seq_of = batch_docs.select("doc_id", _seq_col().alias("seq"))
@@ -184,10 +240,11 @@ def process_ingest_batch(
     and both commits are keyed upserts. Pinned in
     tests/test_ingest_dedup.py::test_batch_replay_is_idempotent."""
     batch = materialize(batch)
-    # ONE shingle pass per batch, shared by the vs-index join, the
+    # ONE shingle pass per batch — stored-hot filtered AND own-day capped
+    # (day_capped_shingles) — shared by the vs-index join, the
     # within-batch join, and the index fold (measured: 3 passes → 1
     # took the registered query 20.1 → 13.5 s at sf0.1)
-    batch_sh = hot_filtered_shingles(spark, batch, index_dir)
+    batch_sh = day_capped_shingles(spark, batch, index_dir)
     vs_index = batch_vs_index_docs(
         spark, batch, index_dir, batch_sh=batch_sh
     ).select("doc_new", "doc_old")
@@ -223,30 +280,57 @@ def run_ingest_dedup(
     ``max_files_per_trigger=None`` lets availableNow swallow every crawl
     day in ONE micro-batch — the decisions must come out identical (the
     batch-boundary-invariance property; pinned in
-    tests/test_ingest_dedup.py)."""
+    tests/test_ingest_dedup.py).
+
+    Every run-scoped dir is reclaimed: the stream staging (incl. its
+    checkpoint) and the index working copy as soon as the stream
+    terminates — on success or failure — and the decisions table right
+    after the result frame is materialized off it. Under the LAZY
+    materialization modes (``persist``: lineage kept for fault
+    tolerance; ``none``: plan audits) the returned frame still reads the
+    decision files, so their deletion is deferred to interpreter exit
+    instead (pinned in tests/test_ingest_dedup.py::test_no_tmp_leak)."""
     seed = ensure_index(spark, sf_dir)
     index_dir = _copy_index(seed)
-    staging = _stage_stream_files(_stream_slice(spark, sf_dir))
     decisions_dir = tempfile.mkdtemp(prefix="pgcp_ingest_decisions_")
+    staging = None
+    try:
+        staging = _stage_stream_files(_stream_slice(spark, sf_dir))
 
-    def process(batch: DataFrame, batch_id: int) -> None:
-        process_ingest_batch(spark, batch, index_dir, decisions_dir)
+        def process(batch: DataFrame, batch_id: int) -> None:
+            process_ingest_batch(spark, batch, index_dir, decisions_dir)
 
-    reader = spark.readStream.schema(_stream_slice(spark, sf_dir).schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    q = (
-        reader.parquet(staging)
-        .writeStream.foreachBatch(process)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
-        .start()
-    )
-    q.awaitTermination()
+        reader = spark.readStream.schema(_stream_slice(spark, sf_dir).schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        q = (
+            reader.parquet(staging)
+            .writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination()
 
-    if current_snapshot(decisions_dir) is None:  # zero-row stream slice
-        return spark.createDataFrame([], _DECISION_SCHEMA)
-    return read_current(spark, decisions_dir).orderBy("doc_id")
+        if current_snapshot(decisions_dir) is None:  # zero-row stream slice
+            shutil.rmtree(decisions_dir, ignore_errors=True)
+            return spark.createDataFrame([], _DECISION_SCHEMA)
+        result = materialize(read_current(spark, decisions_dir).orderBy("doc_id"))
+    except BaseException:
+        shutil.rmtree(decisions_dir, ignore_errors=True)
+        raise
+    finally:
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(index_dir, ignore_errors=True)
+    if current_mode() in ("localCheckpoint", "checkpoint"):
+        # eager modes detach the frame from its files — reclaim now
+        shutil.rmtree(decisions_dir, ignore_errors=True)
+    else:
+        # persist keeps lineage (a lost block re-reads the files); none is
+        # the identity — the frame still reads the dir, so defer cleanup
+        atexit.register(shutil.rmtree, decisions_dir, ignore_errors=True)
+    return result
 
 
 @register(
@@ -264,14 +348,28 @@ hot AS (
   GROUP BY shingle HAVING COUNT(*) > {HOT_SHINGLE_DF_CAP}
 ),
 capped AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
 stream AS (
   SELECT doc_id, (doc_id // {BATCH_MOD}) % {N_STREAM_BATCHES} AS seq
   FROM documents WHERE doc_id % {BATCH_MOD} = 0
 ),
+-- day-hot: shingles whose df within one crawl day exceeds the cap are
+-- dropped from that day's docs' universes (mirrors day_capped_shingles)
+day_hot AS (
+  SELECT s.seq, c.shingle
+  FROM capped c JOIN stream s ON c.doc_id = s.doc_id
+  GROUP BY s.seq, c.shingle HAVING COUNT(*) > {HOT_SHINGLE_DF_CAP}
+),
+capped2 AS (
+  SELECT c.doc_id, c.shingle
+  FROM capped c
+  LEFT JOIN stream st ON c.doc_id = st.doc_id
+  LEFT JOIN day_hot dh ON dh.seq = st.seq AND dh.shingle = c.shingle
+  WHERE dh.shingle IS NULL
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped2 GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, COUNT(*) AS n_shared
-  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  FROM capped2 a JOIN capped2 b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
   WHERE a.doc_id % {BATCH_MOD} = 0
   GROUP BY 1, 2
 ),
@@ -308,7 +406,8 @@ def streaming_ingest_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFr
     the index. The oracle replays the identical semantics exhaustively:
     a streamed doc is dropped iff ANY doc strictly earlier by
     (seq, doc_id) — indexed corpus counting as earlier-than-everything —
-    matches at capped Jaccard ≥ threshold over the build-time universe.
-    Expressible WITHOUT recursion precisely because the index absorbs
-    all seen docs (kept(x) never depends on kept(y))."""
+    matches at capped Jaccard ≥ threshold over the doc's universe
+    (build-time hot list + own-crawl-day df cap, both mirrored in the
+    SQL). Expressible WITHOUT recursion precisely because the index
+    absorbs all seen docs (kept(x) never depends on kept(y))."""
     return run_ingest_dedup(spark, sf_dir)

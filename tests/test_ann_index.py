@@ -46,15 +46,17 @@ def _exact_topk(spark, k=3):
 
 
 def test_recall_curve_vs_exact(spark, ann_root):
-    """Measured sf0.001 curve: recall 0.273/0.393/0.560/0.827/1.000 at
+    """Measured sf0.001 curve: recall 0.293/0.453/0.633/0.867/1.000 at
     nprobe 1/2/4/8/16 — floors pinned with seed headroom, monotone
     nondecreasing, and EXACT (1.0) when probing all 16 lists (the
     all-lists probe IS the brute force, so any miss there is a scoring
-    bug, not an approximation)."""
+    bug, not an approximation). The round-7 cosine-trained quantizer
+    (one geometry for build, fold, and probe) lifted every point of the
+    Euclidean-trained curve (0.273/0.393/0.560/0.827)."""
     exact = _exact_topk(spark)
     index_dir = ensure_ann_index(spark, SF_DIR)
     batch = AI._batch(spark, SF_DIR)
-    floors = {1: 0.2, 2: 0.3, 4: 0.45, 8: 0.7, 16: 1.0}
+    floors = {1: 0.22, 2: 0.35, 4: 0.5, 8: 0.75, 16: 1.0}
     prev = 0.0
     for nprobe, floor in sorted(floors.items()):
         got = {}
