@@ -37,9 +37,13 @@ two operations against it:
             folds at sf0.1) and per-probe join cost decays toward brute
             force (0.29 → 0.53 of the corpus) while new-distribution
             recall sits at 1.0. The re-fit trigger is therefore the
-            fold's list-size histogram (free out of the assignment
-            pass): re-fit when max_list_frac exceeds ~2× its build-time
-            value. ``assignment_quality`` is also recorded but measured
+            stored list-size histogram: ``maybe_refit_ann_index``
+            re-fits from the STORED vectors when max_list_frac exceeds
+            REFIT_IMBALANCE_RATIO × its build-time value (persisted in
+            the index's ``stats/`` table) and resets the yardstick —
+            fold → check → (rarely) re-fit, all against lake state, the
+            original corpus never re-read.
+            ``assignment_quality`` is also recorded but measured
             UNINFORMATIVE at this dimensionality (its docstring has the
             numbers) — imbalance is the signal.
 
@@ -73,7 +77,15 @@ from pgcp_spark.sources.lake import current_snapshot, read_current, upsert, writ
 
 ANN_BATCH_MOD = 10  # vec_id % 10 == 0 → "new batch"; else → indexed corpus
 ANN_INDEX_ROOT = os.environ.get("SPARK_GRAFT_ANN_INDEX_ROOT", "/tmp/pgcp_ann_index")
-_SUBTABLES = ("centroids", "vectors")
+_SUBTABLES = ("centroids", "vectors", "stats")
+
+# Re-fit when the largest list's share of stored vectors exceeds this
+# multiple of its build-time value — the measured trigger from
+# tools/ann_drift.py (SCALE.md round-6 "IVF drift"): a concentrating
+# distribution shift crowds one list (0.10 → 0.40 over five folds) and
+# per-probe join work decays toward brute force, while recall and score
+# correctness stay intact — so imbalance, not quality, is the signal.
+REFIT_IMBALANCE_RATIO = 2.0
 
 
 def ann_index_dir_for(sf_dir: str) -> str:
@@ -181,6 +193,10 @@ def build_ann_index_from(spark: SparkSession, corpus: DataFrame, index_dir: str)
         )
         write_snapshot(empty_c, os.path.join(index_dir, "centroids"))
         write_snapshot(empty_v, os.path.join(index_dir, "vectors"))
+        write_snapshot(
+            spark.createDataFrame([], "metric string, value double"),
+            os.path.join(index_dir, "stats"),
+        )
         return
     if counts["nd"] < 2:
         assigned = corpus.withColumn("list_id", F.lit(0))
@@ -217,6 +233,68 @@ def build_ann_index_from(spark: SparkSession, corpus: DataFrame, index_dir: str)
         os.path.join(index_dir, "vectors"),
         cluster_by=["list_id"],
     )
+    # build-time balance, from the COMMITTED vectors (read back, one tiny
+    # agg — same zero-recompute discipline as the dedup index's sizes):
+    # the yardstick maybe_refit_ann_index compares the drifting index to.
+    write_snapshot(
+        spark.createDataFrame(
+            [("build_max_list_frac", stored_max_list_frac(spark, index_dir))],
+            "metric string, value double",
+        ),
+        os.path.join(index_dir, "stats"),
+    )
+
+
+def stored_max_list_frac(spark: SparkSession, index_dir: str) -> float:
+    """Largest list's share of the stored vectors — THE drift signal
+    (module docstring: concentration costs join work, not recall). One
+    count-by-list aggregate over the vectors table; callers fold it into
+    the maintenance cadence, where the upsert's copy-on-write rewrite
+    dominates it by orders of magnitude. Returns nan for an empty index."""
+    row = (
+        read_current(spark, os.path.join(index_dir, "vectors"))
+        .groupBy("list_id")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .collect()[0]
+    )
+    return float("nan") if row.tot is None else float(row.mx) / float(row.tot)
+
+
+def maybe_refit_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    ratio: float = REFIT_IMBALANCE_RATIO,
+) -> dict:
+    """The rebuild-cadence decision, as code: re-fit the coarse quantizer
+    from the STORED vectors iff the largest list's share has grown past
+    ``ratio`` × its build-time value (the measured trigger —
+    tools/ann_drift.py / SCALE.md: imbalance is how no-re-fit folding
+    actually hurts; scores stay exact and iid folds stay free, so
+    re-fitting on a schedule alone would waste corpus-sized k-means fits).
+
+    The re-fit trains on base+folds (``build_ann_index_from`` over the
+    stored (vec_id, embedding) rows — embeddings never left the index, so
+    no corpus re-read) and resets the build-time yardstick, restarting
+    the cadence. Returns a report dict:
+    ``{"refit": bool, "build_frac": f, "current_frac": f[, "after_frac": f]}``.
+    """
+    build_rows = {
+        r.metric: r.value
+        for r in read_current(spark, os.path.join(index_dir, "stats")).collect()
+    }
+    build_frac = build_rows.get("build_max_list_frac")
+    current = stored_max_list_frac(spark, index_dir)
+    report = {"refit": False, "build_frac": build_frac, "current_frac": current}
+    if build_frac is None or current != current or current <= ratio * build_frac:
+        return report  # empty index, or balance within cadence bounds
+    stored = read_current(spark, os.path.join(index_dir, "vectors")).select(
+        "vec_id", "embedding"
+    )
+    build_ann_index_from(spark, stored, index_dir)
+    report["refit"] = True
+    report["after_frac"] = stored_max_list_frac(spark, index_dir)
+    return report
 
 
 def ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:

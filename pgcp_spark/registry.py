@@ -50,102 +50,85 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # come first; entries already re-proven in a recent round's
 # CORRECTNESS_r{N}.json rotate to the back.
 #
-# Round-6 window. The staleness invariant (no entry's driver row predates
-# its current implementation) has priority, so the 30 queries whose
-# implementation changed in round 6 come first:
-#   * the materialization seam (localCheckpoint → plans/materialize) and
-#     the shared-helper extraction touched the bodies or in-module
-#     callees of: the dedup family (minhash/simhash/capped/embedding +
-#     the graph family built on capped_jaccard_pairs), the four
-#     materialized text aggregations (+ TF-IDF's COUNT(DISTINCT doc_id)
-#     semantics fix), the five materialized analytics queries, and q21;
-#   * every streaming query: the shared runner gained per-query
-#     state-partition sizing + tmpfs checkpoints;
-#   * the ANN surface: multi-probe LSH (new production point 8t × 2p)
-#     and hoisted-norm scoring (LSH + IVF — bit-identical scores, so
-#     these rows should reproduce their r5 values exactly);
-#   * dedup_incremental_batch_vs_index is NEW (never driver-checked):
-#     the lake-persisted signature-index query, hash-green-capable.
-#   Four of the changed set (SimHash, MinHash, LSH, IVF) are rows-only
-#   by design — xxhash64/k-means signatures have no DuckDB twin; their
-#   value evidence is the recall floors + the sf1 curves in SCALE.md.
-#   Window arithmetic: 47 hash-green-capable + 5 structural rows-only.
-#   Two more entries are NEW and never checked, taking the front slots:
-#   streaming_ingest_dedup_decisions (the streaming crawl-ingest loop
-#   over the persisted index, oracle-backed/hash-capable) and
-#   sim_incremental_batch_vs_ann_index (batch-vs-stored-IVF, rows-only
-#   like the other k-means/LSH sketches — recall floors in
-#   tests/test_ann_index.py). They displace q20/q22 to just past the
-#   window edge; both r2 rows stay valid, their code unchanged.
-# The remaining 18 slots re-prove the OLDEST rows (round-4 verdict
-# instruction #3): text_winnow_fingerprints (the last r1 row — its code
-# is unchanged since r1, old-but-valid, displaced from the r5 window)
-# and the r2-row TPC-H q-series queries. Still excluded:
-# agg_approx_distinct_customers (rows-only AND unchanged since its r1
-# row — a new row adds nothing, same rationale as r5). Everything else
-# outside the window holds an r3-r5 row no older than its
-# implementation, plus the full mimic matrix (COVERAGE.md).
+# Round-7 window. The staleness invariant (no entry's driver row predates
+# its current implementation) has priority, so the 3 queries whose
+# implementation changed in round 7 come first:
+#   * streaming_ingest_dedup_decisions — SEMANTICS changed: the
+#     per-crawl-day hot-shingle cap (day_capped_shingles) now bounds the
+#     within-batch universe, mirrored in the oracle — hash-capable;
+#   * sim_incremental_batch_vs_ann_index and sim_cosine_ivf_topk — the
+#     k-means coarse quantizer now trains with cosine distance (one
+#     geometry for build, fold, and probe; the persisted index also
+#     gained the stats/ table + maybe_refit_ann_index). Both rows-only
+#     by design (k-means has no DuckDB twin); value evidence is the
+#     LIFTED recall floors in tests/test_ann_index.py (0.293/0.453/
+#     0.633/0.867 vs the Euclidean 0.273/0.393/0.560/0.827) + SCALE.md.
+# The remaining 47 slots re-prove the OLDEST standing rows, cumulative
+# ledger recomputed from CORRECTNESS_r01..r06: the full r2 set (20 —
+# setops/window/scalar/sort families and q20/q22, displaced past the r6
+# edge), the full r3 set (22 — pipeline/q1/q3, percentile, UDF surface,
+# corpus shaping, timeseries gapfill, salted skew join, reshape,
+# weighted sampling), and the first 5 of the r4 set (multimodal feature
+# extract, rollup/cube/corr aggregates, as-of attribution). Still
+# excluded: agg_approx_distinct_customers (rows-only AND unchanged since
+# its r1 row — a new row adds nothing, same rationale since r5).
+# Everything else outside the window holds an r4-r6 row no older than
+# its implementation, plus the full mimic matrix (COVERAGE.md).
 _AUDIT_PRIORITY: list[str] = [
-    # --- changed in round 6: never-checked first ---
+    # --- changed in round 7 ---
     "streaming_ingest_dedup_decisions",
     "sim_incremental_batch_vs_ann_index",
-    "dedup_incremental_batch_vs_index",
-    # dedup + graph (seam, shared helpers, capped-pairs callee)
-    "dedup_minhash_lsh_candidates",
-    "dedup_simhash_pairs",
-    "dedup_jaccard_hot_shingle_capped",
-    "dedup_embedding_cosine_pairs",
-    "graph_connected_dup_clusters",
-    "graph_pagerank_dup_docs",
-    "dedup_cluster_canonical",
-    # ANN surface (multi-probe + hoisted norms)
-    "sim_cosine_lsh_pairs",
     "sim_cosine_ivf_topk",
-    # text materializations (+ TF-IDF n_docs semantics fix)
-    "text_tfidf_top_terms",
-    "text_source_token_entropy",
-    "text_bigram_lift_top",
-    "text_rarity_score",
-    "text_repeated_span_pairs",
-    # analytics materializations
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "analytics_chisq_segment_event_type",
-    "anomaly_hourly_event_zscore",
-    "markov_event_type_transitions",
-    # tpch2 (seam in the q21 self-join aggregate)
-    "q21_sole_late_supplier",
-    # streaming (shared runner: per-query state partitions + tmpfs ckpt)
-    "streaming_tumbling_event_counts",
-    "streaming_sliding_window_value",
-    "streaming_session_windows",
-    "streaming_static_join_segment_value",
-    "streaming_stateful_user_stats",
-    "streaming_dedup_user_event_types",
-    "streaming_append_finalized_windows",
-    "streaming_stream_stream_join_click_purchase",
-    "streaming_foreach_batch_lake_upsert",
-    # --- oldest rows: the last r1 row, then the 19 r2-row q-series ---
-    "text_winnow_fingerprints",
-    "q2_cheapest_part_per_type",
-    "q4_priority_with_late_line",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_pair_volume",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_part_value",
-    "q12_late_shipment_priority",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_revenue_supplier",
-    "q16_brand_supplier_counts_not_in",
-    "q17_small_quantity_order_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_join_revenue",
+    # --- oldest rows: the full r2 set ---
+    "agg_bool_flags_per_segment",
+    "scalar_map_functions",
     "q20_promotion_supplier_candidates",
     "q22_idle_rich_customers",
+    "window_top3_orders_per_customer",
+    "window_rank_dense_rank_suppliers",
+    "window_ntile_customer_value",
+    "setop_union_active_parties",
+    "setop_intersect_both_segments",
+    "setop_except_inactive_customers",
+    "setop_distinct_ship_modes",
+    "sort_global_top_orders",
+    "dedup_orders_by_customer_day",
+    "setop_exceptall_priority_bags",
+    "setop_intersectall_segment_nations",
+    "setop_union_by_name_mixed_schemas",
+    "scalar_regexp_extract_order_priority",
+    "scalar_date_functions",
+    "scalar_date_trunc_events",
+    "scalar_math_functions",
+    # --- the full r3 set ---
+    "pipeline_training_data_prep",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "timeseries_gapfill_locf",
+    "pivot_segment_by_priority",
+    "percentile_exact_quantity",
+    "percentile_approx_price",
+    "udf_map_in_arrow_doc_stats",
+    "udf_sql_registered_priority_class",
+    "path_top_event_sequences",
+    "corpus_chunk_fixed_tokens",
+    "corpus_train_val_test_split",
+    "corpus_pack_token_budget",
+    "scalar_case_when_order_size",
+    "scalar_json_extract_events",
+    "scalar_from_json_struct",
+    "scalar_array_functions",
+    "agg_winsorized_quantity_stats",
+    "agg_mode_priority_deterministic",
+    "join_salted_skew_events_per_user",
+    "reshape_unpivot_order_metrics",
+    "sample_weighted_bernoulli_documents",
+    # --- the oldest 5 of the r4 set ---
+    "multimodal_feature_extract",
+    "agg_rollup_region_nation",
+    "agg_cube_returnflag_linestatus",
+    "agg_stats_correlation",
+    "join_asof_click_attribution",
 ]
 
 

@@ -131,3 +131,64 @@ def test_folded_assignment_matches_nearest_centroid(spark, ann_root, tmp_path):
         v = np.array(r.embedding, float)
         sims = cn @ (v / np.linalg.norm(v))
         assert r.list_id == int(np.argmax(sims)), r.vec_id
+
+
+def test_refit_trigger_fires_on_concentration_and_rebalances(spark, ann_root, tmp_path):
+    """The full maintenance loop (maybe_refit_ann_index): a balanced
+    index does NOT re-fit; folding a concentrating shift (every shifted
+    vector crowds the same cosine region — the ann_drift 'shifted'
+    regime) pushes max_list_frac past REFIT_IMBALANCE_RATIO × build and
+    DOES re-fit, from stored vectors only; the re-fit restores balance,
+    resets the build-time yardstick (so the cadence restarts), and the
+    all-lists probe over the rebuilt index is still answered for every
+    batch vector (scoring stays exact — drift/re-fit never touches
+    correctness)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pgcp_spark.functions.ann_index import (
+        REFIT_IMBALANCE_RATIO,
+        maybe_refit_ann_index,
+        stored_max_list_frac,
+    )
+
+    seed = ensure_ann_index(spark, SF_DIR)
+    work = str(tmp_path / "work")
+    shutil.copytree(seed, work)
+
+    rep0 = maybe_refit_ann_index(spark, work)
+    assert not rep0["refit"], "a freshly built index must be within cadence bounds"
+    assert rep0["current_frac"] == pytest.approx(rep0["build_frac"])
+
+    batch = AI._batch(spark, SF_DIR)
+    n_stored = read_current(spark, os.path.join(work, "vectors")).count()
+    fold = 0
+    while True:  # fold shifted copies until the trigger condition holds
+        fold += 1
+        assert fold <= 12, "concentrating folds never tripped the trigger"
+        shifted = batch.select(
+            (F.col("vec_id") + 1_000_000 * fold).alias("vec_id"),
+            F.transform("embedding", lambda x: x + F.lit(5.0)).alias("embedding"),
+        )
+        update_ann_index(spark, shifted, work)
+        if stored_max_list_frac(spark, work) > REFIT_IMBALANCE_RATIO * rep0["build_frac"]:
+            break
+
+    n_pre_refit = read_current(spark, os.path.join(work, "vectors")).count()
+    assert n_pre_refit == n_stored + fold * len(
+        {r.vec_id for r in batch.select("vec_id").collect()}
+    )
+    rep1 = maybe_refit_ann_index(spark, work)
+    assert rep1["refit"], rep1
+    assert rep1["current_frac"] > REFIT_IMBALANCE_RATIO * rep1["build_frac"]
+    assert rep1["after_frac"] < rep1["current_frac"], "re-fit must restore balance"
+    # the yardstick reset: the rebuilt index is in-cadence again
+    rep2 = maybe_refit_ann_index(spark, work)
+    assert not rep2["refit"]
+    assert rep2["build_frac"] == pytest.approx(rep1["after_frac"])
+    # no vectors lost in the re-fit, and the rebuilt index still answers
+    # every batch probe under the all-lists probe
+    assert read_current(spark, os.path.join(work, "vectors")).count() == n_pre_refit
+    got = {r.vec_id for r in batch_vs_ann_index(spark, batch, work, nprobe=16).collect()}
+    assert got == {r.vec_id for r in batch.select("vec_id").collect()}

@@ -108,10 +108,14 @@ def test_ivf_recall_curve_lower_bounds(spark):
         }
         recalls[nprobe] = len(got & exact) / len(exact)
     assert recalls[2] <= recalls[4] <= recalls[8], recalls
-    # measured at sf0.01: 0.467 / 0.767 / 0.967 — floors leave headroom
-    assert recalls[2] >= 0.30, recalls
-    assert recalls[4] >= 0.60, recalls
-    assert recalls[8] >= 0.85, recalls
+    # measured at sf0.01 with the round-7 cosine-trained quantizer:
+    # 0.533 / 0.767 / 0.967 (Euclidean-trained was 0.467 / 0.767 /
+    # 0.967 — the alignment gain concentrates at low nprobe, exactly
+    # where a geometry mismatch mis-routes borderline vectors).
+    # Floors leave seed headroom.
+    assert recalls[2] >= 0.45, recalls
+    assert recalls[4] >= 0.70, recalls
+    assert recalls[8] >= 0.90, recalls
 
 
 def test_ivf_recall_vs_bruteforce(spark):
