@@ -73,7 +73,13 @@ from pgcp_spark.functions.similarity import (
 from pgcp_spark.plans.materialize import materialize
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table
-from pgcp_spark.sources.lake import current_snapshot, read_current, upsert, write_snapshot
+from pgcp_spark.sources.lake import (
+    compact,
+    current_snapshot,
+    read_current,
+    upsert,
+    write_snapshot,
+)
 
 ANN_BATCH_MOD = 10  # vec_id % 10 == 0 → "new batch"; else → indexed corpus
 ANN_INDEX_ROOT = os.environ.get("SPARK_GRAFT_ANN_INDEX_ROOT", "/tmp/pgcp_ann_index")
@@ -414,7 +420,33 @@ def update_ann_index(spark: SparkSession, batch: DataFrame, index_dir: str, keep
         with_norm(assigned).select("vec_id", "embedding", "nrm", "list_id"),
         key=["vec_id"],
         keep=keep,
+        # the MERGE is a full copy-on-write rewrite, so re-ranging it is
+        # one extra exchange — and without it the FIRST fold would
+        # silently destroy the CLUSTER BY list_id layout that
+        # batch_vs_ann_index's min/max file skipping reads its pruning
+        # from (pinned in tests/test_ann_index.py)
+        cluster_by=["list_id"],
     )
+
+
+def compact_ann_index(
+    spark: SparkSession, index_dir: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> None:
+    """The index's OPTIMIZE maintenance op: every fold's copy-on-write
+    MERGE leaves the vectors table with however many files its exchange
+    produced; on a rebuild cadence production compacts them back toward
+    ``target_file_bytes`` while REBUILDING the list_id clustering (a
+    plain file-merge would smear list ranges across files and erode the
+    probe-time pruning). Centroids/stats are O(k) rows — compacted to
+    single files for the footer-read win alone."""
+    compact(
+        spark,
+        os.path.join(index_dir, "vectors"),
+        target_file_bytes=target_file_bytes,
+        cluster_by=["list_id"],
+    )
+    for small in ("centroids", "stats"):
+        compact(spark, os.path.join(index_dir, small), target_file_bytes=target_file_bytes)
 
 
 @register(

@@ -204,6 +204,26 @@ def update_index(
     )
 
 
+def compact_index(
+    spark: SparkSession, index_dir: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> None:
+    """The index's OPTIMIZE maintenance op (the "weekly compaction" the
+    ``update_index`` docstring schedules the hot-list recompute against):
+    every fold's copy-on-write MERGE re-emits each table at whatever file
+    count its job produced, and a long fold history accumulates small
+    files that tax every subsequent batch join with per-file task/footer
+    overhead. Compaction rewrites each table toward ``target_file_bytes``
+    through the same atomic pointer swap as any commit — same rows,
+    fewer files; concurrent readers never see a partial state. No
+    clustering here: the postings join consumes the whole table (no
+    selective scan to preserve a layout for), unlike the ANN index's
+    list_id-pruned vectors."""
+    from pgcp_spark.sources.lake import compact
+
+    for t in _SUBTABLES:
+        compact(spark, os.path.join(index_dir, t), target_file_bytes=target_file_bytes)
+
+
 def ensure_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the index iff this corpus version has none yet; return its dir.
 

@@ -141,6 +141,7 @@ def upsert(
     key: list[str],
     keep: int = 1,
     evolve_schema: bool = False,
+    cluster_by: list[str] | None = None,
 ) -> str:
     """MERGE-shaped copy-on-write upsert: rows in ``updates`` replace
     current rows with the same key; all other current rows carry over.
@@ -151,6 +152,12 @@ def upsert(
     ``mergeSchema``. Without it, a mismatched schema fails fast (the
     default, so a malformed CDC batch cannot silently widen the table).
 
+    ``cluster_by`` re-establishes a clustered layout on the rewrite: a
+    MERGE is a full copy-on-write anyway, so re-ranging it is one extra
+    exchange, and WITHOUT it a single upsert silently destroys the
+    min/max file-skipping layout a CLUSTER BY table was built with —
+    every later selective scan quietly degrades to a full read.
+
     Scale: one left-anti join (current ⟕ updates on key) + a union — the
     join broadcasts when updates are small (the common CDC shape); the
     rewrite cost is the price of immutable files, exactly like any
@@ -159,7 +166,7 @@ def upsert(
     current = read_current(spark, table_dir)
     kept = current.join(updates.select(*key), on=key, how="left_anti")
     merged = kept.unionByName(updates, allowMissingColumns=evolve_schema)
-    return write_snapshot(merged, table_dir, keep=keep)
+    return write_snapshot(merged, table_dir, keep=keep, cluster_by=cluster_by)
 
 
 def compact(
@@ -167,6 +174,7 @@ def compact(
     table_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     keep: int = 1,
+    cluster_by: list[str] | None = None,
 ) -> str:
     """Small-file compaction (the OPTIMIZE maintenance op): rewrite the
     current snapshot into ⌈size/target⌉ files and atomically re-point.
@@ -193,6 +201,14 @@ def compact(
     )
     n_files = max(1, -(-on_disk // max(1, target_file_bytes)))  # ceil
     df = spark.read.parquet(snap_dir)
+    if cluster_by:
+        # clustered table: compaction must REBUILD the layout, not just
+        # merge files — one range exchange sized to the target file count
+        # restores near-disjoint per-file key ranges (min/max skipping)
+        df = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+        return write_snapshot(df, table_dir, keep=keep)
     # coalesce, not repartition: merging files needs no shuffle — each
     # output task reads a contiguous group of input files
     return write_snapshot(df.coalesce(n_files), table_dir, keep=keep)

@@ -192,3 +192,83 @@ def test_refit_trigger_fires_on_concentration_and_rebalances(spark, ann_root, tm
     assert read_current(spark, os.path.join(work, "vectors")).count() == n_pre_refit
     got = {r.vec_id for r in batch_vs_ann_index(spark, batch, work, nprobe=16).collect()}
     assert got == {r.vec_id for r in batch.select("vec_id").collect()}
+
+
+def _list_id_file_ranges(table_dir):
+    """Per-parquet-file (min, max) list_id read from footer statistics —
+    what Spark's min/max file skipping actually consults."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    snap = current_snapshot(table_dir)
+    ranges = []
+    for f in sorted(g.glob(os.path.join(table_dir, snap, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for c in range(row_group.num_columns):
+                col = row_group.column(c)
+                if col.path_in_schema == "list_id" and col.statistics is not None:
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    return ranges
+
+
+def _max_pairwise_overlap(ranges):
+    """Largest list-range overlap between any two files; a clustered
+    layout keeps this ≤ 1 (adjacent files may share a boundary list),
+    while a smeared layout has every file spanning every list."""
+    worst = 0
+    for i, (amn, amx) in enumerate(ranges):
+        for bmn, bmx in ranges[i + 1 :]:
+            worst = max(worst, min(amx, bmx) - max(amn, bmn) + 1)
+    return worst
+
+
+def test_fold_preserves_cluster_layout_and_compact_restores_files(
+    spark, ann_root, tmp_path
+):
+    """The pruning contract across the index's whole life: the build
+    writes vectors CLUSTER BY list_id (near-disjoint per-file list
+    ranges — what min/max file skipping consults); a fold's
+    copy-on-write MERGE must NOT smear that layout (the upsert
+    re-ranges — without cluster_by the first fold rewrites files that
+    all span every list and probe-time pruning silently dies); and
+    compact_ann_index resizes files while REBUILDING the clustering,
+    with bit-identical query results. Disjointness is asserted pairwise
+    (boundary list shared at most) rather than per-file span, because
+    AQE legitimately coalesces the tiny test lake to few files."""
+    import shutil
+
+    from pgcp_spark.functions.ann_index import compact_ann_index
+
+    seed = ensure_ann_index(spark, SF_DIR)
+    work = str(tmp_path / "work")
+    shutil.copytree(seed, work)
+    vec_dir = os.path.join(work, "vectors")
+    k = len(AI._load_centroids(spark, work))
+    assert k > 1, "test lake must train a multi-list quantizer"
+
+    assert _max_pairwise_overlap(_list_id_file_ranges(vec_dir)) <= 1
+
+    batch = AI._batch(spark, SF_DIR)
+    update_ann_index(spark, batch, work)
+    fold_ranges = _list_id_file_ranges(vec_dir)
+    assert _max_pairwise_overlap(fold_ranges) <= 1, (
+        "the fold's MERGE rewrite smeared the CLUSTER BY list_id layout — "
+        f"file ranges now {fold_ranges}"
+    )
+
+    before = sorted(map(tuple, batch_vs_ann_index(spark, batch, work).collect()))
+    # tiny target forces a MULTI-file clustered layout even at test scale,
+    # so the disjointness assertion below has teeth (> 1 file)
+    compact_ann_index(spark, work, target_file_bytes=16 * 1024)
+    compact_ranges = _list_id_file_ranges(vec_dir)
+    assert len(compact_ranges) > 1, compact_ranges
+    assert _max_pairwise_overlap(compact_ranges) <= 1, compact_ranges
+    after = sorted(map(tuple, batch_vs_ann_index(spark, batch, work).collect()))
+    assert before == after, "compaction must be a pure rewrite"

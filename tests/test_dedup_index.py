@@ -194,3 +194,45 @@ def test_rolling_ingest_update_index_absorbs_batches(spark, tmp_path):
 
     sigs = read_current(spark, f"{index_dir}/signatures")
     assert sigs.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_compact_index_pure_rewrite_fewer_files(spark, tmp_path):
+    """compact_index is the fold history's OPTIMIZE: after a batch fold
+    (copy-on-write MERGE re-emits each table at its job's file count),
+    compaction must merge every subtable's files toward the target size
+    while leaving the batch-vs-index result bit-identical."""
+    import glob as g
+    import shutil
+
+    from pgcp_spark.functions.dedup_index import (
+        batch_vs_index_docs,
+        compact_index,
+        update_index,
+    )
+
+    seed = ensure_index(spark, SF_DIR)
+    work = str(tmp_path / "work")
+    shutil.copytree(seed, work)
+    batch = DI._batch(spark, SF_DIR)
+    update_index(spark, batch, work)
+
+    def file_counts():
+        out = {}
+        for t in DI._SUBTABLES:
+            snap = current_snapshot(os.path.join(work, t))
+            out[t] = len(g.glob(os.path.join(work, t, snap, "*.parquet")))
+        return out
+
+    before_files = file_counts()
+    before = sorted(map(tuple, batch_vs_index_docs(spark, batch, work).collect()))
+    compact_index(spark, work)
+    after_files = file_counts()
+    assert all(after_files[t] <= before_files[t] for t in after_files), (
+        before_files,
+        after_files,
+    )
+    assert any(after_files[t] < before_files[t] for t in after_files), (
+        "compaction merged nothing — the fold left no small files to test against"
+    )
+    after = sorted(map(tuple, batch_vs_index_docs(spark, batch, work).collect()))
+    assert before == after, "compaction must be a pure rewrite"
