@@ -11,8 +11,12 @@ two operations against it:
     index layout (one dir per CONTENT VERSION of the embeddings table)
       centroids/  (list_id, centroid array<double>)   trained quantizer
       vectors/    (vec_id, embedding, nrm, list_id)   assigned corpus,
-                  CLUSTER BY list_id → file min/max stats prune unprobed
-                  lists at scan time, norms hoisted at write time
+                  CLUSTER BY (list_id, vec_id) → file min/max stats
+                  prune unprobed lists at scan time; the secondary key
+                  + a parallelism floor keep the probe join parallel
+                  (see _VECTORS_CLUSTER); norms hoisted at write time
+      stats/      (metric, value)                     build-time balance
+                  yardstick for maybe_refit_ann_index's cadence
 
     query:  ``batch_vs_ann_index`` probes the STORED centroids with the
             batch (one numpy matmul per Arrow batch against a broadcast
@@ -92,6 +96,18 @@ _SUBTABLES = ("centroids", "vectors", "stats")
 # per-probe join work decays toward brute force, while recall and score
 # correctness stay intact — so imbalance, not quality, is the signal.
 REFIT_IMBALANCE_RATIO = 2.0
+
+# Vectors layout: list_id first (the probe filter's pruning key — file
+# min/max ranges stay narrow on it), vec_id second so range boundaries
+# can fall INSIDE a list. The secondary key is what keeps the layout
+# PARALLEL: range partitioning on list_id alone caps useful files at the
+# list count (16), and a hot list — or a small index — collapses to few
+# files whose scan partitions then bound the probe JOIN's task count
+# (the compute-heavy step). Splitting within lists costs pruning nothing
+# (each file's list range is still narrow) and is also the documented
+# recovery lever for the irreducible directional crowd in SCALE.md's
+# round-7 drift notes.
+_VECTORS_CLUSTER = ["list_id", "vec_id"]
 
 
 def ann_index_dir_for(sf_dir: str) -> str:
@@ -237,7 +253,15 @@ def build_ann_index_from(spark: SparkSession, corpus: DataFrame, index_dir: str)
     write_snapshot(
         with_norm(assigned).select("vec_id", "embedding", "nrm", "list_id"),
         os.path.join(index_dir, "vectors"),
-        cluster_by=["list_id"],
+        cluster_by=_VECTORS_CLUSTER,
+        # parallelism floor from day one: without it AQE byte-sizes the
+        # range exchange to a handful of files and every probe join runs
+        # at that task count until the first compaction (measured at sf1:
+        # 4-file build 28.8 s vs 32-file layout 6.2 s per probe batch)
+        cluster_files=max(
+            spark.sparkContext.defaultParallelism,
+            -(-counts["n"] // 500_000),  # …while capping rows per file
+        ),
     )
     # build-time balance, from the COMMITTED vectors (read back, one tiny
     # agg — same zero-recompute discipline as the dedup index's sizes):
@@ -422,10 +446,12 @@ def update_ann_index(spark: SparkSession, batch: DataFrame, index_dir: str, keep
         keep=keep,
         # the MERGE is a full copy-on-write rewrite, so re-ranging it is
         # one extra exchange — and without it the FIRST fold would
-        # silently destroy the CLUSTER BY list_id layout that
-        # batch_vs_ann_index's min/max file skipping reads its pruning
-        # from (pinned in tests/test_ann_index.py)
-        cluster_by=["list_id"],
+        # silently destroy the clustered layout that batch_vs_ann_index's
+        # min/max file skipping reads its pruning from (pinned in
+        # tests/test_ann_index.py). Same parallelism floor as the build:
+        # the folded table serves every probe until the next fold.
+        cluster_by=_VECTORS_CLUSTER,
+        cluster_files=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -435,15 +461,20 @@ def compact_ann_index(
     """The index's OPTIMIZE maintenance op: every fold's copy-on-write
     MERGE leaves the vectors table with however many files its exchange
     produced; on a rebuild cadence production compacts them back toward
-    ``target_file_bytes`` while REBUILDING the list_id clustering (a
-    plain file-merge would smear list ranges across files and erode the
-    probe-time pruning). Centroids/stats are O(k) rows — compacted to
-    single files for the footer-read win alone."""
+    ``target_file_bytes`` while REBUILDING the (list_id, vec_id)
+    clustering (a plain file-merge would smear list ranges across files
+    and erode the probe-time pruning). The floor keeps at least the
+    session's default parallelism in files: the probe join's task count
+    is bounded by the vectors scan's partitions, and compacting a
+    sub-target-size index to one file was measured to serialize the
+    sf1 probe join 23.8 → 87 s (SCALE.md round 7). Centroids/stats are
+    O(k) rows — compacted to single files for the footer-read win alone."""
     compact(
         spark,
         os.path.join(index_dir, "vectors"),
         target_file_bytes=target_file_bytes,
-        cluster_by=["list_id"],
+        cluster_by=_VECTORS_CLUSTER,
+        min_files=spark.sparkContext.defaultParallelism,
     )
     for small in ("centroids", "stats"):
         compact(spark, os.path.join(index_dir, small), target_file_bytes=target_file_bytes)

@@ -96,7 +96,11 @@ def _atomic_write(path: str, content: str) -> None:
 
 
 def write_snapshot(
-    df: DataFrame, table_dir: str, keep: int = 1, cluster_by: list[str] | None = None
+    df: DataFrame,
+    table_dir: str,
+    keep: int = 1,
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
 ) -> str:
     """Write ``df`` as a new snapshot and atomically commit the pointer.
 
@@ -111,12 +115,20 @@ def write_snapshot(
     and row group then covers a narrow, near-disjoint key range, so
     min/max statistics prune most of the lake for selective scans on the
     cluster key — the dominant scan-cost lever at 100 TB. One extra range
-    exchange at write time buys it.
+    exchange at write time buys it. ``cluster_files`` pins the range
+    partition count (otherwise AQE sizes it by bytes, which can collapse
+    a small-but-compute-hot table to a handful of files whose scan
+    partitions then bound a downstream join's parallelism — see
+    ``compact``'s ``min_files`` note).
     """
     os.makedirs(table_dir, exist_ok=True)
     snap = f"{SNAPSHOT_PREFIX}{uuid.uuid4().hex}"
     if cluster_by:
-        df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
+        if cluster_files is not None:
+            df = df.repartitionByRange(cluster_files, *cluster_by)
+        else:
+            df = df.repartitionByRange(*cluster_by)
+        df = df.sortWithinPartitions(*cluster_by)
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, snap))
 
     _atomic_write(_pointer_path(table_dir), snap)  # the atomic commit
@@ -142,6 +154,7 @@ def upsert(
     keep: int = 1,
     evolve_schema: bool = False,
     cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
 ) -> str:
     """MERGE-shaped copy-on-write upsert: rows in ``updates`` replace
     current rows with the same key; all other current rows carry over.
@@ -166,7 +179,9 @@ def upsert(
     current = read_current(spark, table_dir)
     kept = current.join(updates.select(*key), on=key, how="left_anti")
     merged = kept.unionByName(updates, allowMissingColumns=evolve_schema)
-    return write_snapshot(merged, table_dir, keep=keep, cluster_by=cluster_by)
+    return write_snapshot(
+        merged, table_dir, keep=keep, cluster_by=cluster_by, cluster_files=cluster_files
+    )
 
 
 def compact(
@@ -175,6 +190,7 @@ def compact(
     target_file_bytes: int = 128 * 1024 * 1024,
     keep: int = 1,
     cluster_by: list[str] | None = None,
+    min_files: int = 1,
 ) -> str:
     """Small-file compaction (the OPTIMIZE maintenance op): rewrite the
     current snapshot into ⌈size/target⌉ files and atomically re-point.
@@ -199,7 +215,13 @@ def compact(
         for f in files
         if f.endswith(".parquet")
     )
-    n_files = max(1, -(-on_disk // max(1, target_file_bytes)))  # ceil
+    # ``min_files`` is the parallelism floor: a table can be smaller than
+    # one target file yet feed a COMPUTE-heavy join whose task count is
+    # bounded by its scan partitions — measured at the sf1 ANN index,
+    # compacting the vectors table to a single file serialized the probe
+    # join 23.8 → 87 s. Byte-targeting alone right-sizes scan-bound
+    # tables; compute-bound consumers pass their parallelism here.
+    n_files = max(min_files, -(-on_disk // max(1, target_file_bytes)))  # ceil
     df = spark.read.parquet(snap_dir)
     if cluster_by:
         # clustered table: compaction must REBUILD the layout, not just
