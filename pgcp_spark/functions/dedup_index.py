@@ -170,12 +170,15 @@ def update_index(
         re-ingested doc replaces its old rows instead of duplicating;
       - postings: append-shaped upsert keyed (shingle, doc_id), batch
         shingles filtered through the CURRENT hot list first;
-      - hot_shingles: left as-is. The df cap is defined by the indexed
-        corpus at BUILD time; absorbing batches shifts true document
-        frequencies slowly, so production recomputes the hot list on a
-        rebuild cadence (weekly compaction), not per batch — documented
-        trade: a shingle that becomes hot between rebuilds costs extra
-        candidate pairs but never wrong results (verification is exact).
+      - hot_shingles: left as-is per batch. The df cap is defined by the
+        indexed corpus at BUILD time; absorbing batches shifts true
+        document frequencies slowly, so the hot list is refreshed on a
+        rebuild cadence, not per fold — and since round 7 that refresh
+        is ``promote_hot_shingles``, an O(index) incremental pass that
+        converges to the from-scratch hot list with zero corpus access.
+        Between cadence runs the trade is unchanged: a newly-hot shingle
+        costs extra candidate pairs but never wrong results
+        (verification is exact).
     """
     from pgcp_spark.sources.lake import upsert
 
@@ -202,6 +205,57 @@ def update_index(
         key=["doc_id"],
         keep=keep,
     )
+
+
+def promote_hot_shingles(spark: SparkSession, index_dir: str, keep: int = 2) -> int:
+    """Incremental hot-list maintenance — the rebuild-cadence step of
+    ``update_index``'s documented trade, as code instead of a corpus
+    re-shingle.
+
+    Folding batches pushes stored document frequencies up while the
+    build-time hot list stays frozen, so a shingle can cross
+    HOT_SHINGLE_DF_CAP *after* build and start costing extra candidate
+    pairs on every subsequent batch. Its full df is visible IN the
+    stored postings (only already-hot shingles are excluded at fold
+    time), so the recompute needs no corpus access at all: promote every
+    postings shingle whose stored df exceeds the cap into
+    ``hot_shingles``, drop its postings rows, and re-derive sizes.
+
+    CONVERGENCE CONTRACT (pinned in tests/test_dedup_index.py): under
+    append-only absorption, the promoted index's postings / sizes /
+    hot_shingles are BIT-IDENTICAL to ``build_index_from`` run from
+    scratch on the absorbed corpus — the weekly rebuild collapses to an
+    O(index) maintenance pass. Under doc REPLACEMENT (an upsert that
+    removes shingles), the hot list stays a superset of the from-scratch
+    one — hotness is monotone here — which is the conservative side:
+    a retained hot shingle only shrinks the capped universe, it never
+    un-caps a bucket. Returns the number of shingles promoted; commits
+    nothing when the answer is zero.
+    """
+    postings_dir = os.path.join(index_dir, "postings")
+    postings = read_current(spark, postings_dir)
+    newly_hot = (
+        postings.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > HOT_SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    n = newly_hot.count()
+    if n == 0:
+        return 0
+    newly_hot = materialize(newly_hot)  # feeds the hot union AND the anti-join
+    hot_dir = os.path.join(index_dir, "hot_shingles")
+    write_snapshot(
+        read_current(spark, hot_dir).unionByName(newly_hot), hot_dir, keep=keep
+    )
+    remaining = postings.join(newly_hot, "shingle", "left_anti")
+    write_snapshot(remaining, postings_dir, keep=keep)
+    write_snapshot(
+        read_current(spark, postings_dir).groupBy("doc_id").agg(F.count("*").alias("sz")),
+        os.path.join(index_dir, "sizes"),
+        keep=keep,
+    )
+    return n
 
 
 def compact_index(

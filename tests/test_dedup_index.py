@@ -236,3 +236,50 @@ def test_compact_index_pure_rewrite_fewer_files(spark, tmp_path):
     )
     after = sorted(map(tuple, batch_vs_index_docs(spark, batch, work).collect()))
     assert before == after, "compaction must be a pure rewrite"
+
+
+def test_promote_hot_shingles_converges_to_scratch_rebuild(spark, tmp_path):
+    """The hot-list maintenance contract: build an index on a corpus
+    where a boilerplate shingle sits UNDER the cap, fold a batch that
+    pushes its stored df OVER the cap, run promote_hot_shingles — and
+    every index table (hot_shingles, postings, sizes, signatures) must
+    be row-identical to build_index_from run from scratch on the
+    absorbed corpus. The weekly rebuild collapses to an O(index) pass
+    with zero corpus access."""
+    from pgcp_spark.functions.dedup import HOT_SHINGLE_DF_CAP
+    from pgcp_spark.functions.dedup_index import (
+        build_index_from,
+        promote_hot_shingles,
+        update_index,
+    )
+    from pgcp_spark.sources.lake import read_current as rc
+
+    boiler = "aa bb cc dd"  # shingles "aa bb cc", "bb cc dd" shared
+    def docs(ids, tail):
+        return spark.createDataFrame(
+            [(i, f"{boiler} {tail}{i} z{i}") for i in ids],
+            "doc_id long, text string",
+        )
+
+    n_old = HOT_SHINGLE_DF_CAP - 3   # under the cap at build time
+    n_new = 8                        # enough to cross it when folded
+    indexed = docs(range(n_old), "u")
+    batch = docs(range(1000, 1000 + n_new), "v")
+
+    inc_dir = str(tmp_path / "inc")
+    build_index_from(spark, indexed, inc_dir)
+    assert rc(spark, os.path.join(inc_dir, "hot_shingles")).count() == 0
+    update_index(spark, batch, inc_dir)
+    # folded df of the boilerplate shingles is now n_old + n_new > cap,
+    # fully visible in the stored postings
+    promoted = promote_hot_shingles(spark, inc_dir)
+    assert promoted == 2, promoted  # exactly the two boilerplate shingles
+    assert promote_hot_shingles(spark, inc_dir) == 0  # idempotent
+
+    scratch_dir = str(tmp_path / "scratch")
+    build_index_from(spark, indexed.unionByName(batch), scratch_dir)
+
+    for t in DI._SUBTABLES:
+        a = sorted(map(tuple, rc(spark, os.path.join(inc_dir, t)).collect()))
+        b = sorted(map(tuple, rc(spark, os.path.join(scratch_dir, t)).collect()))
+        assert a == b, f"{t} diverged from the from-scratch rebuild"
