@@ -202,3 +202,29 @@ def test_batch_replay_is_idempotent(spark, index_root, tmp_path):
     assert n_within > 0, "test lake should contain a same-batch near-dup pair"
     replayed = _decisions(read_current(spark, decisions_dir).orderBy("doc_id"))
     assert replayed == baseline
+
+
+def test_ingest_decisions_invariant_under_compaction(spark, index_root, tmp_path):
+    """Maintenance must never change results: running the ingest loop
+    with compact_index (the OPTIMIZE pass) between every micro-batch
+    produces decisions bit-identical to the un-maintained run — the
+    compaction is a pure rewrite of the very tables each next batch
+    joins against."""
+    from pgcp_spark.functions.dedup_index import compact_index
+    from pgcp_spark.sources.lake import read_current
+    from pgcp_spark.streaming.ingest_dedup import (
+        _copy_index,
+        _seq_col,
+        _stream_slice,
+        process_ingest_batch,
+    )
+
+    baseline = _decisions(run_ingest_dedup(spark, SF_DIR))
+    index_dir = _copy_index(ensure_index(spark, SF_DIR))
+    decisions_dir = str(tmp_path / "decisions")
+    docs = _stream_slice(spark, SF_DIR)
+    for k in range(N_STREAM_BATCHES):
+        process_ingest_batch(spark, docs.filter(_seq_col() == k), index_dir, decisions_dir)
+        compact_index(spark, index_dir)
+    got = _decisions(read_current(spark, decisions_dir).orderBy("doc_id"))
+    assert got == baseline
