@@ -469,15 +469,27 @@ def compact_ann_index(
     sub-target-size index to one file was measured to serialize the
     sf1 probe join 23.8 → 87 s (SCALE.md round 7). Centroids/stats are
     O(k) rows — compacted to single files for the footer-read win alone."""
+    # keep=2: maintenance runs WHILE probes are being served, and a
+    # reader that resolved the pre-compaction pointer must keep its
+    # snapshot files until it finishes — keep=1 would GC them mid-read.
+    # One retained snapshot of reader grace is the same contract every
+    # lakehouse OPTIMIZE honors; the n-1 snapshot is reclaimed by the
+    # NEXT maintenance commit.
     compact(
         spark,
         os.path.join(index_dir, "vectors"),
         target_file_bytes=target_file_bytes,
         cluster_by=_VECTORS_CLUSTER,
         min_files=spark.sparkContext.defaultParallelism,
+        keep=2,
     )
     for small in ("centroids", "stats"):
-        compact(spark, os.path.join(index_dir, small), target_file_bytes=target_file_bytes)
+        compact(
+            spark,
+            os.path.join(index_dir, small),
+            target_file_bytes=target_file_bytes,
+            keep=2,
+        )
 
 
 @register(

@@ -268,14 +268,20 @@ def compact_index(
     files that tax every subsequent batch join with per-file task/footer
     overhead. Compaction rewrites each table toward ``target_file_bytes``
     through the same atomic pointer swap as any commit — same rows,
-    fewer files; concurrent readers never see a partial state. No
+    fewer files; concurrent readers never see a partial state, and
+    ``keep=2`` leaves one snapshot of READER GRACE (a query that
+    resolved the pre-compaction pointer keeps its files until the next
+    maintenance commit — ``keep=1`` would GC them mid-read). No
     clustering here: the postings join consumes the whole table (no
     selective scan to preserve a layout for), unlike the ANN index's
     list_id-pruned vectors."""
     from pgcp_spark.sources.lake import compact
 
     for t in _SUBTABLES:
-        compact(spark, os.path.join(index_dir, t), target_file_bytes=target_file_bytes)
+        compact(
+            spark, os.path.join(index_dir, t),
+            target_file_bytes=target_file_bytes, keep=2,
+        )
 
 
 def ensure_index(spark: SparkSession, sf_dir: str) -> str:

@@ -272,3 +272,22 @@ def test_fold_preserves_cluster_layout_and_compact_restores_files(
     assert _max_pairwise_overlap(compact_ranges) <= 1, compact_ranges
     after = sorted(map(tuple, batch_vs_ann_index(spark, batch, work).collect()))
     assert before == after, "compaction must be a pure rewrite"
+
+
+def test_compact_leaves_reader_grace(spark, ann_root, tmp_path):
+    """Maintenance runs while probes are served: a reader that resolved
+    the PRE-compaction snapshot (its DataFrame plan points at those
+    files) must still be able to finish after compact_ann_index commits
+    — keep=2 retains exactly one snapshot of reader grace, so the
+    collect below would FileNotFound under keep=1."""
+    import shutil
+
+    from pgcp_spark.functions.ann_index import compact_ann_index
+
+    seed = ensure_ann_index(spark, SF_DIR)
+    work = str(tmp_path / "work")
+    shutil.copytree(seed, work)
+    pre = read_current(spark, os.path.join(work, "vectors"))
+    n_expected = pre.count()
+    compact_ann_index(spark, work)
+    assert len(pre.collect()) == n_expected, "pre-compaction reader lost its files"
