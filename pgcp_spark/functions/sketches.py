@@ -1,0 +1,159 @@
+"""Pre-aggregated distinct-count sketches (HyperLogLog) over ``events``.
+
+The canonical 100 TB pre-aggregation pattern: you cannot re-scan a
+petabyte fact table for every "distinct users last N days?" question, so
+the pipeline maintains a tiny table of PARTIAL sketches — one
+(event_type, day) row holding an HLL sketch of that day's users — and
+answers any date-range rollup by merging stored sketches, never touching
+the fact again. HLL union is associative/commutative and loss-free at a
+fixed lgConfigK, so merge-of-parts answers the same question as
+sketch-of-whole; the fact table is read exactly once per day, at ingest.
+
+Spark-first: ``hll_sketch_agg`` / ``hll_union_agg`` /
+``hll_sketch_estimate`` are built-in JVM declarative aggregates (Apache
+DataSketches HLL under the hood) with map-side partial aggregation —
+each executor sketches its own partition and only sketch bytes
+(≤ ~2^lgK nibbles) cross the shuffle, never user ids. No DuckDB twin
+exists (different HLL implementation), so the registered rollup is
+rows-only by design — the same contract as ``agg_approx_distinct`` —
+with accuracy floors vs exact distinct counts and merge-vs-direct
+equality pinned in ``tests/test_sketches.py``.
+
+Reference anchor: none — the reference engine has no sketch surface;
+this is north-star pre-aggregation territory (SURVEY.md §2b hypertable
+rollup is the exact-aggregate sibling: ``rollup_cascade_events_daily``
+re-aggregates decomposable SUM/COUNT the same way this merges HLL).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcp_spark.registry import register
+from pgcp_spark.sources import lake
+from pgcp_spark.sources.tables import load_table
+
+# 2^12 registers → ~1.6 % relative standard error in the dense regime;
+# exact (sparse list mode) below a few hundred distincts per sketch.
+SKETCH_LGK = 12
+
+
+def daily_user_sketches(events: DataFrame, lgk: int = SKETCH_LGK) -> DataFrame:
+    """(event_type, day) → HLL sketch of that slice's user_ids + exact row
+    count. One shuffle on the tiny composite key; partial sketches are
+    built map-side so only sketch bytes move."""
+    return events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.hll_sketch_agg("user_id", F.lit(lgk)).alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def merge_sketches(daily: DataFrame) -> DataFrame:
+    """Merge per-day sketches to one estimate per event_type. Input is
+    |types|×|days| rows regardless of fact size — this aggregation is
+    free at any scale."""
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias("est_users"),
+        F.count("*").alias("n_days"),
+        F.sum("n_rows").alias("n_events"),
+    )
+
+
+@register(
+    "agg_hll_daily_distinct_rollup",
+    oracle=None,  # rows-only by design: DataSketches HLL has no DuckDB
+    # twin (DuckDB's approx_count_distinct is a different HLL with
+    # different estimates). Value evidence: tests/test_sketches.py pins
+    # merge-of-parts == sketch-of-whole, exactness in the sparse regime,
+    # and a ≤5 % error floor at 20k distincts in the dense regime.
+)
+def agg_hll_daily_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type, answered by building per-day HLL
+    sketches and MERGING them — the pre-aggregated form of
+    COUNT(DISTINCT). Demonstrates the two-level sketch pipeline end to
+    end: fact → daily partials → union rollup.
+    """
+    daily = daily_user_sketches(load_table(spark, sf_dir, "events"))
+    return (
+        merge_sketches(daily)
+        .select("event_type", "est_users", "n_days", "n_events")
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lake-persisted sketch table: the production daily loop
+# ---------------------------------------------------------------------------
+#
+# build → (daily) update_sketch_table folds one new day via MERGE →
+# distinct_users_from_sketches answers any date-range question from the
+# stored partials with day-range file skipping (the table is CLUSTER BY
+# day), zero fact access. Same artifact-reuse shape as the dedup
+# signature index (functions/dedup_index.py) and the IVF ANN index
+# (functions/ann_index.py) — sketches are the third persisted index
+# family: pre-aggregation.
+
+
+def build_sketch_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table_dir: str,
+    lgk: int = SKETCH_LGK,
+    upto_day=None,
+) -> str:
+    """Sketch the fact table (optionally only days ≤ ``upto_day``) and
+    commit the partials as a lake snapshot clustered by day."""
+    events = load_table(spark, sf_dir, "events")
+    if upto_day is not None:
+        events = events.filter(F.to_date("ts") <= F.lit(upto_day))
+    return lake.write_snapshot(
+        daily_user_sketches(events, lgk), table_dir, keep=2, cluster_by=["day"]
+    )
+
+
+def update_sketch_table(spark: SparkSession, sf_dir: str, table_dir: str, day) -> str:
+    """Fold ONE day into the stored sketch table (the daily ingest step):
+    sketch only that day's fact slice, MERGE on (event_type, day). The
+    rest of the fact is never read — incremental by construction, and
+    replaying the same day is idempotent (same key, same sketch)."""
+    events = load_table(spark, sf_dir, "events").filter(F.to_date("ts") == F.lit(day))
+    batch = daily_user_sketches(events)
+    return lake.upsert(
+        spark, table_dir, batch, key=["event_type", "day"], keep=2, cluster_by=["day"]
+    )
+
+
+def distinct_users_from_sketches(
+    spark: SparkSession, table_dir: str, day_from=None, day_to=None
+) -> DataFrame:
+    """Answer "distinct users per event_type over [day_from, day_to]"
+    from the STORED partials: filter the day range (min/max file skipping
+    via the CLUSTER BY day layout), merge. The events table is read zero
+    times."""
+    daily = lake.read_current(spark, table_dir)
+    if day_from is not None:
+        daily = daily.filter(F.col("day") >= F.lit(day_from))
+    if day_to is not None:
+        daily = daily.filter(F.col("day") <= F.lit(day_to))
+    return (
+        merge_sketches(daily)
+        .select("event_type", "est_users", "n_days", "n_events")
+        .orderBy("event_type")
+    )
+
+
+def _sketch_table_files(table_dir: str) -> list[str]:
+    snap = lake.current_snapshot(table_dir)
+    assert snap is not None
+    snap_dir = os.path.join(table_dir, snap)
+    return [
+        os.path.join(root, f)
+        for root, _, files in os.walk(snap_dir)
+        for f in files
+        if f.endswith(".parquet")
+    ]

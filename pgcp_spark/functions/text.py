@@ -830,3 +830,108 @@ def text_repeated_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (keyword search over the corpus)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("vector", "join", "scan")
+BM25_TOP = 20
+_BM25_Q_SQL = "', '".join(BM25_QUERY)
+
+
+@register(
+    "text_bm25_search_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+doc_term AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, SUM(n) AS dl FROM doc_term GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total FROM dl),
+qdf AS (
+  SELECT tok, COUNT(*) AS df FROM doc_term WHERE tok IN ('{_BM25_Q_SQL}') GROUP BY tok
+),
+w AS (
+  SELECT t.doc_id,
+         CAST(ROUND(
+           ln(1 + (CAST(s.n_docs AS DOUBLE) - q.df + 0.5) / (CAST(q.df AS DOUBLE) + 0.5)) *
+           (t.n * CAST(2.2 AS DOUBLE)) /
+           (t.n + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * d.dl / (CAST(s.total AS DOUBLE) / s.n_docs))),
+           6) AS DECIMAL(18,6)) AS wgt
+  FROM doc_term t
+  JOIN qdf q ON t.tok = q.tok
+  JOIN dl d ON t.doc_id = d.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT doc_id, CAST(SUM(wgt) AS DOUBLE) AS score FROM w GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT doc_id, score, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {BM25_TOP}
+ORDER BY rnk
+""",
+)
+def text_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: top-{BM25_TOP} documents for a fixed keyword
+    query, Okapi BM25 (k1=1.2, b=0.75) over whitespace tokens.
+
+    This is the missing retrieval half of the corpus toolkit: TF-IDF
+    ranks a doc's own terms, BM25 ranks DOCS for a query — the op a
+    training-data curator runs to pull topical slices out of a 100 TB
+    corpus ("give me the docs about X"), and the relevance baseline every
+    embedding retriever is measured against.
+
+    Scale: ONE corpus scan + ONE token explode feed the same materialized
+    (doc_id, tok, n) aggregate as TF-IDF (production persists it to the
+    lake as the inverted index; sharing the artifact is the point). From
+    that frame everything is post-aggregation-sized: doc lengths are one
+    row per doc (materialized — feeds both the corpus stats and the score
+    join), corpus stats are ONE row carried by a broadcast nested-loop
+    (no driver collect), per-term df is |query| rows broadcast back onto
+    the term stream, and only rows whose token is IN the query survive to
+    the score join — the fact-sized token stream is pruned by the query
+    terms BEFORE any join. Final top-k is orderBy+limit →
+    TakeOrderedAndProject (per-partition heaps, no global sort), with
+    row_number assigned on the already-k-sized result.
+
+    Cross-engine determinism follows the TF-IDF recipe: identical
+    floating-point expression shapes on both sides, per-term weights
+    rounded to 1e-6 then summed as DECIMAL(18,6) (order-independent), the
+    decimal total cast to DOUBLE at the end; ties broken by doc_id.
+    """
+    from pyspark.sql import Window
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")).alias(
+            "tok"
+        ),
+    )
+    doc_term = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n")).transform(materialize)
+    dl = doc_term.groupBy("doc_id").agg(F.sum("n").alias("dl")).transform(materialize)
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total"))
+    qterms = doc_term.filter(F.col("tok").isin(*BM25_QUERY))
+    qdf = qterms.groupBy("tok").agg(F.count("*").alias("df"))
+    avgdl = F.col("total").cast("double") / F.col("n_docs")
+    idf = F.log(F.lit(1) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    tf_w = (F.col("n") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("n") + F.lit(BM25_K1) * (F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+    )
+    w = (
+        qterms.join(F.broadcast(qdf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(idf * tf_w, 6).cast("decimal(18,6)").alias("wgt"))
+    )
+    scored = w.groupBy("doc_id").agg(F.sum("wgt").cast("double").alias("score"))
+    topk = scored.orderBy(F.desc("score"), "doc_id").limit(BM25_TOP)
+    rnk = F.row_number().over(Window.orderBy(F.desc("score"), "doc_id"))
+    return topk.withColumn("rnk", rnk).select("doc_id", "score", "rnk").orderBy("rnk")

@@ -51,8 +51,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # CORRECTNESS_r{N}.json rotate to the back.
 #
 # Round-7 window. The staleness invariant (no entry's driver row predates
-# its current implementation) has priority, so the 3 queries whose
-# implementation changed in round 7 come first:
+# its current implementation) has priority, so the 2 queries ADDED in
+# round 7 (BM25 ranked retrieval; HLL sketch rollup) lead the window,
+# followed by the 3 queries whose implementation changed in round 7:
 #   * streaming_ingest_dedup_decisions — SEMANTICS changed: the
 #     per-crawl-day hot-shingle cap (day_capped_shingles) now bounds the
 #     within-batch universe, mirrored in the oracle — hash-capable;
@@ -75,6 +76,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Everything else outside the window holds an r4-r6 row no older than
 # its implementation, plus the full mimic matrix (COVERAGE.md).
 _AUDIT_PRIORITY: list[str] = [
+    # --- NEW in round 7 (no driver row yet — must enter the window) ---
+    "text_bm25_search_topk",  # hash-capable (decimal-summed rounded weights)
+    "agg_hll_daily_distinct_rollup",  # rows-only by design (no DuckDB HLL twin)
     # --- changed in round 7 ---
     "streaming_ingest_dedup_decisions",
     "sim_incremental_batch_vs_ann_index",
@@ -123,12 +127,13 @@ _AUDIT_PRIORITY: list[str] = [
     "join_salted_skew_events_per_user",
     "reshape_unpivot_order_metrics",
     "sample_weighted_bernoulli_documents",
-    # --- the oldest 5 of the r4 set ---
+    # --- the oldest 3 of the r4 set (agg_stats_correlation and
+    # join_asof_click_attribution displaced past the window edge by the
+    # two NEW round-7 queries above; both hold green r4 rows and their
+    # code is unchanged, so the staleness invariant is preserved) ---
     "multimodal_feature_extract",
     "agg_rollup_region_nation",
     "agg_cube_returnflag_linestatus",
-    "agg_stats_correlation",
-    "join_asof_click_attribution",
 ]
 
 
@@ -194,6 +199,7 @@ def _load_operator_modules() -> None:
     import pgcp_spark.functions.pipeline  # noqa: F401
     import pgcp_spark.functions.sampling  # noqa: F401
     import pgcp_spark.functions.similarity  # noqa: F401
+    import pgcp_spark.functions.sketches  # noqa: F401
     import pgcp_spark.functions.text  # noqa: F401
     import pgcp_spark.operators.aggregates  # noqa: F401
     import pgcp_spark.operators.analytics  # noqa: F401

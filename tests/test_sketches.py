@@ -1,0 +1,171 @@
+"""HLL sketch rollup: accuracy, merge semantics, and the lake-persisted
+daily-partials loop (build → fold one day → range query, zero fact reads)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from pgcp_spark.functions.sketches import (
+    agg_hll_daily_distinct_rollup,
+    build_sketch_table,
+    daily_user_sketches,
+    distinct_users_from_sketches,
+    merge_sketches,
+    update_sketch_table,
+    _sketch_table_files,
+)
+from pgcp_spark.sources.tables import load_table
+
+from .conftest import SF_DIR, SF_DIR_CORRECTNESS
+
+
+def _exact(spark, sf_dir, day_from=None, day_to=None):
+    e = load_table(spark, sf_dir, "events")
+    if day_from is not None:
+        e = e.filter(F.to_date("ts") >= F.lit(day_from))
+    if day_to is not None:
+        e = e.filter(F.to_date("ts") <= F.lit(day_to))
+    return {
+        r["event_type"]: (r["exact"], r["n_days"], r["n_events"])
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+
+
+def test_rollup_sparse_regime_exact(spark):
+    """At test scale every per-type user set is far below the sketch's
+    sparse→dense threshold, so the HLL estimate is EXACT — and n_days /
+    n_events are exact by construction at any scale."""
+    got = {
+        r["event_type"]: (r["est_users"], r["n_days"], r["n_events"])
+        for r in agg_hll_daily_distinct_rollup(spark, SF_DIR).collect()
+    }
+    want = _exact(spark, SF_DIR)
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t] == want[t], f"{t}: {got[t]} != {want[t]}"
+
+
+def test_merge_of_parts_equals_sketch_of_whole(spark):
+    """HLL union is loss-free at fixed lgK: merging per-day partials must
+    give the same estimate as sketching the whole slice directly."""
+    e = load_table(spark, SF_DIR_CORRECTNESS, "events")
+    merged = {
+        r["event_type"]: r["est_users"]
+        for r in merge_sketches(daily_user_sketches(e)).collect()
+    }
+    direct = {
+        r["event_type"]: r["est"]
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_dense_regime_error_bound(spark):
+    """20k distincts split across 40 'days' — well past the sparse
+    threshold, so this exercises the real estimator: merged estimate
+    within 5 % (lgK=12 → ~1.6 % RSE; 3σ)."""
+    df = spark.range(20_000).select(
+        F.lit("t").alias("event_type"),
+        F.date_add(F.lit(datetime.date(2024, 1, 1)), (F.col("id") % 40).cast("int")).alias(
+            "day"
+        ),
+        F.col("id").alias("user_id"),
+    )
+    daily = df.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"), F.count("*").alias("n_rows")
+    )
+    est = merge_sketches(daily).collect()[0]["est_users"]
+    assert abs(est - 20_000) / 20_000 < 0.05, est
+
+
+def test_lake_fold_vs_rebuild_and_range_query(spark, tmp_path):
+    """The production loop: build the sketch table on all days but the
+    last, fold the last day via MERGE, and the folded table answers
+    exactly like a from-scratch rebuild; a day-range query over stored
+    partials matches direct computation on the fact slice."""
+    days = [
+        r["day"]
+        for r in load_table(spark, SF_DIR, "events")
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+        .orderBy("day")
+        .collect()
+    ]
+    assert len(days) >= 3
+    last = days[-1]
+
+    folded_dir = str(tmp_path / "sk_folded")
+    build_sketch_table(spark, SF_DIR, folded_dir, upto_day=days[-2])
+    update_sketch_table(spark, SF_DIR, folded_dir, last)
+
+    rebuilt_dir = str(tmp_path / "sk_rebuilt")
+    build_sketch_table(spark, SF_DIR, rebuilt_dir)
+
+    folded = [tuple(r) for r in distinct_users_from_sketches(spark, folded_dir).collect()]
+    rebuilt = [tuple(r) for r in distinct_users_from_sketches(spark, rebuilt_dir).collect()]
+    assert folded == rebuilt
+
+    # range query from stored partials == exact on the fact slice
+    lo, hi = days[1], days[-2]
+    got = {
+        r["event_type"]: (r["est_users"], r["n_days"], r["n_events"])
+        for r in distinct_users_from_sketches(spark, folded_dir, lo, hi).collect()
+    }
+    want = _exact(spark, SF_DIR, lo, hi)
+    assert got == want
+
+    # idempotent replay: folding the same day again changes nothing
+    update_sketch_table(spark, SF_DIR, folded_dir, last)
+    again = [tuple(r) for r in distinct_users_from_sketches(spark, folded_dir).collect()]
+    assert again == folded
+
+
+def test_range_query_never_touches_fact(spark, tmp_path):
+    """The range rollup's plan reads ONLY the sketch table — zero fact
+    access — and the day predicate is pushed to its parquet scan (the
+    CLUSTER BY day layout makes that min/max file skipping at scale)."""
+    d = str(tmp_path / "sk")
+    build_sketch_table(spark, SF_DIR, d)
+    q = distinct_users_from_sketches(
+        spark, d, datetime.date(2024, 1, 2), datetime.date(2024, 1, 5)
+    )
+    from pgcp_spark.plans.explain import physical_plan
+
+    plan = physical_plan(q)
+    assert "events.parquet" not in plan
+    assert d in plan
+    assert "PushedFilters" in plan and "day" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_empty_range_returns_no_rows(spark, tmp_path):
+    d = str(tmp_path / "sk")
+    build_sketch_table(spark, SF_DIR, d)
+    out = distinct_users_from_sketches(
+        spark, d, datetime.date(1999, 1, 1), datetime.date(1999, 1, 2)
+    )
+    assert out.count() == 0
+
+
+def test_sketch_table_is_tiny_and_clustered(spark, tmp_path):
+    """The artifact is |types|×|days| rows regardless of fact size, and
+    committed through the lake pointer like any snapshot."""
+    d = str(tmp_path / "sk")
+    build_sketch_table(spark, SF_DIR, d)
+    files = _sketch_table_files(d)
+    assert files
+    n = spark.read.parquet(*files).count()
+    types = load_table(spark, SF_DIR, "events").select("event_type").distinct().count()
+    daysn = (
+        load_table(spark, SF_DIR, "events").select(F.to_date("ts")).distinct().count()
+    )
+    assert 0 < n <= types * daysn  # at most one partial per (type, day)
