@@ -147,6 +147,92 @@ def distinct_users_from_sketches(
     )
 
 
+def fold_sketch_batch(spark: SparkSession, batch: DataFrame, table_dir: str) -> str:
+    """Fold ONE micro-batch of events into the stored sketch table.
+
+    The staging contract (``_stage_event_day_files``) delivers whole days
+    per file, and the file source never splits a file across micro-batches
+    — so every (event_type, day) partial a batch produces is COMPLETE, and
+    the MERGE can replace rather than union. That makes replay convergent:
+    foreachBatch is at-least-once, and re-sketching the same full day
+    yields a bit-identical row, so the keyed upsert is a no-op the second
+    time (pinned in tests/test_sketches.py::test_streaming_replay_idempotent).
+    """
+    partials = daily_user_sketches(batch)
+    if lake.current_snapshot(table_dir) is None:
+        return lake.write_snapshot(partials, table_dir, keep=2, cluster_by=["day"])
+    return lake.upsert(
+        spark, table_dir, partials, key=["event_type", "day"], keep=2, cluster_by=["day"]
+    )
+
+
+def _stage_event_day_files(events: DataFrame) -> str:
+    """Write events as one parquet file per day with increasing mtimes, so
+    the file stream source delivers days oldest-first and a micro-batch is
+    always a union of WHOLE days (files are the source's atomic unit)."""
+    import glob as globmod
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="pgcp_sketch_stream_")
+    days = sorted(
+        r["day"]
+        for r in events.select(F.to_date("ts").alias("day")).distinct().collect()
+        if r["day"] is not None
+    )
+    base = 1_000_000_000  # fixed epoch: identical staging across runs
+    for k, d in enumerate(days):
+        sub = events.filter(F.to_date("ts") == F.lit(d)).coalesce(1)
+        tmp = os.path.join(staging, f"_tmp{k}")
+        sub.write.mode("overwrite").parquet(tmp)
+        part = sorted(globmod.glob(os.path.join(tmp, "part-*.parquet")))[0]
+        dst = os.path.join(staging, f"day_{k}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (base + 60 * k, base + 60 * k))
+        shutil.rmtree(tmp)
+    return staging
+
+
+def run_streaming_sketch_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    table_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """The streaming form of the daily loop: events arrive as a stream of
+    per-day files; each micro-batch's complete-day partials MERGE into the
+    lake sketch table via ``fold_sketch_batch``. After the stream drains,
+    the table answers range rollups exactly like a batch-built one
+    (boundary invariance pinned in tests/test_sketches.py).
+
+    ``max_files_per_trigger=None`` lets availableNow swallow every day in
+    one micro-batch; 1 replays the production day-at-a-time cadence.
+    """
+    import shutil
+
+    events = load_table(spark, sf_dir, "events")
+    staging = _stage_event_day_files(events)
+    try:
+        if not any(f.endswith(".parquet") for f in os.listdir(staging)):
+            return  # zero-day slice: nothing to stream, nothing to commit
+        schema = spark.read.parquet(os.path.join(staging, "day_0.parquet")).schema
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        q = (
+            reader.parquet(staging)
+            .writeStream.foreachBatch(
+                lambda batch, _bid: fold_sketch_batch(spark, batch, table_dir)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def _sketch_table_files(table_dir: str) -> list[str]:
     snap = lake.current_snapshot(table_dir)
     assert snap is not None

@@ -169,3 +169,54 @@ def test_sketch_table_is_tiny_and_clustered(spark, tmp_path):
         load_table(spark, SF_DIR, "events").select(F.to_date("ts")).distinct().count()
     )
     assert 0 < n <= types * daysn  # at most one partial per (type, day)
+
+
+def test_streaming_fold_matches_batch_build(spark, tmp_path):
+    """Day-at-a-time streaming maintenance converges to the same table as
+    a one-shot batch build."""
+    from pgcp_spark.functions.sketches import run_streaming_sketch_maintenance
+
+    stream_dir = str(tmp_path / "sk_stream")
+    run_streaming_sketch_maintenance(spark, SF_DIR, stream_dir, max_files_per_trigger=1)
+    batch_dir = str(tmp_path / "sk_batch")
+    build_sketch_table(spark, SF_DIR, batch_dir)
+    got = [tuple(r) for r in distinct_users_from_sketches(spark, stream_dir).collect()]
+    want = [tuple(r) for r in distinct_users_from_sketches(spark, batch_dir).collect()]
+    assert got == want
+
+
+def test_streaming_batch_boundary_invariance(spark, tmp_path):
+    """One giant micro-batch vs one per day: identical final table."""
+    from pgcp_spark.functions.sketches import run_streaming_sketch_maintenance
+
+    one = str(tmp_path / "sk_one")
+    run_streaming_sketch_maintenance(spark, SF_DIR, one, max_files_per_trigger=None)
+    daily = str(tmp_path / "sk_daily")
+    run_streaming_sketch_maintenance(spark, SF_DIR, daily, max_files_per_trigger=1)
+    rows_one = [tuple(r) for r in distinct_users_from_sketches(spark, one).collect()]
+    rows_daily = [tuple(r) for r in distinct_users_from_sketches(spark, daily).collect()]
+    assert rows_one == rows_daily
+
+
+def test_streaming_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-folding an already-folded whole
+    day must leave the table unchanged (complete-day partials replace
+    with bit-identical rows)."""
+    from pgcp_spark.functions.sketches import (
+        fold_sketch_batch,
+        run_streaming_sketch_maintenance,
+    )
+
+    d = str(tmp_path / "sk")
+    run_streaming_sketch_maintenance(spark, SF_DIR, d, max_files_per_trigger=1)
+    before = [tuple(r) for r in distinct_users_from_sketches(spark, d).collect()]
+    last = (
+        load_table(spark, SF_DIR, "events")
+        .select(F.to_date("ts").alias("day"))
+        .agg(F.max("day"))
+        .collect()[0][0]
+    )
+    replay = load_table(spark, SF_DIR, "events").filter(F.to_date("ts") == F.lit(last))
+    fold_sketch_batch(spark, replay, d)
+    after = [tuple(r) for r in distinct_users_from_sketches(spark, d).collect()]
+    assert after == before
