@@ -343,11 +343,19 @@ def batch_vs_ann_index(
     index_dir: str,
     nprobe: int = IVF_NPROBE,
     top_k: int = TOP_K,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k stored neighbors per batch vector (module docstring): probe
     stored centroids → prune stored vectors to the probed lists (pushed
     IN-filter + CLUSTER BY min/max file skipping) → broadcast probe rows
-    into the list_id equi-join → exact cosine with STORED norms."""
+    into the list_id equi-join → exact cosine with STORED norms.
+
+    ``exclude_ids`` (single column ``vec_id``) anti-joins those ids off
+    the STORED candidate side — the streaming ingest loop passes the
+    current batch's own ids so an at-least-once REPLAY of an
+    already-folded batch scores the same candidate set as its first
+    delivery (same role as ``batch_vs_index_docs``'s anti-join in the
+    dedup twin)."""
     centroids = _load_centroids(spark, index_dir)
     if centroids.size == 0:  # empty indexed corpus: no neighbors exist
         return spark.createDataFrame(
@@ -358,6 +366,8 @@ def batch_vs_ann_index(
     stored = read_current(spark, os.path.join(index_dir, "vectors")).filter(
         F.col("list_id").isin(probed_lists)
     )
+    if exclude_ids is not None:
+        stored = stored.join(F.broadcast(exclude_ids.select("vec_id")), "vec_id", "left_anti")
     q = with_norm(probes).alias("q")
     c = stored.alias("c")
     dot = F.aggregate(
