@@ -36,6 +36,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pgcp_spark.sources.zorder import with_zorder_key
+
 POINTER = "_CURRENT"
 LOG = "_LOG"
 SNAPSHOT_PREFIX = "snapshot_"
@@ -101,6 +103,7 @@ def write_snapshot(
     keep: int = 1,
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
+    zorder_by: list[str] | None = None,
 ) -> str:
     """Write ``df`` as a new snapshot and atomically commit the pointer.
 
@@ -120,7 +123,20 @@ def write_snapshot(
     a small-but-compute-hot table to a handful of files whose scan
     partitions then bound a downstream join's parallelism — see
     ``compact``'s ``min_files`` note).
+
+    ``zorder_by`` (mutually exclusive with ``cluster_by``): MULTI-dimension
+    clustering — lay the table out in Morton-key order of these columns
+    (``sources/zorder.py``) so min/max skipping prunes selective
+    predicates on ANY of them, not just the leading sort key. Costs the
+    same single range exchange plus one min/max aggregate on the input.
     """
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
+    if zorder_by:
+        df = with_zorder_key(df, zorder_by)
+        cluster_by, drop_key = ["_zkey"], True
+    else:
+        drop_key = False
     os.makedirs(table_dir, exist_ok=True)
     snap = f"{SNAPSHOT_PREFIX}{uuid.uuid4().hex}"
     if cluster_by:
@@ -129,6 +145,11 @@ def write_snapshot(
         else:
             df = df.repartitionByRange(*cluster_by)
         df = df.sortWithinPartitions(*cluster_by)
+    if drop_key:
+        # projection after the sort: intra-partition order survives, the
+        # key never reaches the files (readers prune on the NATURAL
+        # columns' footer stats, which interleaved locality keeps narrow)
+        df = df.drop("_zkey")
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, snap))
 
     _atomic_write(_pointer_path(table_dir), snap)  # the atomic commit
@@ -155,6 +176,7 @@ def upsert(
     evolve_schema: bool = False,
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
+    zorder_by: list[str] | None = None,
 ) -> str:
     """MERGE-shaped copy-on-write upsert: rows in ``updates`` replace
     current rows with the same key; all other current rows carry over.
@@ -180,7 +202,12 @@ def upsert(
     kept = current.join(updates.select(*key), on=key, how="left_anti")
     merged = kept.unionByName(updates, allowMissingColumns=evolve_schema)
     return write_snapshot(
-        merged, table_dir, keep=keep, cluster_by=cluster_by, cluster_files=cluster_files
+        merged,
+        table_dir,
+        keep=keep,
+        cluster_by=cluster_by,
+        cluster_files=cluster_files,
+        zorder_by=zorder_by,
     )
 
 
@@ -191,6 +218,7 @@ def compact(
     keep: int = 1,
     cluster_by: list[str] | None = None,
     min_files: int = 1,
+    zorder_by: list[str] | None = None,
 ) -> str:
     """Small-file compaction (the OPTIMIZE maintenance op): rewrite the
     current snapshot into ⌈size/target⌉ files and atomically re-point.
@@ -223,6 +251,12 @@ def compact(
     # tables; compute-bound consumers pass their parallelism here.
     n_files = max(min_files, -(-on_disk // max(1, target_file_bytes)))  # ceil
     df = spark.read.parquet(snap_dir)
+    if zorder_by:
+        # z-ordered table: same rebuild rule as cluster_by below, on the
+        # recomputed Morton key (stats over the current snapshot)
+        return write_snapshot(
+            df, table_dir, keep=keep, zorder_by=zorder_by, cluster_files=n_files
+        )
     if cluster_by:
         # clustered table: compaction must REBUILD the layout, not just
         # merge files — one range exchange sized to the target file count
