@@ -35,6 +35,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pgcp_spark.sources.zorder import with_zorder_key
 
@@ -268,3 +269,81 @@ def compact(
     # coalesce, not repartition: merging files needs no shuffle — each
     # output task reads a contiguous group of input files
     return write_snapshot(df.coalesce(n_files), table_dir, keep=keep)
+
+
+def table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_snapshot: str,
+    to_snapshot: str | None = None,
+    key: list[str] | None = None,
+) -> DataFrame:
+    """Change feed between two retained snapshots (Delta CDF / Iceberg
+    changelog shape): the table's columns plus ``_change_type`` in
+    {insert, delete, update_preimage, update_postimage}.
+
+    The snapshot log already stores everything a change feed needs —
+    immutable old and new versions — so CDC is a DIFF, not a capture:
+    downstream consumers (incremental aggregates, index maintenance,
+    replication) read exactly what changed between commits instead of
+    rescanning the table. ``to_snapshot=None`` diffs against the current
+    pointer. ``keep`` must retain ``from_snapshot`` (time travel rules).
+
+    With ``key`` (must be unique per snapshot — the same contract
+    ``upsert`` maintains): keyed diff via ONE full-outer join on the key,
+    each side's non-key columns packed into a struct, classified
+    null-side → insert/delete, null-safe struct inequality → one
+    preimage + one postimage row. Rows with NULL keys never match (ANSI
+    join semantics) and surface as delete+insert, same as any CDC on a
+    keyless row. Without ``key``: bag diff (two ``exceptAll``), inserts
+    and deletes only — an updated row is a delete+insert pair.
+
+    Additive schema evolution between the snapshots is aligned the same
+    way ``upsert(evolve_schema=True)`` created it: columns missing on
+    one side read NULL there.
+
+    Scale: the keyed path is one key-partitioned shuffle of both
+    snapshots and streams no payload wider than the row itself; nothing
+    collects to the driver. The unchanged majority is dropped BEFORE the
+    explode, so the output exchange carries only changed rows.
+    """
+    old = read_snapshot(spark, table_dir, from_snapshot)
+    new = (
+        read_snapshot(spark, table_dir, to_snapshot)
+        if to_snapshot is not None
+        else read_current(spark, table_dir)
+    )
+    cols = list(new.columns) + [c for c in old.columns if c not in new.columns]
+    old_t, new_t = dict(old.dtypes), dict(new.dtypes)
+    for c in cols:  # align additive evolution: absent column reads NULL
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(new_t[c]))
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None).cast(old_t[c]))
+    old, new = old.select(*cols), new.select(*cols)
+
+    if key is None:
+        ins = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        dels = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        return ins.unionByName(dels)
+
+    nonkey = [c for c in cols if c not in key]
+    o = old.select(*key, F.struct(*nonkey).alias("_old"))
+    n = new.select(*key, F.struct(*nonkey).alias("_new"))
+    j = o.join(n, on=key, how="full_outer").filter(
+        F.col("_old").isNull()
+        | F.col("_new").isNull()
+        | ~F.col("_old").eqNullSafe(F.col("_new"))
+    )
+    pre = F.struct(F.lit("update_preimage").alias("t"), F.col("_old").alias("r"))
+    post = F.struct(F.lit("update_postimage").alias("t"), F.col("_new").alias("r"))
+    changes = (
+        F.when(F.col("_old").isNull(), F.array(F.struct(F.lit("insert").alias("t"), F.col("_new").alias("r"))))
+        .when(F.col("_new").isNull(), F.array(F.struct(F.lit("delete").alias("t"), F.col("_old").alias("r"))))
+        .otherwise(F.array(pre, post))
+    )
+    return j.select(*key, F.explode(changes).alias("_c")).select(
+        *key,
+        *[F.col(f"_c.r.{c}").alias(c) for c in nonkey],
+        F.col("_c.t").alias("_change_type"),
+    )
