@@ -36,9 +36,11 @@ FROM o WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 = 0
 UNION ALL
 SELECT o_orderkey, o_totalprice, 'update_preimage' FROM o
 WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
+  AND o_totalprice * 2 IS DISTINCT FROM o_totalprice
 UNION ALL
 SELECT o_orderkey, o_totalprice * 2, 'update_postimage' FROM o
 WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
+  AND o_totalprice * 2 IS DISTINCT FROM o_totalprice
 ORDER BY o_orderkey, _change_type
 """
 
@@ -55,7 +57,12 @@ def lake_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-key rows are excluded from BOTH snapshots by the same predicate
     semantics on both engines (``NULL % k`` filters out), so the feed's
     NULL-key delete+insert contract never triggers here. No deletes by
-    construction — MERGE only adds or replaces."""
+    construction — MERGE only adds or replaces. A NULL or zero
+    o_totalprice makes the doubled row EQUAL to its preimage (NULL*2 is
+    NULL, 0*2 is 0): the feed's null-safe compare drops such no-op
+    updates, and the oracle mirrors it with IS DISTINCT FROM — the
+    nulls-lake shape that distinguishes CDC-on-change from
+    CDC-on-touch."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     base = orders.filter(F.col("o_orderkey") % 3 != 0)
     updates = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
