@@ -51,10 +51,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # CORRECTNESS_r{N}.json rotate to the back.
 #
 # Round-7 window. The staleness invariant (no entry's driver row predates
-# its current implementation) has priority, so the 4 queries ADDED in
+# its current implementation) has priority, so the 5 queries ADDED in
 # round 7 (BM25 ranked retrieval; HLL sketch rollup; streaming ANN
-# ingest; lake change feed) lead the window,
-# followed by the 3 queries whose implementation changed in round 7:
+# ingest; lake change feed; incremental aggregate maintenance) lead the
+# window, followed by the 3 queries whose implementation changed in round 7:
 #   * streaming_ingest_dedup_decisions — SEMANTICS changed: the
 #     per-crawl-day hot-shingle cap (day_capped_shingles) now bounds the
 #     within-batch universe, mirrored in the oracle — hash-capable;
@@ -65,13 +65,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #     by design (k-means has no DuckDB twin); value evidence is the
 #     LIFTED recall floors in tests/test_ann_index.py (0.293/0.453/
 #     0.633/0.867 vs the Euclidean 0.273/0.393/0.560/0.827) + SCALE.md.
-# The remaining 43 slots re-prove the OLDEST standing rows, cumulative
+# The remaining 42 slots re-prove the OLDEST standing rows, cumulative
 # ledger recomputed from CORRECTNESS_r01..r06: the full r2 set (20 —
 # setops/window/scalar/sort families and q20/q22, displaced past the r6
-# edge), the full r3 set (22 — pipeline/q1/q3, percentile, UDF surface,
-# corpus shaping, timeseries gapfill, salted skew join, reshape,
-# weighted sampling), and the first 1 of the r4 set (multimodal feature
-# extract). Still excluded:
+# edge) and the full r3 set (22 — pipeline/q1/q3, percentile, UDF
+# surface, corpus shaping, timeseries gapfill, salted skew join,
+# reshape, weighted sampling). Still excluded:
 # agg_approx_distinct_customers (rows-only AND unchanged since
 # its r1 row — a new row adds nothing, same rationale since r5).
 # Everything else outside the window holds an r4-r6 row no older than
@@ -83,6 +82,7 @@ _AUDIT_PRIORITY: list[str] = [
     "streaming_ingest_ann_neighbors",  # rows-only by design (IVF routing; numpy
     # replay oracle + invariance/replay pins in tests/test_ingest_ann.py)
     "lake_change_feed_orders",  # hash-capable (the CDC diff is a pure fn of orders)
+    "lake_incremental_agg_orders",  # hash-capable (fold == recompute proof)
     # --- changed in round 7 ---
     "streaming_ingest_dedup_decisions",
     "sim_incremental_batch_vs_ann_index",
@@ -131,12 +131,12 @@ _AUDIT_PRIORITY: list[str] = [
     "join_salted_skew_events_per_user",
     "reshape_unpivot_order_metrics",
     "sample_weighted_bernoulli_documents",
-    # --- the oldest 1 of the r4 set (agg_rollup_region_nation,
-    # agg_cube_returnflag_linestatus, agg_stats_correlation and
-    # join_asof_click_attribution displaced past the window edge by the
-    # four NEW round-7 queries above; all hold green r4 rows and their
-    # code is unchanged, so the staleness invariant is preserved) ---
-    "multimodal_feature_extract",
+    # (the oldest r4 rows — multimodal_feature_extract,
+    # agg_rollup_region_nation, agg_cube_returnflag_linestatus,
+    # agg_stats_correlation, join_asof_click_attribution — are displaced
+    # past the window edge by the five NEW round-7 queries above; all
+    # hold green r4 rows and their code is unchanged, so the staleness
+    # invariant is preserved)
 ]
 
 

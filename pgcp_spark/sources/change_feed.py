@@ -88,3 +88,141 @@ def lake_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         atexit.register(shutil.rmtree, tdir, ignore_errors=True)
     return result
+
+
+_AGG_ORACLE = """
+WITH post AS (
+    SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+    FROM orders
+    WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0
+      AND o_custkey IS NOT NULL
+    UNION ALL
+    SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) * 2
+    FROM orders WHERE o_orderkey % 5 = 0 AND o_custkey IS NOT NULL
+)
+SELECT o_custkey,
+       CAST(SUM(p) AS DOUBLE) AS sum_totalprice,
+       COUNT(*) AS order_cnt
+FROM post GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+@register(
+    "lake_incremental_agg_orders",
+    oracle=_AGG_ORACLE,
+    doc="incremental aggregate maintenance from the change feed: per-customer totals folded forward by CDC deltas (insert/post add, delete/pre subtract) — never rescanning the new snapshot; oracle recomputes from the post state, proving fold == recompute",
+)
+def lake_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed's downstream consumer, as code: a persisted
+    per-customer aggregate (sum of o_totalprice, order count) maintained
+    INCREMENTALLY. Build the aggregate once over the base snapshot, run
+    the same MERGE as ``lake_change_feed_orders``, then fold ONLY the CDC
+    rows into the stored aggregate: insert/update_postimage add the row,
+    delete/update_preimage subtract it — group keys the feed never
+    touched are not even read (their stored rows carry over through the
+    keyed upsert's anti-join). The oracle aggregates the post state
+    directly, so a hash match proves fold == recompute.
+
+    Exactness: sums live as DECIMAL in the lake table and fold by exact
+    decimal addition (`operators/_decimal.py` convention); the final
+    result casts to double once. The aggregate keys on NON-NULL
+    o_custkey only (oracle-mirrored): a NULL group key can never match
+    itself through the keyed upsert's anti-join (ANSI), so a maintained
+    metrics table must key on a real dimension — NULL-key facts stay in
+    the fact table, they just have no per-customer row. At 100 TB this
+    is the shape that makes a daily metrics table O(changed rows), not
+    O(table): one CDC-sized shuffle per fold instead of a full-fact
+    rescan.
+    """
+    from pgcp_spark.operators._decimal import dec
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    updates = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    fact_dir = tempfile.mkdtemp(prefix="pgcp_inc_agg_fact_")
+    agg_dir = tempfile.mkdtemp(prefix="pgcp_inc_agg_table_")
+
+    def _cleanup() -> None:
+        shutil.rmtree(fact_dir, ignore_errors=True)
+        shutil.rmtree(agg_dir, ignore_errors=True)
+
+    try:
+        zero = F.lit(0).cast("decimal(18,2)")
+        # internal ledger: NULL-price rows contribute 0 to sum_dec but are
+        # tracked in priced_cnt, so "SUM over only NULLs is NULL" (ANSI)
+        # survives the fold — the nulls lake caught the version that
+        # conflated sum-of-nothing with sum-of-zero
+        snap_a = write_snapshot(base, fact_dir, keep=2)
+        write_snapshot(
+            base.filter(F.col("o_custkey").isNotNull())
+            .groupBy("o_custkey")
+            .agg(
+                F.coalesce(F.sum(dec("o_totalprice", "decimal(18,2)")), zero).alias(
+                    "sum_dec"
+                ),
+                F.count("o_totalprice").alias("priced_cnt"),
+                F.count(F.lit(1)).alias("order_cnt"),
+            ),
+            agg_dir,
+        )
+        upsert(spark, fact_dir, updates, key=["o_orderkey"], keep=2)
+        feed = table_changes(spark, fact_dir, snap_a, key=["o_orderkey"])
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        deltas = (
+            feed.filter(F.col("o_custkey").isNotNull())
+            .groupBy("o_custkey")
+            .agg(
+                F.coalesce(
+                    F.sum(sign * F.coalesce(dec("o_totalprice", "decimal(18,2)"), zero)),
+                    zero,
+                ).alias("d_sum"),
+                F.sum(
+                    sign * F.col("o_totalprice").isNotNull().cast("int")
+                ).alias("d_priced"),
+                F.sum(sign).alias("d_cnt"),
+            )
+        )
+        from pgcp_spark.sources.lake import read_current
+
+        stored = read_current(spark, agg_dir)
+        touched = (
+            stored.join(deltas, "o_custkey", "right_outer")
+            .select(
+                "o_custkey",
+                (F.coalesce(F.col("sum_dec"), zero) + F.col("d_sum"))
+                .cast("decimal(18,2)")
+                .alias("sum_dec"),
+                (F.coalesce(F.col("priced_cnt"), F.lit(0)) + F.col("d_priced")).alias(
+                    "priced_cnt"
+                ),
+                (F.coalesce(F.col("order_cnt"), F.lit(0)) + F.col("d_cnt")).alias(
+                    "order_cnt"
+                ),
+            )
+        )
+        upsert(spark, agg_dir, touched, key=["o_custkey"])
+        result = materialize(
+            read_current(spark, agg_dir)
+            .filter(F.col("order_cnt") > 0)
+            .select(
+                "o_custkey",
+                F.when(F.col("priced_cnt") > 0, F.col("sum_dec").cast("double"))
+                .alias("sum_totalprice"),
+                "order_cnt",
+            )
+            .orderBy("o_custkey")
+        )
+    except BaseException:
+        _cleanup()
+        raise
+    if current_mode() in ("localCheckpoint", "checkpoint"):
+        _cleanup()
+    else:
+        atexit.register(_cleanup)
+    return result

@@ -9,7 +9,12 @@ import duckdb
 import pytest
 
 from pgcp_spark.sources.lake import table_changes, upsert, write_snapshot
-from pgcp_spark.sources.change_feed import _ORACLE, lake_change_feed_orders
+from pgcp_spark.sources.change_feed import (
+    _AGG_ORACLE,
+    _ORACLE,
+    lake_change_feed_orders,
+    lake_incremental_agg_orders,
+)
 from tests.conftest import SF_DIR, SF_DIR_CORRECTNESS
 
 
@@ -119,6 +124,19 @@ def test_registered_change_feed_matches_duckdb_oracle(spark):
         f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR_CORRECTNESS}/orders.parquet'"
     )
     want = _sorted(tuple(r) for r in con.execute(_ORACLE).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_incremental_agg_fold_equals_recompute(spark):
+    """The CDC consumer: per-customer totals folded forward by deltas
+    must equal the oracle's direct aggregate of the post state — the
+    fold == recompute proof, decimal-exact."""
+    got = _rows(lake_incremental_agg_orders(spark, SF_DIR_CORRECTNESS))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR_CORRECTNESS}/orders.parquet'"
+    )
+    want = _sorted(tuple(r) for r in con.execute(_AGG_ORACLE).fetchall())
     assert got == want and len(got) > 0
 
 
