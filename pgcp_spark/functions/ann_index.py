@@ -195,13 +195,21 @@ def build_ann_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     build_ann_index_from(spark, _indexed_corpus(spark, sf_dir), index_dir)
 
 
-def build_ann_index_from(spark: SparkSession, corpus: DataFrame, index_dir: str) -> None:
+def build_ann_index_from(
+    spark: SparkSession, corpus: DataFrame, index_dir: str, keep: int = 1
+) -> None:
     """Fit the coarse quantizer on ``corpus`` (vec_id, embedding) and
     persist the index: centroids + CLUSTER BY list_id assigned vectors
     with hoisted norms. Same single-writer contract as the dedup index;
     the corpus-frame seam (mirroring the dedup index's
     ``build_index_from``) is what lets tools/ann_drift.py rebuild on an
-    arbitrary base+folded split to measure the re-fit payoff."""
+    arbitrary base+folded split to measure the re-fit payoff.
+
+    ``keep``: snapshots retained per table. The fresh build defaults to 1
+    (nothing earlier exists to grant grace to); the REFIT path passes 2 —
+    it runs while probes are being served, and a reader that resolved the
+    pre-refit pointer must keep its files until it finishes, the same
+    reader-grace contract ``compact_ann_index`` documents."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     counts = corpus.agg(
@@ -213,11 +221,12 @@ def build_ann_index_from(spark: SparkSession, corpus: DataFrame, index_dir: str)
         empty_v = spark.createDataFrame(
             [], "vec_id long, embedding array<float>, nrm double, list_id int"
         )
-        write_snapshot(empty_c, os.path.join(index_dir, "centroids"))
-        write_snapshot(empty_v, os.path.join(index_dir, "vectors"))
+        write_snapshot(empty_c, os.path.join(index_dir, "centroids"), keep=keep)
+        write_snapshot(empty_v, os.path.join(index_dir, "vectors"), keep=keep)
         write_snapshot(
             spark.createDataFrame([], "metric string, value double"),
             os.path.join(index_dir, "stats"),
+            keep=keep,
         )
         return
     if counts["nd"] < 2:
@@ -249,10 +258,12 @@ def build_ann_index_from(spark: SparkSession, corpus: DataFrame, index_dir: str)
     write_snapshot(
         spark.createDataFrame(cent_rows, "list_id int, centroid array<double>"),
         os.path.join(index_dir, "centroids"),
+        keep=keep,
     )
     write_snapshot(
         with_norm(assigned).select("vec_id", "embedding", "nrm", "list_id"),
         os.path.join(index_dir, "vectors"),
+        keep=keep,
         cluster_by=_VECTORS_CLUSTER,
         # parallelism floor from day one: without it AQE byte-sizes the
         # range exchange to a handful of files and every probe join runs
@@ -272,6 +283,7 @@ def build_ann_index_from(spark: SparkSession, corpus: DataFrame, index_dir: str)
             "metric string, value double",
         ),
         os.path.join(index_dir, "stats"),
+        keep=keep,
     )
 
 
@@ -321,7 +333,9 @@ def maybe_refit_ann_index(
     stored = read_current(spark, os.path.join(index_dir, "vectors")).select(
         "vec_id", "embedding"
     )
-    build_ann_index_from(spark, stored, index_dir)
+    # keep=2: the refit replaces live snapshots mid-serve — one snapshot
+    # of reader grace, matching compact_ann_index (round-7 advice #3)
+    build_ann_index_from(spark, stored, index_dir, keep=2)
     report["refit"] = True
     report["after_frac"] = stored_max_list_frac(spark, index_dir)
     return report

@@ -860,8 +860,8 @@ w AS (
   SELECT t.doc_id,
          CAST(ROUND(
            ln(1 + (CAST(s.n_docs AS DOUBLE) - q.df + 0.5) / (CAST(q.df AS DOUBLE) + 0.5)) *
-           (t.n * CAST(2.2 AS DOUBLE)) /
-           (t.n + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * d.dl / (CAST(s.total AS DOUBLE) / s.n_docs))),
+           ((t.n * CAST(2.2 AS DOUBLE)) /
+            (t.n + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * d.dl / (CAST(s.total AS DOUBLE) / s.n_docs)))),
            6) AS DECIMAL(18,6)) AS wgt
   FROM doc_term t
   JOIN qdf q ON t.tok = q.tok

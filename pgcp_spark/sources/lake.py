@@ -267,7 +267,13 @@ def compact(
         )
         return write_snapshot(df, table_dir, keep=keep)
     # coalesce, not repartition: merging files needs no shuffle — each
-    # output task reads a contiguous group of input files
+    # output task reads a contiguous group of input files. coalesce can
+    # only REDUCE partition count, though, so when the scan yields fewer
+    # partitions than the ``min_files`` floor demands (a small snapshot
+    # feeding a compute-heavy consumer), pay the one round-robin
+    # exchange — the floor is a parallelism guarantee, not a hint.
+    if df.rdd.getNumPartitions() < n_files:
+        return write_snapshot(df.repartition(n_files), table_dir, keep=keep)
     return write_snapshot(df.coalesce(n_files), table_dir, keep=keep)
 
 
