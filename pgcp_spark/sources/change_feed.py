@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 from pgcp_spark.plans.materialize import current_mode, materialize
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table
-from pgcp_spark.sources.lake import table_changes, upsert, write_snapshot
+from pgcp_spark.sources.lake import (
+    delete,
+    merge_cdc,
+    table_changes,
+    upsert,
+    write_snapshot,
+)
 
 _ORACLE = """
 WITH o AS (SELECT o_orderkey, o_totalprice FROM orders)
@@ -134,15 +140,29 @@ def lake_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(table): one CDC-sized shuffle per fold instead of a full-fact
     rescan.
     """
+
+    def mutate(fact_dir: str, orders: DataFrame) -> None:
+        updates = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        upsert(spark, fact_dir, updates, key=["o_orderkey"], keep=2)
+
+    return _run_incremental_agg(spark, sf_dir, mutate)
+
+
+def _run_incremental_agg(spark: SparkSession, sf_dir: str, mutate) -> DataFrame:
+    """Shared harness for the incremental-aggregate queries: build the
+    base fact snapshot + its aggregate table, apply ``mutate(fact_dir,
+    orders)`` (any combination of lake writers), fold the resulting
+    change feed into the aggregate, return it. The fold is mutation-
+    agnostic by construction — it consumes only ``_change_type`` signs —
+    which is exactly the property the delete-bearing variant proves."""
     from pgcp_spark.operators._decimal import dec
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     base = orders.filter(F.col("o_orderkey") % 3 != 0)
-    updates = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") * 2
-    )
     fact_dir = tempfile.mkdtemp(prefix="pgcp_inc_agg_fact_")
     agg_dir = tempfile.mkdtemp(prefix="pgcp_inc_agg_table_")
 
@@ -156,7 +176,7 @@ def lake_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tracked in priced_cnt, so "SUM over only NULLs is NULL" (ANSI)
         # survives the fold — the nulls lake caught the version that
         # conflated sum-of-nothing with sum-of-zero
-        snap_a = write_snapshot(base, fact_dir, keep=2)
+        snap_a = write_snapshot(base, fact_dir, keep=3)
         write_snapshot(
             base.filter(F.col("o_custkey").isNotNull())
             .groupBy("o_custkey")
@@ -169,7 +189,7 @@ def lake_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             agg_dir,
         )
-        upsert(spark, fact_dir, updates, key=["o_orderkey"], keep=2)
+        mutate(fact_dir, orders)
         feed = table_changes(spark, fact_dir, snap_a, key=["o_orderkey"])
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
@@ -226,3 +246,120 @@ def lake_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         atexit.register(_cleanup)
     return result
+
+_DELETE_ORACLE = """
+WITH o AS (SELECT o_orderkey, o_totalprice FROM orders)
+SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+       'insert' AS _change_type
+FROM o WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 = 0
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'update_preimage' FROM o
+WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
+  AND o_totalprice * 2 IS DISTINCT FROM o_totalprice
+UNION ALL
+SELECT o_orderkey, o_totalprice * 2, 'update_postimage' FROM o
+WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
+  AND o_totalprice * 2 IS DISTINCT FROM o_totalprice
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'delete' FROM o
+WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+ORDER BY o_orderkey, _change_type
+"""
+
+
+@register(
+    "lake_delete_change_feed_orders",
+    oracle=_DELETE_ORACLE,
+    doc="lake DELETE through the change feed: base orders snapshot, MERGE of doubled totals, then a predicate DELETE of the %7 slice — the feed reports inserts, update pre/postimages AND delete rows (previously unreachable from any writer)",
+)
+def lake_delete_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delete contract of the change feed, driven end to end by the
+    new ``lake.delete`` writer: snapshot A = orders keys with
+    ``o_orderkey % 3 != 0``; commit 1 MERGEs doubled totals for every 5th
+    key (same batch as ``lake_change_feed_orders``); commit 2 DELETEs
+    WHERE ``o_orderkey % 7 == 0 AND o_orderkey % 5 != 0`` (the retention
+    shape — predicate addressing, disjoint from the updated keys so the
+    batch history stays key-unique); feed = ``table_changes(A, current)``
+    across BOTH commits. Deleted rows surface with their pre-delete
+    column values and ``_change_type='delete'`` — the arm of the feed's
+    classification that had no producing writer before this round. The
+    ANSI DELETE NULL rule (predicate NULL → row kept) is exercised by
+    the nulls-lake sweep, where NULL keys make the predicate NULL.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    updates = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    tdir = tempfile.mkdtemp(prefix="pgcp_delete_feed_")
+    try:
+        snap_a = write_snapshot(base, tdir, keep=3)
+        upsert(spark, tdir, updates, key=["o_orderkey"], keep=3)
+        delete(
+            spark,
+            tdir,
+            predicate=(F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0),
+            keep=3,
+        )
+        result = materialize(
+            table_changes(spark, tdir, snap_a, key=["o_orderkey"]).orderBy(
+                "o_orderkey", "_change_type"
+            )
+        )
+    except BaseException:
+        shutil.rmtree(tdir, ignore_errors=True)
+        raise
+    if current_mode() in ("localCheckpoint", "checkpoint"):
+        shutil.rmtree(tdir, ignore_errors=True)
+    else:
+        atexit.register(shutil.rmtree, tdir, ignore_errors=True)
+    return result
+
+
+_AGG_CDC_ORACLE = """
+WITH post AS (
+    SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+    FROM orders
+    WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+      AND o_custkey IS NOT NULL
+    UNION ALL
+    SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) * 2
+    FROM orders WHERE o_orderkey % 5 = 0 AND o_custkey IS NOT NULL
+)
+SELECT o_custkey,
+       CAST(SUM(p) AS DOUBLE) AS sum_totalprice,
+       COUNT(*) AS order_cnt
+FROM post GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+@register(
+    "lake_incremental_agg_orders_cdc",
+    oracle=_AGG_CDC_ORACLE,
+    doc="incremental aggregate maintenance from a CDC batch WITH DELETES: merge_cdc applies updates + WHEN-MATCHED-DELETEs in one commit, the fold subtracts real delete rows — oracle recomputes from the post state, proving fold == recompute with the subtract path live",
+)
+def lake_incremental_agg_orders_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lake_incremental_agg_orders`` with the fold's subtract path
+    exercised by REAL delete rows: the mutation is one ``merge_cdc``
+    batch marking every 5th key an upsert (doubled total) and every 7th
+    non-5th key a delete (WHEN MATCHED THEN DELETE; the %21 keys outside
+    the base prove the unmatched-delete no-op). The fold itself is the
+    SHARED harness — identical sign logic — so a hash match proves the
+    subtract arm handles ``delete`` rows exactly as it handles
+    ``update_preimage`` (full-row removal vs value replacement), which
+    the delete-free original could never show."""
+
+    def mutate(fact_dir: str, orders: DataFrame) -> None:
+        ups = (
+            orders.filter(F.col("o_orderkey") % 5 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn("_op", F.lit("upsert"))
+        )
+        dels = orders.filter(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
+        ).withColumn("_op", F.lit("delete"))
+        merge_cdc(
+            spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"], keep=2
+        )
+
+    return _run_incremental_agg(spark, sf_dir, mutate)

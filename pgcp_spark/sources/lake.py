@@ -26,6 +26,10 @@ historical reads, and GCs everything older plus crash orphans.
 MERGE-shaped upsert: parquet files are immutable, so ``upsert`` is
 copy-on-write — new/updated rows win by key, unmatched current rows carry
 over (one left-anti join), and the result commits as a fresh snapshot.
+``delete`` (DELETE WHERE / delete-by-keys) and ``merge_cdc`` (MERGE with
+WHEN-MATCHED-DELETE) are the same copy-on-write rewrite with rows
+REMOVED — the mutation that makes the change feed's ``delete`` rows
+reachable from a writer.
 """
 
 from __future__ import annotations
@@ -202,6 +206,102 @@ def upsert(
     current = read_current(spark, table_dir)
     kept = current.join(updates.select(*key), on=key, how="left_anti")
     merged = kept.unionByName(updates, allowMissingColumns=evolve_schema)
+    return write_snapshot(
+        merged,
+        table_dir,
+        keep=keep,
+        cluster_by=cluster_by,
+        cluster_files=cluster_files,
+        zorder_by=zorder_by,
+    )
+
+
+def delete(
+    spark: SparkSession,
+    table_dir: str,
+    predicate=None,
+    keys: DataFrame | None = None,
+    key: list[str] | None = None,
+    keep: int = 1,
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
+    zorder_by: list[str] | None = None,
+) -> str:
+    """Copy-on-write DELETE: rewrite the current snapshot without the
+    matching rows and atomically re-point — the retention/GDPR mutation
+    every production lake hits right after MERGE. Two addressing modes,
+    mutually exclusive:
+
+      - ``predicate`` (a Column): DELETE WHERE semantics — rows where the
+        predicate is TRUE are removed; FALSE **and NULL** are kept, the
+        ANSI DELETE rule (a bare ``filter(~p)`` would silently delete
+        NULL-predicate rows, which is how a retention job eats rows with
+        missing timestamps).
+      - ``keys`` (a frame of key values) + ``key``: delete by key list —
+        one left-anti join, broadcast when the key list is small (the
+        common GDPR-request shape).
+
+    Layout contract is ``upsert``'s: the rewrite is full copy-on-write, so
+    passing ``cluster_by``/``zorder_by`` re-establishes a clustered layout
+    for one extra exchange, and omitting them on a clustered table quietly
+    degrades later selective scans. ``keep`` ≥ 2 retains the pre-delete
+    snapshot for time travel — note a GDPR pipeline must then run a
+    follow-up commit (or ``keep=1``) before the data is truly gone; the
+    change feed still reports the delete either way.
+
+    Scale: predicate deletes are one filtered scan (the predicate also
+    pushes into the parquet scan, so untouched files stream through);
+    keyed deletes are one anti-join. Nothing collects to the driver.
+    """
+    if (predicate is None) == (keys is None):
+        raise ValueError("exactly one of predicate / keys must be given")
+    current = read_current(spark, table_dir)
+    if predicate is not None:
+        kept_rows = current.where(~F.coalesce(predicate, F.lit(False)))
+    else:
+        if not key:
+            raise ValueError("keyed delete needs key columns")
+        kept_rows = current.join(keys.select(*key), on=key, how="left_anti")
+    return write_snapshot(
+        kept_rows,
+        table_dir,
+        keep=keep,
+        cluster_by=cluster_by,
+        cluster_files=cluster_files,
+        zorder_by=zorder_by,
+    )
+
+
+def merge_cdc(
+    spark: SparkSession,
+    table_dir: str,
+    batch: DataFrame,
+    key: list[str],
+    op_col: str = "_op",
+    delete_op: str = "delete",
+    keep: int = 1,
+    evolve_schema: bool = False,
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
+    zorder_by: list[str] | None = None,
+) -> str:
+    """MERGE with WHEN-MATCHED-DELETE: apply one CDC batch whose ``op_col``
+    marks each row as ``delete_op`` (WHEN MATCHED THEN DELETE) or anything
+    else (matched → UPDATE, unmatched → INSERT — ``upsert`` semantics).
+    An unmatched delete row is a no-op, the standard MERGE rule, so a
+    replayed CDC batch converges (deleting twice deletes once).
+
+    ``batch`` must be key-unique (the same contract ``upsert`` holds) —
+    a key appearing as both update and delete in one batch is a malformed
+    feed, not a supported ordering. One anti-join removes every TOUCHED
+    key from the current snapshot, then the non-delete rows union back:
+    exactly ``upsert``'s plan shape plus one cheap batch filter, so cost
+    and broadcast behavior are unchanged from the delete-free MERGE.
+    """
+    current = read_current(spark, table_dir)
+    kept_rows = current.join(batch.select(*key), on=key, how="left_anti")
+    ups = batch.filter(~F.col(op_col).eqNullSafe(F.lit(delete_op))).drop(op_col)
+    merged = kept_rows.unionByName(ups, allowMissingColumns=evolve_schema)
     return write_snapshot(
         merged,
         table_dir,
