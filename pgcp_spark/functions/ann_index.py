@@ -59,7 +59,6 @@ floors vs the exact new-vs-stored brute force asserted in
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -74,16 +73,11 @@ from pgcp_spark.functions.similarity import (
     valid_embedding,
     with_norm,
 )
+from pgcp_spark.indexes import loop
 from pgcp_spark.plans.materialize import materialize
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table
-from pgcp_spark.sources.lake import (
-    compact,
-    current_snapshot,
-    read_current,
-    upsert,
-    write_snapshot,
-)
+from pgcp_spark.sources.lake import read_current, upsert, write_snapshot
 
 ANN_BATCH_MOD = 10  # vec_id % 10 == 0 → "new batch"; else → indexed corpus
 ANN_INDEX_ROOT = os.environ.get("SPARK_GRAFT_ANN_INDEX_ROOT", "/tmp/pgcp_ann_index")
@@ -111,24 +105,15 @@ _VECTORS_CLUSTER = ["list_id", "vec_id"]
 
 
 def ann_index_dir_for(sf_dir: str) -> str:
-    """Content-version-keyed index dir (same discipline as the dedup
-    index: a regenerated lake fingerprints to a different directory, so a
-    stale index can never serve a changed corpus)."""
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    # format-version salt: bumped when the index LAYOUT or TRAINING
-    # GEOMETRY changes (v2 = cosine-trained quantizer), so an index
-    # persisted by older code can never serve a newer probe kernel —
-    # it simply lives in a different directory and the build runs again.
-    parts = [os.path.abspath(sf_dir), "format:v2:cosine"]
-    if os.path.isdir(emb_path):
-        for name in sorted(os.listdir(emb_path)):
-            st = os.stat(os.path.join(emb_path, name))
-            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.exists(emb_path):
-        st = os.stat(emb_path)
-        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    digest = hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
-    return os.path.join(ANN_INDEX_ROOT, digest)
+    """Content-version-keyed index dir (shared harness discipline: a
+    regenerated lake fingerprints to a different directory, so a stale
+    index can never serve a changed corpus). The format-version salt is
+    bumped when the index LAYOUT or TRAINING GEOMETRY changes (v2 =
+    cosine-trained quantizer), so an index persisted by older code can
+    never serve a newer probe kernel."""
+    return loop.content_version_dir(
+        ANN_INDEX_ROOT, sf_dir, "embeddings.parquet", salt="format:v2:cosine"
+    )
 
 
 def _valid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,11 +329,9 @@ def maybe_refit_ann_index(
 def ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
     """Build iff this corpus version has no index yet; return its dir."""
     index_dir = ann_index_dir_for(sf_dir)
-    if any(
-        current_snapshot(os.path.join(index_dir, t)) is None for t in _SUBTABLES
-    ):
-        build_ann_index(spark, sf_dir, index_dir)
-    return index_dir
+    return loop.ensure_built(
+        index_dir, _SUBTABLES, lambda: build_ann_index(spark, sf_dir, index_dir)
+    )
 
 
 def batch_vs_ann_index(
@@ -493,27 +476,20 @@ def compact_ann_index(
     sub-target-size index to one file was measured to serialize the
     sf1 probe join 23.8 → 87 s (SCALE.md round 7). Centroids/stats are
     O(k) rows — compacted to single files for the footer-read win alone."""
-    # keep=2: maintenance runs WHILE probes are being served, and a
-    # reader that resolved the pre-compaction pointer must keep its
-    # snapshot files until it finishes — keep=1 would GC them mid-read.
-    # One retained snapshot of reader grace is the same contract every
-    # lakehouse OPTIMIZE honors; the n-1 snapshot is reclaimed by the
-    # NEXT maintenance commit.
-    compact(
+    # reader grace (keep=2) comes from the shared harness; the vectors
+    # table alone re-ranges on its cluster key with the parallelism floor.
+    loop.compact_tables(
         spark,
-        os.path.join(index_dir, "vectors"),
+        index_dir,
+        _SUBTABLES,
         target_file_bytes=target_file_bytes,
-        cluster_by=_VECTORS_CLUSTER,
-        min_files=spark.sparkContext.defaultParallelism,
-        keep=2,
+        per_table={
+            "vectors": {
+                "cluster_by": _VECTORS_CLUSTER,
+                "min_files": spark.sparkContext.defaultParallelism,
+            }
+        },
     )
-    for small in ("centroids", "stats"):
-        compact(
-            spark,
-            os.path.join(index_dir, small),
-            target_file_bytes=target_file_bytes,
-            keep=2,
-        )
 
 
 @register(

@@ -51,7 +51,6 @@ signature table to the lake for reuse across dedup runs").
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,10 +63,11 @@ from pgcp_spark.functions.dedup import (
     doc_shingles_of,
     minhash_signatures,
 )
+from pgcp_spark.indexes import loop
 from pgcp_spark.plans.materialize import materialize
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table_parallel
-from pgcp_spark.sources.lake import current_snapshot, read_current, write_snapshot
+from pgcp_spark.sources.lake import read_current, write_snapshot
 
 BATCH_MOD = 10  # doc_id % 10 == 0 → "new batch"; else → indexed corpus
 INC_BANDS = 16  # 16 bands × 2 rows of the k=32 signature (recall-tuned)
@@ -78,21 +78,11 @@ _SUBTABLES = ("signatures", "postings", "sizes", "hot_shingles")
 
 def index_dir_for(sf_dir: str) -> str:
     """Deterministic index location keyed by the CONTENT VERSION of the
-    corpus (path + file sizes + mtimes of documents.parquet): a
-    regenerated lake under the same path fingerprints differently, so a
-    stale index can never serve a changed corpus — it is simply a
-    different directory, and the build runs again."""
-    doc_path = os.path.join(sf_dir, "documents.parquet")
-    parts = [os.path.abspath(sf_dir)]
-    if os.path.isdir(doc_path):
-        for name in sorted(os.listdir(doc_path)):
-            st = os.stat(os.path.join(doc_path, name))
-            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.exists(doc_path):
-        st = os.stat(doc_path)
-        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    digest = hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
-    return os.path.join(INDEX_ROOT, digest)
+    corpus (path + file sizes + mtimes of documents.parquet, via the
+    shared harness): a regenerated lake under the same path fingerprints
+    differently, so a stale index can never serve a changed corpus — it
+    is simply a different directory, and the build runs again."""
+    return loop.content_version_dir(INDEX_ROOT, sf_dir, "documents.parquet")
 
 
 def _indexed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,13 +265,9 @@ def compact_index(
     clustering here: the postings join consumes the whole table (no
     selective scan to preserve a layout for), unlike the ANN index's
     list_id-pruned vectors."""
-    from pgcp_spark.sources.lake import compact
-
-    for t in _SUBTABLES:
-        compact(
-            spark, os.path.join(index_dir, t),
-            target_file_bytes=target_file_bytes, keep=2,
-        )
+    loop.compact_tables(
+        spark, index_dir, _SUBTABLES, target_file_bytes=target_file_bytes
+    )
 
 
 def ensure_index(spark: SparkSession, sf_dir: str) -> str:
@@ -295,11 +281,9 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
     discipline every lock-service-free lakehouse table needs.
     """
     index_dir = index_dir_for(sf_dir)
-    if any(
-        current_snapshot(os.path.join(index_dir, t)) is None for t in _SUBTABLES
-    ):
-        build_index(spark, sf_dir, index_dir)
-    return index_dir
+    return loop.ensure_built(
+        index_dir, _SUBTABLES, lambda: build_index(spark, sf_dir, index_dir)
+    )
 
 
 def batch_vs_index_docs(

@@ -167,30 +167,25 @@ def fold_sketch_batch(spark: SparkSession, batch: DataFrame, table_dir: str) -> 
 
 
 def _stage_event_day_files(events: DataFrame) -> str:
-    """Write events as one parquet file per day with increasing mtimes, so
-    the file stream source delivers days oldest-first and a micro-batch is
-    always a union of WHOLE days (files are the source's atomic unit)."""
-    import glob as globmod
-    import shutil
-    import tempfile
+    """Stage events as one parquet file per day via the shared harness
+    (fixed increasing mtimes → the file stream source delivers days
+    oldest-first, and a micro-batch is always a union of WHOLE days —
+    files are the source's atomic unit)."""
+    from pgcp_spark.indexes import loop
 
-    staging = tempfile.mkdtemp(prefix="pgcp_sketch_stream_")
     days = sorted(
         r["day"]
         for r in events.select(F.to_date("ts").alias("day")).distinct().collect()
         if r["day"] is not None
     )
-    base = 1_000_000_000  # fixed epoch: identical staging across runs
-    for k, d in enumerate(days):
-        sub = events.filter(F.to_date("ts") == F.lit(d)).coalesce(1)
-        tmp = os.path.join(staging, f"_tmp{k}")
-        sub.write.mode("overwrite").parquet(tmp)
-        part = sorted(globmod.glob(os.path.join(tmp, "part-*.parquet")))[0]
-        dst = os.path.join(staging, f"day_{k}.parquet")
-        os.rename(part, dst)
-        os.utime(dst, (base + 60 * k, base + 60 * k))
-        shutil.rmtree(tmp)
-    return staging
+    return loop.stage_group_files(
+        events,
+        F.to_date("ts"),
+        days,
+        "pgcp_sketch_stream_",
+        file_stem="day",
+        materialize_input=False,
+    )
 
 
 def run_streaming_sketch_maintenance(
@@ -210,25 +205,21 @@ def run_streaming_sketch_maintenance(
     """
     import shutil
 
+    from pgcp_spark.indexes import loop
+
     events = load_table(spark, sf_dir, "events")
     staging = _stage_event_day_files(events)
     try:
         if not any(f.endswith(".parquet") for f in os.listdir(staging)):
             return  # zero-day slice: nothing to stream, nothing to commit
         schema = spark.read.parquet(os.path.join(staging, "day_0.parquet")).schema
-        reader = spark.readStream.schema(schema)
-        if max_files_per_trigger is not None:
-            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        q = (
-            reader.parquet(staging)
-            .writeStream.foreachBatch(
-                lambda batch, _bid: fold_sketch_batch(spark, batch, table_dir)
-            )
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
-            .start()
+        loop.run_availablenow_stream(
+            spark,
+            staging,
+            schema,
+            lambda batch, _bid: fold_sketch_batch(spark, batch, table_dir),
+            max_files_per_trigger,
         )
-        q.awaitTermination()
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 

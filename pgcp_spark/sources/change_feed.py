@@ -16,14 +16,14 @@ changelog) completing the snapshot/time-travel/MERGE/OPTIMIZE set in
 
 from __future__ import annotations
 
-import atexit
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pgcp_spark.plans.materialize import current_mode, materialize
+from pgcp_spark.indexes.loop import reclaim_by_mode
+from pgcp_spark.plans.materialize import materialize
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table
 from pgcp_spark.sources.lake import (
@@ -86,13 +86,8 @@ def lake_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     except BaseException:
         shutil.rmtree(tdir, ignore_errors=True)
         raise
-    # same reclamation rule as the ingest loops: eager materialization
-    # modes own their data (drop now); lazy modes still read the files
-    # (defer to interpreter exit)
-    if current_mode() in ("localCheckpoint", "checkpoint"):
-        shutil.rmtree(tdir, ignore_errors=True)
-    else:
-        atexit.register(shutil.rmtree, tdir, ignore_errors=True)
+    # same reclamation rule as the ingest loops (shared harness)
+    reclaim_by_mode(tdir)
     return result
 
 
@@ -241,10 +236,7 @@ def _run_incremental_agg(spark: SparkSession, sf_dir: str, mutate) -> DataFrame:
     except BaseException:
         _cleanup()
         raise
-    if current_mode() in ("localCheckpoint", "checkpoint"):
-        _cleanup()
-    else:
-        atexit.register(_cleanup)
+    reclaim_by_mode(fact_dir, agg_dir)
     return result
 
 _DELETE_ORACLE = """
@@ -309,10 +301,7 @@ def lake_delete_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFram
     except BaseException:
         shutil.rmtree(tdir, ignore_errors=True)
         raise
-    if current_mode() in ("localCheckpoint", "checkpoint"):
-        shutil.rmtree(tdir, ignore_errors=True)
-    else:
-        atexit.register(shutil.rmtree, tdir, ignore_errors=True)
+    reclaim_by_mode(tdir)
     return result
 
 

@@ -65,9 +65,6 @@ and the recall floors the batch path already carries.
 
 from __future__ import annotations
 
-import atexit
-import glob as globmod
-import os
 import shutil
 import tempfile
 
@@ -90,7 +87,8 @@ from pgcp_spark.functions.similarity import (
     valid_embedding,
     with_norm,
 )
-from pgcp_spark.plans.materialize import current_mode, materialize
+from pgcp_spark.indexes import loop
+from pgcp_spark.plans.materialize import materialize
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table_parallel
 from pgcp_spark.sources.lake import current_snapshot, read_current, upsert, write_snapshot
@@ -125,32 +123,19 @@ def _stream_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _copy_index(seed_dir: str) -> str:
-    """File-level copy of the committed index snapshots into a throwaway
-    dir, so folding batches in cannot mutate the shared per-corpus index."""
-    work = tempfile.mkdtemp(prefix="pgcp_ingest_ann_index_")
-    for t in _SUBTABLES:
-        shutil.copytree(os.path.join(seed_dir, t), os.path.join(work, t))
-    return work
+    """Working copy via the shared harness (folding must not mutate the
+    shared per-corpus index)."""
+    return loop.copy_index(seed_dir, _SUBTABLES, "pgcp_ingest_ann_index_")
 
 
 def _stage_stream_files(vectors: DataFrame, n: int = N_STREAM_BATCHES) -> str:
-    """Write the stream slice as one parquet file per ingest day, with
-    strictly increasing mtimes so the file source delivers them
-    oldest-first (results do NOT depend on this order — module docstring
-    — but deterministic delivery keeps runs bit-identical in logs too)."""
-    staging = tempfile.mkdtemp(prefix="pgcp_ingest_ann_stream_")
-    base = 1_000_000_000  # fixed epoch: identical staging across runs
-    vectors = materialize(vectors)  # one source scan feeds all n slice writes
-    for k in range(n):
-        sub = vectors.filter(_seq_col() == k).coalesce(1)
-        tmp = os.path.join(staging, f"_tmp{k}")
-        sub.write.mode("overwrite").parquet(tmp)
-        part = sorted(globmod.glob(os.path.join(tmp, "part-*.parquet")))[0]
-        dst = os.path.join(staging, f"batch_{k}.parquet")
-        os.rename(part, dst)
-        os.utime(dst, (base + 60 * k, base + 60 * k))
-        shutil.rmtree(tmp)
-    return staging
+    """Stage the stream slice as one parquet file per ingest day via the
+    shared harness (fixed increasing mtimes → whole-day delivery,
+    oldest-first; results do NOT depend on this order — module docstring
+    — but deterministic staging keeps runs bit-identical in logs too)."""
+    return loop.stage_group_files(
+        vectors, _seq_col(), range(n), "pgcp_ingest_ann_stream_"
+    )
 
 
 def within_batch_neighbors(batch: DataFrame, centroids) -> DataFrame:
@@ -263,17 +248,13 @@ def run_ingest_ann(
         def process(batch: DataFrame, batch_id: int) -> None:
             process_ingest_batch(spark, batch, index_dir, neighbors_dir)
 
-        reader = spark.readStream.schema(_stream_slice(spark, sf_dir).schema)
-        if max_files_per_trigger is not None:
-            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        q = (
-            reader.parquet(staging)
-            .writeStream.foreachBatch(process)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
-            .start()
+        loop.run_availablenow_stream(
+            spark,
+            staging,
+            _stream_slice(spark, sf_dir).schema,
+            process,
+            max_files_per_trigger,
         )
-        q.awaitTermination()
 
         if current_snapshot(neighbors_dir) is None:  # zero-row stream slice
             shutil.rmtree(neighbors_dir, ignore_errors=True)
@@ -293,10 +274,7 @@ def run_ingest_ann(
         if staging is not None:
             shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(index_dir, ignore_errors=True)
-    if current_mode() in ("localCheckpoint", "checkpoint"):
-        shutil.rmtree(neighbors_dir, ignore_errors=True)
-    else:
-        atexit.register(shutil.rmtree, neighbors_dir, ignore_errors=True)
+    loop.reclaim_by_mode(neighbors_dir)
     return result
 
 

@@ -67,8 +67,6 @@ and ids only. The indexed corpus is never re-read.
 
 from __future__ import annotations
 
-import atexit
-import glob as globmod
 import os
 import shutil
 import tempfile
@@ -89,7 +87,8 @@ from pgcp_spark.functions.dedup_index import (
     ensure_index,
     update_index,
 )
-from pgcp_spark.plans.materialize import current_mode, materialize
+from pgcp_spark.indexes import loop
+from pgcp_spark.plans.materialize import materialize
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table_parallel
 from pgcp_spark.sources.lake import current_snapshot, read_current, upsert, write_snapshot
@@ -120,33 +119,20 @@ def _stream_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _copy_index(seed_dir: str) -> str:
-    """File-level copy of the committed index snapshots into a throwaway
-    dir, so folding batches in cannot mutate the shared per-corpus index."""
-    work = tempfile.mkdtemp(prefix="pgcp_ingest_index_")
-    for t in _SUBTABLES:
-        shutil.copytree(os.path.join(seed_dir, t), os.path.join(work, t))
-    return work
+    """Working copy via the shared harness (folding must not mutate the
+    shared per-corpus index)."""
+    return loop.copy_index(seed_dir, _SUBTABLES, "pgcp_ingest_index_")
 
 
 def _stage_stream_files(docs: DataFrame, n: int = N_STREAM_BATCHES) -> str:
-    """Write the stream slice as one parquet file per crawl day, with
-    strictly increasing mtimes so the file source delivers them oldest-
-    first (the decision logic does NOT depend on this order — see module
-    docstring — but deterministic delivery keeps runs bit-identical in
-    logs and progress too)."""
-    staging = tempfile.mkdtemp(prefix="pgcp_ingest_stream_")
-    base = 1_000_000_000  # fixed epoch: identical staging across runs
-    docs = materialize(docs)  # one source scan feeds all n slice writes
-    for k in range(n):
-        sub = docs.filter(_seq_col() == k).coalesce(1)
-        tmp = os.path.join(staging, f"_tmp{k}")
-        sub.write.mode("overwrite").parquet(tmp)
-        part = sorted(globmod.glob(os.path.join(tmp, "part-*.parquet")))[0]
-        dst = os.path.join(staging, f"batch_{k}.parquet")
-        os.rename(part, dst)
-        os.utime(dst, (base + 60 * k, base + 60 * k))
-        shutil.rmtree(tmp)
-    return staging
+    """Stage the stream slice as one parquet file per crawl day via the
+    shared harness (fixed increasing mtimes → whole-day delivery,
+    oldest-first; the decision logic does NOT depend on this order — see
+    module docstring — but deterministic staging keeps runs
+    bit-identical in logs and progress too)."""
+    return loop.stage_group_files(
+        docs, _seq_col(), range(n), "pgcp_ingest_stream_"
+    )
 
 
 def day_capped_shingles(
@@ -300,17 +286,13 @@ def run_ingest_dedup(
         def process(batch: DataFrame, batch_id: int) -> None:
             process_ingest_batch(spark, batch, index_dir, decisions_dir)
 
-        reader = spark.readStream.schema(_stream_slice(spark, sf_dir).schema)
-        if max_files_per_trigger is not None:
-            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        q = (
-            reader.parquet(staging)
-            .writeStream.foreachBatch(process)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
-            .start()
+        loop.run_availablenow_stream(
+            spark,
+            staging,
+            _stream_slice(spark, sf_dir).schema,
+            process,
+            max_files_per_trigger,
         )
-        q.awaitTermination()
 
         if current_snapshot(decisions_dir) is None:  # zero-row stream slice
             shutil.rmtree(decisions_dir, ignore_errors=True)
@@ -323,13 +305,7 @@ def run_ingest_dedup(
         if staging is not None:
             shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(index_dir, ignore_errors=True)
-    if current_mode() in ("localCheckpoint", "checkpoint"):
-        # eager modes detach the frame from its files — reclaim now
-        shutil.rmtree(decisions_dir, ignore_errors=True)
-    else:
-        # persist keeps lineage (a lost block re-reads the files); none is
-        # the identity — the frame still reads the dir, so defer cleanup
-        atexit.register(shutil.rmtree, decisions_dir, ignore_errors=True)
+    loop.reclaim_by_mode(decisions_dir)
     return result
 
 
