@@ -843,9 +843,9 @@ BM25_TOP = 20
 _BM25_Q_SQL = "', '".join(BM25_QUERY)
 
 
-@register(
-    "text_bm25_search_topk",
-    oracle=f"""
+# Shared with functions/text_index.py's stored-index query — ONE source
+# of truth for the cross-engine float contract both paths must satisfy.
+BM25_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, UNNEST(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')) AS tok
   FROM documents
@@ -876,8 +876,10 @@ ranked AS (
 SELECT doc_id, score, CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= {BM25_TOP}
 ORDER BY rnk
-""",
-)
+"""
+
+
+@register("text_bm25_search_topk", oracle=BM25_ORACLE)
 def text_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval: top-{BM25_TOP} documents for a fixed keyword
     query, Okapi BM25 (k1=1.2, b=0.75) over whitespace tokens.

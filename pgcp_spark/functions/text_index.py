@@ -1,0 +1,349 @@
+"""Persisted BM25 inverted index: ranked retrieval served from the lake.
+
+``text_bm25_search_topk`` (functions/text.py) re-tokenizes the corpus and
+rebuilds the (doc_id, tok, n) aggregate on every query; its own docstring
+promised that production persists that artifact. This module is that
+promise kept — the FOURTH lake-maintained index family (after dedup
+signatures, IVF vectors, and HLL sketch partials), built on the shared
+harness (``indexes/loop.py``):
+
+    index layout (one dir per CONTENT VERSION of documents.parquet)
+      postings/  (tok, doc_id, n, dl)   the inverted index, CLUSTER BY
+                 tok — file min/max tok ranges are narrow, so a query
+                 reads ONLY the files its terms land in. Per-doc length
+                 ``dl`` is denormalized into the postings row (the norm
+                 inline, as search engines store it) so scoring touches
+                 NO second corpus-sized table.
+      doclen/    (doc_id, dl)           fold bookkeeping: the per-doc
+                 token totals, read only by maintenance (replacement
+                 deltas for stats/), never by queries.
+      stats/     (metric, value)        n_docs + total_tokens as longs,
+                 folded by exact integer deltas — queries read corpus
+                 stats from 2 rows instead of scanning doclen.
+
+    query:  ``bm25_from_index`` filters stored postings to the query's
+            terms (pushed IN + CLUSTER BY tok file skipping — the only
+            corpus-sized read, pruned to ~|terms| files), derives
+            per-term df by counting the rows it already read (a separate
+            df/ table would save nothing: the postings slice must be
+            read for scoring anyway), broadcasts the |terms|-row df and
+            the 2-row stats, and evaluates the EXACT floating-point
+            expression shapes of the one-shot query — so the stored-index
+            path hash-matches the same DuckDB oracle.
+    fold:   ``update_text_index`` absorbs a document batch: one
+            copy-on-write rewrite replaces the batch docs' postings
+            (anti-join on doc_id, union the fresh rows — tokens a
+            replaced doc LOST disappear, which a keyed MERGE alone could
+            not do), doclen likewise, and stats/ folds by integer deltas
+            computed from the tiny doclen slice. CONVERGENCE: fold ==
+            rebuild BIT-EXACTLY (tokenization is row-local and df is
+            derived at query time, so there is no frozen-cap drift like
+            the dedup index's hot list) — pinned in
+            tests/test_text_index.py.
+
+Reference anchor: none — the reference (a Postgres copy tool) has no
+retrieval surface; this is the north-star curation path ("give me the
+docs about X" over a 100 TB corpus) promised by functions/text.py:896.
+
+Scale shape: build is one token explode + one (doc,tok) aggregate + one
+range exchange on tok. A query moves |query terms| files of postings,
+two broadcast maps, and one |candidate docs| aggregate — the corpus is
+read zero times. Fold cost is the copy-on-write rewrite (the price of
+immutable files, amortized by ``compact_text_index`` on the maintenance
+cadence like every family).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgcp_spark.functions.text import (
+    BM25_B,
+    BM25_K1,
+    BM25_ORACLE,
+    BM25_QUERY,
+    BM25_TOP,
+)
+from pgcp_spark.indexes import loop
+from pgcp_spark.plans.materialize import materialize
+from pgcp_spark.registry import register
+from pgcp_spark.sources import load_table_parallel
+from pgcp_spark.sources.lake import read_current, write_snapshot
+
+TEXT_INDEX_ROOT = os.environ.get(
+    "SPARK_GRAFT_TEXT_INDEX_ROOT", "/tmp/pgcp_text_index"
+)
+_SUBTABLES = ("postings", "doclen", "stats")
+
+# parallelism floor for the postings layout, same discipline as the ANN
+# vectors table: AQE byte-sizes the range exchange, and a small-but-hot
+# index compacted to one file would bound every query's scan at one task
+_POSTINGS_ROWS_PER_FILE = 5_000_000
+
+
+def text_index_dir_for(sf_dir: str) -> str:
+    """Content-version-keyed index dir (shared harness discipline)."""
+    return loop.content_version_dir(
+        TEXT_INDEX_ROOT, sf_dir, "documents.parquet", salt="format:v1:bm25"
+    )
+
+
+def doc_terms(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok, n, dl): term frequencies + inline doc length, the
+    postings-row shape. The tokenizer is BM25's exactly
+    (functions/text.py): lowercase, collapse runs of spaces, split on
+    single spaces — shared definition, so stored and fresh postings are
+    bit-identical."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
+        ).alias("tok"),
+    )
+    dt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
+    dl = F.sum("n").over(Window.partitionBy("doc_id"))
+    return dt.withColumn("dl", dl)
+
+
+def _postings_files(spark: SparkSession, n_rows: int) -> int:
+    return max(
+        spark.sparkContext.defaultParallelism,
+        -(-n_rows // _POSTINGS_ROWS_PER_FILE),
+    )
+
+
+def _write_tables(
+    spark: SparkSession,
+    index_dir: str,
+    postings: DataFrame,
+    keep: int = 1,
+) -> None:
+    """Commit postings (CLUSTER BY tok), doclen, and stats from one
+    postings-shaped frame. Stats derive from the COMMITTED doclen (read
+    back, one tiny agg — the zero-recompute discipline every family
+    uses), so the three tables can never disagree."""
+    postings = materialize(postings)
+    n_rows = postings.count()
+    write_snapshot(
+        postings.select("tok", "doc_id", "n", "dl"),
+        os.path.join(index_dir, "postings"),
+        keep=keep,
+        cluster_by=["tok"],
+        cluster_files=_postings_files(spark, n_rows),
+    )
+    write_snapshot(
+        postings.select("doc_id", "dl").distinct(),
+        os.path.join(index_dir, "doclen"),
+        keep=keep,
+        cluster_by=["doc_id"],
+    )
+    stored_dl = read_current(spark, os.path.join(index_dir, "doclen"))
+    row = stored_dl.agg(
+        F.count("*").alias("n_docs"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tot")
+    ).collect()[0]
+    write_snapshot(
+        spark.createDataFrame(
+            [("n_docs", int(row.n_docs)), ("total_tokens", int(row.tot))],
+            "metric string, value long",
+        ),
+        os.path.join(index_dir, "stats"),
+        keep=keep,
+    )
+
+
+def build_text_index_from(
+    spark: SparkSession, docs: DataFrame, index_dir: str
+) -> None:
+    """Build + commit the inverted index from a documents-shaped frame."""
+    _write_tables(spark, index_dir, doc_terms(docs))
+
+
+def build_text_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Registered-query entry: build from the FULL documents table (the
+    retrieval surface answers over the whole corpus, unlike the
+    batch-vs-corpus dedup/ANN splits)."""
+    build_text_index_from(
+        spark, load_table_parallel(spark, sf_dir, "documents"), index_dir
+    )
+
+
+def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build iff this corpus version has no index yet; return its dir."""
+    index_dir = text_index_dir_for(sf_dir)
+    return loop.ensure_built(
+        index_dir, _SUBTABLES, lambda: build_text_index(spark, sf_dir, index_dir)
+    )
+
+
+def update_text_index(
+    spark: SparkSession, batch_docs: DataFrame, index_dir: str, keep: int = 2
+) -> None:
+    """Fold a document batch into the stored index (the daily ingest
+    step). Whole-document replacement semantics: every stored postings /
+    doclen row of a batch doc is dropped (anti-join on doc_id) and the
+    freshly tokenized rows take their place — a re-ingested doc can LOSE
+    tokens, which a keyed MERGE could not express; new docs simply have
+    nothing to drop. stats/ folds by exact integer deltas (batch minus
+    displaced, displaced read from the doc_id-clustered doclen slice —
+    the corpus-sized postings are read once, for the rewrite itself).
+
+    Replay-idempotent: re-folding the same batch replaces identical rows
+    with identical rows and adds a zero delta. Fold == rebuild bit-exact
+    (module docstring; pinned in tests)."""
+    batch_pt = materialize(doc_terms(batch_docs))
+    ids = batch_pt.select("doc_id").distinct()
+
+    doclen_dir = os.path.join(index_dir, "doclen")
+    displaced = (
+        read_current(spark, doclen_dir)
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("tot"),
+        )
+        .collect()[0]
+    )
+    fresh = (
+        batch_pt.select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("tot"),
+        )
+        .collect()[0]
+    )
+
+    postings_dir = os.path.join(index_dir, "postings")
+    stored = read_current(spark, postings_dir)
+    # explicit column order: the anti-join hoists its key first, and the
+    # driver-stable schema is (tok, doc_id, n, dl)
+    kept = stored.join(F.broadcast(ids), "doc_id", "left_anti").select(
+        "tok", "doc_id", "n", "dl"
+    )
+    merged = kept.unionByName(batch_pt.select("tok", "doc_id", "n", "dl"))
+    n_rows = merged.count()
+    write_snapshot(
+        merged,
+        postings_dir,
+        keep=keep,
+        cluster_by=["tok"],
+        cluster_files=_postings_files(spark, n_rows),
+    )
+    kept_dl = read_current(spark, doclen_dir).join(
+        F.broadcast(ids), "doc_id", "left_anti"
+    )
+    write_snapshot(
+        kept_dl.unionByName(batch_pt.select("doc_id", "dl").distinct()),
+        doclen_dir,
+        keep=keep,
+        cluster_by=["doc_id"],
+    )
+    old_stats = {
+        r.metric: r.value
+        for r in read_current(spark, os.path.join(index_dir, "stats")).collect()
+    }
+    write_snapshot(
+        spark.createDataFrame(
+            [
+                (
+                    "n_docs",
+                    int(old_stats["n_docs"]) - int(displaced.n_docs) + int(fresh.n_docs),
+                ),
+                (
+                    "total_tokens",
+                    int(old_stats["total_tokens"]) - int(displaced.tot) + int(fresh.tot),
+                ),
+            ],
+            "metric string, value long",
+        ),
+        os.path.join(index_dir, "stats"),
+        keep=keep,
+    )
+
+
+def compact_text_index(
+    spark: SparkSession, index_dir: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> None:
+    """OPTIMIZE via the shared harness: postings re-range on tok (a plain
+    file merge would smear tok ranges across files and erode the
+    query-time skipping), doclen on doc_id; reader grace keep=2."""
+    loop.compact_tables(
+        spark,
+        index_dir,
+        _SUBTABLES,
+        target_file_bytes=target_file_bytes,
+        per_table={
+            "postings": {
+                "cluster_by": ["tok"],
+                "min_files": spark.sparkContext.defaultParallelism,
+            },
+            "doclen": {"cluster_by": ["doc_id"]},
+        },
+    )
+
+
+def bm25_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms=BM25_QUERY,
+    top_k: int = BM25_TOP,
+) -> DataFrame:
+    """Top-k BM25 over the STORED index: read only the query terms'
+    postings files, score with the one-shot query's exact expression
+    shapes (same idf/tf association order, same 1e-6 rounding, same
+    DECIMAL(18,6) order-independent sum, same doc_id tie-break), so the
+    result is bit-identical to re-ranking from scratch — and hash-exact
+    against the same DuckDB oracle."""
+    stats_rows = {
+        r.metric: r.value
+        for r in read_current(spark, os.path.join(index_dir, "stats")).collect()
+    }
+    n_docs = int(stats_rows["n_docs"])
+    total = int(stats_rows["total_tokens"])
+    qterms = read_current(spark, os.path.join(index_dir, "postings")).filter(
+        F.col("tok").isin(*query_terms)
+    )
+    qdf = qterms.groupBy("tok").agg(F.count("*").alias("df"))
+    # the one-row stats frame rides a broadcast nested-loop like the
+    # one-shot query's (no driver-side float math: the division happens
+    # in the SAME JVM expression tree on both paths)
+    stats = spark.createDataFrame([(n_docs, total)], "n_docs long, total long")
+    avgdl = F.col("total").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_w = (F.col("n") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("n")
+        + F.lit(BM25_K1) * (F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+    )
+    w = (
+        qterms.join(F.broadcast(qdf), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(idf * tf_w, 6).cast("decimal(18,6)").alias("wgt"))
+    )
+    scored = w.groupBy("doc_id").agg(F.sum("wgt").cast("double").alias("score"))
+    topk = scored.orderBy(F.desc("score"), "doc_id").limit(top_k)
+    rnk = F.row_number().over(Window.orderBy(F.desc("score"), "doc_id"))
+    return topk.withColumn("rnk", rnk).select("doc_id", "score", "rnk").orderBy("rnk")
+
+
+@register(
+    "text_bm25_topk_from_index",
+    # the SAME oracle as the one-shot query (imported, not copied): the
+    # stored-artifact path must hash-match the from-scratch computation
+    oracle=BM25_ORACLE,
+    doc="BM25 top-k served from the persisted inverted index (postings CLUSTER BY tok, inline doc lengths, folded stats) — same oracle as the one-shot query",
+)
+def text_bm25_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOP} for the fixed keyword query, answered FROM the
+    lake-persisted inverted index (built once per corpus version via the
+    shared harness, reused untouched across runs): the corpus is
+    re-tokenized zero times per query, and the postings scan touches only
+    the query terms' files (pushed IN + CLUSTER BY tok min/max skipping).
+    Hash-exact against the SAME oracle as the one-shot query — the
+    stored-artifact path provably loses nothing."""
+    index_dir = ensure_text_index(spark, sf_dir)
+    return bm25_from_index(spark, index_dir)

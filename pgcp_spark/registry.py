@@ -204,6 +204,7 @@ def _load_operator_modules() -> None:
     import pgcp_spark.functions.similarity  # noqa: F401
     import pgcp_spark.functions.sketches  # noqa: F401
     import pgcp_spark.functions.text  # noqa: F401
+    import pgcp_spark.functions.text_index  # noqa: F401
     import pgcp_spark.operators.aggregates  # noqa: F401
     import pgcp_spark.operators.analytics  # noqa: F401
     import pgcp_spark.operators.joins  # noqa: F401

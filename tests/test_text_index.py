@@ -1,0 +1,174 @@
+"""Persisted BM25 inverted index (`functions/text_index.py`): stored-path
+== one-shot-path equality, fold-vs-rebuild bit-exact convergence,
+whole-document replacement semantics, replay idempotence, index reuse
+across runs, CLUSTER BY tok file skipping, and compaction invariance."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+import pgcp_spark.functions.text_index as TI
+from pgcp_spark.functions.text import BM25_QUERY, text_bm25_search_topk
+from pgcp_spark.functions.text_index import (
+    bm25_from_index,
+    build_text_index_from,
+    compact_text_index,
+    ensure_text_index,
+    text_bm25_topk_from_index,
+    update_text_index,
+)
+from pgcp_spark.sources.lake import current_snapshot, read_current
+from tests.conftest import SF_DIR
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def _table_rows(spark, index_dir, table):
+    order = {
+        "postings": ["tok", "doc_id"],
+        "doclen": ["doc_id"],
+        "stats": ["metric"],
+    }[table]
+    return _rows(read_current(spark, os.path.join(index_dir, table)), *order)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_query_from_index_equals_one_shot(spark):
+    """The stored-artifact path must be bit-identical to re-ranking from
+    scratch — same expression shapes, same rounding, same tie-break."""
+    index_dir = ensure_text_index(spark, SF_DIR)
+    got = _rows(bm25_from_index(spark, index_dir), "rnk")
+    want = _rows(text_bm25_search_topk(spark, SF_DIR), "rnk")
+    assert got == want and len(got) > 0
+
+
+def test_index_reused_across_runs(spark):
+    """Second ensure on the same corpus version rebuilds nothing (the
+    registered query must be re-runnable without paying the build)."""
+    index_dir = ensure_text_index(spark, SF_DIR)
+    snaps = {
+        t: current_snapshot(os.path.join(index_dir, t)) for t in TI._SUBTABLES
+    }
+    assert ensure_text_index(spark, SF_DIR) == index_dir
+    assert snaps == {
+        t: current_snapshot(os.path.join(index_dir, t)) for t in TI._SUBTABLES
+    }
+    assert text_bm25_topk_from_index(spark, SF_DIR).count() > 0
+
+
+def test_fold_equals_rebuild_bit_exact(spark, tmp_path):
+    """CONVERGENCE: build on 2/3 of the corpus + fold the remaining batch
+    == build on everything, all three tables bit-identical (tokenization
+    is row-local, df is derived at query time — no frozen-cap drift)."""
+    from pgcp_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+
+    inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_text_index_from(spark, base, inc_dir)
+    update_text_index(spark, batch, inc_dir)
+    build_text_index_from(spark, docs, full_dir)
+    for t in TI._SUBTABLES:
+        assert _table_rows(spark, inc_dir, t) == _table_rows(spark, full_dir, t), t
+    # and the folded index answers the query identically to the full one
+    assert _rows(bm25_from_index(spark, inc_dir), "rnk") == _rows(
+        bm25_from_index(spark, full_dir), "rnk"
+    )
+
+
+def test_replacement_drops_lost_tokens(spark, tmp_path):
+    """A re-ingested doc REPLACES its rows: tokens it lost disappear from
+    the postings (a keyed MERGE alone could not express this) and the
+    stats deltas are exact."""
+    index_dir = str(tmp_path / "ti")
+    build_text_index_from(
+        spark, _docs(spark, [(1, "a b c"), (2, "a a d")]), index_dir
+    )
+    update_text_index(spark, _docs(spark, [(1, "a a")]), index_dir)
+    assert _table_rows(spark, index_dir, "postings") == [
+        ("a", 1, 2, 2),  # doc 1 replaced: 'b'/'c' gone, dl now 2
+        ("a", 2, 2, 3),
+        ("d", 2, 1, 3),
+    ]
+    assert _table_rows(spark, index_dir, "doclen") == [(1, 2), (2, 3)]
+    assert _table_rows(spark, index_dir, "stats") == [
+        ("n_docs", 2),
+        ("total_tokens", 5),
+    ]
+
+
+def test_fold_replay_is_idempotent(spark, tmp_path):
+    """At-least-once delivery: folding the same batch twice lands on the
+    identical index (replacement of identical rows + zero stats delta)."""
+    index_dir = str(tmp_path / "ti")
+    build_text_index_from(spark, _docs(spark, [(1, "a b"), (2, "b c")]), index_dir)
+    batch = _docs(spark, [(3, "c c d")])
+    update_text_index(spark, batch, index_dir)
+    once = {t: _table_rows(spark, index_dir, t) for t in TI._SUBTABLES}
+    update_text_index(spark, batch, index_dir)
+    assert once == {t: _table_rows(spark, index_dir, t) for t in TI._SUBTABLES}
+
+
+def test_postings_cluster_by_tok_skips_files(spark):
+    """The layout contract: per-file tok min/max ranges are narrow enough
+    that the fixed query's terms land in a strict minority of files —
+    the property that prunes a 100 TB postings scan to ~|terms| files."""
+    index_dir = ensure_text_index(spark, SF_DIR)
+    snap = current_snapshot(os.path.join(index_dir, "postings"))
+    files = glob.glob(os.path.join(index_dir, "postings", snap, "*.parquet"))
+    assert len(files) > 4  # the parallelism floor keeps the layout parallel
+    matched = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "tok"
+            lo = col.statistics.min
+            hi = col.statistics.max
+            if any(lo <= t <= hi for t in BM25_QUERY):
+                matched += 1
+                break
+    assert 0 < matched < len(files) / 2
+
+
+def test_compaction_preserves_results(spark, tmp_path):
+    index_dir = str(tmp_path / "ti")
+    from pgcp_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    build_text_index_from(spark, docs, index_dir)
+    before = _rows(bm25_from_index(spark, index_dir), "rnk")
+    compact_text_index(spark, index_dir)
+    assert _rows(bm25_from_index(spark, index_dir), "rnk") == before
+    # reader grace: the pre-compaction snapshots are retained (keep=2)
+    for t in TI._SUBTABLES:
+        snaps = [
+            e
+            for e in os.listdir(os.path.join(index_dir, t))
+            if e.startswith("snapshot_")
+        ]
+        assert len(snaps) == 2, t
+
+
+def test_empty_corpus_builds_and_answers_empty(spark, tmp_path):
+    index_dir = str(tmp_path / "ti")
+    build_text_index_from(
+        spark, spark.createDataFrame([], "doc_id long, text string"), index_dir
+    )
+    assert _table_rows(spark, index_dir, "stats") == [
+        ("n_docs", 0),
+        ("total_tokens", 0),
+    ]
+    assert bm25_from_index(spark, index_dir).count() == 0
