@@ -109,6 +109,7 @@ def write_snapshot(
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
     zorder_by: list[str] | None = None,
+    zorder_rank: str = "width",
 ) -> str:
     """Write ``df`` as a new snapshot and atomically commit the pointer.
 
@@ -134,11 +135,14 @@ def write_snapshot(
     (``sources/zorder.py``) so min/max skipping prunes selective
     predicates on ANY of them, not just the leading sort key. Costs the
     same single range exchange plus one min/max aggregate on the input.
+    ``zorder_rank="quantile"`` swaps the fixed-width bucketing for
+    approxQuantile ranks — the value-range-skew recovery
+    (``sources/zorder.py`` module docstring, measured in SCALE.md r8).
     """
     if cluster_by and zorder_by:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
     if zorder_by:
-        df = with_zorder_key(df, zorder_by)
+        df = with_zorder_key(df, zorder_by, rank=zorder_rank)
         cluster_by, drop_key = ["_zkey"], True
     else:
         drop_key = False
@@ -182,6 +186,7 @@ def upsert(
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
     zorder_by: list[str] | None = None,
+    zorder_rank: str = "width",
 ) -> str:
     """MERGE-shaped copy-on-write upsert: rows in ``updates`` replace
     current rows with the same key; all other current rows carry over.
@@ -213,6 +218,7 @@ def upsert(
         cluster_by=cluster_by,
         cluster_files=cluster_files,
         zorder_by=zorder_by,
+        zorder_rank=zorder_rank,
     )
 
 
@@ -226,6 +232,7 @@ def delete(
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
     zorder_by: list[str] | None = None,
+    zorder_rank: str = "width",
 ) -> str:
     """Copy-on-write DELETE: rewrite the current snapshot without the
     matching rows and atomically re-point — the retention/GDPR mutation
@@ -269,6 +276,7 @@ def delete(
         cluster_by=cluster_by,
         cluster_files=cluster_files,
         zorder_by=zorder_by,
+        zorder_rank=zorder_rank,
     )
 
 
@@ -284,6 +292,7 @@ def merge_cdc(
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
     zorder_by: list[str] | None = None,
+    zorder_rank: str = "width",
 ) -> str:
     """MERGE with WHEN-MATCHED-DELETE: apply one CDC batch whose ``op_col``
     marks each row as ``delete_op`` (WHEN MATCHED THEN DELETE) or anything
@@ -309,6 +318,7 @@ def merge_cdc(
         cluster_by=cluster_by,
         cluster_files=cluster_files,
         zorder_by=zorder_by,
+        zorder_rank=zorder_rank,
     )
 
 
@@ -320,6 +330,7 @@ def compact(
     cluster_by: list[str] | None = None,
     min_files: int = 1,
     zorder_by: list[str] | None = None,
+    zorder_rank: str = "width",
 ) -> str:
     """Small-file compaction (the OPTIMIZE maintenance op): rewrite the
     current snapshot into ⌈size/target⌉ files and atomically re-point.
@@ -356,7 +367,8 @@ def compact(
         # z-ordered table: same rebuild rule as cluster_by below, on the
         # recomputed Morton key (stats over the current snapshot)
         return write_snapshot(
-            df, table_dir, keep=keep, zorder_by=zorder_by, cluster_files=n_files
+            df, table_dir, keep=keep, zorder_by=zorder_by,
+            zorder_rank=zorder_rank, cluster_files=n_files,
         )
     if cluster_by:
         # clustered table: compaction must REBUILD the layout, not just

@@ -12,7 +12,9 @@ import os
 import pyarrow.parquet as pq
 import pytest
 
-from pgcp_spark.sources import load_table
+from pyspark.sql import functions as F
+
+from pgcp_spark.sources import lake, load_table
 from pgcp_spark.sources.lake import compact, read_current, upsert, write_snapshot
 from pgcp_spark.sources.zorder import with_zorder_key, zorder_key, zorder_stats
 from tests.conftest import SF_DIR_CORRECTNESS
@@ -169,3 +171,50 @@ def test_with_zorder_key_single_agg(spark):
     out = with_zorder_key(ev, ["user_id", "value"])
     assert dict(out.dtypes)["_zkey"] == "bigint"
     assert out.filter("_zkey < 0").count() == 0
+
+
+def test_quantile_rank_recovers_value_skew(spark, tmp_path):
+    """The measured round-8 trade (SCALE.md): 1% outlier ids stretch the
+    fixed-width [min, max] until every normal id buckets to 0 — the id
+    dimension prunes NOTHING — while quantile ranks are immune to value
+    spacing and restore clean-lake pruning. Same rows either way."""
+    ev = load_table(spark, SF_DIR_CORRECTNESS, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    skewed = ev.withColumn(
+        "user_id",
+        F.expr(
+            "CASE WHEN event_id % 100 = 0 "
+            "THEN user_id * 100000 + 100000000 ELSE user_id END"
+        ),
+    )
+    wdir, qdir = str(tmp_path / "w"), str(tmp_path / "q")
+    write_snapshot(skewed, wdir, zorder_by=["user_id", "ts"], cluster_files=N_FILES)
+    write_snapshot(
+        skewed,
+        qdir,
+        zorder_by=["user_id", "ts"],
+        zorder_rank="quantile",
+        cluster_files=N_FILES,
+    )
+    w_hit, w_total = _file_overlap_count(wdir, "user_id", 20, 29)
+    q_hit, q_total = _file_overlap_count(qdir, "user_id", 20, 29)
+    assert w_total == N_FILES and q_total == N_FILES
+    assert w_hit == N_FILES, "fixed-width should be DEAD under outlier ids"
+    assert q_hit <= N_FILES // 2, f"quantile ranks pruned only to {q_hit}/{N_FILES}"
+    got = lake.read_current(spark, qdir)
+    assert got.count() == ev.count()
+
+
+def test_quantile_rank_degrades_gracefully(spark, tmp_path):
+    """Empty input → empty boundary lists → constant-0 ranks, same
+    graceful no-information degradation as the fixed-width path; and an
+    unknown rank mode fails fast."""
+    tdir = str(tmp_path / "t")
+    empty = spark.createDataFrame([], "k long, ts timestamp")
+    write_snapshot(
+        empty, tdir, zorder_by=["k", "ts"], zorder_rank="quantile"
+    )
+    assert lake.read_current(spark, tdir).count() == 0
+    with pytest.raises(ValueError):
+        with_zorder_key(empty, ["k"], rank="nope")
