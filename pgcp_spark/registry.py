@@ -50,93 +50,92 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # come first; entries already re-proven in a recent round's
 # CORRECTNESS_r{N}.json rotate to the back.
 #
-# Round-7 window. The staleness invariant (no entry's driver row predates
-# its current implementation) has priority, so the 5 queries ADDED in
-# round 7 (BM25 ranked retrieval; HLL sketch rollup; streaming ANN
-# ingest; lake change feed; incremental aggregate maintenance) lead the
-# window, followed by the 3 queries whose implementation changed in round 7:
-#   * streaming_ingest_dedup_decisions — SEMANTICS changed: the
-#     per-crawl-day hot-shingle cap (day_capped_shingles) now bounds the
-#     within-batch universe, mirrored in the oracle — hash-capable;
-#   * sim_incremental_batch_vs_ann_index and sim_cosine_ivf_topk — the
-#     k-means coarse quantizer now trains with cosine distance (one
-#     geometry for build, fold, and probe; the persisted index also
-#     gained the stats/ table + maybe_refit_ann_index). Both rows-only
-#     by design (k-means has no DuckDB twin); value evidence is the
-#     LIFTED recall floors in tests/test_ann_index.py (0.293/0.453/
-#     0.633/0.867 vs the Euclidean 0.273/0.393/0.560/0.827) + SCALE.md.
-# The remaining 42 slots re-prove the OLDEST standing rows, cumulative
-# ledger recomputed from CORRECTNESS_r01..r06: the full r2 set (20 —
-# setops/window/scalar/sort families and q20/q22, displaced past the r6
-# edge) and the full r3 set (22 — pipeline/q1/q3, percentile, UDF
-# surface, corpus shaping, timeseries gapfill, salted skew join,
-# reshape, weighted sampling). Still excluded:
-# agg_approx_distinct_customers (rows-only AND unchanged since
-# its r1 row — a new row adds nothing, same rationale since r5).
-# Everything else outside the window holds an r4-r6 row no older than
-# its implementation, plus the full mimic matrix (COVERAGE.md).
+# Round-8 window. The staleness invariant (no entry's driver row predates
+# its current implementation) has priority. Head of window:
+#   * 3 queries ADDED in round 8 — the lake-delete change feed and the
+#     CDC aggregate with real delete rows (both hash-capable pure
+#     functions of orders), and BM25 served from the persisted inverted
+#     index (hash-capable, SAME oracle as the one-shot);
+#   * 8 queries whose implementation or oracle CHANGED in round 8 —
+#     text_bm25_search_topk (oracle float-association parenthesization,
+#     round-7 advice #2); the two change-feed queries (refactored onto
+#     the shared _run_incremental_agg harness / reclaim_by_mode); and
+#     the five persisted-index-family queries whose plumbing moved onto
+#     indexes/loop.py (mechanically identical — the family suites pin
+#     bit-equality — but the code they execute is new, so their r7 rows
+#     predate it): dedup_incremental_batch_vs_index,
+#     sim_incremental_batch_vs_ann_index (also the refit keep=2 thread),
+#     streaming_ingest_dedup_decisions, streaming_ingest_ann_neighbors,
+#     agg_hll_daily_distinct_rollup.
+# The remaining 39 slots re-prove the OLDEST standing rows, cumulative
+# ledger recomputed from CORRECTNESS_r01..r07: the full r4 cohort (30 —
+# grouping sets/rollup/cube, window frames, as-of joins, SCD2, UDF
+# surface, multimodal, sessionize) and the 9 alphabetically-first r5
+# rows. Still excluded: agg_approx_distinct_customers (rows-only AND
+# unchanged since its r1 row — a new row adds nothing, rationale
+# standing since r5). Everything else outside the window holds an r5-r7
+# row no older than its implementation, plus the mimic matrix
+# (COVERAGE.md).
 _AUDIT_PRIORITY: list[str] = [
-    # --- NEW in round 7 (no driver row yet — must enter the window) ---
-    "text_bm25_search_topk",  # hash-capable (decimal-summed rounded weights)
-    "agg_hll_daily_distinct_rollup",  # rows-only by design (no DuckDB HLL twin)
-    "streaming_ingest_ann_neighbors",  # rows-only by design (IVF routing; numpy
-    # replay oracle + invariance/replay pins in tests/test_ingest_ann.py)
-    "lake_change_feed_orders",  # hash-capable (the CDC diff is a pure fn of orders)
-    "lake_incremental_agg_orders",  # hash-capable (fold == recompute proof)
-    # --- changed in round 7 ---
-    "streaming_ingest_dedup_decisions",
+    # --- NEW in round 8 (no driver row yet — must enter the window) ---
+    "lake_delete_change_feed_orders",  # hash-capable (delete arm live)
+    "lake_incremental_agg_orders_cdc",  # hash-capable (subtract path on real deletes)
+    "text_bm25_topk_from_index",  # hash-capable (same oracle as one-shot BM25)
+    # --- changed in round 8 ---
+    "text_bm25_search_topk",
+    "lake_change_feed_orders",
+    "lake_incremental_agg_orders",
+    "dedup_incremental_batch_vs_index",
     "sim_incremental_batch_vs_ann_index",
-    "sim_cosine_ivf_topk",
-    # --- oldest rows: the full r2 set ---
-    "agg_bool_flags_per_segment",
-    "scalar_map_functions",
-    "q20_promotion_supplier_candidates",
-    "q22_idle_rich_customers",
-    "window_top3_orders_per_customer",
-    "window_rank_dense_rank_suppliers",
-    "window_ntile_customer_value",
-    "setop_union_active_parties",
-    "setop_intersect_both_segments",
-    "setop_except_inactive_customers",
-    "setop_distinct_ship_modes",
-    "sort_global_top_orders",
-    "dedup_orders_by_customer_day",
-    "setop_exceptall_priority_bags",
-    "setop_intersectall_segment_nations",
-    "setop_union_by_name_mixed_schemas",
-    "scalar_regexp_extract_order_priority",
-    "scalar_date_functions",
-    "scalar_date_trunc_events",
-    "scalar_math_functions",
-    # --- the full r3 set ---
-    "pipeline_training_data_prep",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "timeseries_gapfill_locf",
-    "pivot_segment_by_priority",
-    "percentile_exact_quantity",
-    "percentile_approx_price",
-    "udf_map_in_arrow_doc_stats",
-    "udf_sql_registered_priority_class",
-    "path_top_event_sequences",
-    "corpus_chunk_fixed_tokens",
-    "corpus_train_val_test_split",
-    "corpus_pack_token_budget",
-    "scalar_case_when_order_size",
-    "scalar_json_extract_events",
-    "scalar_from_json_struct",
-    "scalar_array_functions",
-    "agg_winsorized_quantity_stats",
-    "agg_mode_priority_deterministic",
-    "join_salted_skew_events_per_user",
-    "reshape_unpivot_order_metrics",
-    "sample_weighted_bernoulli_documents",
-    # (the oldest r4 rows — multimodal_feature_extract,
-    # agg_rollup_region_nation, agg_cube_returnflag_linestatus,
-    # agg_stats_correlation, join_asof_click_attribution — are displaced
-    # past the window edge by the five NEW round-7 queries above; all
-    # hold green r4 rows and their code is unchanged, so the staleness
-    # invariant is preserved)
+    "streaming_ingest_dedup_decisions",
+    "streaming_ingest_ann_neighbors",
+    "agg_hll_daily_distinct_rollup",
+    # --- oldest rows: the full r4 cohort ---
+    "agg_cube_returnflag_linestatus",
+    "agg_grouping_id_rollup",
+    "agg_grouping_sets",
+    "agg_regression_price_on_qty",
+    "agg_rollup_region_nation",
+    "agg_stats_correlation",
+    "analytics_conversion_ztest",
+    "corpus_contrastive_negatives",
+    "corpus_decontaminate_eval_overlap",
+    # (dedup_ngram_jaccard_pairs' r4 row is DEAD ledger: the uncapped
+    # generator was quarantined out of the registry in round 5 and its
+    # production twin dedup_jaccard_hot_shingle_capped holds newer rows)
+    "join_asof_click_attribution",
+    "join_asof_forward_next_view",
+    "multimodal_feature_extract",
+    "profile_orders_columns",
+    "scalar_string_functions",
+    "scd2_point_in_time_lookup",
+    "scd2_user_state_history",
+    "sim_embedding_int8_quantize",
+    "text_repetition_quality",
+    "timeseries_interarrival_gap_stats",
+    "udf_grouped_map_priority_order_stats",
+    "udf_pandas_price_tier",
+    "udtf_top_tokens_per_doc",
+    "window_first_last_value",
+    "window_lag_lead_order_dates",
+    "window_percent_rank_cume_dist",
+    "window_range_frame_30day_revenue",
+    "window_running_distinct_priorities",
+    "window_running_total_per_customer",
+    "window_sessionize_events",
+    # --- oldest r5 rows filling the remaining slots ---
+    "agg_avg_order_gap_days",
+    "agg_collect_sorted_priorities",
+    "agg_distinct_parts_per_supplier",
+    "agg_having_big_customers",
+    "agg_histogram_order_value",
+    "agg_orders_by_status_priority",
+    "corpus_mix_rebalance",
+    "dedup_exact_documents",
+    "join_anti_parts_never_shipped",
+    "join_band_time_bucketed",
+    # (the r2/r3 sets re-proved in r7 and the remaining r5/r6 rows all
+    # postdate their implementations; the staleness invariant holds)
 ]
 
 
