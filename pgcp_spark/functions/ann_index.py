@@ -462,6 +462,36 @@ def update_ann_index(spark: SparkSession, batch: DataFrame, index_dir: str, keep
     )
 
 
+def remove_from_ann_index(
+    spark: SparkSession, ids: DataFrame, index_dir: str, keep: int = 2
+) -> None:
+    """Retention/GDPR delete propagation: drop ``ids`` (single column
+    ``vec_id``) from the stored vectors — one keyed ``lake.delete`` with
+    the clustered layout re-established (a removal that flattened the
+    (list_id, vec_id) ranges would silently kill probe-time pruning,
+    same contract as the fold's MERGE). Without this, a deleted
+    embedding keeps surfacing as everyone's neighbor.
+
+    Centroids and the stats yardstick are untouched: the routing
+    geometry is frozen between rebuild-cadence passes (the invariant the
+    streaming loop's batch-boundary proof rests on), and removal can
+    only SHRINK lists — ``maybe_refit_ann_index`` picks up any resulting
+    imbalance on its normal cadence. Removing absent ids is a no-op, so
+    replay converges."""
+    from pgcp_spark.sources.lake import delete
+
+    ids = materialize(ids.select("vec_id").distinct())
+    delete(
+        spark,
+        os.path.join(index_dir, "vectors"),
+        keys=ids,
+        key=["vec_id"],
+        keep=keep,
+        cluster_by=_VECTORS_CLUSTER,
+        cluster_files=spark.sparkContext.defaultParallelism,
+    )
+
+
 def compact_ann_index(
     spark: SparkSession, index_dir: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> None:

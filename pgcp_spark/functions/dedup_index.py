@@ -248,6 +248,108 @@ def promote_hot_shingles(spark: SparkSession, index_dir: str, keep: int = 2) -> 
     return n
 
 
+def remove_from_index(
+    spark: SparkSession, ids: DataFrame, index_dir: str, keep: int = 2
+) -> None:
+    """Retention/GDPR delete propagation: drop ``ids`` (single column
+    ``doc_id``) from signatures, postings, and sizes — one keyed
+    ``lake.delete`` each. Without this, a document deleted from the
+    corpus keeps matching future batches through its stored postings,
+    resurfacing text the retention policy removed.
+
+    ``hot_shingles`` is left untouched, the same frozen-cap contract as
+    ``update_index``'s fold side: removal can only make a shingle
+    COLDER, and a retained hot shingle only shrinks the capped universe
+    — extra conservatism, never wrong results (``promote_hot_shingles``
+    holds the inverse, monotone-hotter argument). The next rebuild-
+    cadence pass re-derives the list either way. Removing absent ids is
+    a no-op, so replay converges."""
+    from pgcp_spark.sources.lake import delete
+
+    ids = materialize(ids.select("doc_id").distinct())
+    for t in ("signatures", "postings", "sizes"):
+        delete(
+            spark, os.path.join(index_dir, t), keys=ids, key=["doc_id"], keep=keep
+        )
+
+
+RETENTION_MOD = 7  # the indexed-corpus slice the registered query removes
+
+_RETENTION_ORACLE = f"""
+WITH sh0 AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(len(t) - 2),
+           i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) AS shingle
+  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t
+        FROM documents)
+),
+old_sh AS (SELECT * FROM sh0 WHERE doc_id % {BATCH_MOD} <> 0),
+new_sh AS (SELECT * FROM sh0 WHERE doc_id % {BATCH_MOD} = 0),
+-- the hot list is FROZEN at build time, over the FULL indexed corpus:
+-- removal makes shingles colder, never hotter, and the stored list is
+-- only refreshed on the rebuild cadence — the oracle mirrors that
+hot AS (SELECT shingle FROM old_sh GROUP BY shingle HAVING COUNT(*) > {HOT_SHINGLE_DF_CAP}),
+postings AS (
+  SELECT * FROM old_sh
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
+    AND doc_id % {RETENTION_MOD} <> 0
+),
+batch AS (SELECT * FROM new_sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes_old AS (SELECT doc_id, COUNT(*) AS sz FROM postings GROUP BY doc_id),
+sizes_new AS (SELECT doc_id, COUNT(*) AS sz FROM batch GROUP BY doc_id),
+inter AS (
+  SELECT n.doc_id AS doc_new, o.doc_id AS doc_old, COUNT(*) AS n_shared
+  FROM batch n JOIN postings o ON n.shingle = o.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_new, i.doc_old, i.n_shared,
+       ROUND(CAST(i.n_shared AS DOUBLE) / (sn.sz + so.sz - i.n_shared), 6) AS jaccard
+FROM inter i
+JOIN sizes_new sn ON i.doc_new = sn.doc_id
+JOIN sizes_old so ON i.doc_old = so.doc_id
+WHERE ROUND(CAST(i.n_shared AS DOUBLE) / (sn.sz + so.sz - i.n_shared), 6) >= {JACCARD_THRESHOLD}
+ORDER BY doc_new, doc_old
+"""
+
+
+@register(
+    "dedup_batch_vs_index_after_delete",
+    oracle=_RETENTION_ORACLE,
+    doc="retention delete propagated through the dedup signature index: remove the %7 slice of the INDEXED corpus from postings/signatures/sizes (hot list frozen per the build-cadence contract), then dedup the batch — hash-exact vs the capped-Jaccard oracle on the retained corpus",
+)
+def dedup_batch_vs_index_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention pipeline on the dedup index: copy the shared
+    per-corpus index (registered queries must not mutate shared state),
+    ``remove_from_index`` the ``doc_id % 7 == 0`` slice of the INDEXED
+    corpus, then run the exact batch-vs-index dedup. The oracle
+    recomputes the capped Jaccard with the old side restricted to the
+    retained docs — and the hot list still computed over the FULL
+    pre-delete corpus, mirroring the frozen-cap semantics the stored
+    list actually has. A hash match proves removed docs can never again
+    match an incoming batch, while every retained pair scores
+    identically to before."""
+    from pgcp_spark.indexes import loop
+
+    seed = ensure_index(spark, sf_dir)
+    work = loop.copy_index(seed, _SUBTABLES, "pgcp_dedup_retention_")
+    import shutil
+
+    try:
+        remove_from_index(
+            spark,
+            _indexed_corpus(spark, sf_dir)
+            .filter(F.col("doc_id") % RETENTION_MOD == 0)
+            .select("doc_id"),
+            work,
+        )
+        result = materialize(batch_vs_index(spark, sf_dir, work))
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    loop.reclaim_by_mode(work)
+    return result
+
+
 def compact_index(
     spark: SparkSession, index_dir: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> None:

@@ -224,6 +224,28 @@ def run_streaming_sketch_maintenance(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def retire_sketch_days(spark: SparkSession, table_dir: str, before_day) -> str:
+    """Retention on the sketch table: drop every partial with
+    ``day < before_day`` — one predicate ``lake.delete`` over the
+    CLUSTER BY day layout (the filter prunes by the same file min/max
+    stats the range queries use), committed through the pointer swap.
+    This is the honest retention surface for count-distinct sketches:
+    HLL union is NOT invertible, so per-user deletion cannot subtract
+    from a stored partial — the day-grain partial IS the deletion
+    boundary. For a user-level delete inside a retained day, re-sketch
+    that day from the already-filtered fact and MERGE it through
+    ``fold_sketch_batch`` (complete-day replacement — the same
+    replace-not-union contract the streaming loop relies on); pinned in
+    tests/test_sketches.py."""
+    return lake.delete(
+        spark,
+        table_dir,
+        predicate=F.col("day") < F.lit(before_day),
+        keep=2,
+        cluster_by=["day"],
+    )
+
+
 def _sketch_table_files(table_dir: str) -> list[str]:
     snap = lake.current_snapshot(table_dir)
     assert snap is not None

@@ -264,6 +264,66 @@ def update_text_index(
     )
 
 
+def remove_from_text_index(
+    spark: SparkSession, ids: DataFrame, index_dir: str, keep: int = 2
+) -> None:
+    """Retention/GDPR delete PROPAGATION: drop every trace of ``ids``
+    (single column ``doc_id``) from the stored index. A corpus delete
+    that skips this step leaves the deleted documents DISCOVERABLE — the
+    postings still rank them — which is the quiet failure mode of every
+    search system bolted onto a mutable lake; with ``lake.delete`` in
+    the writer surface (round 8), index families must honor it too.
+
+    One keyed ``lake.delete`` per table (layout re-established through
+    the rewrite, same contract as the fold) + an exact integer stats
+    subtraction computed from the tiny doclen slice. CONVERGENCE:
+    remove == rebuild-on-retained BIT-EXACTLY (tokenization is
+    row-local, df derives at query time — same argument as
+    fold == rebuild; pinned in tests). Removing absent ids is a no-op,
+    so at-least-once replay converges."""
+    from pgcp_spark.sources.lake import delete
+
+    ids = materialize(ids.select("doc_id").distinct())
+    doclen_dir = os.path.join(index_dir, "doclen")
+    displaced = (
+        read_current(spark, doclen_dir)
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("tot"),
+        )
+        .collect()[0]
+    )
+    delete(
+        spark,
+        os.path.join(index_dir, "postings"),
+        keys=ids,
+        key=["doc_id"],
+        keep=keep,
+        cluster_by=["tok"],
+        cluster_files=spark.sparkContext.defaultParallelism,
+    )
+    delete(
+        spark, doclen_dir, keys=ids, key=["doc_id"], keep=keep,
+        cluster_by=["doc_id"],
+    )
+    old_stats = {
+        r.metric: r.value
+        for r in read_current(spark, os.path.join(index_dir, "stats")).collect()
+    }
+    write_snapshot(
+        spark.createDataFrame(
+            [
+                ("n_docs", int(old_stats["n_docs"]) - int(displaced.n_docs)),
+                ("total_tokens", int(old_stats["total_tokens"]) - int(displaced.tot)),
+            ],
+            "metric string, value long",
+        ),
+        os.path.join(index_dir, "stats"),
+        keep=keep,
+    )
+
+
 def compact_text_index(
     spark: SparkSession, index_dir: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> None:
@@ -347,3 +407,50 @@ def text_bm25_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored-artifact path provably loses nothing."""
     index_dir = ensure_text_index(spark, sf_dir)
     return bm25_from_index(spark, index_dir)
+
+
+# the retention slice removed by the registered delete-propagation query
+RETENTION_MOD = 7
+
+_RETENTION_ORACLE = BM25_ORACLE.replace(
+    "FROM documents",
+    f"FROM (SELECT * FROM documents WHERE doc_id % {RETENTION_MOD} <> 0)",
+)
+
+
+@register(
+    "text_bm25_after_retention_delete",
+    # the one-shot oracle over the RETAINED corpus: a hash match proves
+    # the removal left no trace — scores, ranks, df and corpus stats all
+    # behave as if the deleted docs never existed
+    oracle=_RETENTION_ORACLE,
+    doc="GDPR/retention delete propagated through the persisted BM25 index: remove the %7 slice from the stored postings/doclen/stats, query from the index — hash-exact vs the one-shot oracle on the retained corpus",
+)
+def text_bm25_after_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention pipeline, end to end on the stored artifact: the
+    shared per-corpus index is copied (a registered query must not
+    mutate shared state — same discipline as the ingest loops),
+    ``remove_from_text_index`` drops the ``doc_id % 7 == 0`` slice, and
+    the SAME ranked-retrieval query runs against what remains. The
+    oracle recomputes BM25 from scratch on the retained corpus, so a
+    hash match proves deletion propagation is COMPLETE: document
+    frequencies, corpus stats (n_docs, avgdl) and therefore every
+    surviving score shift exactly as if the deleted docs had never been
+    ingested — not merely that the deleted ids vanish from the top-k."""
+    seed = ensure_text_index(spark, sf_dir)
+    work = loop.copy_index(seed, _SUBTABLES, "pgcp_text_retention_")
+    import shutil
+
+    try:
+        docs = load_table_parallel(spark, sf_dir, "documents")
+        remove_from_text_index(
+            spark,
+            docs.filter(F.col("doc_id") % RETENTION_MOD == 0).select("doc_id"),
+            work,
+        )
+        result = materialize(bm25_from_index(spark, work))
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    loop.reclaim_by_mode(work)
+    return result

@@ -52,10 +52,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-8 window. The staleness invariant (no entry's driver row predates
 # its current implementation) has priority. Head of window:
-#   * 3 queries ADDED in round 8 — the lake-delete change feed and the
+#   * 5 queries ADDED in round 8 — the lake-delete change feed and the
 #     CDC aggregate with real delete rows (both hash-capable pure
-#     functions of orders), and BM25 served from the persisted inverted
-#     index (hash-capable, SAME oracle as the one-shot);
+#     functions of orders), BM25 served from the persisted inverted
+#     index (hash-capable, SAME oracle as the one-shot), and the two
+#     retention-delete-propagation queries (BM25 after index removal
+#     vs the retained-corpus oracle; dedup batch-vs-index after removal
+#     vs the frozen-hot-list oracle);
 #   * 8 queries whose implementation or oracle CHANGED in round 8 —
 #     text_bm25_search_topk (oracle float-association parenthesization,
 #     round-7 advice #2); the two change-feed queries (refactored onto
@@ -81,6 +84,8 @@ _AUDIT_PRIORITY: list[str] = [
     "lake_delete_change_feed_orders",  # hash-capable (delete arm live)
     "lake_incremental_agg_orders_cdc",  # hash-capable (subtract path on real deletes)
     "text_bm25_topk_from_index",  # hash-capable (same oracle as one-shot BM25)
+    "text_bm25_after_retention_delete",  # hash-capable (oracle on retained corpus)
+    "dedup_batch_vs_index_after_delete",  # hash-capable (frozen-hot-list oracle)
     # --- changed in round 8 ---
     "text_bm25_search_topk",
     "lake_change_feed_orders",
@@ -132,8 +137,6 @@ _AUDIT_PRIORITY: list[str] = [
     "agg_orders_by_status_priority",
     "corpus_mix_rebalance",
     "dedup_exact_documents",
-    "join_anti_parts_never_shipped",
-    "join_band_time_bucketed",
     # (the r2/r3 sets re-proved in r7 and the remaining r5/r6 rows all
     # postdate their implementations; the staleness invariant holds)
 ]

@@ -268,7 +268,11 @@ def delete(
     else:
         if not key:
             raise ValueError("keyed delete needs key columns")
-        kept_rows = current.join(keys.select(*key), on=key, how="left_anti")
+        # re-select the original column order: the anti-join hoists its
+        # key columns first, and a DELETE must never reorder the schema
+        kept_rows = current.join(keys.select(*key), on=key, how="left_anti").select(
+            *current.columns
+        )
     return write_snapshot(
         kept_rows,
         table_dir,
