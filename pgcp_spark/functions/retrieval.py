@@ -1,0 +1,173 @@
+"""Hybrid retrieval: BM25 ⊕ embedding-cosine, fused by reciprocal rank.
+
+The two retrieval modalities this repo already serves — keyword BM25
+(functions/text.py) and embedding cosine (functions/similarity.py) —
+fail on different queries: BM25 misses paraphrases, dense retrieval
+misses rare exact terms. Production curation pipelines therefore run
+BOTH and fuse; Reciprocal Rank Fusion (Cormack, Clarke & Büttcher,
+SIGIR 2009 — public method) is the standard score-free fusion:
+
+    rrf(doc) = Σ_legs 1 / (K + rank_leg(doc)),   K = 60
+
+using only RANKS, so the two legs' incomparable score scales never
+meet. A doc found by one leg alone contributes one term, which is the
+whole point — the union of the legs is reranked, not the intersection.
+
+Determinism/oracle story (why this composite is hash-checkable):
+- text leg = the fixed-keyword BM25 top-20 (its decimal-summed rounded
+  weights are already cross-engine exact);
+- vector leg = exact cosine top-20 of ONE deterministic query vector —
+  the MINIMUM valid vec_id's embedding (mirrorable in SQL on any lake,
+  including empty/nulls where the leg degrades to no rows) — scored
+  JVM-side with the shared hoisted-norm expression tree, rounded to the
+  same 6 places as every cosine in the repo, ties by doc_id;
+- rrf terms are 1/(60+rank) with INTEGER ranks: bit-identical doubles
+  on both engines; the sum is two terms in a fixed left-to-right shape,
+  rounded once to 1e-9 (well above double ulp at this magnitude, far
+  below the minimum inter-score gap).
+
+Scale shape: each leg is the already-scale-audited operator (BM25's
+term-pruned postings aggregate; the cosine leg broadcasts ONE query
+vector — a 1×n matvec, no pair join). The fusion itself is a full-outer
+join of two 20-row frames — free at any corpus size. At 100 TB the legs
+swap in their persisted-index forms (`bm25_from_index`,
+`batch_vs_ann_index`) with identical fusion algebra.
+
+Reference anchor: none — north-star retrieval territory, composing the
+round-7/8 retrieval family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgcp_spark.functions.text import BM25_ORACLE, BM25_TOP, text_bm25_search_topk
+from pgcp_spark.functions.similarity import EMB_VALID_SQL, valid_embedding, with_norm
+from pgcp_spark.plans.materialize import materialize
+from pgcp_spark.registry import register
+from pgcp_spark.sources import load_table
+
+RRF_K = 60  # the SIGIR-2009 constant; dampens the head, keeps the tail
+LEG_DEPTH = BM25_TOP  # per-leg candidate depth (20)
+HYBRID_TOP = 20
+
+
+def cosine_leg(spark: SparkSession, sf_dir: str, depth: int = LEG_DEPTH) -> DataFrame:
+    """(doc_id, vrank): exact cosine top-``depth`` for the deterministic
+    query vector (minimum valid vec_id). One broadcast matvec-shaped
+    join — the query side is a single row — scored with the shared
+    hoisted-norm tree, rounded to 6 places, ties by doc_id. Returns an
+    empty frame when no valid vector exists (empty/nulls lakes)."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(valid_embedding())
+    )
+    q_rows = e.orderBy("vec_id").limit(1).collect()
+    if not q_rows:
+        return spark.createDataFrame([], "doc_id long, vrank int")
+    q_id = q_rows[0].vec_id
+    q = spark.createDataFrame(q_rows).select(
+        F.col("embedding").alias("q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("q_emb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q_nrm = F.sqrt(
+        F.aggregate(
+            F.transform("q_emb", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        with_norm(e.filter(F.col("vec_id") != q_id))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (F.col("nrm") * q_nrm), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos_sim"), "doc_id")
+    return (
+        scored.withColumn("vrank", F.row_number().over(w))
+        .filter(F.col("vrank") <= depth)
+        .select("doc_id", "vrank")
+    )
+
+
+_HYBRID_ORACLE = f"""
+WITH text_leg AS (
+  SELECT doc_id, rnk FROM ({BM25_ORACLE.rstrip().rstrip(chr(10))}) t
+),
+valid AS (
+  SELECT vec_id, embedding FROM embeddings WHERE {EMB_VALID_SQL}
+),
+q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM valid ORDER BY vec_id LIMIT 1),
+vec_scores AS (
+  SELECT b.vec_id AS doc_id,
+         ROUND(list_dot_product(CAST(b.embedding AS DOUBLE[]), q.q_emb)
+               / (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cos_sim
+  FROM valid b, q WHERE b.vec_id <> q.vec_id
+),
+vec_leg AS (
+  SELECT doc_id, vrank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS vrank
+    FROM vec_scores
+  ) WHERE vrank <= {LEG_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         ROUND(
+           COALESCE(1.0 / ({RRF_K} + t.rnk), 0)
+           + COALESCE(1.0 / ({RRF_K} + v.vrank), 0), 9) AS rrf
+  FROM text_leg t FULL OUTER JOIN vec_leg v ON t.doc_id = v.doc_id
+)
+SELECT doc_id, rrf, CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+FROM fused
+QUALIFY rank <= {HYBRID_TOP}
+ORDER BY rank
+"""
+
+
+@register(
+    "hybrid_bm25_cosine_rrf",
+    oracle=_HYBRID_ORACLE,
+    doc="hybrid retrieval: BM25 top-20 (fixed keyword query) fused with exact cosine top-20 (deterministic query vector) by reciprocal rank fusion (K=60) — union of legs reranked, hash-exact end to end",
+)
+def hybrid_bm25_cosine_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search over the corpus (module docstring): the keyword leg
+    and the dense leg each contribute their top-20 ranks; RRF fuses the
+    UNION (a doc found by one leg alone still scores), final top-20 by
+    fused score with doc_id tie-break. Both legs and the fusion are
+    cross-engine deterministic, so the whole composite is hash-checked —
+    rare for a multi-modal retrieval stack."""
+    text_leg = text_bm25_search_topk(spark, sf_dir).select("doc_id", "rnk")
+    vec_leg = cosine_leg(spark, sf_dir)
+    fused = (
+        text_leg.join(vec_leg, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rnk")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vrank")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        materialize(fused)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HYBRID_TOP)
+        .select("doc_id", "rrf", "rank")
+        .orderBy("rank")
+    )

@@ -52,14 +52,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-8 window. The staleness invariant (no entry's driver row predates
 # its current implementation) has priority. Head of window:
-#   * 6 queries ADDED in round 8 — the lake-delete change feed and the
+#   * 7 queries ADDED in round 8 — the lake-delete change feed and the
 #     CDC aggregate with real delete rows (both hash-capable pure
 #     functions of orders), BM25 served from the persisted inverted
 #     index (hash-capable, SAME oracle as the one-shot), and the two
 #     retention-delete-propagation queries (BM25 after index removal
 #     vs the retained-corpus oracle; dedup batch-vs-index after removal
-#     vs the frozen-hot-list oracle) and the streaming text-index loop
-#     (stream-built index vs the same one-shot oracle);
+#     vs the frozen-hot-list oracle), the streaming text-index loop
+#     (stream-built index vs the same one-shot oracle), and hybrid
+#     BM25⊕cosine RRF retrieval (rank-only fusion — hash-exact);
 #   * 8 queries whose implementation or oracle CHANGED in round 8 —
 #     text_bm25_search_topk (oracle float-association parenthesization,
 #     round-7 advice #2); the two change-feed queries (refactored onto
@@ -71,11 +72,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #     sim_incremental_batch_vs_ann_index (also the refit keep=2 thread),
 #     streaming_ingest_dedup_decisions, streaming_ingest_ann_neighbors,
 #     agg_hll_daily_distinct_rollup.
-# The remaining 36 slots re-prove the OLDEST standing rows, cumulative
+# The remaining 35 slots re-prove the OLDEST standing rows, cumulative
 # ledger recomputed from CORRECTNESS_r01..r07: the full live r4 cohort
 # (29 — grouping sets/rollup/cube, window frames, as-of joins, SCD2, UDF
-# surface, multimodal, sessionize) and the 7 alphabetically-first r5
-# rows. Still excluded: agg_approx_distinct_customers (rows-only AND
+# surface, multimodal, sessionize) and the alphabetically-first r5
+# rows (minus fillers displaced by late-round additions). Still excluded: agg_approx_distinct_customers (rows-only AND
 # unchanged since its r1 row — a new row adds nothing, rationale
 # standing since r5). Everything else outside the window holds an r5-r7
 # row no older than its implementation, plus the mimic matrix
@@ -88,6 +89,7 @@ _AUDIT_PRIORITY: list[str] = [
     "text_bm25_after_retention_delete",  # hash-capable (oracle on retained corpus)
     "dedup_batch_vs_index_after_delete",  # hash-capable (frozen-hot-list oracle)
     "streaming_text_index_bm25",  # hash-capable (stream-built == one-shot oracle)
+    "hybrid_bm25_cosine_rrf",  # hash-capable (integer-rank RRF fusion)
     # --- changed in round 8 ---
     "text_bm25_search_topk",
     "lake_change_feed_orders",
@@ -137,7 +139,6 @@ _AUDIT_PRIORITY: list[str] = [
     "agg_having_big_customers",
     "agg_histogram_order_value",
     "agg_orders_by_status_priority",
-    "corpus_mix_rebalance",
     # (the r2/r3 sets re-proved in r7 and the remaining r5/r6 rows all
     # postdate their implementations; the staleness invariant holds)
 ]
@@ -203,6 +204,7 @@ def _load_operator_modules() -> None:
     import pgcp_spark.functions.graph  # noqa: F401
     import pgcp_spark.functions.multimodal  # noqa: F401
     import pgcp_spark.functions.pipeline  # noqa: F401
+    import pgcp_spark.functions.retrieval  # noqa: F401
     import pgcp_spark.functions.sampling  # noqa: F401
     import pgcp_spark.functions.similarity  # noqa: F401
     import pgcp_spark.functions.sketches  # noqa: F401

