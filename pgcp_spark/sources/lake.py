@@ -252,9 +252,10 @@ def delete(
     passing ``cluster_by``/``zorder_by`` re-establishes a clustered layout
     for one extra exchange, and omitting them on a clustered table quietly
     degrades later selective scans. ``keep`` ≥ 2 retains the pre-delete
-    snapshot for time travel — note a GDPR pipeline must then run a
-    follow-up commit (or ``keep=1``) before the data is truly gone; the
-    change feed still reports the delete either way.
+    snapshot for time travel — note a GDPR pipeline must then run
+    ``vacuum(table_dir, keep=1)`` (or delete with ``keep=1``) before the
+    data is truly gone; the change feed still reports the delete either
+    way.
 
     Scale: predicate deletes are one filtered scan (the predicate also
     pushes into the parquet scan, so untouched files stream through);
@@ -324,6 +325,35 @@ def merge_cdc(
         zorder_by=zorder_by,
         zorder_rank=zorder_rank,
     )
+
+
+def vacuum(table_dir: str, keep: int = 1) -> list[str]:
+    """Physically reclaim retained history: drop every committed snapshot
+    except the newest ``keep`` (plus crash orphans), trim the log, and
+    return the names removed. Pure metadata/filesystem op — no Spark job,
+    no data rewrite, and the CURRENT pointer is never touched.
+
+    This is the second half of the GDPR contract ``delete`` documents:
+    with ``keep`` ≥ 2 a delete retains the pre-delete snapshot for time
+    travel, so the data is logically deleted but still on disk until the
+    next commit's GC. ``vacuum(table_dir, keep=1)`` makes "truly gone"
+    an explicit, immediate step instead of a side effect of whenever the
+    next write happens — the same role Delta's VACUUM plays after a
+    DELETE. Readers mid-flight on a vacuumed snapshot lose their files
+    (that is the point); run it after the retention window, exactly like
+    any lakehouse VACUUM."""
+    committed = history(table_dir)
+    kept = set(committed[-max(1, keep):])
+    removed = []
+    for entry in os.listdir(table_dir):
+        if entry.startswith(SNAPSHOT_PREFIX) and entry not in kept:
+            shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
+            removed.append(entry)
+    _atomic_write(
+        _log_path(table_dir),
+        "\n".join(s for s in committed if s in kept) + "\n",
+    )
+    return removed
 
 
 def compact(

@@ -182,3 +182,21 @@ def test_registered_delete_feed_small_lake(spark):
     df = lake_delete_change_feed_orders(spark, SF_DIR)
     assert df.columns == ["o_orderkey", "o_totalprice", "_change_type"]
     assert df.count() >= 0
+
+
+def test_vacuum_makes_deleted_data_physically_gone(spark, base_table):
+    """The GDPR second half: delete with keep=2 retains the pre-delete
+    snapshot (time travel still reads the deleted rows); vacuum(keep=1)
+    reclaims it immediately — time travel now raises, the current
+    snapshot is untouched, and the log is trimmed."""
+    s1 = lake.current_snapshot(base_table)
+    delete(spark, base_table, predicate=F.col("k") == 2, keep=2)
+    assert lake.read_snapshot(spark, base_table, s1).count() == 6  # still on disk
+    removed = lake.vacuum(base_table, keep=1)
+    assert removed == [s1]
+    with pytest.raises(FileNotFoundError):
+        lake.read_snapshot(spark, base_table, s1)
+    assert read_current(spark, base_table).count() == 5
+    assert lake.history(base_table) == [lake.current_snapshot(base_table)]
+    # idempotent: nothing left to reclaim
+    assert lake.vacuum(base_table, keep=1) == []

@@ -172,3 +172,15 @@ def test_empty_corpus_builds_and_answers_empty(spark, tmp_path):
         ("total_tokens", 0),
     ]
     assert bm25_from_index(spark, index_dir).count() == 0
+
+
+def test_query_pushes_tok_filter_into_postings_scan(spark):
+    """The docstring's pruning claim, asserted on the plan: the query
+    terms' IN-filter reaches the parquet scan (PushedFilters), so the
+    CLUSTER BY tok footer ranges actually get consulted at scan time
+    instead of filtering post-read."""
+    from pgcp_spark.plans.explain import pushed_filters
+
+    index_dir = ensure_text_index(spark, SF_DIR)
+    filters = " | ".join(pushed_filters(bm25_from_index(spark, index_dir)))
+    assert "tok" in filters and "In(" in filters, filters
