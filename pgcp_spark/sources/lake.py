@@ -343,6 +343,8 @@ def vacuum(table_dir: str, keep: int = 1) -> list[str]:
     (that is the point); run it after the retention window, exactly like
     any lakehouse VACUUM."""
     committed = history(table_dir)
+    if not committed:  # empty / never-committed table dir: nothing to do
+        return []
     kept = set(committed[-max(1, keep):])
     removed = []
     for entry in os.listdir(table_dir):

@@ -200,3 +200,7 @@ def test_vacuum_makes_deleted_data_physically_gone(spark, base_table):
     assert lake.history(base_table) == [lake.current_snapshot(base_table)]
     # idempotent: nothing left to reclaim
     assert lake.vacuum(base_table, keep=1) == []
+
+
+def test_vacuum_on_uncommitted_dir_is_noop(tmp_path):
+    assert lake.vacuum(str(tmp_path / "nope")) == []
