@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pgcp_spark.functions.text import BM25_ORACLE, BM25_TOP, text_bm25_search_topk
+from pgcp_spark.functions.text import BM25_ORACLE, BM25_TOP
 from pgcp_spark.functions.similarity import EMB_VALID_SQL, valid_embedding, with_norm
 from pgcp_spark.plans.materialize import materialize
 from pgcp_spark.registry import register
@@ -150,7 +150,16 @@ def hybrid_bm25_cosine_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused score with doc_id tie-break. Both legs and the fusion are
     cross-engine deterministic, so the whole composite is hash-checked —
     rare for a multi-modal retrieval stack."""
-    text_leg = text_bm25_search_topk(spark, sf_dir).select("doc_id", "rnk")
+    from pgcp_spark.functions.text_index import bm25_from_index, ensure_text_index
+
+    # the text leg is served FROM THE PERSISTED INDEX: bit-identical to
+    # the one-shot recompute (tests/test_text_index.py pins the equality;
+    # both hash the same oracle) and measurably faster — the swap the
+    # module docstring prescribes for scale, done on the hot path too.
+    # The one-shot (text_bm25_search_topk) remains the oracle twin.
+    text_leg = bm25_from_index(spark, ensure_text_index(spark, sf_dir)).select(
+        "doc_id", "rnk"
+    )
     vec_leg = cosine_leg(spark, sf_dir)
     fused = (
         text_leg.join(vec_leg, "doc_id", "full_outer")
