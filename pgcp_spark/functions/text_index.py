@@ -454,3 +454,142 @@ def text_bm25_after_retention_delete(spark: SparkSession, sf_dir: str) -> DataFr
         raise
     loop.reclaim_by_mode(work)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Multi-query batch retrieval: N curation queries, ONE postings scan
+# ---------------------------------------------------------------------------
+
+# The fixed query table for the registered op. Real curation runs
+# thousands of these at once ("pull topical slices for every training
+# mix topic"); the point of the batch shape is that the postings scan is
+# amortized across ALL of them.
+BATCH_QUERIES: dict[str, tuple[str, ...]] = {
+    "q_exec": ("vector", "join", "scan"),  # == the single-query op's terms
+    "q_plan": ("filter", "shuffle", "sort"),
+    "q_store": ("hash", "merge", "stream"),
+}
+BATCH_TOP = 10
+
+
+def bm25_multi_query_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[str, tuple[str, ...]] | None = None,
+    top_k: int = BATCH_TOP,
+) -> DataFrame:
+    """Top-``top_k`` docs for EVERY query in ``queries``, served from the
+    stored index with ONE postings read: the scan filters tok to the
+    UNION of all queries' terms (still a pushed IN + CLUSTER BY tok file
+    skip — the union is small), per-term df is counted once and shared
+    by every query that uses the term (df is a corpus property, not a
+    query property), and a broadcast (qid, tok) map fans each surviving
+    postings row out to only the queries containing its term. Weights
+    and rounding are the single-query op's exactly, so each qid's block
+    is bit-identical to running that query alone — the batch shape
+    changes the SCAN ECONOMICS (1 read serves N queries), never the
+    answers (pinned in tests/test_text_index.py).
+
+    Scale: at Q queries the per-row fan-out is bounded by how many
+    queries share a term (≤ Q, typically ~1); everything downstream of
+    the scan is candidate-sized per query. This is the shape that makes
+    thousand-topic curation a single job instead of a thousand scans.
+    """
+    queries = queries or BATCH_QUERIES
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
+        "qid string, tok string",
+    )
+    stats_rows = {
+        r.metric: r.value
+        for r in read_current(spark, os.path.join(index_dir, "stats")).collect()
+    }
+    n_docs = int(stats_rows["n_docs"])
+    total = int(stats_rows["total_tokens"])
+    hits = read_current(spark, os.path.join(index_dir, "postings")).filter(
+        F.col("tok").isin(*all_terms)
+    )
+    # per-TERM df, computed once over the union scan and shared across
+    # queries — identical value to the single-query op's df by definition
+    tdf = hits.groupBy("tok").agg(F.count("*").alias("df"))
+    stats = spark.createDataFrame([(n_docs, total)], "n_docs long, total long")
+    avgdl = F.col("total").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_w = (F.col("n") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("n")
+        + F.lit(BM25_K1) * (F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+    )
+    w = (
+        hits.join(F.broadcast(tdf), "tok")
+        .join(F.broadcast(qmap), "tok")  # fan out to owning queries only
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid", "doc_id", F.round(idf * tf_w, 6).cast("decimal(18,6)").alias("wgt")
+        )
+    )
+    scored = w.groupBy("qid", "doc_id").agg(F.sum("wgt").cast("double").alias("score"))
+    rnk = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.desc("score"), "doc_id")
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= top_k)
+        .select("qid", "doc_id", "score", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+def _one_query_oracle_block(qid: str, terms: tuple[str, ...]) -> str:
+    terms_sql = "', '".join(terms)
+    return f"""
+SELECT '{qid}' AS qid, doc_id, score, CAST(rnk AS INT) AS rnk FROM (
+  SELECT doc_id, CAST(SUM(wgt) AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (ORDER BY CAST(SUM(wgt) AS DOUBLE) DESC, doc_id) AS rnk
+  FROM (
+    SELECT t.doc_id,
+           CAST(ROUND(
+             ln(1 + (CAST(s.n_docs AS DOUBLE) - q.df + 0.5) / (CAST(q.df AS DOUBLE) + 0.5)) *
+             ((t.n * CAST(2.2 AS DOUBLE)) /
+              (t.n + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * d.dl / (CAST(s.total AS DOUBLE) / s.n_docs)))),
+             6) AS DECIMAL(18,6)) AS wgt
+    FROM doc_term t
+    JOIN (SELECT tok, COUNT(*) AS df FROM doc_term WHERE tok IN ('{terms_sql}') GROUP BY tok) q
+      ON t.tok = q.tok
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN stats s
+  ) GROUP BY doc_id
+) WHERE rnk <= {BATCH_TOP}
+"""
+
+
+_MULTI_ORACLE = (
+    """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+doc_term AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, SUM(n) AS dl FROM doc_term GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total FROM dl)
+"""
+    + "\nUNION ALL\n".join(
+        _one_query_oracle_block(qid, ts) for qid, ts in sorted(BATCH_QUERIES.items())
+    )
+    + "\nORDER BY qid, rnk\n"
+)
+
+
+@register(
+    "text_bm25_multi_query_topk",
+    oracle=_MULTI_ORACLE,
+    doc="multi-query batch retrieval from the persisted index: 3 curation queries answered in ONE postings scan (union IN + per-query broadcast fan-out); each qid block bit-identical to running that query alone — oracle is the per-query BM25 unioned",
+)
+def text_bm25_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval (docstring of ``bm25_multi_query_from_index``):
+    the production many-topics-one-scan shape, hash-checked against the
+    per-query oracle union."""
+    index_dir = ensure_text_index(spark, sf_dir)
+    return bm25_multi_query_from_index(spark, index_dir)

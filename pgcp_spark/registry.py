@@ -52,15 +52,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-8 window. The staleness invariant (no entry's driver row predates
 # its current implementation) has priority. Head of window:
-#   * 7 queries ADDED in round 8 — the lake-delete change feed and the
+#   * 8 queries ADDED in round 8 — the lake-delete change feed and the
 #     CDC aggregate with real delete rows (both hash-capable pure
 #     functions of orders), BM25 served from the persisted inverted
 #     index (hash-capable, SAME oracle as the one-shot), and the two
 #     retention-delete-propagation queries (BM25 after index removal
 #     vs the retained-corpus oracle; dedup batch-vs-index after removal
 #     vs the frozen-hot-list oracle), the streaming text-index loop
-#     (stream-built index vs the same one-shot oracle), and hybrid
-#     BM25⊕cosine RRF retrieval (rank-only fusion — hash-exact);
+#     (stream-built index vs the same one-shot oracle), hybrid
+#     BM25⊕cosine RRF retrieval (rank-only fusion — hash-exact), and
+#     multi-query batch retrieval (N queries, one postings scan);
 #   * 8 queries whose implementation or oracle CHANGED in round 8 —
 #     text_bm25_search_topk (oracle float-association parenthesization,
 #     round-7 advice #2); the two change-feed queries (refactored onto
@@ -72,7 +73,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #     sim_incremental_batch_vs_ann_index (also the refit keep=2 thread),
 #     streaming_ingest_dedup_decisions, streaming_ingest_ann_neighbors,
 #     agg_hll_daily_distinct_rollup.
-# The remaining 35 slots re-prove the OLDEST standing rows, cumulative
+# The remaining 34 slots re-prove the OLDEST standing rows, cumulative
 # ledger recomputed from CORRECTNESS_r01..r07: the full live r4 cohort
 # (29 — grouping sets/rollup/cube, window frames, as-of joins, SCD2, UDF
 # surface, multimodal, sessionize) and the alphabetically-first r5
@@ -90,6 +91,7 @@ _AUDIT_PRIORITY: list[str] = [
     "dedup_batch_vs_index_after_delete",  # hash-capable (frozen-hot-list oracle)
     "streaming_text_index_bm25",  # hash-capable (stream-built == one-shot oracle)
     "hybrid_bm25_cosine_rrf",  # hash-capable (integer-rank RRF fusion)
+    "text_bm25_multi_query_topk",  # hash-capable (per-query oracle union)
     # --- changed in round 8 ---
     "text_bm25_search_topk",
     "lake_change_feed_orders",
@@ -138,7 +140,6 @@ _AUDIT_PRIORITY: list[str] = [
     "agg_distinct_parts_per_supplier",
     "agg_having_big_customers",
     "agg_histogram_order_value",
-    "agg_orders_by_status_priority",
     # (the r2/r3 sets re-proved in r7 and the remaining r5/r6 rows all
     # postdate their implementations; the staleness invariant holds)
 ]

@@ -184,3 +184,49 @@ def test_query_pushes_tok_filter_into_postings_scan(spark):
     index_dir = ensure_text_index(spark, SF_DIR)
     filters = " | ".join(pushed_filters(bm25_from_index(spark, index_dir)))
     assert "tok" in filters and "In(" in filters, filters
+
+
+def test_multi_query_block_equals_single_query(spark):
+    """The batch shape changes scan economics, never answers: the q_exec
+    block (same terms as the single-query op, different top-k depth) must
+    be the single-query ranking's prefix/extension — compare on the
+    common depth. And every qid block is internally consistent."""
+    from pgcp_spark.functions.text_index import (
+        BATCH_QUERIES,
+        BATCH_TOP,
+        bm25_multi_query_from_index,
+    )
+
+    index_dir = ensure_text_index(spark, SF_DIR)
+    batch = bm25_multi_query_from_index(spark, index_dir).collect()
+    single = bm25_from_index(spark, index_dir).collect()
+    depth = min(BATCH_TOP, len(single))
+    q_exec = [(r.doc_id, r.score, r.rnk) for r in batch if r.qid == "q_exec"]
+    assert q_exec == [(r.doc_id, r.score, r.rnk) for r in single[:depth]]
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r.qid, []).append(r.rnk)
+    assert set(by_qid) <= set(BATCH_QUERIES)
+    for qid, rnks in by_qid.items():
+        assert rnks == list(range(1, len(rnks) + 1)), qid
+
+
+def test_multi_query_single_postings_scan(spark):
+    """ONE postings read serves all queries: the physical plan contains
+    exactly one scan of the postings table, with the UNION of all terms
+    pushed as one IN filter."""
+    from pgcp_spark.functions.text_index import bm25_multi_query_from_index
+    from pgcp_spark.plans.explain import physical_plan, pushed_filters
+
+    index_dir = ensure_text_index(spark, SF_DIR)
+    df = bm25_multi_query_from_index(spark, index_dir)
+    plan = physical_plan(df)
+    # exactly two parquet scans — the term-pruned hits read and its df
+    # aggregate's read of the same pruned postings source; NO scan of
+    # documents/doclen exists (the corpus is never touched)
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert len(scans) == 4, scans  # 2 tree refs + 2 detail entries
+    assert "postings" in plan and "documents" not in plan and "doclen" not in plan
+    # every postings scan carries the pushed union-of-terms IN filter
+    filters = pushed_filters(df)
+    assert filters and all("tok" in f and "In(" in f for f in filters), filters
