@@ -28,10 +28,17 @@ Determinism/oracle story (why this composite is hash-checkable):
 
 Scale shape: each leg is the already-scale-audited operator (BM25's
 term-pruned postings aggregate; the cosine leg broadcasts ONE query
-vector — a 1×n matvec, no pair join). The fusion itself is a full-outer
-join of two 20-row frames — free at any corpus size. At 100 TB the legs
-swap in their persisted-index forms (`bm25_from_index`,
-`batch_vs_ann_index`) with identical fusion algebra.
+vector — a 1×n matvec, no pair join — and takes its top-20 via
+``orderBy().limit()``, which Spark compiles to TakeOrderedAndProject:
+per-partition heaps, no single-partition sort of the scored corpus;
+the row_number rank is then computed over the 20-row result only).
+The fusion itself is a full-outer join of two 20-row frames — free at
+any corpus size. At 100 TB the text leg is served from the persisted
+BM25 index (`bm25_from_index` — already wired on the hot path) and the
+vector leg swaps to the persisted IVF form (`hybrid_from_ann_index`
+below — approximate, so registered rows-only with a pinned
+rank-overlap floor vs this exact hybrid) with identical fusion
+algebra.
 
 Reference anchor: none — north-star retrieval territory, composing the
 round-7/8 retrieval family.
@@ -58,11 +65,16 @@ def cosine_leg(spark: SparkSession, sf_dir: str, depth: int = LEG_DEPTH) -> Data
     query vector (minimum valid vec_id). One broadcast matvec-shaped
     join — the query side is a single row — scored with the shared
     hoisted-norm tree, rounded to 6 places, ties by doc_id. Returns an
-    empty frame when no valid vector exists (empty/nulls lakes)."""
+    empty frame when no valid vector exists (empty/nulls lakes).
+    ``vec_id IS NOT NULL`` is required on top of ``valid_embedding()``:
+    the query vector is picked by MIN vec_id, and Spark's orderBy is
+    NULLS FIRST where DuckDB's is NULLS LAST — a NULL id with a valid
+    embedding would silently diverge cross-engine (and empty the leg
+    via the ``vec_id != q_id`` filter)."""
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        .filter(valid_embedding())
+        .filter(F.col("vec_id").isNotNull() & valid_embedding())
     )
     q_rows = e.orderBy("vec_id").limit(1).collect()
     if not q_rows:
@@ -95,10 +107,15 @@ def cosine_leg(spark: SparkSession, sf_dir: str, depth: int = LEG_DEPTH) -> Data
             F.round(dot / (F.col("nrm") * q_nrm), 6).alias("cos_sim"),
         )
     )
+    # TakeOrderedAndProject (per-partition heaps, fully parallel) takes
+    # the top-``depth``; the rank window then runs over only those
+    # ``depth`` rows. An unpartitioned window directly on ``scored``
+    # would force the WHOLE scored corpus into one partition — the
+    # single-task sort tests/test_width.py's window gate now rejects.
+    top = scored.orderBy(F.desc("cos_sim"), "doc_id").limit(depth)
     w = Window.orderBy(F.desc("cos_sim"), "doc_id")
     return (
-        scored.withColumn("vrank", F.row_number().over(w))
-        .filter(F.col("vrank") <= depth)
+        top.withColumn("vrank", F.row_number().over(w))
         .select("doc_id", "vrank")
     )
 
@@ -108,7 +125,8 @@ WITH text_leg AS (
   SELECT doc_id, rnk FROM ({BM25_ORACLE.rstrip().rstrip(chr(10))}) t
 ),
 valid AS (
-  SELECT vec_id, embedding FROM embeddings WHERE {EMB_VALID_SQL}
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IS NOT NULL AND {EMB_VALID_SQL}
 ),
 q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM valid ORDER BY vec_id LIMIT 1),
 vec_scores AS (

@@ -96,7 +96,16 @@ def doc_terms(docs: DataFrame) -> DataFrame:
     postings-row shape. The tokenizer is BM25's exactly
     (functions/text.py): lowercase, collapse runs of spaces, split on
     single spaces — shared definition, so stored and fresh postings are
-    bit-identical."""
+    bit-identical.
+
+    NULL-doc_id rows are quarantined HERE, at the ingest seam: the
+    index is keyed on doc_id, and a NULL key can never be replaced or
+    deleted — the fold/removal anti-joins never match NULL (ANSI join
+    semantics), so a NULL pseudo-doc would duplicate on every re-fold
+    and double-count in stats, breaking fold == rebuild bit-exactness.
+    A document without an identity is not indexable; filtering it
+    row-locally keeps every downstream invariant unconditional."""
+    docs = docs.filter(F.col("doc_id").isNotNull())
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -356,7 +365,11 @@ def bm25_from_index(
     shapes (same idf/tf association order, same 1e-6 rounding, same
     DECIMAL(18,6) order-independent sum, same doc_id tie-break), so the
     result is bit-identical to re-ranking from scratch — and hash-exact
-    against the same DuckDB oracle."""
+    against the same DuckDB oracle. An empty term list returns an empty
+    result (no ``isin()`` with zero arguments — the same graceful
+    degradation as the empty-corpus path)."""
+    if not query_terms:
+        return spark.createDataFrame([], "doc_id long, score double, rnk int")
     stats_rows = {
         r.metric: r.value
         for r in read_current(spark, os.path.join(index_dir, "stats")).collect()
@@ -495,8 +508,12 @@ def bm25_multi_query_from_index(
     the scan is candidate-sized per query. This is the shape that makes
     thousand-topic curation a single job instead of a thousand scans.
     """
-    queries = queries or BATCH_QUERIES
+    queries = BATCH_QUERIES if queries is None else queries
     all_terms = sorted({t for ts in queries.values() for t in ts})
+    if not all_terms:  # no queries, or all term lists empty: no isin(0 args)
+        return spark.createDataFrame(
+            [], "qid string, doc_id long, score double, rnk int"
+        )
     qmap = spark.createDataFrame(
         [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
         "qid string, tok string",

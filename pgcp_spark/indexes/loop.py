@@ -129,6 +129,12 @@ def stage_group_files(
     with strictly increasing fixed mtimes, so the file stream source
     delivers whole groups oldest-first and a micro-batch is always a
     union of COMPLETE groups (files are the source's atomic unit).
+    Rows whose ``group_col`` is NULL (or not in ``groups``) are NOT
+    staged — the equality filter never matches NULL. Callers stage on
+    key-like columns (crawl day, id buckets) and their index seams
+    quarantine NULL keys before this point (see
+    ``functions/text_index.py:doc_terms``); a caller grouping on a
+    nullable column must bucket NULLs explicitly first.
     Loop results must not DEPEND on delivery order — the loops derive
     position from the data — but deterministic staging keeps runs
     bit-identical in logs and progress too."""

@@ -60,7 +60,13 @@ ORDER BY rnk
 def window_rank_dense_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank/dense_rank over an aggregated input. The unpartitioned window is
     safe here because the input is one row per supplier (post-aggregation),
-    not the raw fact table."""
+    not the raw fact table. SCALE NOTE: at 100× this is still a
+    single-partition sort of the whole supplier dimension — the global
+    rank IS the operator under demonstration (allowlisted in
+    plans/width.py:WINDOW_ALLOWLIST); a production top-k wants
+    ``orderBy().limit(k)`` (TakeOrderedAndProject — see
+    operators/setops.py's top-k variants), and a full global ranking at
+    dimension scale wants a partitioned two-pass rank."""
     l = load_table(spark, sf_dir, "lineitem")
     agg = l.groupBy("l_suppkey").agg(F.count("*").alias("n_lines"))
     w = Window.orderBy(F.desc("n_lines"), F.asc("l_suppkey"))
@@ -162,7 +168,12 @@ ORDER BY quartile
 )
 def window_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quartiles of customer lifetime value, then per-quartile stats.
-    (ntile runs on the small aggregated relation, not the fact table.)"""
+    (ntile runs on the small aggregated relation, not the fact table.)
+    SCALE NOTE: still a single-partition sort of the customer dimension
+    at 100× — ntile's contiguous-tiles contract is inherently global
+    (allowlisted in plans/width.py:WINDOW_ALLOWLIST); at dimension scale
+    compute quartile boundaries with approxQuantile / percentile_approx
+    and assign tiles with a row-local CASE instead."""
     o = load_table(spark, sf_dir, "orders")
     spent = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("total_spent"))
     w = Window.orderBy(F.desc("total_spent"), F.asc("o_custkey"))
@@ -262,7 +273,11 @@ def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame
     """Distribution windows (percent_rank, cume_dist) across the supplier
     balance ladder. The unpartitioned window is safe ONLY because supplier
     is a bounded dimension; fact-sized inputs must partition first (see
-    module docstring)."""
+    module docstring). SCALE NOTE: single-partition sort of the supplier
+    dimension at 100× — the global distribution IS the operator under
+    demonstration (allowlisted in plans/width.py:WINDOW_ALLOWLIST); at
+    scale, estimate the CDF with approxQuantile boundaries or rank
+    within salted ranges and merge."""
     s = load_table(spark, sf_dir, "supplier")
     w = Window.orderBy(F.asc_nulls_first("s_acctbal"), "s_suppkey")  # pinned
     return (

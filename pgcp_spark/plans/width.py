@@ -29,6 +29,27 @@ Partitioning kinds:
     carries whatever the query RETURNS (e.g. chunk text).
   - roundrobin        — ignored: the test-lake loader's parallelism
     repartition (sources/tables.py), a no-op on multi-file lakes.
+  - SinglePartition   — audited by the SECOND gate below (round 9):
+    see ``audit_single_partition_windows``.
+
+Round-9 second gate — single-partition window exchanges. The round-8
+hybrid query's cosine leg ranked the whole scored corpus through an
+unpartitioned ``Window.orderBy`` — a SinglePartition exchange feeding a
+Sort + Window, i.e. a one-task sort of the entire input at scale — and
+this gate could not see it: a single-partition exchange is narrow, not
+wide. ``audit_single_partition_windows`` flags every SinglePartition
+exchange whose ancestors include a Window/WindowGroupLimit node UNLESS
+the exchange's own subtree already bounds its row count (GlobalLimit /
+TakeOrderedAndProject / CollectLimit / LocalTableScan) — the sanctioned
+pattern is ``orderBy().limit(k)`` (TakeOrderedAndProject: per-partition
+heaps, fully parallel) THEN a row_number window over the k-row result.
+A partial WindowGroupLimit below the exchange (Spark's rank-filter
+pushdown) does NOT count as bounding: it caps rows at k PER INPUT
+PARTITION, so the single task still sorts k × #partitions rows — at
+100 TB that is millions of rows through one task. Global aggregates
+(partial → SinglePartition → final over #partitions rows) have no
+window ancestor and are not flagged. Intentional global-rank queries
+are allowlisted in ``WINDOW_ALLOWLIST`` with reasons.
 """
 
 from __future__ import annotations
@@ -59,6 +80,22 @@ ALLOWLIST: dict[str, list[tuple[str, str]]] = {
     "dedup_embedding_cosine_pairs": [
         ("embedding", "block-pack collect_list ships each vector once into its block row"),
     ],
+}
+
+
+# query -> reason a global (unpartitioned) window over an UNBOUNDED
+# input is that query's own semantics. Each entry must carry a scale
+# note in the query's docstring pointing at the partitioned/top-k
+# alternative.
+WINDOW_ALLOWLIST: dict[str, str] = {
+    # The three intentional global-rank demonstrations (operators/
+    # windows.py): each runs over a GROUP-LEVEL aggregate (suppliers /
+    # customers — bounded dimensions, not fact tables), the global
+    # ordering IS the operator under test, and each docstring carries
+    # the single-partition scale note + the top-k/approx alternative.
+    "window_rank_dense_rank_suppliers": "global rank over per-supplier aggregate; scale note in docstring",
+    "window_ntile_customer_value": "global ntile over per-customer aggregate; scale note in docstring",
+    "window_percent_rank_cume_dist": "global CDF over the supplier dimension; scale note in docstring",
 }
 
 
@@ -150,6 +187,76 @@ def audit_plan(name: str, plan: str) -> list[Finding]:
     return findings
 
 
+# node names that bound the row count of everything above them: a
+# SinglePartition exchange over one of these moves ≤ k rows, not the
+# corpus. WindowGroupLimit is deliberately absent (module docstring).
+_BOUNDING_NODES = (
+    "GlobalLimit",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "LocalTableScan",
+)
+
+
+def _tree_nodes(plan: str) -> list[tuple[int, int, str, str]]:
+    """(line_idx, indent, name, id) for every tree line, in plan order."""
+    nodes = []
+    for i, line in enumerate(plan.splitlines()):
+        m = _TREE_LINE.match(line)
+        if m:
+            nodes.append((i, len(m.group(1)), m.group(2).strip(), m.group(3)))
+    return nodes
+
+
+def _exchange_kinds(plan: str) -> dict[str, str]:
+    """Exchange node id → partitioning kind (first Arguments token)."""
+    return {
+        nid: kind
+        for nid, kind in re.findall(
+            r"\((\d+)\) Exchange\nInput \[\d+\]: \[[^\]]*\]\nArguments: (\w+)",
+            plan,
+        )
+    }
+
+
+def audit_single_partition_windows(name: str, plan: str) -> list[Finding]:
+    """Flag SinglePartition exchanges feeding a Window over an UNBOUNDED
+    input (module docstring: the one-task-sorts-the-corpus shape). The
+    exchange passes if its own subtree contains a row-bounding node, or
+    if no Window/WindowGroupLimit sits among its next 3 ancestors."""
+    if name in WINDOW_ALLOWLIST:
+        return []
+    nodes = _tree_nodes(plan)
+    kinds = _exchange_kinds(plan)
+    findings = []
+    for j, (_, indent, nm, nid) in enumerate(nodes):
+        if "Exchange" not in nm or kinds.get(nid) != "SinglePartition":
+            continue
+        # ancestors: walk back through strictly-decreasing indents
+        ancestors, cur = [], indent
+        for k in range(j - 1, -1, -1):
+            if nodes[k][1] < cur:
+                ancestors.append(nodes[k][2])
+                cur = nodes[k][1]
+            if len(ancestors) == 3:
+                break
+        if not any("Window" in a for a in ancestors):
+            continue  # global aggregate / collect shapes: not a window sort
+        # subtree ends at the first node back at-or-above our indent
+        bounded = False
+        for _, sub_indent, sub_nm, _ in nodes[j + 1:]:
+            if sub_indent <= indent:
+                break
+            if any(b in sub_nm for b in _BOUNDING_NODES):
+                bounded = True
+                break
+        if not bounded:
+            findings.append(
+                Finding(name, ("<single-partition window>",), f"ancestors={ancestors}")
+            )
+    return findings
+
+
 def formatted_plan(df: DataFrame) -> str:
     mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -182,4 +289,5 @@ def audit_queries(
                 errors.append(f"{name}: PLAN ERR {type(exc).__name__}: {exc}")
                 continue
             findings.extend(audit_plan(name, plan))
+            findings.extend(audit_single_partition_windows(name, plan))
     return findings, errors

@@ -230,3 +230,45 @@ def test_multi_query_single_postings_scan(spark):
     # every postings scan carries the pushed union-of-terms IN filter
     filters = pushed_filters(df)
     assert filters and all("tok" in f and "In(" in f for f in filters), filters
+
+
+def test_empty_query_terms_returns_empty_not_error(spark):
+    """ADVICE r8: isin() with zero arguments raises — an empty term list
+    must degrade to an empty result like the empty-corpus path does."""
+    from pgcp_spark.functions.text_index import bm25_multi_query_from_index
+
+    index_dir = ensure_text_index(spark, SF_DIR)
+    got = bm25_from_index(spark, index_dir, query_terms=())
+    assert got.count() == 0
+    assert got.columns == ["doc_id", "score", "rnk"]
+    got_multi = bm25_multi_query_from_index(spark, index_dir, queries={})
+    assert got_multi.count() == 0
+    assert got_multi.columns == ["qid", "doc_id", "score", "rnk"]
+    # all-empty term lists: same guard (the union of terms is empty)
+    assert bm25_multi_query_from_index(spark, index_dir, queries={"q": ()}).count() == 0
+
+
+def test_null_doc_id_rows_quarantined_at_ingest_seam(spark, tmp_path):
+    """ADVICE r8: a NULL-doc_id row can never be replaced or deleted (the
+    fold/removal anti-joins never match NULL), so doc_terms must drop it —
+    otherwise re-folding the same batch duplicates the NULL pseudo-doc's
+    rows and double-counts stats, breaking fold == rebuild bit-exactness."""
+    index_dir = str(tmp_path / "ix")
+    base = _docs(spark, [(1, "alpha beta"), (2, "beta gamma")])
+    build_text_index_from(spark, base, index_dir)
+    null_batch = spark.createDataFrame(
+        [(None, "ghost tokens here"), (3, "delta alpha")],
+        "doc_id long, text string",
+    )
+    update_text_index(spark, null_batch, index_dir)
+    update_text_index(spark, null_batch, index_dir)  # re-fold: must converge
+    rebuilt_dir = str(tmp_path / "rebuilt")
+    build_text_index_from(
+        spark,
+        base.unionByName(null_batch.filter(F.col("doc_id").isNotNull())),
+        rebuilt_dir,
+    )
+    for t in ("postings", "doclen", "stats"):
+        assert _table_rows(spark, index_dir, t) == _table_rows(
+            spark, rebuilt_dir, t
+        ), t

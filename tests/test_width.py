@@ -77,3 +77,112 @@ def test_detector_resolves_collect_list_buffers(spark):
         width.ALLOWLIST.update(saved)
     assert not errors
     assert any("collect(embedding)" in f.columns for f in findings), findings
+
+
+# ---------------------------------------------------------------------------
+# round-9 second gate: single-partition window exchanges
+# ---------------------------------------------------------------------------
+
+_UNBOUNDED_WINDOW_PLAN = (
+    "Window (12)\n"
+    "  Sort (11)\n"
+    "    Exchange (10)\n"
+    "      Scan parquet (9)\n"
+    "\n"
+    "(10) Exchange\n"
+    "Input [2]: [doc_id#1L, cos_sim#2]\n"
+    "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]\n"
+)
+
+_BOUNDED_WINDOW_PLAN = (
+    "Window (12)\n"
+    "  Sort (11)\n"
+    "    Exchange (10)\n"
+    "      GlobalLimit (9)\n"
+    "        Scan parquet (8)\n"
+    "\n"
+    "(10) Exchange\n"
+    "Input [2]: [doc_id#1L, cos_sim#2]\n"
+    "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]\n"
+)
+
+# Spark's rank-filter pushdown shape: a PARTIAL WindowGroupLimit below the
+# exchange caps rows per input partition, not globally — the single task
+# still sorts k × #partitions rows, so the gate must keep flagging it
+# (this is exactly the pre-fix hybrid cosine-leg plan shape).
+_GROUPLIMIT_WINDOW_PLAN = (
+    "Window (13)\n"
+    "  WindowGroupLimit (12)\n"
+    "    Sort (11)\n"
+    "      Exchange (10)\n"
+    "        WindowGroupLimit (9)\n"
+    "          Sort (8)\n"
+    "            Scan parquet (7)\n"
+    "\n"
+    "(10) Exchange\n"
+    "Input [2]: [doc_id#1L, cos_sim#2]\n"
+    "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]\n"
+)
+
+_GLOBAL_AGG_PLAN = (
+    "HashAggregate (12)\n"
+    "  Exchange (11)\n"
+    "    HashAggregate (10)\n"
+    "      Scan parquet (9)\n"
+    "\n"
+    "(11) Exchange\n"
+    "Input [1]: [sum#3]\n"
+    "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]\n"
+)
+
+
+def test_window_gate_flags_unbounded_single_partition_window():
+    (f,) = width.audit_single_partition_windows("some_query", _UNBOUNDED_WINDOW_PLAN)
+    assert f.query == "some_query"
+    assert f.columns == ("<single-partition window>",)
+
+
+def test_window_gate_passes_limit_bounded_window():
+    assert width.audit_single_partition_windows("q", _BOUNDED_WINDOW_PLAN) == []
+
+
+def test_window_gate_keeps_flagging_partial_window_group_limit():
+    assert len(width.audit_single_partition_windows("q", _GROUPLIMIT_WINDOW_PLAN)) == 1
+
+
+def test_window_gate_ignores_global_aggregates():
+    assert width.audit_single_partition_windows("q", _GLOBAL_AGG_PLAN) == []
+
+
+def test_window_gate_respects_allowlist():
+    name = "window_rank_dense_rank_suppliers"
+    assert name in width.WINDOW_ALLOWLIST
+    assert width.audit_single_partition_windows(name, _UNBOUNDED_WINDOW_PLAN) == []
+
+
+def test_intentional_global_windows_flagged_without_allowlist(spark):
+    """Negative test: the three allowlisted global-rank demonstrations ARE
+    single-partition windows over unbounded (dimension-sized) inputs — the
+    gate must catch them when the allowlist is cleared, proving the fleet
+    pass above is the allowlist working, not the detector sleeping."""
+    saved = dict(width.WINDOW_ALLOWLIST)
+    width.WINDOW_ALLOWLIST.clear()
+    try:
+        findings, errors = width.audit_queries(
+            spark,
+            SF_DIR,
+            names=[
+                "window_rank_dense_rank_suppliers",
+                "window_ntile_customer_value",
+                "window_percent_rank_cume_dist",
+            ],
+        )
+    finally:
+        width.WINDOW_ALLOWLIST.update(saved)
+    assert not errors
+    flagged = {f.query for f in findings if "<single-partition window>" in f.columns}
+    assert flagged == {
+        "window_rank_dense_rank_suppliers",
+        "window_ntile_customer_value",
+        "window_percent_rank_cume_dist",
+    }, findings
