@@ -166,6 +166,8 @@ def write_snapshot(
     _atomic_write(_log_path(table_dir), "\n".join(committed) + "\n")
 
     kept = set(committed[-max(1, keep):])
+    # commit-time GC needs no in-flight age guard (unlike ``vacuum``):
+    # it runs inside THE single writer, which cannot race its own staging
     for entry in os.listdir(table_dir):
         if entry.startswith(SNAPSHOT_PREFIX) and entry not in kept:
             shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
@@ -327,11 +329,13 @@ def merge_cdc(
     )
 
 
-def vacuum(table_dir: str, keep: int = 1) -> list[str]:
+def vacuum(
+    table_dir: str, keep: int = 1, orphan_min_age_s: float = 3600.0
+) -> list[str]:
     """Physically reclaim retained history: drop every committed snapshot
-    except the newest ``keep`` (plus crash orphans), trim the log, and
-    return the names removed. Pure metadata/filesystem op — no Spark job,
-    no data rewrite, and the CURRENT pointer is never touched.
+    except the newest ``keep`` (plus AGED crash orphans), trim the log,
+    and return the names removed. Pure metadata/filesystem op — no Spark
+    job, no data rewrite, and the CURRENT pointer is never touched.
 
     This is the second half of the GDPR contract ``delete`` documents:
     with ``keep`` ≥ 2 a delete retains the pre-delete snapshot for time
@@ -341,16 +345,39 @@ def vacuum(table_dir: str, keep: int = 1) -> list[str]:
     next write happens — the same role Delta's VACUUM plays after a
     DELETE. Readers mid-flight on a vacuumed snapshot lose their files
     (that is the point); run it after the retention window, exactly like
-    any lakehouse VACUUM."""
+    any lakehouse VACUUM.
+
+    ``orphan_min_age_s`` guards the one race the single-writer contract
+    (indexes/loop.py) doesn't cover: an UNCOMMITTED snapshot dir might be
+    a crash orphan — or a concurrent ``write_snapshot`` mid-stage whose
+    pointer commit hasn't happened yet. Age disambiguates them exactly
+    the way Delta's retention check does: a staging write finishes in
+    seconds-to-minutes, so an uncommitted dir younger than the threshold
+    is treated as in-flight and skipped; one older is a crash orphan and
+    reaped. Committed-but-beyond-``keep`` snapshots are reaped regardless
+    of age (their commit proves no writer owns them). Pass 0 to force
+    the pre-guard behavior when the caller KNOWS it is the only writer."""
     committed = history(table_dir)
     if not committed:  # empty / never-committed table dir: nothing to do
         return []
     kept = set(committed[-max(1, keep):])
+    committed_set = set(committed)
+    import time as _time
+
+    now = _time.time()
     removed = []
     for entry in os.listdir(table_dir):
-        if entry.startswith(SNAPSHOT_PREFIX) and entry not in kept:
-            shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
-            removed.append(entry)
+        if not entry.startswith(SNAPSHOT_PREFIX) or entry in kept:
+            continue
+        if entry not in committed_set:  # uncommitted: orphan or in-flight?
+            try:
+                age = now - os.path.getmtime(os.path.join(table_dir, entry))
+            except OSError:  # vanished mid-listing: someone else owns it
+                continue
+            if age < orphan_min_age_s:
+                continue  # young = possibly a concurrent stage — skip
+        shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
+        removed.append(entry)
     _atomic_write(
         _log_path(table_dir),
         "\n".join(s for s in committed if s in kept) + "\n",

