@@ -50,98 +50,86 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # come first; entries already re-proven in a recent round's
 # CORRECTNESS_r{N}.json rotate to the back.
 #
-# Round-8 window. The staleness invariant (no entry's driver row predates
+# Round-9 window. The staleness invariant (no entry's driver row predates
 # its current implementation) has priority. Head of window:
-#   * 8 queries ADDED in round 8 — the lake-delete change feed and the
-#     CDC aggregate with real delete rows (both hash-capable pure
-#     functions of orders), BM25 served from the persisted inverted
-#     index (hash-capable, SAME oracle as the one-shot), and the two
-#     retention-delete-propagation queries (BM25 after index removal
-#     vs the retained-corpus oracle; dedup batch-vs-index after removal
-#     vs the frozen-hot-list oracle), the streaming text-index loop
-#     (stream-built index vs the same one-shot oracle), hybrid
-#     BM25⊕cosine RRF retrieval (rank-only fusion — hash-exact), and
-#     multi-query batch retrieval (N queries, one postings scan);
-#   * 8 queries whose implementation or oracle CHANGED in round 8 —
-#     text_bm25_search_topk (oracle float-association parenthesization,
-#     round-7 advice #2); the two change-feed queries (refactored onto
-#     the shared _run_incremental_agg harness / reclaim_by_mode); and
-#     the five persisted-index-family queries whose plumbing moved onto
-#     indexes/loop.py (mechanically identical — the family suites pin
-#     bit-equality — but the code they execute is new, so their r7 rows
-#     predate it): dedup_incremental_batch_vs_index,
-#     sim_incremental_batch_vs_ann_index (also the refit keep=2 thread),
-#     streaming_ingest_dedup_decisions, streaming_ingest_ann_neighbors,
-#     agg_hll_daily_distinct_rollup.
-# The remaining 34 slots re-prove the OLDEST standing rows, cumulative
-# ledger recomputed from CORRECTNESS_r01..r07: the full live r4 cohort
-# (29 — grouping sets/rollup/cube, window frames, as-of joins, SCD2, UDF
-# surface, multimodal, sessionize) and the alphabetically-first r5
-# rows (minus fillers displaced by late-round additions). Still excluded: agg_approx_distinct_customers (rows-only AND
+#   * 2 queries ADDED in round 9 — the delta-fold retrieval query
+#     (hash-capable: base ∪ un-merged delta vs the from-scratch oracle
+#     on the post-fold corpus) and the all-persisted-indexes hybrid
+#     (rows-only BY DESIGN: its IVF leg probes 8 of 16 lists; the
+#     rank-overlap floor vs the exact hybrid is pinned in
+#     tests/test_retrieval.py);
+#   * 5 queries whose implementation CHANGED in round 9 — the hybrid
+#     (cosine leg re-ranked via TakeOrderedAndProject + NULL-vec_id
+#     guard, oracle updated to match) and the four text-index-family
+#     queries whose read/fold/remove paths moved onto the merge-on-read
+#     delta layer (results pinned identical, but the code is new):
+#     text_bm25_topk_from_index, text_bm25_after_retention_delete,
+#     streaming_text_index_bm25, text_bm25_multi_query_topk.
+# The remaining 43 slots re-prove the OLDEST standing rows, cumulative
+# ledger recomputed from CORRECTNESS_r01..r08: the full r5-latest cohort
+# (27 — joins incl. range/band/semi/anti/outer, multimodal, sampling,
+# text analysis heads, sim bruteforce) and the alphabetically-first 16
+# r6 rows. Still excluded: agg_approx_distinct_customers (rows-only AND
 # unchanged since its r1 row — a new row adds nothing, rationale
-# standing since r5). Everything else outside the window holds an r5-r7
-# row no older than its implementation, plus the mimic matrix
-# (COVERAGE.md).
+# standing since r5) and dedup_ngram_jaccard_pairs (dead ledger —
+# quarantined out of the registry in r5). Everything else outside the
+# window holds an r6-r8 row no older than its implementation, plus the
+# mimic matrix (COVERAGE.md).
 _AUDIT_PRIORITY: list[str] = [
-    # --- NEW in round 8 (no driver row yet — must enter the window) ---
-    "lake_delete_change_feed_orders",  # hash-capable (delete arm live)
-    "lake_incremental_agg_orders_cdc",  # hash-capable (subtract path on real deletes)
-    "text_bm25_topk_from_index",  # hash-capable (same oracle as one-shot BM25)
-    "text_bm25_after_retention_delete",  # hash-capable (oracle on retained corpus)
-    "dedup_batch_vs_index_after_delete",  # hash-capable (frozen-hot-list oracle)
-    "streaming_text_index_bm25",  # hash-capable (stream-built == one-shot oracle)
-    "hybrid_bm25_cosine_rrf",  # hash-capable (integer-rank RRF fusion)
-    "text_bm25_multi_query_topk",  # hash-capable (per-query oracle union)
-    # --- changed in round 8 ---
-    "text_bm25_search_topk",
-    "lake_change_feed_orders",
-    "lake_incremental_agg_orders",
-    "dedup_incremental_batch_vs_index",
-    "sim_incremental_batch_vs_ann_index",
-    "streaming_ingest_dedup_decisions",
-    "streaming_ingest_ann_neighbors",
-    "agg_hll_daily_distinct_rollup",
-    # --- oldest rows: the full r4 cohort ---
-    "agg_cube_returnflag_linestatus",
-    "agg_grouping_id_rollup",
-    "agg_grouping_sets",
-    "agg_regression_price_on_qty",
-    "agg_rollup_region_nation",
-    "agg_stats_correlation",
-    "analytics_conversion_ztest",
-    "corpus_contrastive_negatives",
-    "corpus_decontaminate_eval_overlap",
-    # (dedup_ngram_jaccard_pairs' r4 row is DEAD ledger: the uncapped
-    # generator was quarantined out of the registry in round 5 and its
-    # production twin dedup_jaccard_hot_shingle_capped holds newer rows)
-    "join_asof_click_attribution",
-    "join_asof_forward_next_view",
-    "multimodal_feature_extract",
-    "profile_orders_columns",
-    "scalar_string_functions",
-    "scd2_point_in_time_lookup",
-    "scd2_user_state_history",
-    "sim_embedding_int8_quantize",
-    "text_repetition_quality",
-    "timeseries_interarrival_gap_stats",
-    "udf_grouped_map_priority_order_stats",
-    "udf_pandas_price_tier",
-    "udtf_top_tokens_per_doc",
-    "window_first_last_value",
-    "window_lag_lead_order_dates",
-    "window_percent_rank_cume_dist",
-    "window_range_frame_30day_revenue",
-    "window_running_distinct_priorities",
-    "window_running_total_per_customer",
-    "window_sessionize_events",
-    # --- oldest r5 rows filling the remaining slots ---
-    "agg_avg_order_gap_days",
-    "agg_collect_sorted_priorities",
-    "agg_distinct_parts_per_supplier",
-    "agg_having_big_customers",
-    "agg_histogram_order_value",
-    # (the r2/r3 sets re-proved in r7 and the remaining r5/r6 rows all
-    # postdate their implementations; the staleness invariant holds)
+    # --- NEW in round 9 (no driver row yet — must enter the window) ---
+    "text_bm25_topk_index_delta_fold",  # hash-capable (post-fold-corpus oracle)
+    "hybrid_from_indexes",  # rows-only by design (IVF leg; overlap floor pinned)
+    # --- changed in round 9 ---
+    "hybrid_bm25_cosine_rrf",  # cosine leg re-ranked, oracle null-guard
+    "text_bm25_topk_from_index",  # reads via merge-on-read stored_postings
+    "text_bm25_after_retention_delete",  # remove now flattens deltas first
+    "streaming_text_index_bm25",  # stream folds land as delta partitions
+    "text_bm25_multi_query_topk",  # reads via merge-on-read stored_postings
+    # --- oldest rows: the full r5-latest cohort (27) ---
+    "agg_orders_by_status_priority",
+    "corpus_mix_rebalance",
+    "dedup_exact_documents",
+    "join_anti_parts_never_shipped",
+    "join_band_time_bucketed",
+    "join_cross_grid_nation_priority",
+    "join_customer_nation_region",
+    "join_full_outer_supplier_part_usage",
+    "join_left_outer_order_counts",
+    "join_partsupp_revenue",
+    "join_range_events_near_order",
+    "join_semi_customers_with_urgent_orders",
+    "multimodal_format_detect",
+    "multimodal_frame_sample",
+    "multimodal_payload_stats",
+    "rollup_cascade_events_daily",
+    "sample_hash_threshold_events",
+    "sample_stratified_documents",
+    "scalar_posexplode_tokens",
+    "sim_cosine_bruteforce_topk",
+    "sim_label_profile",
+    "sql_api_yearly_revenue",
+    "text_fingerprint_groups",
+    "text_langid_markers",
+    "text_quality_score",
+    "text_source_lang_profile",
+    "text_token_stats",
+    # --- alphabetically-first r6 rows filling the remaining 16 slots ---
+    "analytics_chisq_segment_event_type",
+    "anomaly_hourly_event_zscore",
+    "cohort_weekly_retention",
+    "dedup_cluster_canonical",
+    "dedup_embedding_cosine_pairs",
+    "dedup_jaccard_hot_shingle_capped",
+    "dedup_minhash_lsh_candidates",
+    "dedup_simhash_pairs",
+    "funnel_view_click_purchase",
+    "graph_connected_dup_clusters",
+    "graph_pagerank_dup_docs",
+    "markov_event_type_transitions",
+    "q10_returned_items",
+    "q11_important_part_value",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
 ]
 
 

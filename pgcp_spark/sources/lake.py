@@ -30,6 +30,12 @@ over (one left-anti join), and the result commits as a fresh snapshot.
 WHEN-MATCHED-DELETE) are the same copy-on-write rewrite with rows
 REMOVED — the mutation that makes the change feed's ``delete`` rows
 reachable from a writer.
+
+Merge-on-read deltas (round 9): for write paths whose batch ≪ table —
+the index-maintenance folds — ``append_delta`` / ``read_current_with_
+deltas`` / ``flatten_deltas`` provide the LSM alternative: O(batch)
+appends served alongside the base, merged into it only on the
+compaction cadence (block comment at the delta section below).
 """
 
 from __future__ import annotations
@@ -46,6 +52,9 @@ from pgcp_spark.sources.zorder import with_zorder_key
 POINTER = "_CURRENT"
 LOG = "_LOG"
 SNAPSHOT_PREFIX = "snapshot_"
+DELTA_PREFIX = "delta_"
+DELTA_LOG = "_DELTAS"
+DELTA_RETIRED = "_DELTAS_RETIRED"
 
 
 def _pointer_path(table_dir: str) -> str:
@@ -175,6 +184,160 @@ def write_snapshot(
         _atomic_write(
             _log_path(table_dir), "\n".join(committed[-max(1, keep):]) + "\n"
         )
+    return snap
+
+
+# ---------------------------------------------------------------------------
+# Append-partitioned deltas: LSM-style merge-on-read over the snapshot base
+# ---------------------------------------------------------------------------
+#
+# A copy-on-write ``upsert`` rewrites the WHOLE table per batch — fold cost
+# grows with TABLE size, not batch size, which is the first wall a
+# production index-maintenance loop hits (round-8 verdict #3: at sf0.1 the
+# BM25 fold cost was already dominated by the rewrite). The delta layer is
+# the standard lakehouse answer (Iceberg merge-on-read / Delta deletion-
+# vector-era MOR, reduced to this repo's pointer-file minimum):
+#
+#   write:  ``append_delta`` lands a batch as an immutable ``delta_<uuid>``
+#           dir and atomically appends its name to ``_DELTAS`` — an O(batch)
+#           append; the snapshot base is NOT touched.
+#   read:   ``read_current_with_deltas`` serves base ∪ deltas with
+#           whole-KEY replacement semantics matching ``upsert``: a key
+#           present in any delta reads from its NEWEST delta only; base
+#           rows for touched keys are anti-joined away. Delta order =
+#           ``_DELTAS`` log order (commit order IS the version order).
+#   merge:  ``flatten_deltas`` folds base ∪ deltas into a fresh snapshot on
+#           the maintenance cadence (compaction), then retires the folded
+#           delta dirs with ONE cycle of reader grace (the keep=2
+#           discipline): retired names move to ``_DELTAS_RETIRED`` and the
+#           dirs are reaped by the NEXT flatten (or ``vacuum``).
+#
+# Crash safety: the parquet write lands before the log append (an unlogged
+# delta dir is invisible — a crash orphan reaped by ``vacuum``'s age
+# guard); flatten commits the merged base BEFORE clearing the log, and a
+# crash in between is benign — readers then see folded rows in base AND
+# the same rows winning from the deltas, which the replacement semantics
+# collapse to identical effective content.
+#
+# Scale contract: deltas between compactions are batch-sized, so the
+# touched-keys and newest-version frames broadcast; a reader pays one
+# broadcast anti-join + one delta-sized join over the base scan it was
+# already doing. Queries keep their pushdown: a filter above
+# ``read_current_with_deltas`` pushes through the union into both the base
+# and delta parquet scans (the key/version computation deliberately stays
+# unfiltered — replacement must see every delta row for a key).
+
+
+def _delta_log_path(table_dir: str) -> str:
+    return os.path.join(table_dir, DELTA_LOG)
+
+
+def _delta_retired_path(table_dir: str) -> str:
+    return os.path.join(table_dir, DELTA_RETIRED)
+
+
+def _read_names(path: str) -> list[str]:
+    try:
+        with open(path) as f:
+            return [line.strip() for line in f if line.strip()]
+    except FileNotFoundError:
+        return []
+
+
+def delta_names(table_dir: str) -> list[str]:
+    """Committed (active) delta dir names, oldest → newest."""
+    return _read_names(_delta_log_path(table_dir))
+
+
+def retired_delta_names(table_dir: str) -> list[str]:
+    """Deltas folded by the last flatten, lingering for reader grace."""
+    return _read_names(_delta_retired_path(table_dir))
+
+
+def append_delta(
+    df: DataFrame,
+    table_dir: str,
+    cluster_by: list[str] | None = None,
+) -> str:
+    """Land a batch as an immutable delta partition — O(batch) cost, the
+    snapshot base untouched. ``cluster_by`` sorts the delta's files on
+    the given columns so footer min/max pruning works inside the delta
+    exactly as it does in the base. Commit = atomic ``_DELTAS`` log
+    replace; an unlogged dir (crash before commit) is invisible to
+    readers and reaped by ``vacuum``'s age guard."""
+    os.makedirs(table_dir, exist_ok=True)
+    name = f"{DELTA_PREFIX}{uuid.uuid4().hex}"
+    if cluster_by:
+        df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
+    df.write.mode("errorifexists").parquet(os.path.join(table_dir, name))
+    _atomic_write(
+        _delta_log_path(table_dir), "\n".join(delta_names(table_dir) + [name]) + "\n"
+    )
+    return name
+
+
+def read_current_with_deltas(
+    spark: SparkSession, table_dir: str, key: list[str]
+) -> DataFrame:
+    """Merge-on-read view of base ∪ active deltas (module comment above):
+    whole-key replacement, newest delta wins, base fills the rest. With
+    no active deltas this IS ``read_current`` — zero overhead."""
+    base = read_current(spark, table_dir)
+    names = delta_names(table_dir)
+    if not names:
+        return base
+    cols = base.columns
+    parts = [
+        spark.read.parquet(os.path.join(table_dir, n)).withColumn(
+            "_delta_seq", F.lit(i)
+        )
+        for i, n in enumerate(names)
+    ]
+    dall = parts[0]
+    for p in parts[1:]:
+        dall = dall.unionByName(p)
+    # batch-sized frames (scale contract above): broadcast both
+    touched = dall.select(*key).distinct()
+    newest = dall.groupBy(*key).agg(F.max("_delta_seq").alias("_delta_seq"))
+    winners = dall.join(F.broadcast(newest), [*key, "_delta_seq"]).select(*cols)
+    kept = base.join(F.broadcast(touched), on=key, how="left_anti").select(*cols)
+    return kept.unionByName(winners)
+
+
+def flatten_deltas(
+    spark: SparkSession,
+    table_dir: str,
+    key: list[str],
+    keep: int = 1,
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_rank: str = "width",
+) -> str | None:
+    """Fold active deltas into a fresh base snapshot (the maintenance-
+    cadence merge). Layout kwargs re-establish clustering exactly like
+    ``compact``. Returns the new snapshot name, or None if there was
+    nothing to fold. The folded delta dirs get ONE maintenance cycle of
+    reader grace: their names move to ``_DELTAS_RETIRED`` and the dirs
+    are physically reaped by the NEXT flatten (or by ``vacuum``)."""
+    for stale in retired_delta_names(table_dir):  # last cycle's grace ends
+        shutil.rmtree(os.path.join(table_dir, stale), ignore_errors=True)
+    _atomic_write(_delta_retired_path(table_dir), "")
+    names = delta_names(table_dir)
+    if not names:
+        return None
+    merged = read_current_with_deltas(spark, table_dir, key)
+    snap = write_snapshot(
+        merged,
+        table_dir,
+        keep=keep,
+        cluster_by=cluster_by,
+        cluster_files=cluster_files,
+        zorder_by=zorder_by,
+        zorder_rank=zorder_rank,
+    )
+    _atomic_write(_delta_log_path(table_dir), "")
+    _atomic_write(_delta_retired_path(table_dir), "\n".join(names) + "\n")
     return snap
 
 
@@ -356,20 +519,37 @@ def vacuum(
     is treated as in-flight and skipped; one older is a crash orphan and
     reaped. Committed-but-beyond-``keep`` snapshots are reaped regardless
     of age (their commit proves no writer owns them). Pass 0 to force
-    the pre-guard behavior when the caller KNOWS it is the only writer."""
+    the pre-guard behavior when the caller KNOWS it is the only writer.
+
+    Delta dirs (merge-on-read layer): ACTIVE deltas are live data and
+    never touched; RETIRED deltas (folded by a flatten, lingering for
+    reader grace) are reaped — vacuum is the explicit end of grace,
+    same as for retained snapshots; unlogged delta dirs are crash
+    orphans under the same age guard as uncommitted snapshots."""
     committed = history(table_dir)
     if not committed:  # empty / never-committed table dir: nothing to do
         return []
     kept = set(committed[-max(1, keep):])
     committed_set = set(committed)
+    active_deltas = set(delta_names(table_dir))
+    retired_deltas = set(retired_delta_names(table_dir))
     import time as _time
 
     now = _time.time()
     removed = []
     for entry in os.listdir(table_dir):
-        if not entry.startswith(SNAPSHOT_PREFIX) or entry in kept:
+        is_snap = entry.startswith(SNAPSHOT_PREFIX)
+        is_delta = entry.startswith(DELTA_PREFIX)
+        if not (is_snap or is_delta):
             continue
-        if entry not in committed_set:  # uncommitted: orphan or in-flight?
+        if is_snap and entry in kept:
+            continue
+        if is_delta and entry in active_deltas:
+            continue  # live merge-on-read data — never vacuum's to take
+        uncommitted = (is_snap and entry not in committed_set) or (
+            is_delta and entry not in retired_deltas
+        )
+        if uncommitted:  # crash orphan or a concurrent writer's in-flight?
             try:
                 age = now - os.path.getmtime(os.path.join(table_dir, entry))
             except OSError:  # vanished mid-listing: someone else owns it
@@ -378,6 +558,8 @@ def vacuum(
                 continue  # young = possibly a concurrent stage — skip
         shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
         removed.append(entry)
+    if retired_deltas:  # their grace ends with this vacuum
+        _atomic_write(_delta_retired_path(table_dir), "")
     _atomic_write(
         _log_path(table_dir),
         "\n".join(s for s in committed if s in kept) + "\n",

@@ -18,10 +18,14 @@ re-proven per loop:
 
 - **Batch-boundary invariance**: folding is per-document replacement
   with corpus stats folded by exact integer deltas, and document
-  tokenization is row-local — so the final postings/doclen/stats are a
-  pure function of the SET of delivered documents, independent of how
-  the file source groups days into micro-batches (pinned:
-  availableNow-in-one-batch == day-at-a-time, bit-exact).
+  tokenization is row-local — so the EFFECTIVE postings/doclen/stats
+  are a pure function of the SET of delivered documents, independent of
+  how the file source groups days into micro-batches (pinned:
+  availableNow-in-one-batch == day-at-a-time, content bit-exact). The
+  PHYSICAL base/delta split legitimately differs by granularity since
+  round 9 — each fold is an appended delta partition, so day-at-a-time
+  leaves N-1 deltas where one-batch leaves none; compaction converges
+  the files too.
 - **At-least-once replay**: re-delivering a folded batch replaces
   identical rows with identical rows and adds a zero stats delta
   (``update_text_index``'s replay pin), so a crash between fold and

@@ -23,7 +23,17 @@ from tests.conftest import SF_DIR, SF_DIR_CORRECTNESS
 
 
 def _table_rows(spark, index_dir, t):
+    """EFFECTIVE content: postings through the merge-on-read view (folds
+    land as appended deltas since round 9, so the PHYSICAL base/delta
+    split depends on trigger granularity by design — one-by-one leaves
+    N-1 deltas, all-at-once none; what must be invariant is the content
+    queries see)."""
     order = {"postings": ["tok", "doc_id"], "doclen": ["doc_id"], "stats": ["metric"]}[t]
+    if t == "postings":
+        return [
+            tuple(r)
+            for r in TI.stored_postings(spark, index_dir).orderBy(*order).collect()
+        ]
     return [
         tuple(r)
         for r in lake.read_current(spark, os.path.join(index_dir, t))

@@ -188,3 +188,90 @@ def _ranges(_glob, _pq, table):
         if los:
             out.append((min(los), max(his)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# round-9 merge-on-read delta layer
+# ---------------------------------------------------------------------------
+
+
+def test_append_delta_is_readable_and_base_untouched(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lake.write_snapshot(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), table)
+    base_snap = lake.current_snapshot(table)
+    lake.append_delta(_df(spark, [(2, "b2", 20.0), (3, "c", 3.0)]), table)
+    assert lake.current_snapshot(table) == base_snap  # base not rewritten
+    assert len(lake.delta_names(table)) == 1
+    got = sorted(
+        tuple(r) for r in lake.read_current_with_deltas(spark, table, ["id"]).collect()
+    )
+    assert got == [(1, "a", 1.0), (2, "b2", 20.0), (3, "c", 3.0)]
+    # plain read_current still serves the pre-delta base (pointer semantics)
+    assert sorted(tuple(r) for r in lake.read_current(spark, table).collect()) == [
+        (1, "a", 1.0),
+        (2, "b", 2.0),
+    ]
+
+
+def test_newest_delta_wins_and_no_deltas_is_identity(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lake.write_snapshot(_df(spark, [(1, "a", 1.0)]), table)
+    # no deltas: the merge-on-read view IS read_current
+    assert sorted(
+        tuple(r) for r in lake.read_current_with_deltas(spark, table, ["id"]).collect()
+    ) == [(1, "a", 1.0)]
+    lake.append_delta(_df(spark, [(1, "v1", 10.0), (2, "x", 2.0)]), table)
+    lake.append_delta(_df(spark, [(1, "v2", 100.0)]), table)
+    got = sorted(
+        tuple(r) for r in lake.read_current_with_deltas(spark, table, ["id"]).collect()
+    )
+    assert got == [(1, "v2", 100.0), (2, "x", 2.0)]
+
+
+def test_flatten_deltas_merges_then_retires_with_grace(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lake.write_snapshot(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), table)
+    lake.append_delta(_df(spark, [(2, "b2", 20.0)]), table)
+    (delta,) = lake.delta_names(table)
+    snap = lake.flatten_deltas(spark, table, key=["id"])
+    assert snap is not None
+    assert lake.delta_names(table) == []
+    assert lake.retired_delta_names(table) == [delta]
+    assert os.path.isdir(os.path.join(table, delta))  # one cycle of grace
+    got = sorted(tuple(r) for r in lake.read_current(spark, table).collect())
+    assert got == [(1, "a", 1.0), (2, "b2", 20.0)]
+    # idempotent when drained; the NEXT flatten ends the grace
+    assert lake.flatten_deltas(spark, table, key=["id"]) is None
+    assert not os.path.isdir(os.path.join(table, delta))
+    assert lake.retired_delta_names(table) == []
+
+
+def test_vacuum_reaps_retired_deltas_spares_active_and_young_orphans(
+    spark, tmp_path
+):
+    import time
+
+    table = str(tmp_path / "t")
+    lake.write_snapshot(_df(spark, [(1, "a", 1.0)]), table)
+    lake.append_delta(_df(spark, [(1, "v1", 10.0)]), table)
+    lake.flatten_deltas(spark, table, key=["id"])  # retires the delta
+    (retired,) = lake.retired_delta_names(table)
+    lake.append_delta(_df(spark, [(1, "v2", 100.0)]), table)  # active
+    (active,) = lake.delta_names(table)
+    # a young unlogged delta dir = possibly a concurrent append mid-stage
+    young = os.path.join(table, lake.DELTA_PREFIX + "inflight")
+    os.makedirs(young)
+    # an old unlogged one = crash orphan
+    old = os.path.join(table, lake.DELTA_PREFIX + "orphan")
+    os.makedirs(old)
+    past = time.time() - 7200
+    os.utime(old, (past, past))
+
+    removed = lake.vacuum(table, keep=1)
+    assert retired in removed and lake.DELTA_PREFIX + "orphan" in removed
+    assert active not in removed and lake.DELTA_PREFIX + "inflight" not in removed
+    assert lake.retired_delta_names(table) == []
+    got = sorted(
+        tuple(r) for r in lake.read_current_with_deltas(spark, table, ["id"]).collect()
+    )
+    assert got == [(1, "v2", 100.0)]  # the active delta still serves

@@ -87,3 +87,77 @@ def test_missing_vector_leg_degrades_to_text_ranking(spark, tmp_path):
     assert all(
         r.rrf == round(1.0 / (RRF_K + t.rnk), 9) for r, t in zip(fused, text)
     )
+
+
+def test_hybrid_from_indexes_rank_overlap_floor(spark):
+    """The persisted-index hybrid (BM25 postings + full-corpus IVF leg at
+    nprobe=8/16) vs the exact hybrid: rank-overlap floors pinned below
+    the measured ladder — top-20 overlap 0.95/0.90/0.85 and vector-leg
+    overlap 0.95/0.70/0.75 across sf0.001/0.01/0.1 (these synthetic
+    near-uniform embeddings are the IVF worst case; measured ladder in
+    functions/retrieval.py:RETRIEVAL_NPROBE). The text leg is bit-exact
+    by construction, so every approximation is the vector leg's."""
+    from pgcp_spark.functions.retrieval import ann_cosine_leg, hybrid_from_indexes
+
+    exact = hybrid_bm25_cosine_rrf(spark, SF_DIR).collect()
+    approx = hybrid_from_indexes(spark, SF_DIR).collect()
+    assert len(approx) > 0
+    e_ids = {r.doc_id for r in exact}
+    a_ids = {r.doc_id for r in approx}
+    assert len(e_ids & a_ids) / len(e_ids) >= 0.70, (sorted(e_ids), sorted(a_ids))
+    vl_e = {r.doc_id for r in cosine_leg(spark, SF_DIR).collect()}
+    vl_a = {r.doc_id for r in ann_cosine_leg(spark, SF_DIR).collect()}
+    assert len(vl_e & vl_a) / max(1, len(vl_e)) >= 0.50, (sorted(vl_e), sorted(vl_a))
+
+
+def test_hybrid_from_indexes_fusion_algebra_holds(spark):
+    """Same fusion contract as the exact hybrid: every fused row's rrf is
+    exactly the sum of its legs' 1/(K+rank) terms, ranks are total, and
+    the text leg's contribution is bit-identical to the stored-postings
+    BM25 (zero approximation on that side)."""
+    from pgcp_spark.functions.retrieval import ann_cosine_leg, hybrid_from_indexes
+    from pgcp_spark.functions.text_index import bm25_from_index, ensure_text_index
+
+    text_rank = {
+        r.doc_id: r.rnk
+        for r in bm25_from_index(spark, ensure_text_index(spark, SF_DIR)).collect()
+    }
+    vec_rank = {r.doc_id: r.vrank for r in ann_cosine_leg(spark, SF_DIR).collect()}
+    fused = hybrid_from_indexes(spark, SF_DIR).collect()
+    assert len(fused) > 0
+    for r in fused:
+        assert r.doc_id in text_rank or r.doc_id in vec_rank
+        want = round(
+            (1.0 / (RRF_K + text_rank[r.doc_id]) if r.doc_id in text_rank else 0.0)
+            + (1.0 / (RRF_K + vec_rank[r.doc_id]) if r.doc_id in vec_rank else 0.0),
+            9,
+        )
+        assert r.rrf == want, r
+    assert [r.rank for r in fused] == list(range(1, len(fused) + 1))
+
+
+def test_hybrid_from_indexes_degrades_to_text_on_invalid_embeddings(spark, tmp_path):
+    """All-invalid embeddings: the IVF leg is empty and the indexed
+    hybrid must equal the BM25 ranking — same degraded-leg contract as
+    the exact hybrid."""
+    import os
+    import shutil
+
+    from pgcp_spark.functions.retrieval import hybrid_from_indexes
+
+    lk = str(tmp_path / "lk")
+    os.makedirs(lk)
+    src = f"{SF_DIR}/documents.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, f"{lk}/documents.parquet")
+    else:
+        shutil.copy(src, f"{lk}/documents.parquet")
+    spark.createDataFrame(
+        [(1, None, None)], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{lk}/embeddings.parquet")
+    fused = hybrid_from_indexes(spark, lk).collect()
+    text = text_bm25_search_topk(spark, lk).collect()
+    assert [r.doc_id for r in fused] == [r.doc_id for r in text]
+    assert all(
+        r.rrf == round(1.0 / (RRF_K + t.rnk), 9) for r, t in zip(fused, text)
+    )

@@ -31,12 +31,24 @@ def _rows(df, *order):
 
 
 def _table_rows(spark, index_dir, table):
+    """EFFECTIVE table content: postings read through the merge-on-read
+    view (base ∪ pending fold deltas — the content every query sees);
+    doclen/stats are plain snapshot tables."""
     order = {
         "postings": ["tok", "doc_id"],
         "doclen": ["doc_id"],
         "stats": ["metric"],
     }[table]
+    if table == "postings":
+        return _rows(TI.stored_postings(spark, index_dir), *order)
     return _rows(read_current(spark, os.path.join(index_dir, table)), *order)
+
+
+def _base_postings_rows(spark, index_dir):
+    """PHYSICAL base snapshot only (no deltas) — what flatten commits."""
+    return _rows(
+        read_current(spark, os.path.join(index_dir, "postings")), "tok", "doc_id"
+    )
 
 
 def _docs(spark, rows):
@@ -68,9 +80,12 @@ def test_index_reused_across_runs(spark):
 
 def test_fold_equals_rebuild_bit_exact(spark, tmp_path):
     """CONVERGENCE: build on 2/3 of the corpus + fold the remaining batch
-    == build on everything, all three tables bit-identical (tokenization
-    is row-local, df is derived at query time — no frozen-cap drift)."""
-    from pgcp_spark.sources import load_table
+    == build on everything, all three tables' EFFECTIVE content
+    bit-identical (tokenization is row-local, df is derived at query
+    time — no frozen-cap drift). The fold lands as an appended delta
+    (O(batch), base untouched); flattening it merges the delta into the
+    base, after which the PHYSICAL base is bit-identical too."""
+    from pgcp_spark.sources import lake, load_table
 
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     base = docs.filter(F.col("doc_id") % 3 != 0)
@@ -78,11 +93,28 @@ def test_fold_equals_rebuild_bit_exact(spark, tmp_path):
 
     inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
     build_text_index_from(spark, base, inc_dir)
+    base_snap = current_snapshot(os.path.join(inc_dir, "postings"))
     update_text_index(spark, batch, inc_dir)
+    # the fold was an append: one active delta, base snapshot UNTOUCHED
+    assert len(lake.delta_names(os.path.join(inc_dir, "postings"))) == 1
+    assert current_snapshot(os.path.join(inc_dir, "postings")) == base_snap
     build_text_index_from(spark, docs, full_dir)
     for t in TI._SUBTABLES:
         assert _table_rows(spark, inc_dir, t) == _table_rows(spark, full_dir, t), t
     # and the folded index answers the query identically to the full one
+    assert _rows(bm25_from_index(spark, inc_dir), "rnk") == _rows(
+        bm25_from_index(spark, full_dir), "rnk"
+    )
+    # flatten: delta merges into the base; physical base == full build,
+    # results unchanged, delta log drained
+    lake.flatten_deltas(
+        spark, os.path.join(inc_dir, "postings"), key=["doc_id"],
+        cluster_by=["tok"],
+    )
+    assert lake.delta_names(os.path.join(inc_dir, "postings")) == []
+    assert _base_postings_rows(spark, inc_dir) == _base_postings_rows(
+        spark, full_dir
+    )
     assert _rows(bm25_from_index(spark, inc_dir), "rnk") == _rows(
         bm25_from_index(spark, full_dir), "rnk"
     )
@@ -272,3 +304,124 @@ def test_null_doc_id_rows_quarantined_at_ingest_seam(spark, tmp_path):
         assert _table_rows(spark, index_dir, t) == _table_rows(
             spark, rebuilt_dir, t
         ), t
+
+
+def test_newest_delta_wins_per_doc_across_overlapping_folds(spark, tmp_path):
+    """Two folds touching the SAME doc: the doc's entire posting set must
+    read from the newest delta only (whole-document replacement across
+    delta partitions, not a union of both versions)."""
+    from pgcp_spark.sources import lake
+
+    index_dir = str(tmp_path / "ti")
+    build_text_index_from(spark, _docs(spark, [(1, "a b"), (2, "b c")]), index_dir)
+    update_text_index(spark, _docs(spark, [(1, "x y z")]), index_dir)
+    update_text_index(spark, _docs(spark, [(1, "q"), (3, "r r")]), index_dir)
+    assert len(lake.delta_names(os.path.join(index_dir, "postings"))) == 2
+    assert _table_rows(spark, index_dir, "postings") == [
+        ("b", 2, 1, 2),
+        ("c", 2, 1, 2),
+        ("q", 1, 1, 1),  # doc 1 = newest delta only: x/y/z gone
+        ("r", 3, 2, 2),
+    ]
+    assert _table_rows(spark, index_dir, "stats") == [
+        ("n_docs", 3),
+        ("total_tokens", 5),
+    ]
+    # flatten collapses both deltas into the base with identical content
+    lake.flatten_deltas(
+        spark, os.path.join(index_dir, "postings"), key=["doc_id"],
+        cluster_by=["tok"],
+    )
+    assert _base_postings_rows(spark, index_dir) == [
+        ("b", 2, 1, 2),
+        ("c", 2, 1, 2),
+        ("q", 1, 1, 1),
+        ("r", 3, 2, 2),
+    ]
+
+
+def test_compaction_flattens_pending_deltas(spark, tmp_path):
+    """compact_text_index is the cadence where the deferred fold cost is
+    paid: pending deltas merge into the base, results unchanged, and the
+    retired delta dirs keep one cycle of reader grace before the next
+    maintenance pass reaps them."""
+    from pgcp_spark.sources import lake, load_table
+
+    index_dir = str(tmp_path / "ti")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    build_text_index_from(spark, docs.filter(F.col("doc_id") % 2 == 0), index_dir)
+    update_text_index(spark, docs.filter(F.col("doc_id") % 2 == 1), index_dir)
+    postings_dir = os.path.join(index_dir, "postings")
+    (delta_name,) = lake.delta_names(postings_dir)
+    before = _rows(bm25_from_index(spark, index_dir), "rnk")
+
+    compact_text_index(spark, index_dir)
+    assert lake.delta_names(postings_dir) == []
+    assert lake.retired_delta_names(postings_dir) == [delta_name]
+    assert os.path.isdir(os.path.join(postings_dir, delta_name))  # grace
+    assert _rows(bm25_from_index(spark, index_dir), "rnk") == before
+
+    compact_text_index(spark, index_dir)  # next cadence: grace ends
+    assert not os.path.isdir(os.path.join(postings_dir, delta_name))
+    assert _rows(bm25_from_index(spark, index_dir), "rnk") == before
+
+
+def test_retention_delete_erases_pending_delta_rows_too(spark, tmp_path):
+    """GDPR completeness across the delta layer: ids whose only rows live
+    in an un-merged fold delta must still be erased — remove flattens
+    first, so no physical trace survives anywhere in the table dir."""
+    from pgcp_spark.functions.text_index import remove_from_text_index
+    from pgcp_spark.sources import lake
+
+    index_dir = str(tmp_path / "ti")
+    build_text_index_from(spark, _docs(spark, [(1, "a b"), (2, "b c")]), index_dir)
+    update_text_index(spark, _docs(spark, [(3, "a secret")]), index_dir)
+    remove_from_text_index(
+        spark, spark.createDataFrame([(3,)], "doc_id long"), index_dir, keep=1
+    )
+    postings_dir = os.path.join(index_dir, "postings")
+    assert lake.delta_names(postings_dir) == []
+    assert _table_rows(spark, index_dir, "postings") == [
+        ("a", 1, 1, 2),
+        ("b", 1, 1, 2),
+        ("b", 2, 1, 2),
+        ("c", 2, 1, 2),
+    ]
+    assert _table_rows(spark, index_dir, "stats") == [
+        ("n_docs", 2),
+        ("total_tokens", 4),
+    ]
+    # flatten retire + delete rewrite both passed: reclaim the grace dirs
+    # and verify NO parquet file anywhere still holds doc 3's rows
+    lake.vacuum(postings_dir, keep=1, orphan_min_age_s=0)
+    import pyarrow.parquet as _pq
+
+    for root, _, files in os.walk(postings_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                t = _pq.read_table(os.path.join(root, f), columns=["doc_id"])
+                assert 3 not in t.column("doc_id").to_pylist(), os.path.join(root, f)
+
+
+def test_registered_delta_fold_query_matches_duckdb_oracle(spark):
+    """The driver-gate twin, asserted locally: the mid-cadence query (base
+    ∪ un-merged delta) hash-matches the from-scratch oracle on the
+    post-fold corpus."""
+    import duckdb
+
+    from pgcp_spark.functions.text_index import (
+        _DELTA_FOLD_ORACLE,
+        text_bm25_topk_index_delta_fold,
+    )
+    from tests.conftest import SF_DIR_CORRECTNESS
+
+    got = [
+        tuple(r)
+        for r in text_bm25_topk_index_delta_fold(spark, SF_DIR_CORRECTNESS).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR_CORRECTNESS}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(_DELTA_FOLD_ORACLE).fetchall()]
+    assert got == want and len(got) > 0
