@@ -77,7 +77,12 @@ from pgcp_spark.indexes import loop
 from pgcp_spark.plans.materialize import materialize
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table
-from pgcp_spark.sources.lake import read_current, upsert, write_snapshot
+from pgcp_spark.sources.lake import (
+    flatten_deltas,
+    read_current,
+    read_current_with_deltas,
+    write_snapshot,
+)
 
 ANN_BATCH_MOD = 10  # vec_id % 10 == 0 → "new batch"; else → indexed corpus
 ANN_INDEX_ROOT = os.environ.get("SPARK_GRAFT_ANN_INDEX_ROOT", "/tmp/pgcp_ann_index")
@@ -272,14 +277,41 @@ def build_ann_index_from(
     )
 
 
+def stored_vectors(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The effective vectors table: base snapshot ∪ pending fold deltas,
+    newest delta winning per vec_id (merge-on-read — ``sources/lake.py``
+    delta layer; round 9 moved this family's fold from a copy-on-write
+    rewrite to an O(batch) delta append, same as the BM25 postings).
+    With no pending folds this is exactly the base read."""
+    return read_current_with_deltas(
+        spark, os.path.join(index_dir, "vectors"), key=["vec_id"]
+    )
+
+
+def _flatten_vectors(spark: SparkSession, index_dir: str, keep: int = 2) -> None:
+    """Merge pending fold deltas into the vectors base with the clustered
+    layout re-established — the maintenance-cadence step every mutating
+    path (refit / remove / compact) runs first, because each rewrites the
+    base from a full read and rows hiding in un-merged deltas would
+    survive (or go stale) otherwise."""
+    flatten_deltas(
+        spark,
+        os.path.join(index_dir, "vectors"),
+        key=["vec_id"],
+        keep=keep,
+        cluster_by=_VECTORS_CLUSTER,
+        cluster_files=spark.sparkContext.defaultParallelism,
+    )
+
+
 def stored_max_list_frac(spark: SparkSession, index_dir: str) -> float:
     """Largest list's share of the stored vectors — THE drift signal
     (module docstring: concentration costs join work, not recall). One
-    count-by-list aggregate over the vectors table; callers fold it into
-    the maintenance cadence, where the upsert's copy-on-write rewrite
-    dominates it by orders of magnitude. Returns nan for an empty index."""
+    count-by-list aggregate over the effective vectors (base ∪ pending
+    fold deltas); callers fold it into the maintenance cadence. Returns
+    nan for an empty index."""
     row = (
-        read_current(spark, os.path.join(index_dir, "vectors"))
+        stored_vectors(spark, index_dir)
         .groupBy("list_id")
         .agg(F.count("*").alias("n"))
         .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
@@ -315,6 +347,10 @@ def maybe_refit_ann_index(
     report = {"refit": False, "build_frac": build_frac, "current_frac": current}
     if build_frac is None or current != current or current <= ratio * build_frac:
         return report  # empty index, or balance within cadence bounds
+    # fold pending deltas into the base first: the refit rewrites vectors
+    # from a full read and re-assigns every list_id — stale delta rows
+    # left active would shadow the re-assigned base rows afterwards
+    _flatten_vectors(spark, index_dir)
     stored = read_current(spark, os.path.join(index_dir, "vectors")).select(
         "vec_id", "embedding"
     )
@@ -360,7 +396,7 @@ def batch_vs_ann_index(
         )
     probes = materialize(_assign(batch, centroids, nprobe))
     probed_lists = [r.list_id for r in probes.select("list_id").distinct().collect()]
-    stored = read_current(spark, os.path.join(index_dir, "vectors")).filter(
+    stored = stored_vectors(spark, index_dir).filter(
         F.col("list_id").isin(probed_lists)
     )
     if exclude_ids is not None:
@@ -437,28 +473,26 @@ def assignment_quality(batch: DataFrame, centroids: np.ndarray) -> float:
 
 def update_ann_index(spark: SparkSession, batch: DataFrame, index_dir: str, keep: int = 2) -> None:
     """Fold a batch into the stored index: assign to the nearest STORED
-    centroid (nprobe=1, no re-fit) and MERGE into vectors keyed vec_id —
-    a re-ingested vector replaces its old row. Centroids untouched
+    centroid (nprobe=1, no re-fit) and land it as an APPENDED DELTA
+    PARTITION keyed vec_id — a re-ingested vector's newest delta row
+    shadows its old one through the merge-on-read reader (round 9;
+    previously a copy-on-write MERGE whose cost grew with INDEX size).
+    The delta is clustered on (list_id, vec_id) like the base, so probe
+    pruning's footer skipping works inside it too; deltas merge into the
+    base at the compaction/refit cadence. Centroids untouched
     (rebuild-cadence recompute; drift costs recall, never score
-    correctness)."""
+    correctness). ``keep`` is unused on the append path (retained for
+    signature stability; grace is the flatten's concern)."""
     centroids = _load_centroids(spark, index_dir)
     if centroids.size == 0:
         return
+    from pgcp_spark.sources.lake import append_delta
+
     assigned = _assign(batch, centroids, nprobe=1)
-    upsert(
-        spark,
-        os.path.join(index_dir, "vectors"),
+    append_delta(
         with_norm(assigned).select("vec_id", "embedding", "nrm", "list_id"),
-        key=["vec_id"],
-        keep=keep,
-        # the MERGE is a full copy-on-write rewrite, so re-ranging it is
-        # one extra exchange — and without it the FIRST fold would
-        # silently destroy the clustered layout that batch_vs_ann_index's
-        # min/max file skipping reads its pruning from (pinned in
-        # tests/test_ann_index.py). Same parallelism floor as the build:
-        # the folded table serves every probe until the next fold.
+        os.path.join(index_dir, "vectors"),
         cluster_by=_VECTORS_CLUSTER,
-        cluster_files=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -477,9 +511,12 @@ def remove_from_ann_index(
     streaming loop's batch-boundary proof rests on), and removal can
     only SHRINK lists — ``maybe_refit_ann_index`` picks up any resulting
     imbalance on its normal cadence. Removing absent ids is a no-op, so
-    replay converges."""
+    replay converges. Pending fold deltas are flattened first — a delete
+    must erase every physical trace, including rows still in un-merged
+    delta partitions (same contract as the text index's remove)."""
     from pgcp_spark.sources.lake import delete
 
+    _flatten_vectors(spark, index_dir, keep=keep)
     ids = materialize(ids.select("vec_id").distinct())
     delete(
         spark,
@@ -506,6 +543,9 @@ def compact_ann_index(
     sub-target-size index to one file was measured to serialize the
     sf1 probe join 23.8 → 87 s (SCALE.md round 7). Centroids/stats are
     O(k) rows — compacted to single files for the footer-read win alone."""
+    # pending fold deltas merge into the base first (the deferred half of
+    # the O(batch) fold cost, paid here on the cadence)
+    _flatten_vectors(spark, index_dir)
     # reader grace (keep=2) comes from the shared harness; the vectors
     # table alone re-ranges on its cluster key with the parallelism floor.
     loop.compact_tables(

@@ -67,7 +67,13 @@ from pgcp_spark.indexes import loop
 from pgcp_spark.plans.materialize import materialize
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table_parallel
-from pgcp_spark.sources.lake import read_current, write_snapshot
+from pgcp_spark.sources.lake import (
+    append_delta,
+    flatten_deltas,
+    read_current,
+    read_current_with_deltas,
+    write_snapshot,
+)
 
 BATCH_MOD = 10  # doc_id % 10 == 0 → "new batch"; else → indexed corpus
 INC_BANDS = 16  # 16 bands × 2 rows of the k=32 signature (recall-tuned)
@@ -154,47 +160,63 @@ def update_index(
     """Index maintenance: fold a just-deduped batch INTO the index so the
     next batch dedups against it too — the daily upkeep step of the
     production pipeline (dedup batch N against index, absorb batch N,
-    repeat). Copy-on-write through the lake layer:
+    repeat). Since round 9 each fold lands as an APPENDED DELTA PARTITION
+    (``lake.append_delta``; O(batch), the corpus-sized tables never
+    rewritten) served through the merge-on-read readers, replacing the
+    copy-on-write MERGEs whose cost grew with INDEX size. Replacement
+    semantics are per key, identical to the upserts they replace:
 
-      - signatures/sizes: keyed MERGE (``lake.upsert`` on doc_id) — a
-        re-ingested doc replaces its old rows instead of duplicating;
-      - postings: append-shaped upsert keyed (shingle, doc_id), batch
+      - signatures/sizes: keyed doc_id — a re-ingested doc's newest
+        delta row shadows its old one;
+      - postings: keyed (shingle, doc_id) — exact-row replacement, batch
         shingles filtered through the CURRENT hot list first;
       - hot_shingles: left as-is per batch. The df cap is defined by the
         indexed corpus at BUILD time; absorbing batches shifts true
         document frequencies slowly, so the hot list is refreshed on a
         rebuild cadence, not per fold — and since round 7 that refresh
         is ``promote_hot_shingles``, an O(index) incremental pass that
-        converges to the from-scratch hot list with zero corpus access.
-        Between cadence runs the trade is unchanged: a newly-hot shingle
-        costs extra candidate pairs but never wrong results
-        (verification is exact).
-    """
-    from pgcp_spark.sources.lake import upsert
+        converges to the from-scratch hot list with zero corpus access
+        (it flattens pending deltas first). Between cadence runs the
+        trade is unchanged: a newly-hot shingle costs extra candidate
+        pairs but never wrong results (verification is exact).
 
-    upsert(
-        spark,
-        os.path.join(index_dir, "signatures"),
-        minhash_signatures(batch),
-        key=["doc_id"],
-        keep=keep,
+    ``keep`` is unused on the append path (kept for signature stability;
+    reader grace is the flatten's concern)."""
+    append_delta(
+        minhash_signatures(batch), os.path.join(index_dir, "signatures")
     )
     if batch_postings is None:
         batch_postings = hot_filtered_shingles(spark, batch, index_dir)
-    upsert(
-        spark,
-        os.path.join(index_dir, "postings"),
-        batch_postings,
-        key=["shingle", "doc_id"],
-        keep=keep,
-    )
-    upsert(
-        spark,
-        os.path.join(index_dir, "sizes"),
+    append_delta(batch_postings, os.path.join(index_dir, "postings"))
+    append_delta(
         batch_postings.groupBy("doc_id").agg(F.count("*").alias("sz")),
-        key=["doc_id"],
-        keep=keep,
+        os.path.join(index_dir, "sizes"),
     )
+
+
+# effective (merge-on-read) readers for the three delta-folded tables —
+# base ∪ pending fold deltas, newest delta winning per key; with no
+# pending folds each IS the plain base read
+_DELTA_KEYS = {
+    "signatures": ["doc_id"],
+    "postings": ["shingle", "doc_id"],
+    "sizes": ["doc_id"],
+}
+
+
+def stored_table(spark: SparkSession, index_dir: str, table: str) -> DataFrame:
+    return read_current_with_deltas(
+        spark, os.path.join(index_dir, table), key=_DELTA_KEYS[table]
+    )
+
+
+def _flatten_all(spark: SparkSession, index_dir: str, keep: int = 2) -> None:
+    """Merge pending fold deltas into the bases — the step every mutating
+    maintenance path (promote / remove / compact) runs first, because
+    each rewrites tables from full reads and rows hiding in un-merged
+    deltas would survive (or go stale) otherwise."""
+    for t, key in _DELTA_KEYS.items():
+        flatten_deltas(spark, os.path.join(index_dir, t), key=key, keep=keep)
 
 
 def promote_hot_shingles(spark: SparkSession, index_dir: str, keep: int = 2) -> int:
@@ -222,6 +244,7 @@ def promote_hot_shingles(spark: SparkSession, index_dir: str, keep: int = 2) -> 
     un-caps a bucket. Returns the number of shingles promoted; commits
     nothing when the answer is zero.
     """
+    _flatten_all(spark, index_dir, keep=keep)
     postings_dir = os.path.join(index_dir, "postings")
     postings = read_current(spark, postings_dir)
     newly_hot = (
@@ -263,9 +286,12 @@ def remove_from_index(
     — extra conservatism, never wrong results (``promote_hot_shingles``
     holds the inverse, monotone-hotter argument). The next rebuild-
     cadence pass re-derives the list either way. Removing absent ids is
-    a no-op, so replay converges."""
+    a no-op, so replay converges. Pending fold deltas are flattened
+    first — the delete must erase every physical trace, including rows
+    still in un-merged delta partitions."""
     from pgcp_spark.sources.lake import delete
 
+    _flatten_all(spark, index_dir, keep=keep)
     ids = materialize(ids.select("doc_id").distinct())
     for t in ("signatures", "postings", "sizes"):
         delete(
@@ -366,7 +392,10 @@ def compact_index(
     maintenance commit — ``keep=1`` would GC them mid-read). No
     clustering here: the postings join consumes the whole table (no
     selective scan to preserve a layout for), unlike the ANN index's
-    list_id-pruned vectors."""
+    list_id-pruned vectors. Pending fold deltas merge into the bases
+    first (the deferred half of the O(batch) fold cost, paid here on the
+    cadence)."""
+    _flatten_all(spark, index_dir)
     loop.compact_tables(
         spark, index_dir, _SUBTABLES, target_file_bytes=target_file_bytes
     )
@@ -422,8 +451,8 @@ def batch_vs_index_docs(
     ``batch_sh`` so the shingle pass runs once per batch, not once per
     consumer.
     """
-    postings = read_current(spark, os.path.join(index_dir, "postings"))
-    sizes_old = read_current(spark, os.path.join(index_dir, "sizes"))
+    postings = stored_table(spark, index_dir, "postings")
+    sizes_old = stored_table(spark, index_dir, "sizes")
 
     if batch_sh is None:
         batch_sh = hot_filtered_shingles(spark, batch_docs, index_dir)
@@ -477,7 +506,7 @@ def batch_vs_index_minhash_candidates(
     """
     from pgcp_spark.functions.dedup import MINHASH_K
 
-    sigs_stored = read_current(spark, os.path.join(index_dir, "signatures"))
+    sigs_stored = stored_table(spark, index_dir, "signatures")
     batch_sigs = materialize(minhash_signatures(batch_docs))
 
     n = band_buckets(batch_sigs, bands).alias("n")

@@ -207,7 +207,14 @@ def compact_tables(
 def reclaim_by_mode(*dirs: str) -> None:
     """Reclaim run-scoped result dirs under the materialization-mode
     rule (module docstring): eager modes own their data — drop now;
-    lazy modes still read the files — defer to interpreter exit."""
+    lazy modes still read the files — defer to interpreter exit.
+
+    Known benign noise on the eager path: when AQE short-circuits a
+    query to an empty result (empty/degenerate lakes), an already-queued
+    broadcast-stage job can outlive the action, read the just-reclaimed
+    dir, and log one FAILED_READ_FILE ERROR — the action's result is
+    already computed and correct (reproduced identically across rounds;
+    the aborted job is orphaned, not load-bearing)."""
     if current_mode() in ("localCheckpoint", "checkpoint"):
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)

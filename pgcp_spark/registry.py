@@ -58,17 +58,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #     (rows-only BY DESIGN: its IVF leg probes 8 of 16 lists; the
 #     rank-overlap floor vs the exact hybrid is pinned in
 #     tests/test_retrieval.py);
-#   * 5 queries whose implementation CHANGED in round 9 — the hybrid
+#   * 10 queries whose implementation CHANGED in round 9 — the hybrid
 #     (cosine leg re-ranked via TakeOrderedAndProject + NULL-vec_id
-#     guard, oracle updated to match) and the four text-index-family
-#     queries whose read/fold/remove paths moved onto the merge-on-read
-#     delta layer (results pinned identical, but the code is new):
-#     text_bm25_topk_from_index, text_bm25_after_retention_delete,
-#     streaming_text_index_bm25, text_bm25_multi_query_topk.
-# The remaining 43 slots re-prove the OLDEST standing rows, cumulative
+#     guard, oracle updated to match) and the nine index-family queries
+#     whose read/fold/remove paths moved onto the merge-on-read delta
+#     layer (results pinned identical, but the code is new): the four
+#     text-index queries, the two dedup-index queries, the incremental
+#     ANN query, and the two streaming ingest loops.
+# The remaining 38 slots re-prove the OLDEST standing rows, cumulative
 # ledger recomputed from CORRECTNESS_r01..r08: the full r5-latest cohort
 # (27 — joins incl. range/band/semi/anti/outer, multimodal, sampling,
-# text analysis heads, sim bruteforce) and the alphabetically-first 16
+# text analysis heads, sim bruteforce) and the alphabetically-first 11
 # r6 rows. Still excluded: agg_approx_distinct_customers (rows-only AND
 # unchanged since its r1 row — a new row adds nothing, rationale
 # standing since r5) and dedup_ngram_jaccard_pairs (dead ledger —
@@ -85,6 +85,11 @@ _AUDIT_PRIORITY: list[str] = [
     "text_bm25_after_retention_delete",  # remove now flattens deltas first
     "streaming_text_index_bm25",  # stream folds land as delta partitions
     "text_bm25_multi_query_topk",  # reads via merge-on-read stored_postings
+    "dedup_incremental_batch_vs_index",  # reads via stored_table merge-on-read
+    "dedup_batch_vs_index_after_delete",  # remove now flattens deltas first
+    "sim_incremental_batch_vs_ann_index",  # reads via stored_vectors
+    "streaming_ingest_dedup_decisions",  # loop folds land as delta partitions
+    "streaming_ingest_ann_neighbors",  # loop folds land as delta partitions
     # --- oldest rows: the full r5-latest cohort (27) ---
     "agg_orders_by_status_priority",
     "corpus_mix_rebalance",
@@ -113,7 +118,7 @@ _AUDIT_PRIORITY: list[str] = [
     "text_quality_score",
     "text_source_lang_profile",
     "text_token_stats",
-    # --- alphabetically-first r6 rows filling the remaining 16 slots ---
+    # --- alphabetically-first r6 rows filling the remaining 11 slots ---
     "analytics_chisq_segment_event_type",
     "anomaly_hourly_event_zscore",
     "cohort_weekly_retention",
@@ -125,11 +130,6 @@ _AUDIT_PRIORITY: list[str] = [
     "funnel_view_click_purchase",
     "graph_connected_dup_clusters",
     "graph_pagerank_dup_docs",
-    "markov_event_type_transitions",
-    "q10_returned_items",
-    "q11_important_part_value",
-    "q12_late_shipment_priority",
-    "q13_customer_order_distribution",
 ]
 
 

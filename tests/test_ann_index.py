@@ -16,7 +16,7 @@ from pgcp_spark.functions.ann_index import (
     update_ann_index,
 )
 from pgcp_spark.registry import all_queries
-from pgcp_spark.sources.lake import current_snapshot, read_current
+from pgcp_spark.sources.lake import current_snapshot
 from tests.conftest import SF_DIR
 
 
@@ -100,9 +100,9 @@ def test_fold_then_find(spark, ann_root, tmp_path):
         (r.vec_id, r.neighbor_id) for r in batch_vs_ann_index(spark, batch, work).collect()
     }
     assert not any(n in batch_ids for _, n in before)
-    n_before = read_current(spark, os.path.join(work, "vectors")).count()
+    n_before = AI.stored_vectors(spark, work).count()
     update_ann_index(spark, batch, work)
-    n_after = read_current(spark, os.path.join(work, "vectors")).count()
+    n_after = AI.stored_vectors(spark, work).count()
     assert n_after == n_before + len(batch_ids)
     after = {
         (r.vec_id, r.neighbor_id) for r in batch_vs_ann_index(spark, batch, work).collect()
@@ -112,7 +112,7 @@ def test_fold_then_find(spark, ann_root, tmp_path):
     assert all(n in batch_ids for _, n in new_pairs), new_pairs
     # and refolding is idempotent on the row count (MERGE, not append)
     update_ann_index(spark, batch, work)
-    assert read_current(spark, os.path.join(work, "vectors")).count() == n_after
+    assert AI.stored_vectors(spark, work).count() == n_after
 
 
 def test_folded_assignment_matches_nearest_centroid(spark, ann_root, tmp_path):
@@ -124,7 +124,7 @@ def test_folded_assignment_matches_nearest_centroid(spark, ann_root, tmp_path):
     update_ann_index(spark, AI._batch(spark, SF_DIR), work)
     cents = AI._load_centroids(spark, work)
     cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    folded = read_current(spark, os.path.join(work, "vectors")).filter(
+    folded = AI.stored_vectors(spark, work).filter(
         "vec_id % 10 = 0"
     )
     for r in folded.collect():
@@ -162,7 +162,7 @@ def test_refit_trigger_fires_on_concentration_and_rebalances(spark, ann_root, tm
     assert rep0["current_frac"] == pytest.approx(rep0["build_frac"])
 
     batch = AI._batch(spark, SF_DIR)
-    n_stored = read_current(spark, os.path.join(work, "vectors")).count()
+    n_stored = AI.stored_vectors(spark, work).count()
     fold = 0
     while True:  # fold shifted copies until the trigger condition holds
         fold += 1
@@ -175,7 +175,7 @@ def test_refit_trigger_fires_on_concentration_and_rebalances(spark, ann_root, tm
         if stored_max_list_frac(spark, work) > REFIT_IMBALANCE_RATIO * rep0["build_frac"]:
             break
 
-    n_pre_refit = read_current(spark, os.path.join(work, "vectors")).count()
+    n_pre_refit = AI.stored_vectors(spark, work).count()
     assert n_pre_refit == n_stored + fold * len(
         {r.vec_id for r in batch.select("vec_id").collect()}
     )
@@ -189,7 +189,7 @@ def test_refit_trigger_fires_on_concentration_and_rebalances(spark, ann_root, tm
     assert rep2["build_frac"] == pytest.approx(rep1["after_frac"])
     # no vectors lost in the re-fit, and the rebuilt index still answers
     # every batch probe under the all-lists probe
-    assert read_current(spark, os.path.join(work, "vectors")).count() == n_pre_refit
+    assert AI.stored_vectors(spark, work).count() == n_pre_refit
     got = {r.vec_id for r in batch_vs_ann_index(spark, batch, work, nprobe=16).collect()}
     assert got == {r.vec_id for r in batch.select("vec_id").collect()}
 
@@ -287,7 +287,7 @@ def test_compact_leaves_reader_grace(spark, ann_root, tmp_path):
     seed = ensure_ann_index(spark, SF_DIR)
     work = str(tmp_path / "work")
     shutil.copytree(seed, work)
-    pre = read_current(spark, os.path.join(work, "vectors"))
+    pre = AI.stored_vectors(spark, work)
     n_expected = pre.count()
     compact_ann_index(spark, work)
     assert len(pre.collect()) == n_expected, "pre-compaction reader lost its files"
@@ -326,7 +326,7 @@ def test_refit_restores_economics_without_recall_regression(spark, ann_root, tmp
     nprobe, k = 4, 3
 
     def stored_np():
-        rows = read_current(spark, os.path.join(work, "vectors")).select(
+        rows = AI.stored_vectors(spark, work).select(
             "vec_id", "embedding"
         ).collect()
         ids = sorted(r.vec_id for r in rows)
@@ -356,7 +356,7 @@ def test_refit_restores_economics_without_recall_regression(spark, ann_root, tmp
             r.list_id
             for r in AI._assign(queries_df, cents, nprobe).select("list_id").distinct().collect()
         }
-        vec = read_current(spark, os.path.join(work, "vectors"))
+        vec = AI.stored_vectors(spark, work)
         return vec.filter(F.col("list_id").isin(list(lists))).count() / vec.count()
 
     build_frac = stored_max_list_frac(spark, work)
@@ -403,3 +403,31 @@ def test_refit_restores_economics_without_recall_regression(spark, ann_root, tmp
     # (3) probe economics: the shifted queries' probed lists covered a
     # crowd-sized share of the store pre-refit; re-fit splits the crowd
     assert frac_refit < frac_drifted, (frac_drifted, frac_refit)
+
+
+def test_fold_is_delta_append_and_compaction_flattens(spark, ann_root, tmp_path):
+    """Round 9: update_ann_index must APPEND a clustered delta (base
+    snapshot untouched — O(batch) fold) and compact_ann_index merges it
+    into the base with the effective vectors unchanged."""
+    import shutil
+
+    from pgcp_spark.functions.ann_index import compact_ann_index
+    from pgcp_spark.sources import lake
+
+    seed = ensure_ann_index(spark, SF_DIR)
+    work = str(tmp_path / "work")
+    shutil.copytree(seed, work)
+    vdir = os.path.join(work, "vectors")
+    base_snap = current_snapshot(vdir)
+    update_ann_index(spark, AI._batch(spark, SF_DIR), work)
+    assert len(lake.delta_names(vdir)) == 1
+    assert current_snapshot(vdir) == base_snap
+    effective = sorted(
+        (r.vec_id, r.list_id) for r in AI.stored_vectors(spark, work).collect()
+    )
+    compact_ann_index(spark, work)
+    assert lake.delta_names(vdir) == []
+    assert (
+        sorted((r.vec_id, r.list_id) for r in AI.stored_vectors(spark, work).collect())
+        == effective
+    )

@@ -283,3 +283,38 @@ def test_promote_hot_shingles_converges_to_scratch_rebuild(spark, tmp_path):
         a = sorted(map(tuple, rc(spark, os.path.join(inc_dir, t)).collect()))
         b = sorted(map(tuple, rc(spark, os.path.join(scratch_dir, t)).collect()))
         assert a == b, f"{t} diverged from the from-scratch rebuild"
+
+
+def test_fold_is_delta_append_and_compaction_flattens(spark, tmp_path):
+    """Round 9: the fold must be an O(batch) APPEND — one active delta
+    per table, base snapshots untouched — and compact_index merges the
+    deltas into the bases with results unchanged (the deferred half of
+    the fold cost, paid on the cadence)."""
+    import shutil
+
+    from pgcp_spark.sources import lake
+
+    seed = ensure_index(spark, SF_DIR)
+    work = str(tmp_path / "work")
+    shutil.copytree(seed, work)
+    batch = DI._batch(spark, SF_DIR)
+    before_snaps = {
+        t: current_snapshot(os.path.join(work, t)) for t in DI._SUBTABLES
+    }
+    DI.update_index(spark, batch, work)
+    for t in ("signatures", "postings", "sizes"):
+        assert len(lake.delta_names(os.path.join(work, t))) == 1, t
+        assert current_snapshot(os.path.join(work, t)) == before_snaps[t], t
+    effective = {
+        t: sorted(
+            tuple(r) for r in DI.stored_table(spark, work, t).collect()
+        )
+        for t in ("signatures", "postings", "sizes")
+    }
+    DI.compact_index(spark, work)
+    for t in ("signatures", "postings", "sizes"):
+        assert lake.delta_names(os.path.join(work, t)) == [], t
+        assert (
+            sorted(tuple(r) for r in DI.stored_table(spark, work, t).collect())
+            == effective[t]
+        ), t

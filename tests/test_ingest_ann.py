@@ -54,7 +54,7 @@ def _numpy_replay(spark, sf_dir):
     cnorm = np.sqrt((cents * cents).sum(axis=1))
     stored = {
         r.vec_id: (np.array(r.embedding, float), r.list_id)
-        for r in read_current(spark, os.path.join(index_dir, "vectors")).collect()
+        for r in AI.stored_vectors(spark, index_dir).collect()
     }
     stream = {
         r.vec_id: np.array(r.embedding, float)
@@ -185,7 +185,7 @@ def test_batch_replay_is_idempotent(spark, ann_root, tmp_path):
     assert after == before
     n_base = AI._indexed_corpus(spark, SF_DIR).count()
     n_stream = vecs.count()
-    stored = read_current(spark, os.path.join(index_dir, "vectors"))
+    stored = AI.stored_vectors(spark, index_dir)
     assert stored.count() == n_base + n_stream
     assert stored.select("vec_id").distinct().count() == n_base + n_stream
 
