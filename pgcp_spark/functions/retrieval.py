@@ -330,3 +330,179 @@ def hybrid_bm25_cosine_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rrf", "rank")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-query hybrid: N curation topics through BOTH legs, fused per topic
+# ---------------------------------------------------------------------------
+
+# per-topic depths: text legs reuse the batch-retrieval op's BATCH_TOP
+MULTI_HYBRID_TOP = 10
+
+
+def multi_cosine_legs(
+    spark: SparkSession, sf_dir: str, qids: list[str], depth: int = MULTI_HYBRID_TOP
+) -> DataFrame:
+    """(qid, doc_id, vrank): exact cosine top-``depth`` per topic. Query
+    vectors are deterministic like the single-query leg's: the
+    ``len(qids)`` smallest valid vec_ids, assigned to the SORTED qids in
+    vec_id order (mirrorable in SQL); a lake with fewer valid vectors
+    than topics leaves the tail topics with an empty vector leg (they
+    degrade to text-only in the fusion).
+
+    Scale shape: ONE corpus scan scores all topics (the |qids|-row query
+    frame broadcasts into the scan — Q extra fused multiplies per row,
+    no per-topic rescan), then a Window PARTITIONED BY qid takes each
+    topic's top-k. Per-qid partitioning is the right parallelism for the
+    many-topic use case (Q partitions; Spark's rank-filter pushdown
+    bounds the exchange at depth rows per input partition per qid) —
+    unlike the single-query leg, where an unpartitioned window would
+    single-task the corpus and ``orderBy().limit()`` is the correct
+    shape instead."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id").isNotNull() & valid_embedding())
+    )
+    q_rows = e.orderBy("vec_id").limit(len(qids)).collect()
+    if not q_rows:
+        return spark.createDataFrame([], "qid string, doc_id long, vrank int")
+    q = spark.createDataFrame(
+        [(qid, r.vec_id, r.embedding) for qid, r in zip(sorted(qids), q_rows)],
+        "qid string, q_id long, q_emb array<float>",
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("q_emb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q_nrm = F.sqrt(
+        F.aggregate(
+            F.transform("q_emb", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        with_norm(e)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (F.col("nrm") * q_nrm), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "doc_id")
+    return (
+        scored.withColumn("vrank", F.row_number().over(w))
+        .filter(F.col("vrank") <= depth)
+        .select("qid", "doc_id", "vrank")
+    )
+
+
+def _multi_hybrid_block(qid: str, terms: tuple, k: int) -> str:
+    """One topic's fused oracle block: the batch-BM25 per-query block
+    full-outer-joined with the k-th query vector's exact cosine top-k,
+    RRF'd with the single-hybrid's exact expression shapes."""
+    from pgcp_spark.functions.text_index import BATCH_TOP, _one_query_oracle_block
+
+    return f"""
+SELECT '{qid}' AS qid, f.doc_id, f.rrf,
+       CAST(ROW_NUMBER() OVER (ORDER BY f.rrf DESC, f.doc_id) AS INT) AS rank
+FROM (
+  SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         ROUND(
+           COALESCE(1.0 / ({RRF_K} + t.rnk), 0)
+           + COALESCE(1.0 / ({RRF_K} + v.vrank), 0), 9) AS rrf
+  FROM (SELECT doc_id, rnk FROM ({_one_query_oracle_block(qid, terms)}) tq) t
+  FULL OUTER JOIN (
+    SELECT doc_id, vrank FROM (
+      SELECT b.vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY
+               ROUND(list_dot_product(CAST(b.embedding AS DOUBLE[]), q.q_emb)
+                     / (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) DESC, b.vec_id) AS vrank
+      FROM valid b, (SELECT * FROM qvecs WHERE k = {k}) q
+      WHERE b.vec_id <> q.vec_id
+    ) WHERE vrank <= {BATCH_TOP}
+  ) v ON t.doc_id = v.doc_id
+) f
+QUALIFY rank <= {MULTI_HYBRID_TOP}
+"""
+
+
+def _multi_hybrid_oracle() -> str:
+    from pgcp_spark.functions.text_index import BATCH_QUERIES, CORPUS_CTES
+
+    qids = sorted(BATCH_QUERIES)
+    blocks = "\nUNION ALL\n".join(
+        _multi_hybrid_block(qid, BATCH_QUERIES[qid], k)
+        for k, qid in enumerate(qids)
+    )
+    return (
+        "\nWITH "
+        + CORPUS_CTES.rstrip().rstrip(",")
+        + f""",
+valid AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IS NOT NULL AND {EMB_VALID_SQL}
+),
+qvecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS q_emb,
+         CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS k
+  FROM valid ORDER BY vec_id LIMIT {len(qids)}
+)
+"""
+        + blocks
+        + "\nORDER BY qid, rank\n"
+    )
+
+
+@register(
+    "hybrid_multi_query_rrf",
+    oracle=_multi_hybrid_oracle(),
+    doc="multi-topic hybrid retrieval: 3 curation topics, text legs from ONE postings scan (persisted index), cosine legs from ONE corpus scan (3 deterministic query vectors), per-topic RRF fusion — hash-exact vs the per-topic oracle union",
+)
+def hybrid_multi_query_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thousand-topic curation shape through BOTH modalities: every
+    topic's keyword leg is answered by ONE shared postings scan
+    (``bm25_multi_query_from_index`` — the batch economics proven in
+    round 8) and every topic's dense leg by ONE shared corpus scan
+    (``multi_cosine_legs``), then each topic fuses its own legs by RRF
+    exactly like the single hybrid. Adding a topic adds a broadcast row
+    and a window partition, not a scan — that is the whole point.
+    Hash-checked end to end: both legs and the fusion are cross-engine
+    deterministic, so even the multi-topic composite has a full SQL
+    twin."""
+    from pgcp_spark.functions.text_index import (
+        BATCH_QUERIES,
+        bm25_multi_query_from_index,
+        ensure_text_index,
+    )
+
+    text = bm25_multi_query_from_index(
+        spark, ensure_text_index(spark, sf_dir)
+    ).select("qid", "doc_id", "rnk")
+    vec = multi_cosine_legs(spark, sf_dir, sorted(BATCH_QUERIES))
+    fused = text.join(vec, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rnk")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vrank")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        materialize(fused)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MULTI_HYBRID_TOP)
+        .select("qid", "doc_id", "rrf", "rank")
+        .orderBy("qid", "rank")
+    )

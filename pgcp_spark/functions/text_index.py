@@ -684,9 +684,10 @@ SELECT '{qid}' AS qid, doc_id, score, CAST(rnk AS INT) AS rnk FROM (
 """
 
 
-_MULTI_ORACLE = (
-    """
-WITH toks AS (
+# the shared corpus CTEs every multi-query oracle starts from (also
+# consumed by the multi-query HYBRID oracle in functions/retrieval.py)
+CORPUS_CTES = """
+toks AS (
   SELECT doc_id, UNNEST(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')) AS tok
   FROM documents
 ),
@@ -694,6 +695,10 @@ doc_term AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
 dl AS (SELECT doc_id, SUM(n) AS dl FROM doc_term GROUP BY doc_id),
 stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total FROM dl)
 """
+
+_MULTI_ORACLE = (
+    "\nWITH "
+    + CORPUS_CTES
     + "\nUNION ALL\n".join(
         _one_query_oracle_block(qid, ts) for qid, ts in sorted(BATCH_QUERIES.items())
     )

@@ -52,12 +52,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-9 window. The staleness invariant (no entry's driver row predates
 # its current implementation) has priority. Head of window:
-#   * 2 queries ADDED in round 9 — the delta-fold retrieval query
+#   * 3 queries ADDED in round 9 — the delta-fold retrieval query
 #     (hash-capable: base ∪ un-merged delta vs the from-scratch oracle
-#     on the post-fold corpus) and the all-persisted-indexes hybrid
+#     on the post-fold corpus), the all-persisted-indexes hybrid
 #     (rows-only BY DESIGN: its IVF leg probes 8 of 16 lists; the
 #     rank-overlap floor vs the exact hybrid is pinned in
-#     tests/test_retrieval.py);
+#     tests/test_retrieval.py), and the multi-topic hybrid (hash-capable:
+#     per-topic RRF fusion vs the per-topic oracle union);
 #   * 10 queries whose implementation CHANGED in round 9 — the hybrid
 #     (cosine leg re-ranked via TakeOrderedAndProject + NULL-vec_id
 #     guard, oracle updated to match) and the nine index-family queries
@@ -65,10 +66,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #     layer (results pinned identical, but the code is new): the four
 #     text-index queries, the two dedup-index queries, the incremental
 #     ANN query, and the two streaming ingest loops.
-# The remaining 38 slots re-prove the OLDEST standing rows, cumulative
+# The remaining 37 slots re-prove the OLDEST standing rows, cumulative
 # ledger recomputed from CORRECTNESS_r01..r08: the full r5-latest cohort
 # (27 — joins incl. range/band/semi/anti/outer, multimodal, sampling,
-# text analysis heads, sim bruteforce) and the alphabetically-first 11
+# text analysis heads, sim bruteforce) and the alphabetically-first 10
 # r6 rows. Still excluded: agg_approx_distinct_customers (rows-only AND
 # unchanged since its r1 row — a new row adds nothing, rationale
 # standing since r5) and dedup_ngram_jaccard_pairs (dead ledger —
@@ -79,6 +80,7 @@ _AUDIT_PRIORITY: list[str] = [
     # --- NEW in round 9 (no driver row yet — must enter the window) ---
     "text_bm25_topk_index_delta_fold",  # hash-capable (post-fold-corpus oracle)
     "hybrid_from_indexes",  # rows-only by design (IVF leg; overlap floor pinned)
+    "hybrid_multi_query_rrf",  # hash-capable (per-topic fused oracle union)
     # --- changed in round 9 ---
     "hybrid_bm25_cosine_rrf",  # cosine leg re-ranked, oracle null-guard
     "text_bm25_topk_from_index",  # reads via merge-on-read stored_postings
@@ -118,7 +120,7 @@ _AUDIT_PRIORITY: list[str] = [
     "text_quality_score",
     "text_source_lang_profile",
     "text_token_stats",
-    # --- alphabetically-first r6 rows filling the remaining 11 slots ---
+    # --- alphabetically-first r6 rows filling the remaining 10 slots ---
     "analytics_chisq_segment_event_type",
     "anomaly_hourly_event_zscore",
     "cohort_weekly_retention",
@@ -129,7 +131,6 @@ _AUDIT_PRIORITY: list[str] = [
     "dedup_simhash_pairs",
     "funnel_view_click_purchase",
     "graph_connected_dup_clusters",
-    "graph_pagerank_dup_docs",
 ]
 
 

@@ -161,3 +161,35 @@ def test_hybrid_from_indexes_degrades_to_text_on_invalid_embeddings(spark, tmp_p
     assert all(
         r.rrf == round(1.0 / (RRF_K + t.rnk), 9) for r, t in zip(fused, text)
     )
+
+
+def test_multi_query_hybrid_matches_duckdb_oracle_and_topic_blocks(spark):
+    """The multi-topic hybrid vs its per-topic oracle union, plus the
+    batch-economics contract: each topic's block must be internally
+    consistent (ranks total per qid) and the q_exec topic's text leg is
+    the shared batch scan's block, so fusing never perturbs a leg."""
+    import duckdb
+
+    from pgcp_spark.functions.retrieval import (
+        MULTI_HYBRID_TOP,
+        _multi_hybrid_oracle,
+        hybrid_multi_query_rrf,
+    )
+    from tests.conftest import SF_DIR_CORRECTNESS
+
+    got = [
+        tuple(r) for r in hybrid_multi_query_rrf(spark, SF_DIR_CORRECTNESS).collect()
+    ]
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR_CORRECTNESS}/{t}.parquet'"
+        )
+    want = [tuple(r) for r in con.execute(_multi_hybrid_oracle()).fetchall()]
+    assert got == want and len(got) > 0
+    by_qid = {}
+    for qid, _doc, _rrf, rank in got:
+        by_qid.setdefault(qid, []).append(rank)
+    for qid, ranks in by_qid.items():
+        assert ranks == list(range(1, len(ranks) + 1)), qid
+        assert len(ranks) <= MULTI_HYBRID_TOP
