@@ -118,14 +118,14 @@ def build_sketch_table(
 
 def update_sketch_table(spark: SparkSession, sf_dir: str, table_dir: str, day) -> str:
     """Fold ONE day into the stored sketch table (the daily ingest step):
-    sketch only that day's fact slice, MERGE on (event_type, day). The
-    rest of the fact is never read — incremental by construction, and
-    replaying the same day is idempotent (same key, same sketch)."""
+    sketch only that day's fact slice and land it as an APPENDED DELTA
+    keyed (event_type, day) — round 9's O(batch) fold model, shared by
+    all four index families; a replayed day's newest delta row shadows
+    the previous identical one through the merge-on-read reader. The
+    rest of the fact is never read — incremental by construction."""
     events = load_table(spark, sf_dir, "events").filter(F.to_date("ts") == F.lit(day))
     batch = daily_user_sketches(events)
-    return lake.upsert(
-        spark, table_dir, batch, key=["event_type", "day"], keep=2, cluster_by=["day"]
-    )
+    return lake.append_delta(batch, table_dir, cluster_by=["day"])
 
 
 def distinct_users_from_sketches(
@@ -133,9 +133,10 @@ def distinct_users_from_sketches(
 ) -> DataFrame:
     """Answer "distinct users per event_type over [day_from, day_to]"
     from the STORED partials: filter the day range (min/max file skipping
-    via the CLUSTER BY day layout), merge. The events table is read zero
-    times."""
-    daily = lake.read_current(spark, table_dir)
+    via the CLUSTER BY day layout — each fold delta is day-clustered too,
+    so the pushed filter prunes inside deltas the same way), merge. The
+    events table is read zero times."""
+    daily = lake.read_current_with_deltas(spark, table_dir, key=["event_type", "day"])
     if day_from is not None:
         daily = daily.filter(F.col("day") >= F.lit(day_from))
     if day_to is not None:
@@ -155,15 +156,16 @@ def fold_sketch_batch(spark: SparkSession, batch: DataFrame, table_dir: str) -> 
     — so every (event_type, day) partial a batch produces is COMPLETE, and
     the MERGE can replace rather than union. That makes replay convergent:
     foreachBatch is at-least-once, and re-sketching the same full day
-    yields a bit-identical row, so the keyed upsert is a no-op the second
-    time (pinned in tests/test_sketches.py::test_streaming_replay_idempotent).
-    """
+    yields a bit-identical row whose newest-delta copy shadows the first
+    (pinned in tests/test_sketches.py::test_streaming_replay_idempotent).
+    Since round 9 the fold is an appended delta (O(batch)) rather than a
+    keyed copy-on-write MERGE — the shared fold model of all four index
+    families; deltas merge into the base on the retention/compaction
+    cadence."""
     partials = daily_user_sketches(batch)
     if lake.current_snapshot(table_dir) is None:
         return lake.write_snapshot(partials, table_dir, keep=2, cluster_by=["day"])
-    return lake.upsert(
-        spark, table_dir, partials, key=["event_type", "day"], keep=2, cluster_by=["day"]
-    )
+    return lake.append_delta(partials, table_dir, cluster_by=["day"])
 
 
 def _stage_event_day_files(events: DataFrame) -> str:
@@ -236,7 +238,12 @@ def retire_sketch_days(spark: SparkSession, table_dir: str, before_day) -> str:
     that day from the already-filtered fact and MERGE it through
     ``fold_sketch_batch`` (complete-day replacement — the same
     replace-not-union contract the streaming loop relies on); pinned in
-    tests/test_sketches.py."""
+    tests/test_sketches.py. Pending fold deltas flatten into the base
+    first — retention must erase every physical trace, including
+    partials still in un-merged deltas."""
+    lake.flatten_deltas(
+        spark, table_dir, key=["event_type", "day"], keep=2, cluster_by=["day"]
+    )
     return lake.delete(
         spark,
         table_dir,
