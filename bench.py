@@ -46,6 +46,8 @@ HEADLINE = [
 HEADLINE_NEW = [
     "text_bm25_topk_from_index",  # retrieval from the persisted index (r8)
     "hybrid_bm25_cosine_rrf",  # multi-modal RRF fusion (r8)
+    "text_bm25_topk_index_delta_fold",  # merge-on-read across a fold delta (r9)
+    "hybrid_multi_query_rrf",  # N topics, one scan per modality (r9)
 ]
 
 

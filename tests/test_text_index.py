@@ -425,3 +425,51 @@ def test_registered_delta_fold_query_matches_duckdb_oracle(spark):
     )
     want = [tuple(r) for r in con.execute(_DELTA_FOLD_ORACLE).fetchall()]
     assert got == want and len(got) > 0
+
+
+def test_tok_filter_pushes_into_base_and_delta_scans(spark, tmp_path):
+    """Merge-on-read must not cost the pushdown: with a pending fold
+    delta, the query's term IN-filter reaches BOTH the base snapshot scan
+    and the delta scan (the newest-version bookkeeping deliberately scans
+    delta doc_ids unfiltered — that scan is batch-sized)."""
+    from pgcp_spark.plans.explain import pushed_filters
+
+    index_dir = str(tmp_path / "ti")
+    build_text_index_from(
+        spark, _docs(spark, [(1, "vector join scan"), (2, "filter sort")]), index_dir
+    )
+    update_text_index(spark, _docs(spark, [(3, "vector merge")]), index_dir)
+    df = bm25_from_index(spark, index_dir)
+    filters = pushed_filters(df)
+    tok_in = [f for f in filters if "tok" in f and "In(" in f]
+    # base postings scan + delta scan both carry the pushed IN filter
+    assert len(tok_in) >= 2, filters
+
+
+def test_flatten_crash_between_commit_and_log_clear_converges(spark, tmp_path):
+    """Crash-safety claim in sources/lake.py: if flatten commits the
+    merged base but dies BEFORE clearing the delta log, readers see the
+    folded rows in base AND the same rows winning from the still-active
+    deltas — replacement semantics collapse that to identical effective
+    content, and the next flatten drains cleanly."""
+    from pgcp_spark.sources import lake
+
+    index_dir = str(tmp_path / "ti")
+    build_text_index_from(spark, _docs(spark, [(1, "a b"), (2, "b c")]), index_dir)
+    update_text_index(spark, _docs(spark, [(1, "x"), (3, "y z")]), index_dir)
+    pdir = os.path.join(index_dir, "postings")
+    want = _table_rows(spark, index_dir, "postings")
+
+    # simulate the crash: commit the merged base, but leave _DELTAS as-is
+    merged = lake.read_current_with_deltas(spark, pdir, key=["doc_id"])
+    lake.write_snapshot(merged.select("tok", "doc_id", "n", "dl"), pdir, keep=2)
+
+    assert lake.delta_names(pdir)  # the log still lists the active delta
+    assert _table_rows(spark, index_dir, "postings") == want  # converged view
+    assert _rows(bm25_from_index(spark, index_dir), "rnk") == _rows(
+        bm25_from_index(spark, index_dir), "rnk"
+    )
+    # recovery: the next flatten drains the log and nothing changes
+    lake.flatten_deltas(spark, pdir, key=["doc_id"], cluster_by=["tok"])
+    assert lake.delta_names(pdir) == []
+    assert _table_rows(spark, index_dir, "postings") == want
