@@ -296,11 +296,18 @@ def read_current_with_deltas(
     dall = parts[0]
     for p in parts[1:]:
         dall = dall.unionByName(p)
-    # batch-sized frames (scale contract above): broadcast both
+    # The touched-keys and newest-version frames are batch-sized UNDER
+    # THE COMPACTION CADENCE, but nothing bounds how many folds a caller
+    # defers — so no FORCED broadcast here: a forced hint on an
+    # unboundedly-accumulating side is a driver OOM waiting for the one
+    # operator that skips maintenance. AQE promotes both joins to
+    # broadcast dynamically whenever the delta side is actually small
+    # (the common case), and degrades to a shuffle join instead of
+    # falling over when it is not.
     touched = dall.select(*key).distinct()
     newest = dall.groupBy(*key).agg(F.max("_delta_seq").alias("_delta_seq"))
-    winners = dall.join(F.broadcast(newest), [*key, "_delta_seq"]).select(*cols)
-    kept = base.join(F.broadcast(touched), on=key, how="left_anti").select(*cols)
+    winners = dall.join(newest, [*key, "_delta_seq"]).select(*cols)
+    kept = base.join(touched, on=key, how="left_anti").select(*cols)
     return kept.unionByName(winners)
 
 
