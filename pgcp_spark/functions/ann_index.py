@@ -482,7 +482,9 @@ def update_ann_index(spark: SparkSession, batch: DataFrame, index_dir: str, keep
     base at the compaction/refit cadence. Centroids untouched
     (rebuild-cadence recompute; drift costs recall, never score
     correctness). ``keep`` is unused on the append path (retained for
-    signature stability; grace is the flatten's concern)."""
+    signature stability; grace is the flatten's concern) — a non-default
+    value warns rather than silently no-oping (round-9 advisory)."""
+    loop.warn_dead_keep(keep)
     centroids = _load_centroids(spark, index_dir)
     if centroids.size == 0:
         return
@@ -500,33 +502,33 @@ def remove_from_ann_index(
     spark: SparkSession, ids: DataFrame, index_dir: str, keep: int = 2
 ) -> None:
     """Retention/GDPR delete propagation: drop ``ids`` (single column
-    ``vec_id``) from the stored vectors — one keyed ``lake.delete`` with
-    the clustered layout re-established (a removal that flattened the
-    (list_id, vec_id) ranges would silently kill probe-time pruning,
-    same contract as the fold's MERGE). Without this, a deleted
+    ``vec_id``) from the stored vectors. Without this, a deleted
     embedding keeps surfacing as everyone's neighbor.
+
+    Since round 10 the delete lands as an O(keys) TOMBSTONE DELTA
+    (``lake.delete_delta`` — previously flatten + a keyed copy-on-write
+    rewrite whose cost grew with INDEX size, the asymmetry round 9
+    removed from the fold side): the vectors base keeps its clustered
+    layout untouched (nothing to re-establish — no rewrite happens), the
+    merge-on-read reader drops matching rows, and vectors hiding in
+    un-merged fold deltas die too (the one commit log versions deletes
+    against folds). Physical reclaim happens at the next
+    ``_flatten_vectors`` on the refit/compaction cadence — the "truly
+    gone" GDPR step, same deferred-merge cost model as the fold.
 
     Centroids and the stats yardstick are untouched: the routing
     geometry is frozen between rebuild-cadence passes (the invariant the
     streaming loop's batch-boundary proof rests on), and removal can
     only SHRINK lists — ``maybe_refit_ann_index`` picks up any resulting
     imbalance on its normal cadence. Removing absent ids is a no-op, so
-    replay converges. Pending fold deltas are flattened first — a delete
-    must erase every physical trace, including rows still in un-merged
-    delta partitions (same contract as the text index's remove)."""
-    from pgcp_spark.sources.lake import delete
+    replay converges. ``keep`` is unused on the tombstone path (reader
+    grace is the flatten's concern; retained for signature stability —
+    non-default values warn, round-9 advisory)."""
+    from pgcp_spark.sources.lake import delete_delta
 
-    _flatten_vectors(spark, index_dir, keep=keep)
+    loop.warn_dead_keep(keep)
     ids = materialize(ids.select("vec_id").distinct())
-    delete(
-        spark,
-        os.path.join(index_dir, "vectors"),
-        keys=ids,
-        key=["vec_id"],
-        keep=keep,
-        cluster_by=_VECTORS_CLUSTER,
-        cluster_files=spark.sparkContext.defaultParallelism,
-    )
+    delete_delta(ids, os.path.join(index_dir, "vectors"), key=["vec_id"])
 
 
 def compact_ann_index(

@@ -181,7 +181,9 @@ def update_index(
         pairs but never wrong results (verification is exact).
 
     ``keep`` is unused on the append path (kept for signature stability;
-    reader grace is the flatten's concern)."""
+    reader grace is the flatten's concern) — a non-default value warns
+    rather than silently no-oping (round-9 advisory)."""
+    loop.warn_dead_keep(keep)
     append_delta(
         minhash_signatures(batch), os.path.join(index_dir, "signatures")
     )
@@ -280,23 +282,34 @@ def remove_from_index(
     corpus keeps matching future batches through its stored postings,
     resurfacing text the retention policy removed.
 
+    Since round 10 each delete lands as an O(keys) TOMBSTONE DELTA
+    (``lake.delete_delta`` — previously flatten + three keyed
+    copy-on-write rewrites whose cost grew with INDEX size, the exact
+    asymmetry round 9 removed from the fold side). The postings table is
+    keyed (shingle, doc_id) but the tombstone addresses doc_id alone —
+    the partial-key equality-delete shape the reader resolves by killing
+    every matching row older than the tombstone, so rows hiding in
+    un-merged fold deltas die too (one commit log versions deletes
+    against folds). Physical reclaim happens at the next maintenance
+    flatten (``promote_hot_shingles`` / ``compact_index`` /
+    ``remove``-free cadence ops all run ``_flatten_all`` first) — the
+    "truly gone" GDPR step, same deferred-merge cost model as the fold.
+
     ``hot_shingles`` is left untouched, the same frozen-cap contract as
     ``update_index``'s fold side: removal can only make a shingle
     COLDER, and a retained hot shingle only shrinks the capped universe
     — extra conservatism, never wrong results (``promote_hot_shingles``
     holds the inverse, monotone-hotter argument). The next rebuild-
     cadence pass re-derives the list either way. Removing absent ids is
-    a no-op, so replay converges. Pending fold deltas are flattened
-    first — the delete must erase every physical trace, including rows
-    still in un-merged delta partitions."""
-    from pgcp_spark.sources.lake import delete
+    a no-op, so replay converges. ``keep`` is unused on the tombstone
+    path (reader grace is the flatten's concern; retained for signature
+    stability — non-default values warn, round-9 advisory)."""
+    from pgcp_spark.sources.lake import delete_delta
 
-    _flatten_all(spark, index_dir, keep=keep)
+    loop.warn_dead_keep(keep)
     ids = materialize(ids.select("doc_id").distinct())
     for t in ("signatures", "postings", "sizes"):
-        delete(
-            spark, os.path.join(index_dir, t), keys=ids, key=["doc_id"], keep=keep
-        )
+        delete_delta(ids, os.path.join(index_dir, t), key=["doc_id"])
 
 
 RETENTION_MOD = 7  # the indexed-corpus slice the registered query removes

@@ -305,30 +305,27 @@ def remove_from_text_index(
     search system bolted onto a mutable lake; with ``lake.delete`` in
     the writer surface (round 8), index families must honor it too.
 
-    One keyed ``lake.delete`` per table (layout re-established through
-    the rewrite, same contract as the fold) + an exact integer stats
-    subtraction computed from the tiny doclen slice. CONVERGENCE:
-    remove == rebuild-on-retained BIT-EXACTLY (tokenization is
-    row-local, df derives at query time — same argument as
-    fold == rebuild; pinned in tests). Removing absent ids is a no-op,
-    so at-least-once replay converges.
+    The postings delete lands as an O(keys) TOMBSTONE DELTA
+    (``lake.delete_delta``, round 10 — previously flatten + a keyed
+    copy-on-write rewrite whose cost grew with INDEX size, the exact
+    asymmetry round 9 removed from the fold side): the corpus-sized
+    postings table is not read, the merge-on-read reader drops every
+    posting row whose doc matches, and rows hiding in un-merged fold
+    deltas die too (tombstones version AGAINST data deltas in the one
+    commit log — a doc folded at seq i and tombstoned at seq j > i is
+    gone). The physical reclaim — the "truly gone" half of the GDPR
+    contract — happens at the next ``compact_text_index`` flatten, the
+    same deferred-merge cost model as the fold. doclen stays
+    copy-on-write (doc-count-sized) and stats/ folds by the exact
+    integer subtraction computed from the doclen slice.
 
-    Pending fold deltas are FLATTENED first: a delete must erase every
-    physical trace (the GDPR contract), and rows hiding in un-merged
-    delta partitions would survive a base-only rewrite. Deletion is a
-    maintenance op on the compaction cadence, so paying the merge here
-    is the existing cost model, not a new one."""
-    from pgcp_spark.sources.lake import delete
+    CONVERGENCE: remove == rebuild-on-retained on EFFECTIVE content
+    (tokenization is row-local, df derives at query time — same argument
+    as fold == rebuild), and BIT-EXACTLY on the physical base after
+    flatten; both pinned in tests. Removing absent ids is a no-op, so
+    at-least-once replay converges."""
+    from pgcp_spark.sources.lake import delete, delete_delta
 
-    postings_dir = os.path.join(index_dir, "postings")
-    flatten_deltas(
-        spark,
-        postings_dir,
-        key=["doc_id"],
-        keep=keep,
-        cluster_by=["tok"],
-        cluster_files=spark.sparkContext.defaultParallelism,
-    )
     ids = materialize(ids.select("doc_id").distinct())
     doclen_dir = os.path.join(index_dir, "doclen")
     displaced = (
@@ -340,15 +337,7 @@ def remove_from_text_index(
         )
         .collect()[0]
     )
-    delete(
-        spark,
-        os.path.join(index_dir, "postings"),
-        keys=ids,
-        key=["doc_id"],
-        keep=keep,
-        cluster_by=["tok"],
-        cluster_files=spark.sparkContext.defaultParallelism,
-    )
+    delete_delta(ids, os.path.join(index_dir, "postings"), key=["doc_id"])
     delete(
         spark, doclen_dir, keys=ids, key=["doc_id"], keep=keep,
         cluster_by=["doc_id"],
@@ -515,7 +504,10 @@ def text_bm25_topk_index_delta_fold(spark: SparkSession, sf_dir: str) -> DataFra
             "doc_id", F.concat(F.col("text"), F.lit(" reindexed")).alias("text")
         )
         update_text_index(spark, batch, work)
-        assert delta_names(os.path.join(work, "postings")), "fold must be a delta"
+        # explicit raise, not assert: the delta-landing guard must hold
+        # under ``python -O`` too (round-9 advisory)
+        if not delta_names(os.path.join(work, "postings")):
+            raise RuntimeError("fold must land as a delta, not a base rewrite")
         result = materialize(bm25_from_index(spark, work))
     except BaseException:
         shutil.rmtree(work, ignore_errors=True)
@@ -563,6 +555,10 @@ def text_bm25_after_retention_delete(spark: SparkSession, sf_dir: str) -> DataFr
             docs.filter(F.col("doc_id") % RETENTION_MOD == 0).select("doc_id"),
             work,
         )
+        # the delete must land as an O(keys) tombstone delta, not a
+        # copy-on-write rewrite (round 10 — the fold guard's twin)
+        if not delta_names(os.path.join(work, "postings")):
+            raise RuntimeError("delete must land as a tombstone delta")
         result = materialize(bm25_from_index(spark, work))
     except BaseException:
         shutil.rmtree(work, ignore_errors=True)

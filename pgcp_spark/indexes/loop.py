@@ -70,6 +70,24 @@ from pgcp_spark.sources.lake import compact, current_snapshot
 _STAGE_EPOCH = 1_000_000_000  # fixed: identical staging bytes across runs
 
 
+def warn_dead_keep(keep: int, default: int = 2) -> None:
+    """Round-9 advisory: the delta-append fold/delete paths no longer
+    consume ``keep`` (reader grace moved to the flatten), but the
+    parameter stays for signature stability — a caller passing a
+    non-default value expecting grace control gets a WARNING instead of
+    a silent no-op."""
+    if keep != default:
+        import warnings
+
+        warnings.warn(
+            "keep is unused on the delta-append path (reader grace is the"
+            " flatten's concern); pass it to the flatten/compact cadence op"
+            " instead",
+            DeprecationWarning,
+            stacklevel=3,
+        )
+
+
 def content_version_dir(
     root: str, sf_dir: str, data_file: str, salt: str = ""
 ) -> str:

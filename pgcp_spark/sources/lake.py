@@ -36,6 +36,15 @@ the index-maintenance folds — ``append_delta`` / ``read_current_with_
 deltas`` / ``flatten_deltas`` provide the LSM alternative: O(batch)
 appends served alongside the base, merged into it only on the
 compaction cadence (block comment at the delta section below).
+
+Tombstone deltas (round 10): ``delete_delta`` is the DELETE-side twin —
+a delete lands as an O(keys) appended delta of key values marked
+``_tombstone`` instead of a full copy-on-write rewrite, the same
+asymmetry fix round 9 made for upsert-shaped folds (Delta's deletion
+vectors / Iceberg's equality deletes, reduced to this layer's
+pointer-file minimum). Tombstones share the ONE ``_DELTAS`` log, so
+commit order stays the version order: delete-then-reingest resurrects,
+ingest-then-delete deletes. ``flatten_deltas`` applies them physically.
 """
 
 from __future__ import annotations
@@ -55,6 +64,7 @@ SNAPSHOT_PREFIX = "snapshot_"
 DELTA_PREFIX = "delta_"
 DELTA_LOG = "_DELTAS"
 DELTA_RETIRED = "_DELTAS_RETIRED"
+TOMBSTONE = "_tombstone"
 
 
 def _pointer_path(table_dir: str) -> str:
@@ -201,11 +211,22 @@ def write_snapshot(
 #   write:  ``append_delta`` lands a batch as an immutable ``delta_<uuid>``
 #           dir and atomically appends its name to ``_DELTAS`` — an O(batch)
 #           append; the snapshot base is NOT touched.
+#   delete: ``delete_delta`` lands a KEY LIST as a delta whose rows carry
+#           only (sub-)key columns plus ``_tombstone = true`` — an O(keys)
+#           append in the SAME log, so commit order versions deletes
+#           against upserts. The tombstone key may be a PREFIX/SUBSET of
+#           the table's delta key (a postings table keyed
+#           (shingle, doc_id) deletes whole documents by doc_id alone —
+#           the equality-delete shape).
 #   read:   ``read_current_with_deltas`` serves base ∪ deltas with
 #           whole-KEY replacement semantics matching ``upsert``: a key
 #           present in any delta reads from its NEWEST delta only; base
 #           rows for touched keys are anti-joined away. Delta order =
 #           ``_DELTAS`` log order (commit order IS the version order).
+#           Tombstones then drop every row whose LAST WRITE (base = seq
+#           -1, delta winner = its log seq) is OLDER than the newest
+#           matching tombstone — so a re-ingest AFTER the delete
+#           resurrects the key, and one before it stays dead.
 #   merge:  ``flatten_deltas`` folds base ∪ deltas into a fresh snapshot on
 #           the maintenance cadence (compaction), then retires the folded
 #           delta dirs with ONE cycle of reader grace (the keep=2
@@ -276,26 +297,48 @@ def append_delta(
     return name
 
 
+def delete_delta(
+    keys: DataFrame, table_dir: str, key: list[str]
+) -> str:
+    """Land a DELETE as an O(keys) tombstone delta (module comment above)
+    — the delete-side twin of ``append_delta``: the table's base and its
+    pending data deltas are not read, let alone rewritten. ``keys`` is a
+    frame providing the ``key`` columns; ``key`` may be a SUBSET of the
+    table's delta key (equality-delete semantics: every row matching the
+    sub-key dies). The physical reclaim happens at the next
+    ``flatten_deltas`` on the compaction cadence — a GDPR pipeline that
+    needs "truly gone NOW" runs flatten + ``vacuum`` explicitly, the
+    same two-step contract ``delete``'s docstring states for retained
+    snapshots."""
+    df = keys.select(*key).distinct().withColumn(TOMBSTONE, F.lit(True))
+    return append_delta(df, table_dir, cluster_by=key)
+
+
 def read_current_with_deltas(
     spark: SparkSession, table_dir: str, key: list[str]
 ) -> DataFrame:
     """Merge-on-read view of base ∪ active deltas (module comment above):
-    whole-key replacement, newest delta wins, base fills the rest. With
-    no active deltas this IS ``read_current`` — zero overhead."""
+    whole-key replacement, newest delta wins, base fills the rest;
+    tombstone deltas kill every matching row whose last write predates
+    them. With no active deltas this IS ``read_current`` — zero
+    overhead; with no TOMBSTONE deltas the plan is exactly the round-9
+    data-only shape."""
     base = read_current(spark, table_dir)
     names = delta_names(table_dir)
     if not names:
         return base
     cols = base.columns
-    parts = [
-        spark.read.parquet(os.path.join(table_dir, n)).withColumn(
-            "_delta_seq", F.lit(i)
-        )
+    raw = [
+        (i, spark.read.parquet(os.path.join(table_dir, n)))
         for i, n in enumerate(names)
     ]
-    dall = parts[0]
-    for p in parts[1:]:
-        dall = dall.unionByName(p)
+    data = [
+        (i, p.withColumn("_delta_seq", F.lit(i)))
+        for i, p in raw
+        if TOMBSTONE not in p.columns
+    ]
+    tombs = [(i, p) for i, p in raw if TOMBSTONE in p.columns]
+
     # The touched-keys and newest-version frames are batch-sized UNDER
     # THE COMPACTION CADENCE, but nothing bounds how many folds a caller
     # defers — so no FORCED broadcast here: a forced hint on an
@@ -304,11 +347,46 @@ def read_current_with_deltas(
     # broadcast dynamically whenever the delta side is actually small
     # (the common case), and degrades to a shuffle join instead of
     # falling over when it is not.
-    touched = dall.select(*key).distinct()
-    newest = dall.groupBy(*key).agg(F.max("_delta_seq").alias("_delta_seq"))
-    winners = dall.join(newest, [*key, "_delta_seq"]).select(*cols)
-    kept = base.join(touched, on=key, how="left_anti").select(*cols)
-    return kept.unionByName(winners)
+    if data:
+        dall = data[0][1]
+        for _, p in data[1:]:
+            dall = dall.unionByName(p)
+        touched = dall.select(*key).distinct()
+        newest = dall.groupBy(*key).agg(F.max("_delta_seq").alias("_delta_seq"))
+        winners = dall.join(newest, [*key, "_delta_seq"])
+        kept = base.join(touched, on=key, how="left_anti")
+    else:
+        winners, kept = None, base
+    if not tombs:
+        if winners is None:
+            return kept.select(*cols)
+        return kept.select(*cols).unionByName(winners.select(*cols))
+
+    # Tombstone application: a row survives iff its last-write seq (base
+    # rows wrote at seq -1; delta winners at their log seq) is NEWER than
+    # every tombstone matching its (sub-)key. Tombstones are grouped by
+    # their key-column set — one left join + filter per distinct sub-key
+    # shape (in practice one), each tombstone side O(deleted keys).
+    resolved = kept.select(*cols, F.lit(-1).alias("_delta_seq"))
+    if winners is not None:
+        resolved = resolved.unionByName(
+            winners.select(*cols, F.col("_delta_seq"))
+        )
+    by_shape: dict[tuple[str, ...], list] = {}
+    for i, p in tombs:
+        shape = tuple(c for c in p.columns if c != TOMBSTONE)
+        by_shape.setdefault(shape, []).append(
+            p.select(*shape).withColumn("_t_seq", F.lit(i))
+        )
+    for shape, frames in by_shape.items():
+        tall = frames[0]
+        for f in frames[1:]:
+            tall = tall.unionByName(f)
+        newest_t = tall.groupBy(*shape).agg(F.max("_t_seq").alias("_t_seq"))
+        resolved = resolved.join(newest_t, on=list(shape), how="left").filter(
+            F.col("_t_seq").isNull() | (F.col("_delta_seq") > F.col("_t_seq"))
+        ).drop("_t_seq")
+    return resolved.select(*cols)
 
 
 def flatten_deltas(

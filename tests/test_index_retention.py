@@ -40,28 +40,45 @@ def _rows(df, *order):
 
 
 def test_text_remove_equals_rebuild_bit_exact(spark, tmp_path):
+    """Round 10: the delete lands as an O(keys) tombstone delta, so the
+    EFFECTIVE postings (merge-on-read) must equal the rebuild-on-retained
+    immediately, and the PHYSICAL base must be bit-exact after the
+    compaction-cadence flatten applies the tombstone."""
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     removed = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
     retained = docs.filter(F.col("doc_id") % 7 != 0)
 
     rm_dir, rb_dir = str(tmp_path / "rm"), str(tmp_path / "rb")
     build_text_index_from(spark, docs, rm_dir)
+    base_snap = lake.current_snapshot(os.path.join(rm_dir, "postings"))
     remove_from_text_index(spark, removed, rm_dir)
+    # O(keys) contract: the corpus-sized postings base was NOT rewritten;
+    # the delete is a committed tombstone delta
+    assert lake.current_snapshot(os.path.join(rm_dir, "postings")) == base_snap
+    assert len(lake.delta_names(os.path.join(rm_dir, "postings"))) == 1
     build_text_index_from(spark, retained, rb_dir)
     order = {"postings": ["tok", "doc_id"], "doclen": ["doc_id"], "stats": ["metric"]}
+
+    def _effective(index_dir, t):
+        if t == "postings":
+            return TI.stored_postings(spark, index_dir)
+        return lake.read_current(spark, os.path.join(index_dir, t))
+
     for t in TI._SUBTABLES:
-        got = _rows(lake.read_current(spark, os.path.join(rm_dir, t)), *order[t])
-        want = _rows(lake.read_current(spark, os.path.join(rb_dir, t)), *order[t])
+        got = _rows(_effective(rm_dir, t), *order[t])
+        want = _rows(_effective(rb_dir, t), *order[t])
         assert got == want, t
     # replay: removing the (now absent) ids again is a no-op
-    before = _rows(
-        lake.read_current(spark, os.path.join(rm_dir, "postings")), "tok", "doc_id"
-    )
+    before = _rows(TI.stored_postings(spark, rm_dir), "tok", "doc_id")
     remove_from_text_index(spark, removed, rm_dir)
-    assert (
-        _rows(lake.read_current(spark, os.path.join(rm_dir, "postings")), "tok", "doc_id")
-        == before
-    )
+    assert _rows(TI.stored_postings(spark, rm_dir), "tok", "doc_id") == before
+    # the cadence flatten applies the tombstone physically: base postings
+    # now bit-exact vs the rebuild, no deltas left
+    TI.compact_text_index(spark, rm_dir)
+    assert lake.delta_names(os.path.join(rm_dir, "postings")) == []
+    assert _rows(
+        lake.read_current(spark, os.path.join(rm_dir, "postings")), "tok", "doc_id"
+    ) == _rows(lake.read_current(spark, os.path.join(rb_dir, "postings")), "tok", "doc_id")
 
 
 def test_dedup_remove_blocks_future_matches(spark, tmp_path):

@@ -275,3 +275,100 @@ def test_vacuum_reaps_retired_deltas_spares_active_and_young_orphans(
         tuple(r) for r in lake.read_current_with_deltas(spark, table, ["id"]).collect()
     )
     assert got == [(1, "v2", 100.0)]  # the active delta still serves
+
+
+# ---------------------------------------------------------------------------
+# Tombstone deltas: O(keys) merge-on-read deletes (round 10)
+# ---------------------------------------------------------------------------
+
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def test_delete_delta_is_o_keys_and_base_untouched(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lake.write_snapshot(_df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]), table)
+    base_snap = lake.current_snapshot(table)
+    lake.delete_delta(_keys(spark, [2]), table, key=["id"])
+    assert lake.current_snapshot(table) == base_snap  # no rewrite happened
+    assert len(lake.delta_names(table)) == 1
+    got = sorted(
+        tuple(r) for r in lake.read_current_with_deltas(spark, table, ["id"]).collect()
+    )
+    assert got == [(1, "a", 1.0), (3, "c", 3.0)]
+    # the marker column never reaches readers
+    assert lake.read_current_with_deltas(spark, table, ["id"]).columns == [
+        "id", "name", "amount",
+    ]
+
+
+def test_tombstone_commit_order_versions_against_upserts(spark, tmp_path):
+    """Delete-then-reingest resurrects; ingest-then-delete deletes — the
+    ONE-log design's whole point (a post-resolution anti-join could not
+    express the resurrect case)."""
+    table = str(tmp_path / "t")
+    lake.write_snapshot(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), table)
+    lake.append_delta(_df(spark, [(3, "c", 3.0)]), table)          # seq 0
+    lake.delete_delta(_keys(spark, [1, 3]), table, key=["id"])     # seq 1
+    lake.append_delta(_df(spark, [(1, "a2", 10.0)]), table)        # seq 2
+    got = sorted(
+        tuple(r) for r in lake.read_current_with_deltas(spark, table, ["id"]).collect()
+    )
+    # 1 resurrected by the later upsert; 3 dead (tombstone newer than its
+    # delta write); 2 dead from the base (base always predates tombstones)
+    assert got == [(1, "a2", 10.0), (2, "b", 2.0)]
+
+
+def test_partial_key_tombstone_kills_all_matching_rows(spark, tmp_path):
+    """Equality-delete on a key PREFIX: a (shingle, doc_id)-keyed postings
+    table deletes whole documents by doc_id alone."""
+    table = str(tmp_path / "t")
+    post = spark.createDataFrame(
+        [("x", 1, 2), ("y", 1, 1), ("x", 2, 5)], "shingle string, doc_id long, n long"
+    )
+    lake.write_snapshot(post, table)
+    lake.append_delta(
+        spark.createDataFrame([("z", 1, 7)], "shingle string, doc_id long, n long"),
+        table,
+    )
+    lake.delete_delta(
+        spark.createDataFrame([(1,)], "doc_id long"), table, key=["doc_id"]
+    )
+    got = sorted(
+        tuple(r)
+        for r in lake.read_current_with_deltas(
+            spark, table, ["shingle", "doc_id"]
+        ).collect()
+    )
+    assert got == [("x", 2, 5)]
+
+
+def test_flatten_applies_tombstones_physically(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lake.write_snapshot(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), table)
+    lake.delete_delta(_keys(spark, [1]), table, key=["id"])
+    lake.flatten_deltas(spark, table, key=["id"])
+    assert lake.delta_names(table) == []
+    base = lake.read_current(spark, table)
+    assert base.columns == ["id", "name", "amount"]  # marker never lands
+    assert [tuple(r) for r in base.collect()] == [(2, "b", 2.0)]
+    # flatten + vacuum = the "truly gone" GDPR step: after the NEXT
+    # flatten/vacuum ends grace, no file under the table contains id=1
+    lake.vacuum(table, keep=1)
+    import glob as _glob
+
+    files = _glob.glob(os.path.join(table, "**", "*.parquet"), recursive=True)
+    rows = [tuple(r) for r in spark.read.parquet(*files).collect()]
+    assert (1, "a", 1.0) not in rows
+
+
+def test_tombstone_only_delta_set_and_replay_idempotence(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lake.write_snapshot(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), table)
+    lake.delete_delta(_keys(spark, [2]), table, key=["id"])
+    lake.delete_delta(_keys(spark, [2, 9]), table, key=["id"])  # replay + absent id
+    got = sorted(
+        tuple(r) for r in lake.read_current_with_deltas(spark, table, ["id"]).collect()
+    )
+    assert got == [(1, "a", 1.0)]

@@ -368,8 +368,11 @@ def test_compaction_flattens_pending_deltas(spark, tmp_path):
 
 def test_retention_delete_erases_pending_delta_rows_too(spark, tmp_path):
     """GDPR completeness across the delta layer: ids whose only rows live
-    in an un-merged fold delta must still be erased — remove flattens
-    first, so no physical trace survives anywhere in the table dir."""
+    in an un-merged fold delta must still be erased. Round 10: the
+    remove lands as an O(keys) TOMBSTONE delta in the same commit log,
+    so the fold rows die logically at once (tombstone seq > fold seq);
+    the PHYSICAL erasure is the explicit two-step — cadence flatten +
+    vacuum — after which no parquet file anywhere holds the doc."""
     from pgcp_spark.functions.text_index import remove_from_text_index
     from pgcp_spark.sources import lake
 
@@ -380,7 +383,8 @@ def test_retention_delete_erases_pending_delta_rows_too(spark, tmp_path):
         spark, spark.createDataFrame([(3,)], "doc_id long"), index_dir, keep=1
     )
     postings_dir = os.path.join(index_dir, "postings")
-    assert lake.delta_names(postings_dir) == []
+    # fold delta + tombstone delta, commit-ordered; base untouched
+    assert len(lake.delta_names(postings_dir)) == 2
     assert _table_rows(spark, index_dir, "postings") == [
         ("a", 1, 1, 2),
         ("b", 1, 1, 2),
@@ -391,8 +395,11 @@ def test_retention_delete_erases_pending_delta_rows_too(spark, tmp_path):
         ("n_docs", 2),
         ("total_tokens", 4),
     ]
-    # flatten retire + delete rewrite both passed: reclaim the grace dirs
-    # and verify NO parquet file anywhere still holds doc 3's rows
+    # the "truly gone" step: cadence flatten applies the tombstone
+    # physically, vacuum ends grace — then NO parquet file anywhere in
+    # the table dir still holds doc 3's rows
+    compact_text_index(spark, index_dir)
+    assert lake.delta_names(postings_dir) == []
     lake.vacuum(postings_dir, keep=1, orphan_min_age_s=0)
     import pyarrow.parquet as _pq
 
