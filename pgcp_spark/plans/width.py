@@ -223,7 +223,16 @@ def audit_single_partition_windows(name: str, plan: str) -> list[Finding]:
     """Flag SinglePartition exchanges feeding a Window over an UNBOUNDED
     input (module docstring: the one-task-sorts-the-corpus shape). The
     exchange passes if its own subtree contains a row-bounding node, or
-    if no Window/WindowGroupLimit sits among its next 3 ancestors."""
+    if no Window/WindowGroupLimit reaches it through its ancestor chain.
+
+    The ancestor walk goes ALL the way up (round-9 advisory: a fixed
+    3-node cap let ``Window ← ... ← Project ← Sort ← Exchange`` escape),
+    stopping only where the single-partition flow no longer matters:
+    another Exchange (the data is repartitioned before any higher
+    Window), a row-bounding node, or an Aggregate (a SinglePartition
+    exchange feeds an aggregate only in the GLOBAL-agg shape, whose
+    output is keyless and tiny — a Window above that sorts rows, not the
+    corpus)."""
     if name in WINDOW_ALLOWLIST:
         return []
     nodes = _tree_nodes(plan)
@@ -232,14 +241,20 @@ def audit_single_partition_windows(name: str, plan: str) -> list[Finding]:
     for j, (_, indent, nm, nid) in enumerate(nodes):
         if "Exchange" not in nm or kinds.get(nid) != "SinglePartition":
             continue
-        # ancestors: walk back through strictly-decreasing indents
+        # ancestors: walk back through strictly-decreasing indents, up to
+        # the tree root or the first flow-breaking node
         ancestors, cur = [], indent
         for k in range(j - 1, -1, -1):
             if nodes[k][1] < cur:
-                ancestors.append(nodes[k][2])
+                anc = nodes[k][2]
+                ancestors.append(anc)
                 cur = nodes[k][1]
-            if len(ancestors) == 3:
-                break
+                if (
+                    "Exchange" in anc
+                    or "Aggregate" in anc
+                    or any(b in anc for b in _BOUNDING_NODES)
+                ):
+                    break
         if not any("Window" in a for a in ancestors):
             continue  # global aggregate / collect shapes: not a window sort
         # subtree ends at the first node back at-or-above our indent

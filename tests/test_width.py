@@ -135,6 +135,38 @@ _GLOBAL_AGG_PLAN = (
     "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]\n"
 )
 
+# Round-10 advisory pin: a Project interposed between Sort and Exchange
+# pushed the Window past the old 3-ancestor cap — the gate must still
+# see it now that the walk goes to the root.
+_INTERPOSED_PROJECT_PLAN = (
+    "Window (14)\n"
+    "  WindowGroupLimit (13)\n"
+    "    Sort (12)\n"
+    "      Project (11)\n"
+    "        Exchange (10)\n"
+    "          Scan parquet (9)\n"
+    "\n"
+    "(10) Exchange\n"
+    "Input [2]: [doc_id#1L, cos_sim#2]\n"
+    "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]\n"
+)
+
+# A Window ABOVE a global aggregate: the SinglePartition exchange feeds
+# the keyless final HashAggregate (tiny output), so the window sorts
+# aggregate rows, not the corpus — the full-walk gate must NOT flag it.
+_WINDOW_OVER_GLOBAL_AGG_PLAN = (
+    "Window (14)\n"
+    "  Sort (13)\n"
+    "    HashAggregate (12)\n"
+    "      Exchange (11)\n"
+    "        HashAggregate (10)\n"
+    "          Scan parquet (9)\n"
+    "\n"
+    "(11) Exchange\n"
+    "Input [1]: [sum#3]\n"
+    "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]\n"
+)
+
 
 def test_window_gate_flags_unbounded_single_partition_window():
     (f,) = width.audit_single_partition_windows("some_query", _UNBOUNDED_WINDOW_PLAN)
@@ -148,6 +180,14 @@ def test_window_gate_passes_limit_bounded_window():
 
 def test_window_gate_keeps_flagging_partial_window_group_limit():
     assert len(width.audit_single_partition_windows("q", _GROUPLIMIT_WINDOW_PLAN)) == 1
+
+
+def test_window_gate_sees_window_past_interposed_project():
+    assert len(width.audit_single_partition_windows("q", _INTERPOSED_PROJECT_PLAN)) == 1
+
+
+def test_window_gate_stops_at_global_aggregate():
+    assert width.audit_single_partition_windows("q", _WINDOW_OVER_GLOBAL_AGG_PLAN) == []
 
 
 def test_window_gate_ignores_global_aggregates():
