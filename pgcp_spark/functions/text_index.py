@@ -41,8 +41,9 @@ harness (``indexes/loop.py``):
             the merge-on-read reader — tokens a replaced doc LOST still
             disappear, because the doc's entire posting set reads from
             its newest delta only. doclen stays copy-on-write (doc-count-
-            sized, two orders below postings) and stats/ folds by integer
-            deltas from the tiny doclen slice. Deltas merge into the base
+            sized, two orders below postings) and stats/ re-derives from
+            the committed doclen (crash-consistent pure function — the
+            round-10 pin). Deltas merge into the base
             at the existing compaction cadence (``compact_text_index`` →
             ``lake.flatten_deltas``). CONVERGENCE: fold == rebuild — the
             EFFECTIVE postings content is bit-identical to a from-scratch
@@ -168,6 +169,18 @@ def _write_tables(
         keep=keep,
         cluster_by=["doc_id"],
     )
+    _write_stats_from_doclen(spark, index_dir, keep=keep)
+
+
+def _write_stats_from_doclen(
+    spark: SparkSession, index_dir: str, keep: int = 1
+) -> None:
+    """Commit stats/ as a pure function of the COMMITTED doclen (one
+    doc-count-sized aggregate). Every stats write in this module goes
+    through here: build, fold, and remove — so the three tables can
+    never disagree beyond the documented crash window, and replaying
+    any maintenance step after a mid-sequence crash converges (the
+    round-10 crash-consistency pin)."""
     stored_dl = read_current(spark, os.path.join(index_dir, "doclen"))
     row = stored_dl.agg(
         F.count("*").alias("n_docs"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tot")
@@ -226,36 +239,30 @@ def update_text_index(
     express; new docs simply add rows. The postings fold is an APPENDED
     DELTA (O(batch); the corpus-sized base is not read, let alone
     rewritten); doclen stays copy-on-write (doc-count-sized) and stats/
-    folds by exact integer deltas (batch minus displaced, displaced read
-    from the doc_id-clustered doclen slice).
+    re-derives from the COMMITTED doclen (one doc-count-sized aggregate
+    — the same zero-recompute discipline as ``_write_tables``).
+
+    CRASH CONSISTENCY (round-10 pin, tests/test_text_index.py): the
+    three commits are ordered postings-delta → doclen → stats, each
+    atomic alone. A crash between them leaves a documented
+    reader-visible skew — new postings scored with the old
+    n_docs/avgdl — never an error, and AT-LEAST-ONCE REPLAY of the
+    batch converges bit-exactly with an uninterrupted fold: the
+    postings re-append shadows its twin (newest delta wins), the doclen
+    rewrite is idempotent (anti-join + union is a pure function of
+    pre-crash doclen + batch), and stats is a pure function of the
+    committed doclen — which is exactly why stats derives from doclen
+    instead of folding integer deltas: a delta fold replayed AFTER the
+    doclen commit would double-subtract the displaced docs and diverge
+    permanently.
 
     Replay-idempotent: re-folding the same batch appends a delta whose
-    rows shadow the previous delta's identical rows, and the stats delta
-    is zero. Fold == rebuild on effective content (module docstring;
-    pinned in tests)."""
+    rows shadow the previous delta's identical rows. Fold == rebuild on
+    effective content (module docstring; pinned in tests)."""
     batch_pt = materialize(doc_terms(batch_docs))
     ids = batch_pt.select("doc_id").distinct()
 
     doclen_dir = os.path.join(index_dir, "doclen")
-    displaced = (
-        read_current(spark, doclen_dir)
-        .join(F.broadcast(ids), "doc_id", "left_semi")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.sum("dl"), F.lit(0)).alias("tot"),
-        )
-        .collect()[0]
-    )
-    fresh = (
-        batch_pt.select("doc_id", "dl")
-        .distinct()
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.sum("dl"), F.lit(0)).alias("tot"),
-        )
-        .collect()[0]
-    )
-
     # the O(batch) append — clustered on tok so footer pruning works
     # inside the delta exactly as in the base
     append_delta(
@@ -272,27 +279,7 @@ def update_text_index(
         keep=keep,
         cluster_by=["doc_id"],
     )
-    old_stats = {
-        r.metric: r.value
-        for r in read_current(spark, os.path.join(index_dir, "stats")).collect()
-    }
-    write_snapshot(
-        spark.createDataFrame(
-            [
-                (
-                    "n_docs",
-                    int(old_stats["n_docs"]) - int(displaced.n_docs) + int(fresh.n_docs),
-                ),
-                (
-                    "total_tokens",
-                    int(old_stats["total_tokens"]) - int(displaced.tot) + int(fresh.tot),
-                ),
-            ],
-            "metric string, value long",
-        ),
-        os.path.join(index_dir, "stats"),
-        keep=keep,
-    )
+    _write_stats_from_doclen(spark, index_dir, keep=keep)
 
 
 def remove_from_text_index(
@@ -316,8 +303,12 @@ def remove_from_text_index(
     gone). The physical reclaim — the "truly gone" half of the GDPR
     contract — happens at the next ``compact_text_index`` flatten, the
     same deferred-merge cost model as the fold. doclen stays
-    copy-on-write (doc-count-sized) and stats/ folds by the exact
-    integer subtraction computed from the doclen slice.
+    copy-on-write (doc-count-sized) and stats/ re-derives from the
+    COMMITTED doclen — a pure function, so a crash between the doclen
+    delete and the stats commit repairs under at-least-once replay
+    (the fold's crash-consistency contract; an integer-subtraction fold
+    replayed after the doclen commit would see the ids already gone,
+    subtract zero, and leave stats stale forever).
 
     CONVERGENCE: remove == rebuild-on-retained on EFFECTIVE content
     (tokenization is row-local, df derives at query time — same argument
@@ -328,35 +319,12 @@ def remove_from_text_index(
 
     ids = materialize(ids.select("doc_id").distinct())
     doclen_dir = os.path.join(index_dir, "doclen")
-    displaced = (
-        read_current(spark, doclen_dir)
-        .join(F.broadcast(ids), "doc_id", "left_semi")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.sum("dl"), F.lit(0)).alias("tot"),
-        )
-        .collect()[0]
-    )
     delete_delta(ids, os.path.join(index_dir, "postings"), key=["doc_id"])
     delete(
         spark, doclen_dir, keys=ids, key=["doc_id"], keep=keep,
         cluster_by=["doc_id"],
     )
-    old_stats = {
-        r.metric: r.value
-        for r in read_current(spark, os.path.join(index_dir, "stats")).collect()
-    }
-    write_snapshot(
-        spark.createDataFrame(
-            [
-                ("n_docs", int(old_stats["n_docs"]) - int(displaced.n_docs)),
-                ("total_tokens", int(old_stats["total_tokens"]) - int(displaced.tot)),
-            ],
-            "metric string, value long",
-        ),
-        os.path.join(index_dir, "stats"),
-        keep=keep,
-    )
+    _write_stats_from_doclen(spark, index_dir, keep=keep)
 
 
 def compact_text_index(

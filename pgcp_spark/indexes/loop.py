@@ -49,6 +49,24 @@ Behavioral compatibility note: the fingerprint layout, staging epoch,
 and file naming are bit-identical to the pre-extraction per-family
 copies, so existing persisted indexes and replay-idempotence pins carry
 over unchanged.
+
+Crash consistency across multi-table folds (round-10 pin): a family
+whose fold touches several subtables commits them one atomic pointer
+swap at a time, so a crash mid-sequence leaves a READER-VISIBLE SKEW
+(never an error), repaired by the at-least-once replay every loop
+already guarantees. The text index is the worked case (three commits;
+skew = new postings scored with old stats; pinned in
+tests/test_text_index.py with a kill between each seam): replay
+converges because each commit is either an appended delta (the re-append
+shadows its twin — newest delta wins), an idempotent rewrite (a pure
+function of pre-crash state + batch), or a pure function of another
+committed table (stats from doclen). The dedup family's three delta
+appends and the ANN family's single vectors append satisfy the same
+three clauses, so one pinned family carries the argument — what must
+NOT appear in a fold is a read-modify-write whose input the fold itself
+commits earlier in the sequence (an integer-delta stats fold replayed
+after the doclen commit would double-subtract and diverge; that shape
+was removed in round 10).
 """
 
 from __future__ import annotations
@@ -65,9 +83,58 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgcp_spark.plans.materialize import current_mode, materialize
-from pgcp_spark.sources.lake import compact, current_snapshot
+from pgcp_spark.sources.lake import (
+    compact,
+    current_snapshot,
+    delta_names,
+    flatten_deltas,
+)
 
 _STAGE_EPOCH = 1_000_000_000  # fixed: identical staging bytes across runs
+
+# Auto-flatten threshold for the ingest loops (``maybe_flatten``): the
+# merge-on-read view unions every active delta, so deferred maintenance
+# compounds the read tax (~1.6× per fold delta at the SCALE.md r9
+# measurement point; ~1.2× per tombstone, r10). Eight batch-sized deltas
+# bounds the union at one compaction's worth of work while keeping the
+# flatten rare enough that folds stay O(batch) on average. Loops run at
+# this default; tests override per call.
+FLATTEN_MAX_DELTAS = 8
+
+
+def maybe_flatten(
+    spark: SparkSession,
+    table_dir: str,
+    key: list[str],
+    max_deltas: int | None = None,
+    keep: int = 2,
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
+) -> str | None:
+    """The self-healing half of the delta layer's contract (round 10):
+    flatten ``table_dir``'s active deltas into the base iff their count
+    has reached ``max_deltas`` (default ``FLATTEN_MAX_DELTAS``).
+
+    The AQE-over-forced-hints call on the merge-on-read reader (round 9)
+    names the failure mode this closes: an operator that defers
+    maintenance accumulates deltas without bound — the reader degrades
+    gracefully (shuffle join instead of driver OOM) but the read tax
+    compounds. Wiring this check into every ingest loop's fold step
+    makes the steady state self-healing: folds stay O(batch), and every
+    ``max_deltas``-th batch pays the one deferred merge — the same
+    amortization ``maybe_refit_ann_index`` applies to quantizer drift.
+    Returns the new snapshot name when a flatten ran, else None."""
+    limit = FLATTEN_MAX_DELTAS if max_deltas is None else max_deltas
+    if len(delta_names(table_dir)) < limit:
+        return None
+    return flatten_deltas(
+        spark,
+        table_dir,
+        key=key,
+        keep=keep,
+        cluster_by=cluster_by,
+        cluster_files=cluster_files,
+    )
 
 
 def warn_dead_keep(keep: int, default: int = 2) -> None:

@@ -221,6 +221,15 @@ def process_ingest_batch(
     else:
         upsert(spark, neighbors_dir, neighbors, key=["vec_id", "rank"], keep=2)
     update_ann_index(spark, batch, index_dir)
+    # self-healing cadence (round 10): every FLATTEN_MAX_DELTAS-th batch
+    # merges the fold deltas so the probe join's read tax never compounds
+    loop.maybe_flatten(
+        spark,
+        f"{index_dir}/vectors",
+        key=["vec_id"],
+        cluster_by=["list_id", "vec_id"],
+        cluster_files=spark.sparkContext.defaultParallelism,
+    )
 
 
 def run_ingest_ann(

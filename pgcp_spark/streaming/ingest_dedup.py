@@ -255,6 +255,15 @@ def process_ingest_batch(
     else:
         upsert(spark, decisions_dir, decisions, key=["doc_id"], keep=2)
     update_index(spark, batch, index_dir, batch_postings=batch_sh)
+    # self-healing cadence (round 10): every FLATTEN_MAX_DELTAS-th batch
+    # merges each subtable's fold deltas so the vs-index joins' read tax
+    # never compounds under deferred maintenance
+    for t, key in (
+        ("signatures", ["doc_id"]),
+        ("postings", ["shingle", "doc_id"]),
+        ("sizes", ["doc_id"]),
+    ):
+        loop.maybe_flatten(spark, os.path.join(index_dir, t), key=key)
 
 
 def run_ingest_dedup(

@@ -70,11 +70,22 @@ def _seq_col():
 
 def fold_text_batch(spark: SparkSession, batch: DataFrame, index_dir: str) -> None:
     """One micro-batch: build on first contact, replace-by-doc MERGE
-    after. Replay-idempotent (module docstring)."""
+    after. Replay-idempotent (module docstring). The fold lands as an
+    appended delta; ``loop.maybe_flatten`` keeps the steady state
+    self-healing — every FLATTEN_MAX_DELTAS-th batch pays the deferred
+    merge so deltas (and their compounding read tax) never accumulate
+    without bound."""
     if current_snapshot(f"{index_dir}/postings") is None:
         build_text_index_from(spark, batch, index_dir)
     else:
         update_text_index(spark, batch, index_dir)
+        loop.maybe_flatten(
+            spark,
+            f"{index_dir}/postings",
+            key=["doc_id"],
+            cluster_by=["tok"],
+            cluster_files=spark.sparkContext.defaultParallelism,
+        )
 
 
 def run_ingest_text(

