@@ -227,12 +227,23 @@ def ensure_retrieval_ann_index(spark: SparkSession, sf_dir: str) -> str:
 # same recall; the parameter is the caller's knob either way.
 RETRIEVAL_NPROBE = 8
 
+# The measured cost rule (round 10, tools/ann_crossover.py + SCALE.md):
+# below this corpus size the exact broadcast matvec beats the probe
+# machinery OUTRIGHT — at 60k/250k clustered vectors the exact leg wins
+# (1.6/1.1 s vs 2.3/1.8 s) and the crossover lands by 1M (2.12 s exact
+# vs 1.85 s at nprobe=2, leg overlap 1.00); on the shipped near-uniform
+# lakes the exact leg also wins at every scale. Same honesty as the
+# AQE-over-forced-hints call: don't pay index machinery the corpus is
+# too small to repay.
+ANN_LEG_EXACT_BELOW = 250_000
+
 
 def ann_cosine_leg(
     spark: SparkSession,
     sf_dir: str,
     depth: int = LEG_DEPTH,
     nprobe: int = RETRIEVAL_NPROBE,
+    exact_below: int = ANN_LEG_EXACT_BELOW,
 ) -> DataFrame:
     """(doc_id, vrank): the cosine leg served from the persisted IVF
     index — probe the stored centroids with the SAME deterministic query
@@ -241,7 +252,15 @@ def ann_cosine_leg(
     (nprobe of k lists), so the hybrid built on it registers rows-only
     with a rank-overlap floor vs the exact hybrid
     (tests/test_retrieval.py), the same recipe as every IVF/LSH recall
-    floor in the repo."""
+    floor in the repo.
+
+    ``exact_below`` is the measured cost rule (comment at
+    ``ANN_LEG_EXACT_BELOW``): when the valid-embedding corpus is smaller
+    than the threshold, the exact full-scan leg is CHEAPER than probing,
+    so it is served instead — same ranks or better (the exact leg is the
+    recall ceiling), strictly less cost. Pass 0 to force the IVF path
+    (the registered query and the floor tests do, since their job is to
+    prove the indexed machinery itself)."""
     from pgcp_spark.functions.ann_index import batch_vs_ann_index
 
     e = (
@@ -249,6 +268,8 @@ def ann_cosine_leg(
         .select("vec_id", "embedding")
         .filter(F.col("vec_id").isNotNull() & valid_embedding())
     )
+    if exact_below and e.limit(exact_below).count() < exact_below:
+        return cosine_leg(spark, sf_dir, depth=depth)
     q_rows = e.orderBy("vec_id").limit(1).collect()
     if not q_rows:
         return spark.createDataFrame([], "doc_id long, vrank int")
@@ -278,13 +299,19 @@ def hybrid_from_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding per query). Fusion algebra identical to the exact hybrid.
     A curation pipeline runs this thousands of times; the exact hybrid
     (`hybrid_bm25_cosine_rrf`) stays as the hash-checked yardstick the
-    overlap floor is measured against."""
+    overlap floor is measured against.
+
+    ``exact_below=0``: this query's JOB is to prove the indexed
+    machinery (the floors measure IT, not the cost rule), so it forces
+    the IVF path even on the small shipped lakes where
+    ``ANN_LEG_EXACT_BELOW`` would route production callers to the
+    cheaper exact leg."""
     from pgcp_spark.functions.text_index import bm25_from_index, ensure_text_index
 
     text_leg = bm25_from_index(spark, ensure_text_index(spark, sf_dir)).select(
         "doc_id", "rnk"
     )
-    vec_leg = ann_cosine_leg(spark, sf_dir)
+    vec_leg = ann_cosine_leg(spark, sf_dir, exact_below=0)
     return _rrf_fuse(text_leg, vec_leg)
 
 
@@ -405,6 +432,121 @@ def multi_cosine_legs(
     )
 
 
+def multi_ann_cosine_legs(
+    spark: SparkSession,
+    sf_dir: str,
+    qids: list[str],
+    depth: int = MULTI_HYBRID_TOP,
+    nprobe: int = RETRIEVAL_NPROBE,
+    exact_below: int = ANN_LEG_EXACT_BELOW,
+) -> DataFrame:
+    """(qid, doc_id, vrank): the multi-topic cosine legs served from the
+    persisted full-corpus IVF index as ONE BATCHED PROBE (round 10 —
+    previously the multi-topic hybrid's only vector leg was
+    ``multi_cosine_legs``' exact corpus scan per invocation, which made
+    thousand-topic curation re-read every embedding per call). The N
+    deterministic query vectors (same assignment rule as the exact leg)
+    go through ``batch_vs_ann_index`` in one call: N probe rows → the
+    UNION of their probed lists → one pruned vectors scan (pushed IN +
+    footer skipping) serves every topic. Adding a topic adds a probe
+    row and at most nprobe lists to the union — not a scan.
+
+    Approximate by contract (nprobe of k lists per topic), so the
+    hybrid built on it registers rows-only with per-topic overlap
+    floors vs the exact multi-topic hybrid (tests/test_retrieval.py) —
+    the ``hybrid_from_indexes`` recipe applied to the batch shape.
+    ``exact_below`` is the single leg's measured cost rule (comment at
+    ``ANN_LEG_EXACT_BELOW``): below the threshold the exact one-scan
+    batch leg is cheaper than the probe machinery, so it is served
+    instead; 0 forces the IVF path."""
+    from pgcp_spark.functions.ann_index import batch_vs_ann_index
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id").isNotNull() & valid_embedding())
+    )
+    if exact_below and e.limit(exact_below).count() < exact_below:
+        return multi_cosine_legs(spark, sf_dir, qids, depth=depth)
+    q_rows = e.orderBy("vec_id").limit(len(qids)).collect()
+    if not q_rows:
+        return spark.createDataFrame([], "qid string, doc_id long, vrank int")
+    index_dir = ensure_retrieval_ann_index(spark, sf_dir)
+    nbrs = batch_vs_ann_index(
+        spark,
+        spark.createDataFrame(q_rows),
+        index_dir,
+        nprobe=nprobe,
+        top_k=depth,
+    )
+    qmap = spark.createDataFrame(
+        [(qid, r.vec_id) for qid, r in zip(sorted(qids), q_rows)],
+        "qid string, vec_id long",
+    )
+    return nbrs.join(F.broadcast(qmap), "vec_id").select(
+        "qid",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("vrank"),
+    )
+
+
+def _multi_rrf_fuse(text: DataFrame, vec: DataFrame) -> DataFrame:
+    """Per-topic RRF fusion shared by the exact and indexed multi-topic
+    hybrids: full-outer join on (qid, doc_id), the single hybrid's exact
+    1/(K+rank) expression shapes, per-qid rank window over ≤ 2×depth
+    rows per topic."""
+    fused = text.join(vec, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rnk")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vrank")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        materialize(fused)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MULTI_HYBRID_TOP)
+        .select("qid", "doc_id", "rrf", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+@register(
+    "hybrid_multi_query_from_indexes",
+    # NO oracle by design: the vector legs probe nprobe of k IVF lists —
+    # approximate, so the driver records rows-only; correctness is the
+    # per-topic overlap floors vs the exact multi-topic hybrid plus the
+    # shared fusion algebra (tests/test_retrieval.py)
+    doc="multi-topic hybrid served ENTIRELY from persisted indexes: N text legs from ONE postings scan, N cosine legs from ONE batched IVF probe (union of probed lists, one pruned scan) — rows-only with per-topic overlap floors vs the exact multi-topic hybrid",
+)
+def hybrid_multi_query_from_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thousand-topic curation hot path with ZERO corpus scans per
+    invocation: text legs from the persisted postings (one pruned scan
+    for all topics — bit-exact), vector legs from the persisted
+    full-corpus IVF index (one batched probe for all topics —
+    approximate by contract), fused per topic with the exact hybrid's
+    algebra. This closes the round-9 gap where the multi-topic hybrid's
+    vector leg re-scanned all embeddings per call; the exact multi-topic
+    hybrid (`hybrid_multi_query_rrf`) stays as the hash-checked
+    yardstick its overlap floors are measured against."""
+    from pgcp_spark.functions.text_index import (
+        BATCH_QUERIES,
+        bm25_multi_query_from_index,
+        ensure_text_index,
+    )
+
+    text = bm25_multi_query_from_index(
+        spark, ensure_text_index(spark, sf_dir)
+    ).select("qid", "doc_id", "rnk")
+    # exact_below=0: this query's job is to prove the indexed machinery
+    # (same rationale as hybrid_from_indexes)
+    vec = multi_ann_cosine_legs(spark, sf_dir, sorted(BATCH_QUERIES), exact_below=0)
+    return _multi_rrf_fuse(text, vec)
+
+
 def _multi_hybrid_block(qid: str, terms: tuple, k: int) -> str:
     """One topic's fused oracle block: the batch-BM25 per-query block
     full-outer-joined with the k-th query vector's exact cosine top-k,
@@ -489,20 +631,4 @@ def hybrid_multi_query_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, ensure_text_index(spark, sf_dir)
     ).select("qid", "doc_id", "rnk")
     vec = multi_cosine_legs(spark, sf_dir, sorted(BATCH_QUERIES))
-    fused = text.join(vec, ["qid", "doc_id"], "full_outer").select(
-        "qid",
-        "doc_id",
-        F.round(
-            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rnk")), F.lit(0.0))
-            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vrank")), F.lit(0.0)),
-            9,
-        ).alias("rrf"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("rrf"), "doc_id")
-    return (
-        materialize(fused)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= MULTI_HYBRID_TOP)
-        .select("qid", "doc_id", "rrf", "rank")
-        .orderBy("qid", "rank")
-    )
+    return _multi_rrf_fuse(text, vec)

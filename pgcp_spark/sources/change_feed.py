@@ -352,3 +352,67 @@ def lake_incremental_agg_orders_cdc(spark: SparkSession, sf_dir: str) -> DataFra
         )
 
     return _run_incremental_agg(spark, sf_dir, mutate)
+
+
+_CDC_MOR_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+UNION ALL
+SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+FROM orders WHERE o_orderkey % 5 = 0
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "lake_cdc_merge_on_read_orders",
+    oracle=_CDC_MOR_ORACLE,
+    doc="CDC batch applied MERGE-ON-READ: merge_cdc_delta lands updates as an O(batch) data delta + deletes as an O(keys) tombstone (base untouched), reader resolves base ∪ deltas — hash-exact vs the post-CDC state recomputed from scratch",
+)
+def lake_cdc_merge_on_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 CDC hot path: the SAME batch shape as
+    ``lake_incremental_agg_orders_cdc`` (every 5th key an upsert with
+    doubled total — inserts where the key is outside the base — and
+    every 7th non-5th key a delete, with the %21 keys outside the base
+    proving the unmatched-delete no-op) applied through
+    ``lake.merge_cdc_delta`` instead of the copy-on-write ``merge_cdc``:
+    one data delta + one tombstone, the base snapshot untouched
+    (guarded by an explicit raise). The result is the merge-on-read
+    view, hash-checked against the post-CDC state recomputed from the
+    orders table — proving the delta-resolved read loses nothing vs the
+    rewrite it replaces."""
+    from pgcp_spark.sources.lake import (
+        current_snapshot,
+        merge_cdc_delta,
+        read_current_with_deltas,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    ups = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("_op", F.lit("upsert"))
+    )
+    dels = orders.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
+    ).withColumn("_op", F.lit("delete"))
+    tdir = tempfile.mkdtemp(prefix="pgcp_cdc_mor_")
+    try:
+        write_snapshot(base, tdir)
+        before = current_snapshot(tdir)
+        merge_cdc_delta(
+            spark, tdir, ups.unionByName(dels), key=["o_orderkey"]
+        )
+        if current_snapshot(tdir) != before:
+            raise RuntimeError("CDC apply must land as deltas, not a rewrite")
+        result = materialize(
+            read_current_with_deltas(spark, tdir, key=["o_orderkey"]).orderBy(
+                "o_orderkey"
+            )
+        )
+    except BaseException:
+        shutil.rmtree(tdir, ignore_errors=True)
+        raise
+    reclaim_by_mode(tdir)
+    return result

@@ -314,6 +314,43 @@ def delete_delta(
     return append_delta(df, table_dir, cluster_by=key)
 
 
+def merge_cdc_delta(
+    spark: SparkSession,
+    table_dir: str,
+    batch: DataFrame,
+    key: list[str],
+    op_col: str = "_op",
+    delete_op: str = "delete",
+) -> list[str]:
+    """Apply one CDC batch MERGE-ON-READ (round 10): the non-delete rows
+    land as an O(batch) data delta and the delete keys as an O(keys)
+    tombstone — the base is never read or rewritten, making this the
+    delta-layer twin of ``merge_cdc`` (whose copy-on-write rewrite stays
+    the right call when the batch is table-sized or the table is small).
+    Readers see the post-CDC state through ``read_current_with_deltas``;
+    ``flatten_deltas`` applies it physically on the compaction cadence.
+
+    Same contracts as ``merge_cdc``: the batch is key-unique (a key
+    appearing as both update and delete in one batch is a malformed
+    feed — which also makes the two deltas' relative order immaterial),
+    an unmatched delete is a no-op (a tombstone on an absent key kills
+    nothing), and at-least-once replay converges (the re-appended data
+    delta shadows its twin; the re-appended tombstone re-kills the same
+    keys). Schema evolution is NOT supported on this path — delta reads
+    align columns positionally against the base schema, so an evolving
+    feed takes the copy-on-write ``merge_cdc(evolve_schema=True)``.
+    Returns the committed delta names (data first, then tombstone;
+    either may be absent for a one-sided batch)."""
+    ups = batch.filter(~F.col(op_col).eqNullSafe(F.lit(delete_op))).drop(op_col)
+    dels = batch.filter(F.col(op_col).eqNullSafe(F.lit(delete_op))).select(*key)
+    names = []
+    if not ups.isEmpty():
+        names.append(append_delta(ups, table_dir))
+    if not dels.isEmpty():
+        names.append(delete_delta(dels, table_dir, key=key))
+    return names
+
+
 def read_current_with_deltas(
     spark: SparkSession, table_dir: str, key: list[str]
 ) -> DataFrame:

@@ -372,3 +372,58 @@ def test_tombstone_only_delta_set_and_replay_idempotence(spark, tmp_path):
         tuple(r) for r in lake.read_current_with_deltas(spark, table, ["id"]).collect()
     )
     assert got == [(1, "a", 1.0)]
+
+
+def test_merge_cdc_delta_matches_copy_on_write_merge_cdc(spark, tmp_path):
+    """The merge-on-read CDC apply must produce the SAME effective state
+    as the copy-on-write merge_cdc for the same batch — including the
+    unmatched-delete no-op — while landing as two deltas with the base
+    snapshot untouched; flatten converges the physical base too."""
+    rows = [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+    batch = spark.createDataFrame(
+        [
+            (2, "b2", 20.0, "upsert"),   # matched update
+            (4, "d", 4.0, "upsert"),     # unmatched insert
+            (3, None, None, "delete"),   # matched delete
+            (9, None, None, "delete"),   # unmatched delete: no-op
+        ],
+        "id long, name string, amount double, _op string",
+    )
+    mor, cow = str(tmp_path / "mor"), str(tmp_path / "cow")
+    lake.write_snapshot(_df(spark, rows), mor)
+    lake.write_snapshot(_df(spark, rows), cow)
+    before = lake.current_snapshot(mor)
+    names = lake.merge_cdc_delta(spark, mor, batch, key=["id"])
+    assert len(names) == 2 and lake.current_snapshot(mor) == before
+    lake.merge_cdc(spark, cow, batch, key=["id"])
+    want = sorted(tuple(r) for r in lake.read_current(spark, cow).collect())
+    got = sorted(
+        tuple(r) for r in lake.read_current_with_deltas(spark, mor, ["id"]).collect()
+    )
+    assert got == want == [(1, "a", 1.0), (2, "b2", 20.0), (4, "d", 4.0)]
+    # replay converges (at-least-once contract)
+    lake.merge_cdc_delta(spark, mor, batch, key=["id"])
+    got2 = sorted(
+        tuple(r) for r in lake.read_current_with_deltas(spark, mor, ["id"]).collect()
+    )
+    assert got2 == want
+    # flatten applies the whole batch physically
+    lake.flatten_deltas(spark, mor, key=["id"])
+    assert sorted(tuple(r) for r in lake.read_current(spark, mor).collect()) == want
+
+
+def test_merge_cdc_delta_one_sided_batches(spark, tmp_path):
+    table = str(tmp_path / "t")
+    lake.write_snapshot(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), table)
+    only_del = spark.createDataFrame(
+        [(1, None, None, "delete")], "id long, name string, amount double, _op string"
+    )
+    assert len(lake.merge_cdc_delta(spark, table, only_del, key=["id"])) == 1
+    only_ups = spark.createDataFrame(
+        [(5, "e", 5.0, "upsert")], "id long, name string, amount double, _op string"
+    )
+    assert len(lake.merge_cdc_delta(spark, table, only_ups, key=["id"])) == 1
+    got = sorted(
+        tuple(r) for r in lake.read_current_with_deltas(spark, table, ["id"]).collect()
+    )
+    assert got == [(2, "b", 2.0), (5, "e", 5.0)]

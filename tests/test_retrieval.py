@@ -106,7 +106,7 @@ def test_hybrid_from_indexes_rank_overlap_floor(spark):
     a_ids = {r.doc_id for r in approx}
     assert len(e_ids & a_ids) / len(e_ids) >= 0.70, (sorted(e_ids), sorted(a_ids))
     vl_e = {r.doc_id for r in cosine_leg(spark, SF_DIR).collect()}
-    vl_a = {r.doc_id for r in ann_cosine_leg(spark, SF_DIR).collect()}
+    vl_a = {r.doc_id for r in ann_cosine_leg(spark, SF_DIR, exact_below=0).collect()}
     assert len(vl_e & vl_a) / max(1, len(vl_e)) >= 0.50, (sorted(vl_e), sorted(vl_a))
 
 
@@ -122,7 +122,10 @@ def test_hybrid_from_indexes_fusion_algebra_holds(spark):
         r.doc_id: r.rnk
         for r in bm25_from_index(spark, ensure_text_index(spark, SF_DIR)).collect()
     }
-    vec_rank = {r.doc_id: r.vrank for r in ann_cosine_leg(spark, SF_DIR).collect()}
+    vec_rank = {
+        r.doc_id: r.vrank
+        for r in ann_cosine_leg(spark, SF_DIR, exact_below=0).collect()
+    }
     fused = hybrid_from_indexes(spark, SF_DIR).collect()
     assert len(fused) > 0
     for r in fused:
@@ -193,3 +196,91 @@ def test_multi_query_hybrid_matches_duckdb_oracle_and_topic_blocks(spark):
     for qid, ranks in by_qid.items():
         assert ranks == list(range(1, len(ranks) + 1)), qid
         assert len(ranks) <= MULTI_HYBRID_TOP
+
+
+def test_multi_topic_indexed_hybrid_per_topic_overlap_floors(spark):
+    """Round 10: the multi-topic hybrid served ENTIRELY from persisted
+    indexes (one postings scan + ONE batched IVF probe for all topics)
+    vs the exact multi-topic hybrid — per-topic floors pinned below the
+    measured ladder (fused 0.8-1.0, vector leg 0.7-0.8 per topic at
+    sf0.001/0.01 on these worst-case near-uniform embeddings). The text
+    legs are bit-exact by construction, so every approximation is the
+    vector legs'."""
+    from pgcp_spark.functions.retrieval import (
+        hybrid_multi_query_from_indexes,
+        hybrid_multi_query_rrf,
+        multi_ann_cosine_legs,
+        multi_cosine_legs,
+    )
+    from pgcp_spark.functions.text_index import BATCH_QUERIES
+
+    qids = sorted(BATCH_QUERIES)
+    exact = hybrid_multi_query_rrf(spark, SF_DIR).collect()
+    approx = hybrid_multi_query_from_indexes(spark, SF_DIR).collect()
+    ve_all = multi_cosine_legs(spark, SF_DIR, qids).collect()
+    va_all = multi_ann_cosine_legs(spark, SF_DIR, qids, exact_below=0).collect()
+    assert {r.qid for r in approx} == set(qids)
+    for qid in qids:
+        e = {r.doc_id for r in exact if r.qid == qid}
+        a = {r.doc_id for r in approx if r.qid == qid}
+        assert len(e & a) / max(1, len(e)) >= 0.60, (qid, sorted(e), sorted(a))
+        ve = {r.doc_id for r in ve_all if r.qid == qid}
+        va = {r.doc_id for r in va_all if r.qid == qid}
+        assert len(ve & va) / max(1, len(ve)) >= 0.50, (qid, sorted(ve), sorted(va))
+
+
+def test_multi_topic_indexed_hybrid_fusion_algebra_holds(spark):
+    """Same fusion contract as every hybrid: each fused row's rrf is
+    exactly the sum of its topic's legs' 1/(K+rank) terms, per-topic
+    ranks are total, and the text legs are bit-identical to the
+    stored-postings batch retrieval (zero approximation on that side)."""
+    from pgcp_spark.functions.retrieval import (
+        hybrid_multi_query_from_indexes,
+        multi_ann_cosine_legs,
+    )
+    from pgcp_spark.functions.text_index import (
+        BATCH_QUERIES,
+        bm25_multi_query_from_index,
+        ensure_text_index,
+    )
+
+    qids = sorted(BATCH_QUERIES)
+    text_rank = {
+        (r.qid, r.doc_id): r.rnk
+        for r in bm25_multi_query_from_index(
+            spark, ensure_text_index(spark, SF_DIR)
+        ).collect()
+    }
+    vec_rank = {
+        (r.qid, r.doc_id): r.vrank
+        for r in multi_ann_cosine_legs(spark, SF_DIR, qids, exact_below=0).collect()
+    }
+    fused = hybrid_multi_query_from_indexes(spark, SF_DIR).collect()
+    assert len(fused) > 0
+    by_qid = {}
+    for r in fused:
+        k = (r.qid, r.doc_id)
+        assert k in text_rank or k in vec_rank
+        want = round(
+            (1.0 / (RRF_K + text_rank[k]) if k in text_rank else 0.0)
+            + (1.0 / (RRF_K + vec_rank[k]) if k in vec_rank else 0.0),
+            9,
+        )
+        assert r.rrf == want, r
+        by_qid.setdefault(r.qid, []).append(r.rank)
+    for qid, ranks in by_qid.items():
+        assert ranks == list(range(1, len(ranks) + 1)), qid
+
+
+def test_ann_cosine_leg_cost_rule_routes_small_corpora_to_exact(spark):
+    """Round-10 cost rule: below ANN_LEG_EXACT_BELOW valid vectors the
+    leg serves the exact full scan (measured cheaper AND the recall
+    ceiling — tools/ann_crossover.py / SCALE.md); the shipped test lakes
+    are all below it, so the default-path result must be bit-identical
+    to cosine_leg. exact_below=0 forces the IVF machinery (used by the
+    registered query + the floor tests above)."""
+    from pgcp_spark.functions.retrieval import ann_cosine_leg, cosine_leg
+
+    exact = [tuple(r) for r in cosine_leg(spark, SF_DIR).collect()]
+    routed = [tuple(r) for r in ann_cosine_leg(spark, SF_DIR).collect()]
+    assert routed == exact and len(exact) > 0
