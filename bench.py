@@ -48,6 +48,8 @@ HEADLINE_NEW = [
     "hybrid_bm25_cosine_rrf",  # multi-modal RRF fusion (r8)
     "text_bm25_topk_index_delta_fold",  # merge-on-read across a fold delta (r9)
     "hybrid_multi_query_rrf",  # N topics, one scan per modality (r9)
+    "text_bm25_after_retention_delete",  # O(keys) tombstone delete + query (r10)
+    "lake_cdc_merge_on_read_orders",  # CDC batch applied as deltas (r10)
 ]
 
 

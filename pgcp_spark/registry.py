@@ -77,60 +77,59 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # window holds an r6-r8 row no older than its implementation, plus the
 # mimic matrix (COVERAGE.md).
 _AUDIT_PRIORITY: list[str] = [
-    # --- NEW in round 9 (no driver row yet — must enter the window) ---
-    "text_bm25_topk_index_delta_fold",  # hash-capable (post-fold-corpus oracle)
-    "hybrid_from_indexes",  # rows-only by design (IVF leg; overlap floor pinned)
-    "hybrid_multi_query_rrf",  # hash-capable (per-topic fused oracle union)
-    # --- changed in round 9 ---
-    "hybrid_bm25_cosine_rrf",  # cosine leg re-ranked, oracle null-guard
-    "text_bm25_topk_from_index",  # reads via merge-on-read stored_postings
-    "text_bm25_after_retention_delete",  # remove now flattens deltas first
-    "streaming_text_index_bm25",  # stream folds land as delta partitions
-    "text_bm25_multi_query_topk",  # reads via merge-on-read stored_postings
-    "dedup_incremental_batch_vs_index",  # reads via stored_table merge-on-read
-    "dedup_batch_vs_index_after_delete",  # remove now flattens deltas first
-    "sim_incremental_batch_vs_ann_index",  # reads via stored_vectors
-    "streaming_ingest_dedup_decisions",  # loop folds land as delta partitions
-    "streaming_ingest_ann_neighbors",  # loop folds land as delta partitions
-    # --- oldest rows: the full r5-latest cohort (27) ---
-    "agg_orders_by_status_priority",
-    "corpus_mix_rebalance",
-    "dedup_exact_documents",
-    "join_anti_parts_never_shipped",
-    "join_band_time_bucketed",
-    "join_cross_grid_nation_priority",
-    "join_customer_nation_region",
-    "join_full_outer_supplier_part_usage",
-    "join_left_outer_order_counts",
-    "join_partsupp_revenue",
-    "join_range_events_near_order",
-    "join_semi_customers_with_urgent_orders",
-    "multimodal_format_detect",
-    "multimodal_frame_sample",
-    "multimodal_payload_stats",
-    "rollup_cascade_events_daily",
-    "sample_hash_threshold_events",
-    "sample_stratified_documents",
-    "scalar_posexplode_tokens",
-    "sim_cosine_bruteforce_topk",
-    "sim_label_profile",
-    "sql_api_yearly_revenue",
-    "text_fingerprint_groups",
-    "text_langid_markers",
-    "text_quality_score",
-    "text_source_lang_profile",
-    "text_token_stats",
-    # --- alphabetically-first r6 rows filling the remaining 10 slots ---
-    "analytics_chisq_segment_event_type",
-    "anomaly_hourly_event_zscore",
-    "cohort_weekly_retention",
-    "dedup_cluster_canonical",
-    "dedup_embedding_cosine_pairs",
-    "dedup_jaccard_hot_shingle_capped",
-    "dedup_minhash_lsh_candidates",
-    "dedup_simhash_pairs",
-    "funnel_view_click_purchase",
-    "graph_connected_dup_clusters",
+    # --- NEW in round 10 (no driver row yet — must enter the window) ---
+    "lake_cdc_merge_on_read_orders",  # hash-capable (post-CDC state oracle)
+    "hybrid_multi_query_from_indexes",  # rows-only by design (IVF legs; per-topic floors pinned)
+    # --- changed in round 10 ---
+    "text_bm25_after_retention_delete",  # remove now tombstones (delete_delta); stats from doclen
+    "text_bm25_topk_index_delta_fold",  # assert->raise guard; stats from doclen
+    "text_bm25_topk_from_index",  # reader gained tombstone resolution
+    "text_bm25_multi_query_topk",  # reader gained tombstone resolution
+    "streaming_text_index_bm25",  # fold stats derivation + maybe_flatten cadence
+    "streaming_ingest_dedup_decisions",  # maybe_flatten cadence in the loop
+    "streaming_ingest_ann_neighbors",  # maybe_flatten cadence in the loop
+    "dedup_incremental_batch_vs_index",  # stored_table reader gained tombstone resolution
+    "dedup_batch_vs_index_after_delete",  # remove now tombstones (partial-key delete_delta)
+    "sim_incremental_batch_vs_ann_index",  # reader + keep-warn on fold/remove
+    "hybrid_from_indexes",  # vec leg gained the exact_below cost rule (forced 0 here)
+    "hybrid_multi_query_rrf",  # fusion refactored onto shared _multi_rrf_fuse
+    # --- oldest rows: the full r6-latest cohort (36) ---
+    "graph_pagerank_dup_docs",
+    "markov_event_type_transitions",
+    "q10_returned_items",
+    "q11_important_part_value",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_revenue_supplier",
+    "q16_brand_supplier_counts_not_in",
+    "q17_small_quantity_order_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_join_revenue",
+    "q21_sole_late_supplier",
+    "q2_cheapest_part_per_type",
+    "q4_priority_with_late_line",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_pair_volume",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "sim_cosine_lsh_pairs",
+    "streaming_append_finalized_windows",
+    "streaming_dedup_user_event_types",
+    "streaming_foreach_batch_lake_upsert",
+    "streaming_session_windows",
+    "streaming_sliding_window_value",
+    "streaming_stateful_user_stats",
+    "streaming_static_join_segment_value",
+    "streaming_stream_stream_join_click_purchase",
+    "streaming_tumbling_event_counts",
+    "text_bigram_lift_top",
+    "text_rarity_score",
+    "text_repeated_span_pairs",
+    "text_source_token_entropy",
+    "text_tfidf_top_terms",
+    "text_winnow_fingerprints",
 ]
 
 
