@@ -79,6 +79,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 _AUDIT_PRIORITY: list[str] = [
     # --- NEW in round 10 (no driver row yet — must enter the window) ---
     "lake_cdc_merge_on_read_orders",  # hash-capable (post-CDC state oracle)
+    "lake_cdc_pending_changes_orders",  # hash-capable (same oracle as the copy-on-write feed)
     "hybrid_multi_query_from_indexes",  # rows-only by design (IVF legs; per-topic floors pinned)
     # --- changed in round 10 ---
     "text_bm25_after_retention_delete",  # remove now tombstones (delete_delta); stats from doclen
@@ -129,7 +130,9 @@ _AUDIT_PRIORITY: list[str] = [
     "text_repeated_span_pairs",
     "text_source_token_entropy",
     "text_tfidf_top_terms",
-    "text_winnow_fingerprints",
+    # text_winnow_fingerprints is the one r6 row the 50-slot window cannot
+    # fit this round (15 new/changed + 35 of the 36 r6 rows); it is
+    # unchanged since r6 and leads the r11 backlog
 ]
 
 

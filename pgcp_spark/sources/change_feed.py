@@ -416,3 +416,54 @@ def lake_cdc_merge_on_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         raise
     reclaim_by_mode(tdir)
     return result
+
+
+@register(
+    "lake_cdc_pending_changes_orders",
+    # the SAME oracle as lake_delete_change_feed_orders (imported, not
+    # copied): the copy-on-write path got there via two commits + a
+    # snapshot diff; this path lands ONE merge_cdc_delta batch and reads
+    # the pending (un-flattened) feed — a hash match proves the
+    # merge-on-read CDC view is bit-identical to the rewrite-based feed
+    oracle=_DELETE_ORACLE,
+    doc="change feed over UN-FLATTENED deltas: one merge_cdc_delta batch (updates + deletes) lands as data delta + tombstone, pending_changes classifies base-vs-view — same oracle as the two-commit copy-on-write feed",
+)
+def lake_cdc_pending_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta layer's CDC story completed (round 10): the SAME
+    mutations as ``lake_delete_change_feed_orders`` (doubled totals for
+    every 5th key, deletes for the %7-non-5 slice) land as ONE
+    ``merge_cdc_delta`` batch — base untouched — and
+    ``lake.pending_changes`` reads what a merge-on-read reader sees that
+    the base doesn't: inserts, update pre/postimages, and delete rows
+    with their pre-delete values. Hash-matching the copy-on-write feed's
+    oracle proves a downstream CDC consumer can follow delta-landed
+    mutations BETWEEN compactions with the exact vocabulary (and
+    latency) it gets from rewrite-based commits. The diff is bounded at
+    batch size: both sides prune to delta-touched keys before the
+    full-outer join (broadcast semi — no corpus shuffle)."""
+    from pgcp_spark.sources.lake import merge_cdc_delta, pending_changes
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    ups = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("_op", F.lit("upsert"))
+    )
+    dels = orders.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
+    ).withColumn("_op", F.lit("delete"))
+    tdir = tempfile.mkdtemp(prefix="pgcp_cdc_pending_")
+    try:
+        write_snapshot(base, tdir)
+        merge_cdc_delta(spark, tdir, ups.unionByName(dels), key=["o_orderkey"])
+        result = materialize(
+            pending_changes(spark, tdir, key=["o_orderkey"]).orderBy(
+                "o_orderkey", "_change_type"
+            )
+        )
+    except BaseException:
+        shutil.rmtree(tdir, ignore_errors=True)
+        raise
+    reclaim_by_mode(tdir)
+    return result

@@ -811,7 +811,17 @@ def table_changes(
         ins = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
         dels = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
         return ins.unionByName(dels)
+    return _keyed_diff(old, new, cols, key)
 
+
+def _keyed_diff(
+    old: DataFrame, new: DataFrame, cols: list[str], key: list[str]
+) -> DataFrame:
+    """The keyed CDC diff core shared by ``table_changes`` (snapshot →
+    snapshot) and ``pending_changes`` (base → merge-on-read view): one
+    full-outer join on the key, null-side → insert/delete, null-safe
+    struct inequality → update pre/postimage pair. Both frames must
+    already be aligned to ``cols``."""
     nonkey = [c for c in cols if c not in key]
     o = old.select(*key, F.struct(*nonkey).alias("_old"))
     n = new.select(*key, F.struct(*nonkey).alias("_new"))
@@ -832,3 +842,68 @@ def table_changes(
         *[F.col(f"_c.r.{c}").alias(c) for c in nonkey],
         F.col("_c.t").alias("_change_type"),
     )
+
+
+def pending_changes(
+    spark: SparkSession, table_dir: str, key: list[str]
+) -> DataFrame:
+    """Change feed of the UN-FLATTENED deltas (round 10): everything a
+    merge-on-read reader sees that the base snapshot doesn't, classified
+    with ``table_changes``' exact vocabulary (insert / delete /
+    update_preimage / update_postimage). This is the CDC view a
+    downstream consumer (replica, incremental aggregate, index
+    maintenance) reads BETWEEN compactions — without it, delta-landed
+    mutations (``append_delta`` / ``delete_delta`` / ``merge_cdc_delta``)
+    are invisible to the feed until a flatten commits them, which would
+    couple CDC latency to the compaction cadence. After a flatten the
+    pending feed is empty by construction (the view equals the new base).
+
+    Scale: unlike ``table_changes`` (whose two snapshots can differ
+    anywhere, forcing a corpus-vs-corpus keyed diff), here every change
+    is BY CONSTRUCTION at a delta-touched key — so both sides are first
+    semi-joined to the union of the deltas' key values (batch-sized
+    under the compaction cadence → AQE broadcasts it, one pass over the
+    base, no corpus shuffle) and the full-outer diff itself runs over
+    batch-sized frames. A tombstone whose sub-key is a PREFIX of ``key``
+    still prunes correctly: the semi-join on the prefix keeps every row
+    the tombstone could kill."""
+    base = read_current(spark, table_dir)
+    names = delta_names(table_dir)
+    if not names:  # nothing pending: empty feed, zero scans beyond schema
+        return _keyed_diff(base.limit(0), base.limit(0), base.columns, key)
+    view = read_current_with_deltas(spark, table_dir, key)
+    shapes = _touched_key_shapes(spark, table_dir, names, key)
+
+    def pruned(df: DataFrame) -> DataFrame:
+        # a row is in play if ANY shape's touched set matches it (union,
+        # not intersection — a prefix tombstone and a full-key data delta
+        # each independently put rows in play); the table is key-unique
+        # (the keyed-diff contract), so the cross-shape dedup is exact
+        parts = [df.join(t, on=s, how="left_semi") for s, t in shapes]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.dropDuplicates(key) if len(parts) > 1 else out
+
+    return _keyed_diff(pruned(base), pruned(view), base.columns, key)
+
+
+def _touched_key_shapes(
+    spark: SparkSession, table_dir: str, names: list[str], key: list[str]
+):
+    """[(key-column subset, distinct touched values)] across the active
+    deltas, grouped by each delta's own key shape (a partial-key
+    tombstone contributes its prefix columns only). Used by
+    ``pending_changes`` to bound the diff at batch size."""
+    by_shape: dict[tuple[str, ...], list[DataFrame]] = {}
+    for n in names:
+        p = spark.read.parquet(os.path.join(table_dir, n))
+        shape = tuple(c for c in key if c in p.columns)
+        by_shape.setdefault(shape, []).append(p.select(*shape))
+    out = []
+    for shape, frames in by_shape.items():
+        tall = frames[0]
+        for f in frames[1:]:
+            tall = tall.unionByName(f)
+        out.append((list(shape), tall.distinct()))
+    return out

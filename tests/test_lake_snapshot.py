@@ -427,3 +427,55 @@ def test_merge_cdc_delta_one_sided_batches(spark, tmp_path):
         tuple(r) for r in lake.read_current_with_deltas(spark, table, ["id"]).collect()
     )
     assert got == [(2, "b", 2.0), (5, "e", 5.0)]
+
+
+def test_pending_changes_classifies_unflattened_deltas(spark, tmp_path):
+    """The pending feed must classify exactly what the merge-on-read
+    reader sees beyond the base — including a no-op upsert (identical
+    row re-appended: NOT a change) — and drain to empty after flatten."""
+    table = str(tmp_path / "t")
+    lake.write_snapshot(_df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]), table)
+    lake.append_delta(
+        _df(spark, [(2, "b2", 20.0), (4, "d", 4.0), (1, "a", 1.0)]), table
+    )  # update, insert, and a no-op replay of row 1
+    lake.delete_delta(_keys(spark, [3]), table, key=["id"])
+    got = sorted(
+        tuple(r) for r in lake.pending_changes(spark, table, key=["id"]).collect()
+    )
+    assert got == [
+        (2, "b", 2.0, "update_preimage"),
+        (2, "b2", 20.0, "update_postimage"),
+        (3, "c", 3.0, "delete"),
+        (4, "d", 4.0, "insert"),
+    ]
+    lake.flatten_deltas(spark, table, key=["id"])
+    assert lake.pending_changes(spark, table, key=["id"]).count() == 0
+
+
+def test_pending_changes_mixed_key_shapes_union_not_intersection(spark, tmp_path):
+    """A full-key data delta and a PREFIX-key tombstone touch disjoint
+    rows: the feed must report both (the touched-key pruning is a union
+    across shapes — an intersection would silently drop one side)."""
+    table = str(tmp_path / "t")
+    post = spark.createDataFrame(
+        [("x", 1, 2), ("y", 2, 1)], "shingle string, doc_id long, n long"
+    )
+    lake.write_snapshot(post, table)
+    lake.append_delta(
+        spark.createDataFrame([("x", 1, 9)], "shingle string, doc_id long, n long"),
+        table,
+    )
+    lake.delete_delta(
+        spark.createDataFrame([(2,)], "doc_id long"), table, key=["doc_id"]
+    )
+    got = sorted(
+        tuple(r)
+        for r in lake.pending_changes(
+            spark, table, key=["shingle", "doc_id"]
+        ).collect()
+    )
+    assert got == [
+        ("x", 1, 2, "update_preimage"),
+        ("x", 1, 9, "update_postimage"),
+        ("y", 2, 1, "delete"),
+    ]
