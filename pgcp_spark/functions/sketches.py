@@ -240,7 +240,16 @@ def retire_sketch_days(spark: SparkSession, table_dir: str, before_day) -> str:
     replace-not-union contract the streaming loop relies on); pinned in
     tests/test_sketches.py. Pending fold deltas flatten into the base
     first — retention must erase every physical trace, including
-    partials still in un-merged deltas."""
+    partials still in un-merged deltas.
+
+    Deliberately NOT a tombstone delta (round-10 note): the other three
+    families' removes moved to O(keys) ``lake.delete_delta`` because
+    their deletes are ad-hoc key lists against corpus-sized tables;
+    this one is a RANGE predicate, runs ON the retention cadence (where
+    the flatten is already due), and rewrites a day-partials-sized
+    table — thousands of rows at any corpus size, since the partial IS
+    the day×event_type aggregate. A day-list tombstone would save a
+    rewrite that costs less than the day-list scan needed to build it."""
     lake.flatten_deltas(
         spark, table_dir, key=["event_type", "day"], keep=2, cluster_by=["day"]
     )
