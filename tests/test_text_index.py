@@ -451,6 +451,17 @@ def test_tok_filter_pushes_into_base_and_delta_scans(spark, tmp_path):
     tok_in = [f for f in filters if "tok" in f and "In(" in f]
     # base postings scan + delta scan both carry the pushed IN filter
     assert len(tok_in) >= 2, filters
+    # round 10: a pending TOMBSTONE must not cost the pushdown either —
+    # the tombstone resolution is a left join on the preserved side, so
+    # the term filter still reaches base AND data-delta scans through it
+    from pgcp_spark.functions.text_index import remove_from_text_index
+
+    remove_from_text_index(
+        spark, spark.createDataFrame([(2,)], "doc_id long"), index_dir
+    )
+    filters = pushed_filters(bm25_from_index(spark, index_dir))
+    tok_in = [f for f in filters if "tok" in f and "In(" in f]
+    assert len(tok_in) >= 2, filters
 
 
 def test_flatten_crash_between_commit_and_log_clear_converges(spark, tmp_path):
