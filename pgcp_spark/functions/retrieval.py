@@ -229,13 +229,17 @@ RETRIEVAL_NPROBE = 8
 
 # The measured cost rule (round 10, tools/ann_crossover.py + SCALE.md):
 # below this corpus size the exact broadcast matvec beats the probe
-# machinery OUTRIGHT — at 60k/250k clustered vectors the exact leg wins
-# (1.6/1.1 s vs 2.3/1.8 s) and the crossover lands by 1M (2.12 s exact
-# vs 1.85 s at nprobe=2, leg overlap 1.00); on the shipped near-uniform
-# lakes the exact leg also wins at every scale. Same honesty as the
-# AQE-over-forced-hints call: don't pay index machinery the corpus is
-# too small to repay.
-ANN_LEG_EXACT_BELOW = 250_000
+# machinery — at 60k/250k clustered vectors the exact leg wins outright
+# (1.6/1.1 s vs 2.3/1.8 s) and the crossover lands between 250k and 1M
+# (at 1M: 2.12 s exact vs 1.85 s at nprobe=2, leg overlap 1.00); on the
+# shipped near-uniform lakes the exact leg also wins at every scale.
+# The threshold sits AT the crossover's upper bracket, not the last
+# exact-wins point: routing exact at 999k costs at most the measured
+# ~13% 1M edge, while a 250k threshold would route the measured-60%-
+# slower IVF leg to everything in the unmeasured 250k–1M band. Same
+# honesty as the AQE-over-forced-hints call: don't pay index machinery
+# the corpus is too small to repay.
+ANN_LEG_EXACT_BELOW = 1_000_000
 
 
 def ann_cosine_leg(

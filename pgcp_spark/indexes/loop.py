@@ -146,11 +146,15 @@ def warn_dead_keep(keep: int, default: int = 2) -> None:
     if keep != default:
         import warnings
 
+        # FutureWarning, not DeprecationWarning: the default warning
+        # filters hide DeprecationWarning outside __main__/test runners,
+        # which would make this exactly the silent no-op it exists to
+        # prevent — library callers must actually see it
         warnings.warn(
             "keep is unused on the delta-append path (reader grace is the"
             " flatten's concern); pass it to the flatten/compact cadence op"
             " instead",
-            DeprecationWarning,
+            FutureWarning,
             stacklevel=3,
         )
 

@@ -340,7 +340,16 @@ def merge_cdc_delta(
     align columns positionally against the base schema, so an evolving
     feed takes the copy-on-write ``merge_cdc(evolve_schema=True)``.
     Returns the committed delta names (data first, then tombstone;
-    either may be absent for a one-sided batch)."""
+    either may be absent for a one-sided batch).
+
+    The batch is MATERIALIZED before the split: each side is evaluated
+    twice (emptiness probe + delta write), and a non-deterministic
+    source re-computed between those jobs could commit a delta that
+    disagrees with the probe — the same multi-use discipline the index
+    removes apply to their id frames."""
+    from pgcp_spark.plans.materialize import materialize
+
+    batch = materialize(batch)
     ups = batch.filter(~F.col(op_col).eqNullSafe(F.lit(delete_op))).drop(op_col)
     dels = batch.filter(F.col(op_col).eqNullSafe(F.lit(delete_op))).select(*key)
     names = []

@@ -479,3 +479,20 @@ def test_pending_changes_mixed_key_shapes_union_not_intersection(spark, tmp_path
         ("x", 1, 9, "update_postimage"),
         ("y", 2, 1, "delete"),
     ]
+
+
+def test_warn_dead_keep_is_visible_by_default():
+    """Round-9 advisory follow-up: the dead-keep warning must be a
+    FutureWarning (shown under Python's default filters) — a
+    DeprecationWarning is hidden outside __main__/test runners, which
+    would be exactly the silent no-op the warning exists to prevent."""
+    import warnings
+
+    from pgcp_spark.indexes.loop import warn_dead_keep
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("default")
+        warn_dead_keep(2)  # default: silent
+        assert w == []
+        warn_dead_keep(5)
+        assert len(w) == 1 and issubclass(w[0].category, FutureWarning)

@@ -85,18 +85,27 @@ def main():
     for n in sizes:
         lake_dir = f"/tmp/ann_cross/{n}"
         synth(spark, n, lake_dir)
-        # warm: build the index once (excluded from timing)
-        R.ann_cosine_leg(spark, lake_dir).collect()
+        # warm: build the index once (excluded from timing).
+        # exact_below=0 EVERYWHERE here: this tool measures the IVF
+        # machinery itself — letting ANN_LEG_EXACT_BELOW route
+        # sub-threshold sizes to the exact leg would silently record
+        # exact-leg times as "IVF" datapoints and fabricate the very
+        # crossover table the rule is derived from.
+        R.ann_cosine_leg(spark, lake_dir, exact_below=0).collect()
         exact_t = med(lambda: R.cosine_leg(spark, lake_dir).collect())
         vl_e = {r.doc_id for r in R.cosine_leg(spark, lake_dir).collect()}
         line = [f"@@ n={n} exact={exact_t:.2f}s"]
         for nprobe in (2, 4, 8):
             ivf_t = med(
-                lambda: R.ann_cosine_leg(spark, lake_dir, nprobe=nprobe).collect()
+                lambda: R.ann_cosine_leg(
+                    spark, lake_dir, nprobe=nprobe, exact_below=0
+                ).collect()
             )
             vl_a = {
                 r.doc_id
-                for r in R.ann_cosine_leg(spark, lake_dir, nprobe=nprobe).collect()
+                for r in R.ann_cosine_leg(
+                    spark, lake_dir, nprobe=nprobe, exact_below=0
+                ).collect()
             }
             ov = len(vl_e & vl_a) / max(1, len(vl_e))
             line.append(f"np{nprobe}={ivf_t:.2f}s/ov{ov:.2f}")
