@@ -50,37 +50,36 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # come first; entries already re-proven in a recent round's
 # CORRECTNESS_r{N}.json rotate to the back.
 #
-# Round-9 window. The staleness invariant (no entry's driver row predates
-# its current implementation) has priority. Head of window:
-#   * 3 queries ADDED in round 9 — the delta-fold retrieval query
-#     (hash-capable: base ∪ un-merged delta vs the from-scratch oracle
-#     on the post-fold corpus), the all-persisted-indexes hybrid
-#     (rows-only BY DESIGN: its IVF leg probes 8 of 16 lists; the
-#     rank-overlap floor vs the exact hybrid is pinned in
-#     tests/test_retrieval.py), and the multi-topic hybrid (hash-capable:
-#     per-topic RRF fusion vs the per-topic oracle union);
-#   * 10 queries whose implementation CHANGED in round 9 — the hybrid
-#     (cosine leg re-ranked via TakeOrderedAndProject + NULL-vec_id
-#     guard, oracle updated to match) and the nine index-family queries
-#     whose read/fold/remove paths moved onto the merge-on-read delta
-#     layer (results pinned identical, but the code is new): the four
-#     text-index queries, the two dedup-index queries, the incremental
-#     ANN query, and the two streaming ingest loops.
-# The remaining 37 slots re-prove the OLDEST standing rows, cumulative
-# ledger recomputed from CORRECTNESS_r01..r08: the full r5-latest cohort
-# (27 — joins incl. range/band/semi/anti/outer, multimodal, sampling,
-# text analysis heads, sim bruteforce) and the alphabetically-first 10
-# r6 rows. Still excluded: agg_approx_distinct_customers (rows-only AND
-# unchanged since its r1 row — a new row adds nothing, rationale
-# standing since r5) and dedup_ngram_jaccard_pairs (dead ledger —
-# quarantined out of the registry in r5). Everything else outside the
-# window holds an r6-r8 row no older than its implementation, plus the
-# mimic matrix (COVERAGE.md).
+# Round-10 window. The staleness invariant (no entry's driver row
+# predates its current implementation) has priority. Head of window:
+#   * 4 queries ADDED in round 10 — the two CDC merge-on-read queries
+#     (both hash-capable: the delta-applied batch vs the post-CDC state,
+#     and the pending-delta feed vs the copy-on-write feed's unchanged
+#     oracle), the indexed multi-topic hybrid and the int8 two-stage ANN
+#     probe (both rows-only BY DESIGN: IVF routing / int8 candidate
+#     selection; overlap floors + exact-refine pins in tests);
+#   * 12 queries whose implementation CHANGED in round 10 — the
+#     tombstone-delete retention pair, the tombstone-aware merge-on-read
+#     readers (text/dedup/ANN families), the stats-from-doclen
+#     crash-consistency rework, the three loop queries that gained the
+#     maybe_flatten cadence, and the two hybrids (cost rule / shared
+#     fusion refactor).
+# The remaining 34 slots re-prove the OLDEST standing rows: the
+# r6-latest cohort minus its two alphabetically-last members
+# (text_tfidf_top_terms, text_winnow_fingerprints — unchanged since r6,
+# they lead the r11 backlog). Still excluded:
+# agg_approx_distinct_customers (rows-only AND unchanged since its r1
+# row — a new row adds nothing, rationale standing since r5) and
+# dedup_ngram_jaccard_pairs (dead ledger — quarantined out of the
+# registry in r5). Everything else outside the window holds an r7-r9
+# row no older than its implementation, plus the mimic matrix
+# (COVERAGE.md).
 _AUDIT_PRIORITY: list[str] = [
     # --- NEW in round 10 (no driver row yet — must enter the window) ---
     "lake_cdc_merge_on_read_orders",  # hash-capable (post-CDC state oracle)
     "lake_cdc_pending_changes_orders",  # hash-capable (same oracle as the copy-on-write feed)
     "hybrid_multi_query_from_indexes",  # rows-only by design (IVF legs; per-topic floors pinned)
+    "sim_batch_vs_int8_ann_index",  # rows-only by design (int8 candidates; exact-refine + floors pinned)
     # --- changed in round 10 ---
     "text_bm25_after_retention_delete",  # remove now tombstones (delete_delta); stats from doclen
     "text_bm25_topk_index_delta_fold",  # assert->raise guard; stats from doclen
@@ -129,10 +128,10 @@ _AUDIT_PRIORITY: list[str] = [
     "text_rarity_score",
     "text_repeated_span_pairs",
     "text_source_token_entropy",
-    "text_tfidf_top_terms",
-    # text_winnow_fingerprints is the one r6 row the 50-slot window cannot
-    # fit this round (15 new/changed + 35 of the 36 r6 rows); it is
-    # unchanged since r6 and leads the r11 backlog
+    # text_tfidf_top_terms and text_winnow_fingerprints are the two r6
+    # rows the 50-slot window cannot fit this round (16 new/changed + 34
+    # of the 36 r6 rows); both unchanged since r6, they lead the r11
+    # backlog
 ]
 
 
@@ -192,6 +191,7 @@ def _load_operator_modules() -> None:
     import pgcp_spark.functions.corpus  # noqa: F401
     import pgcp_spark.functions.dedup  # noqa: F401
     import pgcp_spark.functions.ann_index  # noqa: F401
+    import pgcp_spark.functions.ann_int8  # noqa: F401
     import pgcp_spark.functions.dedup_index  # noqa: F401
     import pgcp_spark.functions.graph  # noqa: F401
     import pgcp_spark.functions.multimodal  # noqa: F401
