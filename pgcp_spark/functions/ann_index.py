@@ -562,6 +562,13 @@ def compact_ann_index(
             }
         },
     )
+    # the flatten/compaction just committed a new vectors snapshot, so any
+    # int8 sidecar on disk is now snapshot-stale: unreachable by name (the
+    # correctness half) but still corpus-sized bytes — reclaim it here, the
+    # cadence being the explicit end of reader grace (lake.vacuum's rule)
+    from pgcp_spark.functions.ann_int8 import reclaim_stale_sidecars
+
+    reclaim_stale_sidecars(index_dir)
 
 
 @register(

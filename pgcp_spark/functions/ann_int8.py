@@ -48,6 +48,7 @@ transform in functions/similarity.py.
 from __future__ import annotations
 
 import os
+import shutil
 
 import numpy as np
 
@@ -72,6 +73,8 @@ from pgcp_spark.sources.lake import (
 
 RESCORE_FACTOR = 4  # candidates kept per returned neighbor before refine
 
+SIDECAR_PREFIX = "qvectors_"
+
 
 def _sidecar_dir(index_dir: str) -> str:
     """The sidecar lives inside the index dir, keyed by the vectors
@@ -82,7 +85,28 @@ def _sidecar_dir(index_dir: str) -> str:
     snap = current_snapshot(os.path.join(index_dir, "vectors"))
     if snap is None:
         raise FileNotFoundError(f"no committed vectors in {index_dir}")
-    return os.path.join(index_dir, f"qvectors_{snap}")
+    return os.path.join(index_dir, f"{SIDECAR_PREFIX}{snap}")
+
+
+def reclaim_stale_sidecars(index_dir: str) -> list[str]:
+    """Physically remove sidecar dirs keyed to a vectors snapshot that is
+    no longer current. The snapshot-keyed name already guarantees a stale
+    sidecar can never be SERVED (``_sidecar_dir`` only ever resolves the
+    current one), but nothing reclaimed the bytes: every flatten or
+    compaction would strand a full corpus-sized ``qvectors_<oldsnap>``
+    dir forever. Called from ``compact_ann_index`` on the maintenance
+    cadence — the explicit end of reader grace, the same rule
+    ``lake.vacuum`` applies to retained snapshots (a reader mid-scan on
+    a stale sidecar when the cadence fires loses its files; that is the
+    contract). Pure filesystem op; returns the dir names removed."""
+    current = current_snapshot(os.path.join(index_dir, "vectors"))
+    keep = f"{SIDECAR_PREFIX}{current}" if current is not None else None
+    removed = []
+    for entry in sorted(os.listdir(index_dir)):
+        if entry.startswith(SIDECAR_PREFIX) and entry != keep:
+            shutil.rmtree(os.path.join(index_dir, entry), ignore_errors=True)
+            removed.append(entry)
+    return removed
 
 
 def ensure_int8_sidecar(spark: SparkSession, index_dir: str) -> str:

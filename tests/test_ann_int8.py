@@ -128,3 +128,45 @@ def test_sidecar_refuses_pending_deltas_and_tracks_snapshots(spark, tmp_path):
         spark, emb.filter(F.col("vec_id") % 10 == 0), idx, nprobe=4, top_k=3
     )
     assert got.count() > 0
+
+
+def test_compaction_reclaims_stale_sidecars(spark, tmp_path):
+    """The leak half of the staleness discipline: a flatten/compaction
+    makes the old ``qvectors_<snap>`` dir unreachable by name, but only
+    ``compact_ann_index`` physically reclaims it — otherwise every
+    maintenance pass would strand a corpus-sized sidecar forever."""
+    import pgcp_spark.functions.ann_index as AI
+    from pgcp_spark.functions.ann_index import (
+        build_ann_index_from,
+        compact_ann_index,
+    )
+    from pgcp_spark.functions.ann_int8 import SIDECAR_PREFIX
+
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(AI.valid_embedding())
+    )
+    idx = str(tmp_path / "ai")
+    build_ann_index_from(spark, emb.filter(F.col("vec_id") % 10 != 0), idx)
+    side1 = ensure_int8_sidecar(spark, idx)
+    assert os.path.isdir(side1)
+
+    # a fold lands as a pending delta; the compaction cadence flattens it
+    # (new vectors snapshot) and must take the now-stale sidecar with it
+    update_ann_index(spark, emb.filter(F.col("vec_id") % 10 == 0), idx)
+    compact_ann_index(spark, idx)
+    assert not os.path.exists(side1), "stale sidecar must be reclaimed"
+    stale = [
+        e
+        for e in os.listdir(idx)
+        if e.startswith(SIDECAR_PREFIX)
+        and e != os.path.basename(ensure_int8_sidecar(spark, idx))
+    ]
+    assert stale == []  # exactly one live sidecar, keyed to the new base
+
+    # and the probe re-derives + answers against the post-compaction base
+    got = batch_vs_int8_index(
+        spark, emb.filter(F.col("vec_id") % 10 == 0), idx, nprobe=4, top_k=3
+    )
+    assert got.count() > 0
