@@ -12,7 +12,7 @@ full-precision storage — the public FAISS ``SQ8`` + refine / Lucene
 scalar-quantized HNSW pattern):
 
     sidecar:  ``ensure_int8_sidecar`` derives ``qvectors/`` from an
-              existing float IVF index's committed vectors —
+              existing float IVF index's committed BASE vectors —
               (vec_id, list_id, qvec array<tinyint>, qnrm) CLUSTER BY
               (list_id, vec_id), the same pruning layout as the float
               table. An acceleration structure, NOT a source of truth:
@@ -20,12 +20,25 @@ scalar-quantized HNSW pattern):
               compaction cadence (its content-hash name pins it to the
               vectors snapshot it was derived from, so a stale sidecar
               is structurally unreachable — the harness discipline).
+              Pending fold/tombstone deltas do NOT invalidate it: the
+              probe resolves them merge-on-read (below), so the
+              quantized tier keeps serving a loop-maintained index
+              between compactions — the same deferred-merge cost model
+              as every other reader of the delta layer.
     probe:    ``batch_vs_int8_index`` routes queries to nprobe lists
               with the float index's own centroids, scans ONLY the
               sidecar for candidates (int8 arrays — the 4× win), scores
               approximate cosine JVM-side (zip_with/aggregate over
               int-cast tinyints — no Python in the corpus-sized path),
               keeps the top ``rescore_factor × top_k`` per query, and
+              — when fold/tombstone deltas are pending — resolves them
+              merge-on-read: delta-touched and tombstoned keys are
+              anti-joined OFF the quantized base side (their base rows
+              are superseded or dead), and every LIVE delta row in a
+              probed list joins the candidate pool directly (exact,
+              unranked — the delta side is batch-sized under the
+              ``maybe_flatten`` cadence, so skipping stage-1 ranking
+              costs O(batch) refine rows and strictly helps recall),
               RE-SCORES exactly those candidates from the float vectors
               table (a pushed vec_id IN point-lookup, candidate-count
               rows) with ``batch_vs_ann_index``'s exact expression
@@ -111,15 +124,11 @@ def reclaim_stale_sidecars(index_dir: str) -> list[str]:
 
 def ensure_int8_sidecar(spark: SparkSession, index_dir: str) -> str:
     """Derive (once per vectors snapshot) the quantized sidecar from the
-    COMMITTED float vectors. Pending fold deltas are deliberately not
-    quantized — the sidecar accelerates the base; an index with
-    un-merged deltas must flatten first (the registered flow builds
-    once and never folds, so this is an assertion, not a cost)."""
-    if delta_names(os.path.join(index_dir, "vectors")):
-        raise RuntimeError(
-            "int8 sidecar derives from the committed base: flatten pending"
-            " deltas first (lake.flatten_deltas / compact_ann_index)"
-        )
+    COMMITTED float vectors. Pending fold/tombstone deltas are
+    deliberately not quantized — the sidecar accelerates the BASE, and
+    ``batch_vs_int8_index`` resolves deltas merge-on-read (module
+    docstring), so a fold does not invalidate the sidecar; only a
+    flatten/compaction (new base snapshot) retires it."""
     side = _sidecar_dir(index_dir)
     if current_snapshot(side) is not None:
         return side
@@ -201,7 +210,43 @@ def batch_vs_int8_index(
     qframe = spark.createDataFrame(
         qmap, "q_id long, list_id int, q_qvec array<int>, q_qnrm double"
     )
+    vec_dir = os.path.join(index_dir, "vectors")
     stored_q = read_current(spark, side).filter(F.col("list_id").isin(probed_lists))
+    # merge-on-read resolution (module docstring): the quantized side is
+    # BASE-only, so every delta-touched key leaves it (its live version,
+    # if any, re-enters exactly from the MOR frame) and every tombstone
+    # shape anti-joins its dead rows off (base rows always predate a
+    # tombstone, so the kill is unconditional here). The key frames are
+    # batch-sized under the flatten cadence — AQE broadcasts them (no
+    # forced hint: the bfc1c23 rule, a maintenance-deferring caller must
+    # degrade to a shuffle join, not a driver OOM).
+    delta_live = None
+    names = delta_names(vec_dir)
+    if names:
+        from pgcp_spark.sources.lake import TOMBSTONE
+
+        raw = [spark.read.parquet(os.path.join(vec_dir, n)) for n in names]
+        data_keys = None
+        for p in raw:
+            if TOMBSTONE in p.columns:
+                shape = [c for c in p.columns if c != TOMBSTONE]
+                stored_q = stored_q.join(
+                    p.select(*shape).distinct(), on=shape, how="left_anti"
+                )
+            else:
+                k = p.select("vec_id")
+                data_keys = k if data_keys is None else data_keys.unionByName(k)
+        if data_keys is not None:
+            data_keys = data_keys.distinct()
+            stored_q = stored_q.join(data_keys, on="vec_id", how="left_anti")
+            from pgcp_spark.functions.ann_index import stored_vectors
+
+            delta_live = (
+                stored_vectors(spark, index_dir)
+                .join(data_keys, on="vec_id")
+                .filter(F.col("list_id").isin(probed_lists))
+                .select("vec_id", "list_id")
+            )
     # int*int products summed as long: 64 dims × 127² fits easily; the
     # cast is load-bearing (tinyint×tinyint would overflow at 127×127)
     qdot = F.aggregate(
@@ -230,11 +275,23 @@ def batch_vs_int8_index(
         .dropDuplicates(["q_id", "vec_id"])  # a neighbor in 2 probed lists
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("acos"), "vec_id")
-    cand = materialize(
+    ranked = (
         approx.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= top_k * rescore_factor)
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
     )
+    if delta_live is not None:
+        # live delta rows in probed lists bypass stage-1 ranking straight
+        # into the refine set: batch-sized by the cadence, exact-scored
+        # in stage 2 — recall can only improve
+        pairs = (
+            qframe.select("q_id", "list_id")
+            .join(delta_live, on="list_id")
+            .filter(F.col("q_id") != F.col("vec_id"))
+            .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        )
+        ranked = ranked.unionByName(pairs).dropDuplicates(["q_id", "neighbor_id"])
+    cand = materialize(ranked)
 
     # stage 2 — exact refine: point-lookup the candidates' FLOAT rows
     # (bounded at |queries|·top_k·factor by construction — the collect
@@ -244,8 +301,10 @@ def batch_vs_int8_index(
         return spark.createDataFrame(
             [], "vec_id long, neighbor_id long, rank long, cos_sim double"
         )
-    flt = (
-        read_current(spark, os.path.join(index_dir, "vectors"))
+    from pgcp_spark.functions.ann_index import stored_vectors
+
+    flt = (  # MOR view: identical to the base read when no deltas pend
+        stored_vectors(spark, index_dir)
         .filter(F.col("list_id").isin(probed_lists))
         .filter(F.col("vec_id").isin(cand_ids))
         .select(F.col("vec_id").alias("neighbor_id"), "embedding", "nrm")

@@ -93,12 +93,11 @@ def test_full_candidate_window_equals_float_probe_exactly(spark):
     assert got == want and len(got) > 0
 
 
-def test_sidecar_refuses_pending_deltas_and_tracks_snapshots(spark, tmp_path):
-    """Staleness discipline: the sidecar derives from the COMMITTED base
-    (a pending fold delta raises — quantizing around it would serve
-    stale candidates), and its snapshot-keyed name means a flatten or
-    compaction makes the old sidecar unreachable and the next ensure
-    re-derives against the new base."""
+def test_sidecar_survives_folds_and_tracks_base_snapshots(spark, tmp_path):
+    """Staleness discipline: the sidecar is keyed to the BASE vectors
+    snapshot, so a pending fold delta does NOT retire it (the probe
+    resolves deltas merge-on-read — next test), while a flatten commits
+    a new base and the next ensure re-derives against it."""
     import pgcp_spark.functions.ann_index as AI
     from pgcp_spark.functions.ann_index import build_ann_index_from
 
@@ -113,8 +112,7 @@ def test_sidecar_refuses_pending_deltas_and_tracks_snapshots(spark, tmp_path):
     assert lake.current_snapshot(side1) is not None
 
     update_ann_index(spark, emb.filter(F.col("vec_id") % 10 == 0), idx)
-    with pytest.raises(RuntimeError, match="flatten pending"):
-        ensure_int8_sidecar(spark, idx)
+    assert ensure_int8_sidecar(spark, idx) == side1  # fold keeps the base
 
     lake.flatten_deltas(
         spark, os.path.join(idx, "vectors"), key=["vec_id"],
@@ -128,6 +126,54 @@ def test_sidecar_refuses_pending_deltas_and_tracks_snapshots(spark, tmp_path):
         spark, emb.filter(F.col("vec_id") % 10 == 0), idx, nprobe=4, top_k=3
     )
     assert got.count() > 0
+
+
+def test_probe_resolves_pending_deltas_merge_on_read(spark, tmp_path):
+    """The quantized tier must keep serving a loop-maintained index
+    between compactions: with a fold delta AND a tombstone delta
+    pending, the full-rescore-window int8 probe must be BIT-IDENTICAL
+    to the float MOR probe (same candidate universe: superseded base
+    rows leave the quantized side, live delta rows enter exactly, dead
+    rows die), proving the merge-on-read union loses nothing and serves
+    no stale or deleted vector."""
+    import pgcp_spark.functions.ann_index as AI
+    from pgcp_spark.functions.ann_index import (
+        build_ann_index_from,
+        remove_from_ann_index,
+    )
+
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(AI.valid_embedding())
+    )
+    idx = str(tmp_path / "ai")
+    build_ann_index_from(spark, emb.filter(F.col("vec_id") % 10 != 0), idx)
+    side = ensure_int8_sidecar(spark, idx)
+
+    # fold new vectors + tombstone some indexed ones — both stay PENDING
+    update_ann_index(spark, emb.filter(F.col("vec_id") % 10 == 0), idx)
+    dead = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id").limit(40)
+    dead_ids = {r.vec_id for r in dead.collect()}
+    remove_from_ann_index(spark, dead, idx)
+    vec_dir = os.path.join(idx, "vectors")
+    assert len(lake.delta_names(vec_dir)) >= 2  # data + tombstone pending
+    assert ensure_int8_sidecar(spark, idx) == side  # base unchanged
+
+    b = emb.filter(F.col("vec_id") % 10 == 5).limit(15)
+    want = [
+        tuple(r)
+        for r in batch_vs_ann_index(spark, b, idx, nprobe=4, top_k=3).collect()
+    ]
+    got_df = batch_vs_int8_index(
+        spark, b, idx, nprobe=4, top_k=3, rescore_factor=10**6
+    )
+    got = [tuple(r) for r in got_df.collect()]
+    assert got == want and len(got) > 0
+    assert not any(r[1] in dead_ids for r in got)  # no deleted neighbor
+    # the folded rows are genuinely reachable: with the fold containing
+    # 10% of the corpus, at least one returned neighbor comes from it
+    assert any(r[1] % 10 == 0 for r in got)
 
 
 def test_compaction_reclaims_stale_sidecars(spark, tmp_path):
