@@ -1,0 +1,249 @@
+"""Filtered vector search: top-k cosine neighbors under a metadata
+predicate — the "WHERE clause + ANN" shape every production vector
+system exposes (pgvector's filtered scan, the FAISS IDSelector /
+Milvus- and Qdrant-style payload filter), absent from the repo until
+round 10.
+
+Two tiers, the family's standard recipe:
+
+    exact:   ``filtered_topk`` — queries × corpus restricted to rows
+             satisfying the predicate (here: SAME ``label`` as the
+             query — the per-query filter case, strictly harder than a
+             global WHERE), scored JVM-side with the shared
+             ``_pair_dot``/``with_norm`` expression shapes so scores
+             are bit-identical to every other cosine scorer in the
+             repo. The registered query is HASH-CHECKED against a
+             DuckDB oracle. Plan shape: the strided query sample
+             broadcasts (AQE — no forced hint), the corpus side stays
+             partition-parallel, and the per-query top-k window gets
+             its exchange bounded by Spark's rank-filter pushdown
+             (WindowGroupLimit) — but the pair count is still
+             Σ_label (q_l × n_l), so this tier is the small-corpus /
+             oracle baseline, exactly like ``sim_cosine_bruteforce_topk``.
+    probe:   ``filtered_batch_vs_ann_index`` — the IVF probe with the
+             predicate applied to the candidate side BEFORE scoring
+             ("pre-filter then search"): stored rows of the probed
+             lists join a pruned (vec_id, label) metadata lookup, keep
+             only same-label candidates, then score/rank exactly as
+             ``batch_vs_ann_index``. Filtering shrinks each probed
+             list's eligible population ~|labels|-fold, so the default
+             ``nprobe`` DOUBLES vs the unfiltered probe (the standard
+             filtered-search compensation); recall floors vs the exact
+             tier are measured and pinned in tests/test_ann_filtered.py.
+             At 100 TB the right physical design carries the payload
+             column IN the vectors table (filter evaluated inside the
+             pruned scan, no join); the shared demo index's schema is
+             frozen, so this implementation demonstrates the semantics
+             with the pruned metadata join and documents the layout
+             note here instead of silently rebuilding a second index.
+
+Reference anchor: none — north-star similarity-search surface,
+extending functions/ann_index.py (round 6) and functions/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgcp_spark.functions.ann_index import (
+    _assign,
+    _load_centroids,
+    ensure_ann_index,
+    stored_vectors,
+)
+from pgcp_spark.functions.similarity import (
+    EMB_VALID_SQL,
+    QUERY_STRIDE,
+    TOP_K,
+    _pair_dot,
+    valid_embedding,
+    with_norm,
+)
+from pgcp_spark.plans.materialize import materialize
+from pgcp_spark.registry import register
+from pgcp_spark.sources import load_table
+
+FILTER_NPROBE = 8  # 2× the unfiltered default: the label filter thins
+# each probed list ~|labels|-fold, so recall needs more lists (the
+# standard filtered-ANN compensation; floor measured in tests)
+
+_RESULT_SCHEMA = "vec_id long, neighbor_id long, rank long, cos_sim double"
+
+
+def filtered_topk(
+    queries: DataFrame, corpus: DataFrame, top_k: int = TOP_K
+) -> DataFrame:
+    """EXACT same-label top-k: for each query row (vec_id, embedding,
+    label) the ``top_k`` highest-cosine corpus rows sharing its label
+    (self excluded), ties broken by neighbor_id — the shared tie-break
+    every scorer in the repo uses. Both frames are scored with the
+    module-shared norm/dot expression trees, so results are
+    bit-comparable with the probe tier's refine stage."""
+    q = with_norm(queries.select("vec_id", "embedding", "label")).alias("q")
+    c = with_norm(corpus.select("vec_id", "embedding", "label")).alias("c")
+    cos = F.round(
+        _pair_dot("q", "c") / (F.col("q.nrm") * F.col("c.nrm")), 6
+    )
+    scored = q.join(
+        c,
+        (F.col("q.label") == F.col("c.label"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("vec_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+def filtered_batch_vs_ann_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    labels: DataFrame,
+    nprobe: int = FILTER_NPROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Filtered IVF probe (module docstring): route each batch row
+    (vec_id, embedding, label) to its ``nprobe`` nearest lists, prune
+    the stored scan to those lists, attach labels to the candidates via
+    the pruned (vec_id, label) lookup join, keep SAME-LABEL candidates
+    only, then score/rank with ``batch_vs_ann_index``'s exact
+    expression shapes. Approximate by contract (nprobe of k lists) —
+    the returned neighbors are a subset of the exact tier's candidate
+    universe with recall floors pinned; returned SCORES are exact
+    cosines of the stored vectors, never approximations."""
+    centroids = _load_centroids(spark, index_dir)
+    if centroids.size == 0:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    probes = materialize(
+        _assign(batch.select("vec_id", "embedding"), centroids, nprobe)
+    )
+    probed_lists = [
+        r.list_id for r in probes.select("list_id").distinct().collect()
+    ]
+    stored = (
+        stored_vectors(spark, index_dir)
+        .filter(F.col("list_id").isin(probed_lists))
+        .join(labels.select("vec_id", "label"), on="vec_id")
+    )
+    q = with_norm(probes).join(
+        batch.select("vec_id", "label"), on="vec_id"
+    ).alias("q")
+    c = stored.alias("c")
+    cos = F.round(
+        _pair_dot("q", "c") / (F.col("q.nrm") * F.col("c.nrm")), 6
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.list_id") == F.col("c.list_id"))
+            & (F.col("q.label") == F.col("c.label"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("vec_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .dropDuplicates(["vec_id", "neighbor_id"])  # a neighbor in 2 probed lists
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+def _labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, label) restricted to index-valid vectors with
+    a non-null label — the filtered family's shared input contract."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .filter(valid_embedding() & F.col("label").isNotNull())
+    )
+
+
+@register(
+    "sim_filtered_cosine_topk",
+    oracle=f"""
+WITH valid AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE {EMB_VALID_SQL} AND label IS NOT NULL
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+  FROM valid a JOIN valid b
+    ON a.vec_id % {QUERY_STRIDE} = 0 AND a.label = b.label AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY vec_id, rank
+""",
+)
+def sim_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact filtered search, hash-checked: for every strided query
+    vector, the top-3 most-similar vectors SHARING ITS LABEL — the
+    per-query-predicate case of the WHERE-clause-plus-ANN shape
+    (module docstring). The exactness oracle for the probe tier."""
+    e = _labeled(spark, sf_dir)
+    return filtered_topk(e.filter(F.col("vec_id") % QUERY_STRIDE == 0), e)
+
+
+@register(
+    "sim_filtered_batch_vs_ann_index",
+    # NO oracle by design (nprobe of k lists is approximate); correctness
+    # = the same-label invariant, the all-lists == exact bit-identity pin,
+    # and the measured recall floor — all in tests/test_ann_filtered.py
+    doc="filtered ANN: IVF probe with a same-label predicate applied to the candidate side before scoring (pre-filter-then-search; nprobe doubled to compensate) — rows-only with recall floors vs the exact filtered tier",
+)
+def sim_filtered_batch_vs_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN family's demo split (batch = vec_id % 10, corpus = the
+    rest) served through the FILTERED probe: each batch vector's top-3
+    same-label neighbors among the indexed split, candidates restricted
+    to the probed lists AND the query's label before any scoring."""
+    index_dir = ensure_ann_index(spark, sf_dir)
+    e = _labeled(spark, sf_dir)
+    # the metadata lookup deliberately SKIPS the embedding-validity
+    # filter: validity gates what the index CONTAINS (the vec_id join
+    # restricts to indexed rows anyway), and keeping the predicate off
+    # this frame keeps the embedding column out of the lookup scan —
+    # (vec_id, label) is all that crosses (ReadSchema-checked: without
+    # this the metadata side re-reads the full vector payload)
+    labels = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .filter(F.col("vec_id").isNotNull() & F.col("label").isNotNull())
+    )
+    return filtered_batch_vs_ann_index(
+        spark, e.filter(F.col("vec_id") % 10 == 0), index_dir, labels
+    )

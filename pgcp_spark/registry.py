@@ -52,22 +52,27 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-10 window. The staleness invariant (no entry's driver row
 # predates its current implementation) has priority. Head of window:
-#   * 4 queries ADDED in round 10 — the two CDC merge-on-read queries
-#     (both hash-capable: the delta-applied batch vs the post-CDC state,
-#     and the pending-delta feed vs the copy-on-write feed's unchanged
-#     oracle), the indexed multi-topic hybrid and the int8 two-stage ANN
-#     probe (both rows-only BY DESIGN: IVF routing / int8 candidate
-#     selection; overlap floors + exact-refine pins in tests);
+#   * 6 queries ADDED in round 10 — the filtered-vector-search pair
+#     (exact same-label top-k, hash-capable; the filtered IVF probe,
+#     rows-only by design with all-lists == exact pinned), the two CDC
+#     merge-on-read queries (both hash-capable: the delta-applied batch
+#     vs the post-CDC state, and the pending-delta feed vs the
+#     copy-on-write feed's unchanged oracle), the indexed multi-topic
+#     hybrid and the int8 two-stage ANN probe (both rows-only BY
+#     DESIGN: IVF routing / int8 candidate selection; overlap floors +
+#     exact-refine pins in tests);
 #   * 12 queries whose implementation CHANGED in round 10 — the
 #     tombstone-delete retention pair, the tombstone-aware merge-on-read
 #     readers (text/dedup/ANN families), the stats-from-doclen
 #     crash-consistency rework, the three loop queries that gained the
 #     maybe_flatten cadence, and the two hybrids (cost rule / shared
 #     fusion refactor).
-# The remaining 34 slots re-prove the OLDEST standing rows: the
-# r6-latest cohort minus its two alphabetically-last members
-# (text_tfidf_top_terms, text_winnow_fingerprints — unchanged since r6,
-# they lead the r11 backlog). Still excluded:
+# The remaining 32 slots re-prove the OLDEST standing rows: the
+# r6-latest cohort minus its four alphabetically-last members
+# (text_repeated_span_pairs, text_source_token_entropy,
+# text_tfidf_top_terms, text_winnow_fingerprints — unchanged since r6,
+# they lead the r11 backlog; the first two still appear below, at
+# positions 51-52, past the driver's 50-slot cut). Still excluded:
 # agg_approx_distinct_customers (rows-only AND unchanged since its r1
 # row — a new row adds nothing, rationale standing since r5) and
 # dedup_ngram_jaccard_pairs (dead ledger — quarantined out of the
@@ -76,6 +81,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (COVERAGE.md).
 _AUDIT_PRIORITY: list[str] = [
     # --- NEW in round 10 (no driver row yet — must enter the window) ---
+    "sim_filtered_cosine_topk",  # hash-capable (exact same-label top-k oracle)
+    "sim_filtered_batch_vs_ann_index",  # rows-only by design (IVF routing; floors + all-lists pin)
     "lake_cdc_merge_on_read_orders",  # hash-capable (post-CDC state oracle)
     "lake_cdc_pending_changes_orders",  # hash-capable (same oracle as the copy-on-write feed)
     "hybrid_multi_query_from_indexes",  # rows-only by design (IVF legs; per-topic floors pinned)
@@ -190,6 +197,7 @@ def _load_operator_modules() -> None:
     # Imports for side effect of @register decorators.
     import pgcp_spark.functions.corpus  # noqa: F401
     import pgcp_spark.functions.dedup  # noqa: F401
+    import pgcp_spark.functions.ann_filtered  # noqa: F401
     import pgcp_spark.functions.ann_index  # noqa: F401
     import pgcp_spark.functions.ann_int8  # noqa: F401
     import pgcp_spark.functions.dedup_index  # noqa: F401
