@@ -43,6 +43,10 @@ extending functions/ann_index.py (round 6) and functions/similarity.py.
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -52,8 +56,11 @@ from pgcp_spark.functions.ann_index import (
     ensure_ann_index,
     stored_vectors,
 )
+from pgcp_spark.indexes import loop
+from pgcp_spark.sources.lake import read_current, write_snapshot
 from pgcp_spark.functions.similarity import (
     EMB_VALID_SQL,
+    IVF_LISTS,
     QUERY_STRIDE,
     TOP_K,
     _pair_dot,
@@ -246,4 +253,261 @@ def sim_filtered_batch_vs_ann_index(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return filtered_batch_vs_ann_index(
         spark, e.filter(F.col("vec_id") % 10 == 0), index_dir, labels
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-partitioned IVF: the filter-in-index layout the lookup-join probe's
+# docstring names as the right 100 TB design — payload column IN the index.
+# ---------------------------------------------------------------------------
+
+LP_INDEX_ROOT = os.environ.get(
+    "SPARK_GRAFT_ANN_LP_INDEX_ROOT", "/tmp/pgcp_ann_lp_index"
+)
+_LP_SUBTABLES = ["centroids_p", "vectors_p"]
+_LP_CLUSTER = ["label", "list_id", "vec_id"]
+
+
+def lp_index_dir_for(sf_dir: str) -> str:
+    """Content-version-keyed dir, the shared harness discipline
+    (``ann_index_dir_for``): a regenerated lake fingerprints elsewhere,
+    so a stale partitioned index can never serve a changed corpus."""
+    return loop.content_version_dir(
+        LP_INDEX_ROOT, sf_dir, "embeddings.parquet", salt="lp-format:v1:cosine"
+    )
+
+
+def build_label_partitioned_index(
+    spark: SparkSession, corpus: DataFrame, index_dir: str
+) -> None:
+    """Fit ONE coarse quantizer PER LABEL (same cosine geometry as the
+    global builder, ``ann_index.build_ann_index_from``) and persist:
+
+      centroids_p: (label, list_id, centroid)        — |labels| × k rows
+      vectors_p:   (vec_id, label, list_id, embedding, nrm)
+                   CLUSTER BY (label, list_id, vec_id)
+
+    The composite cluster key is the point: a filtered probe prunes on
+    BOTH the label and the probed lists with plain pushed predicates —
+    no metadata join, and every scanned list is label-PURE, so routing
+    quality inside the filter is what a dedicated per-label index gives
+    (the A/B vs the lookup-join probe is in SCALE.md r10). The label
+    loop is driver-side over the PAYLOAD'S cardinality (bounded, 10
+    here) — each iteration is one distributed KMeans fit, not a data
+    motion."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    labels = [
+        r.label for r in corpus.select("label").distinct().orderBy("label").collect()
+    ]
+    assigned_parts = []
+    cent_rows = []
+    for lab in labels:
+        sub = corpus.filter(F.col("label") == lab).select("vec_id", "embedding")
+        nd = sub.agg(
+            F.countDistinct(F.xxhash64("embedding")).alias("nd")
+        ).collect()[0]["nd"]
+        if nd == 0:
+            continue
+        if nd < 2:
+            assigned = sub.withColumn("list_id", F.lit(0))
+            cents = np.array(
+                [sub.select("embedding").head()[0]], dtype=np.float64
+            )
+        else:
+            vecs = sub.withColumn(
+                "features",
+                array_to_vector(F.col("embedding").cast("array<double>")),
+            )
+            model = KMeans(
+                k=int(min(IVF_LISTS, nd)),
+                seed=42,
+                maxIter=10,
+                distanceMeasure="cosine",
+                featuresCol="features",
+                predictionCol="list_id",
+            ).fit(vecs)
+            assigned = model.transform(vecs).select(
+                "vec_id", "embedding", "list_id"
+            )
+            cents = np.stack(model.clusterCenters())
+        assigned_parts.append(assigned.withColumn("label", F.lit(lab)))
+        cent_rows.extend(
+            (int(lab), int(i), [float(x) for x in c]) for i, c in enumerate(cents)
+        )
+    if not assigned_parts:
+        write_snapshot(
+            spark.createDataFrame(
+                [], "label int, list_id int, centroid array<double>"
+            ),
+            os.path.join(index_dir, "centroids_p"),
+        )
+        write_snapshot(
+            spark.createDataFrame(
+                [],
+                "vec_id long, label int, list_id int,"
+                " embedding array<float>, nrm double",
+            ),
+            os.path.join(index_dir, "vectors_p"),
+        )
+        return
+    allv = assigned_parts[0]
+    for p in assigned_parts[1:]:
+        allv = allv.unionByName(p)
+    write_snapshot(
+        spark.createDataFrame(
+            cent_rows, "label int, list_id int, centroid array<double>"
+        ),
+        os.path.join(index_dir, "centroids_p"),
+        cluster_files=1,  # O(|labels|·k) rows: one footer read
+    )
+    write_snapshot(
+        with_norm(allv).select("vec_id", "label", "list_id", "embedding", "nrm"),
+        os.path.join(index_dir, "vectors_p"),
+        cluster_by=_LP_CLUSTER,
+        cluster_files=spark.sparkContext.defaultParallelism,
+    )
+
+
+def ensure_lp_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build iff this corpus version has no partitioned index yet
+    (indexes the ANN family's demo split, batch rows excluded)."""
+    index_dir = lp_index_dir_for(sf_dir)
+    return loop.ensure_built(
+        index_dir,
+        _LP_SUBTABLES,
+        lambda: build_label_partitioned_index(
+            spark,
+            _labeled(spark, sf_dir).filter(F.col("vec_id") % 10 != 0),
+            index_dir,
+        ),
+    )
+
+
+def label_partitioned_topk(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    nprobe: int = FILTER_NPROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Filtered probe against the label-partitioned index: each batch
+    row routes to its OWN label's quantizer (driver-broadcast — the
+    centroid table is |labels| × k rows), and the stored scan prunes on
+    the literal (label, probed-lists) disjunction — both predicates
+    PUSHED into the clustered files, no metadata join anywhere in the
+    plan (plan-pinned in tests). Scoring/tie-breaks are the family's
+    shared exact shapes."""
+    cent = read_current(spark, os.path.join(index_dir, "centroids_p")).collect()
+    if not cent:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    by_label: dict[int, list] = {}
+    for r in cent:
+        by_label.setdefault(r.label, []).append((r.list_id, r.centroid))
+    cent_map = {
+        lab: (
+            np.array([lid for lid, _ in rows], dtype=np.int64),
+            np.array([c for _, c in rows], dtype=np.float64),
+        )
+        for lab, rows in by_label.items()
+    }
+    b_cent = spark.sparkContext.broadcast(cent_map)
+
+    def probe(batches):
+        import pandas as pd
+
+        cmap = b_cent.value
+        for batch_pdf in batches:
+            out = []
+            # one vectorized matmul per (Arrow batch × label) group — the
+            # same kernel shape as ann_index._assign, label-local
+            for lab, grp in batch_pdf.groupby("label"):
+                entry = cmap.get(lab)
+                if entry is None:
+                    continue
+                lids, mat = entry
+                Q = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+                qn = np.sqrt((Q * Q).sum(axis=1))
+                cn = np.linalg.norm(mat, axis=1)
+                sims = (Q @ mat.T) / (qn[:, None] * cn[None, :] + 1e-12)
+                eff = min(nprobe, len(lids))
+                top = np.argpartition(-sims, eff - 1, axis=1)[:, :eff]
+                vids = grp["vec_id"].to_numpy()
+                embs = grp["embedding"].to_numpy()
+                for i in range(len(vids)):
+                    out.extend(
+                        (int(vids[i]), embs[i], int(lab), int(lids[j]))
+                        for j in top[i]
+                    )
+            yield pd.DataFrame(
+                out, columns=["vec_id", "embedding", "label", "list_id"]
+            )
+
+    probes = materialize(
+        batch.select("vec_id", "embedding", "label").mapInPandas(
+            probe,
+            schema="vec_id long, embedding array<float>, label int, list_id int",
+        )
+    )
+    pairs = probes.select("label", "list_id").distinct().collect()
+    if not pairs:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    by_lab: dict[int, list[int]] = {}
+    for r in pairs:
+        by_lab.setdefault(r.label, []).append(r.list_id)
+    pred = None
+    for lab, lists in sorted(by_lab.items()):
+        clause = (F.col("label") == lab) & F.col("list_id").isin(lists)
+        pred = clause if pred is None else (pred | clause)
+    stored = read_current(spark, os.path.join(index_dir, "vectors_p")).filter(pred)
+    q = with_norm(probes).alias("q")
+    c = stored.alias("c")
+    cos = F.round(_pair_dot("q", "c") / (F.col("q.nrm") * F.col("c.nrm")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.label") == F.col("c.label"))
+            & (F.col("q.list_id") == F.col("c.list_id"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("vec_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+@register(
+    "sim_label_partitioned_ann_topk",
+    # NO oracle by design (per-label IVF routing is approximate);
+    # correctness = same-label invariant, all-lists == exact-tier
+    # bit-identity, and the measured recall floor — tests/test_ann_filtered.py
+    doc="filtered ANN via a LABEL-PARTITIONED IVF index (filter-in-index: per-label quantizers, vectors CLUSTER BY (label, list_id), both predicates pushed into the scan, no metadata join) — rows-only with floors vs the exact filtered tier",
+)
+def sim_label_partitioned_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The demo split served through the partitioned layout: top-3
+    same-label neighbors per batch vector, candidates read ONLY from the
+    query's label's probed lists — label-pure routing, so recall at
+    equal nprobe beats the global-quantizer lookup-join probe (measured
+    A/B in SCALE.md r10)."""
+    index_dir = ensure_lp_index(spark, sf_dir)
+    e = _labeled(spark, sf_dir)
+    return label_partitioned_topk(
+        spark, e.filter(F.col("vec_id") % 10 == 0), index_dir
     )

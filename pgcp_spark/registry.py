@@ -52,8 +52,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-10 window. The staleness invariant (no entry's driver row
 # predates its current implementation) has priority. Head of window:
-#   * 6 queries ADDED in round 10 — the filtered-vector-search pair
-#     (exact same-label top-k, hash-capable; the filtered IVF probe,
+#   * 7 queries ADDED in round 10 — the filtered-vector-search trio
+#     (exact same-label top-k, hash-capable; the lookup-join filtered
+#     IVF probe and the label-PARTITIONED filter-in-index probe, both
 #     rows-only by design with all-lists == exact pinned), the two CDC
 #     merge-on-read queries (both hash-capable: the delta-applied batch
 #     vs the post-CDC state, and the pending-delta feed vs the
@@ -67,12 +68,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #     crash-consistency rework, the three loop queries that gained the
 #     maybe_flatten cadence, and the two hybrids (cost rule / shared
 #     fusion refactor).
-# The remaining 32 slots re-prove the OLDEST standing rows: the
-# r6-latest cohort minus its four alphabetically-last members
-# (text_repeated_span_pairs, text_source_token_entropy,
-# text_tfidf_top_terms, text_winnow_fingerprints — unchanged since r6,
-# they lead the r11 backlog; the first two still appear below, at
-# positions 51-52, past the driver's 50-slot cut). Still excluded:
+# The remaining 31 slots re-prove the OLDEST standing rows: the
+# r6-latest cohort minus its five alphabetically-last members
+# (text_rarity_score, text_repeated_span_pairs,
+# text_source_token_entropy, text_tfidf_top_terms,
+# text_winnow_fingerprints — unchanged since r6, they lead the r11
+# backlog; the first three still appear below, at positions 51-53,
+# past the driver's 50-slot cut). Still excluded:
 # agg_approx_distinct_customers (rows-only AND unchanged since its r1
 # row — a new row adds nothing, rationale standing since r5) and
 # dedup_ngram_jaccard_pairs (dead ledger — quarantined out of the
@@ -83,6 +85,7 @@ _AUDIT_PRIORITY: list[str] = [
     # --- NEW in round 10 (no driver row yet — must enter the window) ---
     "sim_filtered_cosine_topk",  # hash-capable (exact same-label top-k oracle)
     "sim_filtered_batch_vs_ann_index",  # rows-only by design (IVF routing; floors + all-lists pin)
+    "sim_label_partitioned_ann_topk",  # rows-only by design (label-pure IVF routing; beats-lookup-join + all-lists pins)
     "lake_cdc_merge_on_read_orders",  # hash-capable (post-CDC state oracle)
     "lake_cdc_pending_changes_orders",  # hash-capable (same oracle as the copy-on-write feed)
     "hybrid_multi_query_from_indexes",  # rows-only by design (IVF legs; per-topic floors pinned)

@@ -129,3 +129,99 @@ def test_empty_label_universe_returns_empty(spark):
     assert [f.name for f in got.schema.fields] == [
         "vec_id", "neighbor_id", "rank", "cos_sim",
     ]
+
+
+def test_lp_probe_same_label_invariant_and_registered_runs(spark):
+    """The partitioned probe can only ever scan the query's own label's
+    lists, so the invariant holds by construction — pinned anyway."""
+    from pgcp_spark.functions.ann_filtered import sim_label_partitioned_ann_topk
+
+    rows = _labeled(spark, SF_DIR).collect()
+    label_of = {r.vec_id: r.label for r in rows}
+    got = sim_label_partitioned_ann_topk(spark, SF_DIR).collect()
+    assert len(got) > 0
+    for r in got:
+        assert label_of[r.vec_id] == label_of[r.neighbor_id], r
+
+
+def test_lp_all_lists_probe_equals_exact_tier_exactly(spark):
+    """With every label-local list probed, the candidate universe is the
+    label's whole indexed split — bit-identical to the exact tier on the
+    same frames, the family's routing-isolation pin."""
+    from pgcp_spark.functions.ann_filtered import (
+        ensure_lp_index,
+        label_partitioned_topk,
+    )
+
+    e = _labeled(spark, SF_DIR)
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    split = e.filter(F.col("vec_id") % 10 != 0)
+    lp = ensure_lp_index(spark, SF_DIR)
+    want = [tuple(r) for r in filtered_topk(batch, split).collect()]
+    got = [
+        tuple(r)
+        for r in label_partitioned_topk(spark, batch, lp, nprobe=IVF_LISTS).collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_lp_recall_floor_and_beats_lookup_join(spark):
+    """Measured: label-pure routing recalls 0.907/0.933 (sf0.001/sf0.01)
+    at nprobe=8 vs the lookup-join probe's 0.693 at the SAME nprobe —
+    and even at nprobe=4 (HALF the scan fraction) 0.733/0.740 beats it.
+    Floors pinned WELL below: 0.80 at nprobe=8, and strictly above the
+    lookup-join probe's result on the same lake."""
+    from pgcp_spark.functions.ann_filtered import (
+        ensure_lp_index,
+        label_partitioned_topk,
+    )
+
+    e = _labeled(spark, SF_DIR)
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    split = e.filter(F.col("vec_id") % 10 != 0)
+    exact = {
+        (r.vec_id, r.neighbor_id) for r in filtered_topk(batch, split).collect()
+    }
+    lp = ensure_lp_index(spark, SF_DIR)
+    got = {
+        (r.vec_id, r.neighbor_id)
+        for r in label_partitioned_topk(
+            spark, batch, lp, nprobe=FILTER_NPROBE
+        ).collect()
+    }
+    lp_recall = len(got & exact) / len(exact)
+    assert lp_recall >= 0.80
+    idx = ensure_ann_index(spark, SF_DIR)
+    lj = {
+        (r.vec_id, r.neighbor_id)
+        for r in filtered_batch_vs_ann_index(
+            spark, batch, idx, e.select("vec_id", "label"), nprobe=FILTER_NPROBE
+        ).collect()
+    }
+    assert lp_recall > len(lj & exact) / len(exact)
+
+
+def test_lp_plan_pushes_both_predicates_no_metadata_join(spark):
+    """The filter-in-index payoff, plan-pinned: the stored scan's
+    PushedFilters carry BOTH the label and the list_id predicates, and
+    the plan reads the source embeddings table exactly once (the batch
+    side) — no metadata lookup join anywhere."""
+    from pgcp_spark.functions.ann_filtered import sim_label_partitioned_ann_topk
+    from pgcp_spark.plans.explain import physical_plan, pushed_filters
+
+    df = sim_label_partitioned_ann_topk(spark, SF_DIR)
+    plan = physical_plan(df)
+    vec_scans = [
+        f for f in pushed_filters(df) if "label" in f and "list_id" in f
+    ]
+    assert vec_scans, f"no scan pushes (label, list_id): {pushed_filters(df)}"
+    # the probe frame is materialized (ExistingRDD), so the ONLY parquet
+    # scan left in the plan must be the partitioned vectors table itself —
+    # a second one would be a metadata lookup creeping back in (formatted
+    # explain prints each node twice: once in the tree, once in the
+    # details — count the numbered detail entries)
+    import re
+
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+    assert "vectors_p" in plan
