@@ -267,6 +267,14 @@ LP_INDEX_ROOT = os.environ.get(
 _LP_SUBTABLES = ["centroids_p", "vectors_p"]
 _LP_CLUSTER = ["label", "list_id", "vec_id"]
 
+# Partitioning a quantizer per payload value only makes sense for a
+# COARSE column (the vector-DB partition-key contract); past this the
+# driver-side fit loop and the per-label list bookkeeping are the wrong
+# tool and the lookup-join tier is the answer. Hard guard, not a cap:
+# silently indexing the first N labels would serve WRONG (empty)
+# results for the rest.
+LP_MAX_LABELS = 1024
+
 
 def lp_index_dir_for(sf_dir: str) -> str:
     """Content-version-keyed dir, the shared harness discipline
@@ -298,9 +306,24 @@ def build_label_partitioned_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # limit(cap+1) guards the collect the same way the brute-force
+    # corpus guard does: the scan stops at the boundary and an overflow
+    # row proves the cardinality exceeds the contract without a count()
     labels = [
-        r.label for r in corpus.select("label").distinct().orderBy("label").collect()
+        r.label
+        for r in corpus.select("label")
+        .distinct()
+        .orderBy("label")
+        .limit(LP_MAX_LABELS + 1)
+        .collect()
     ]
+    if len(labels) > LP_MAX_LABELS:
+        raise ValueError(
+            f"label cardinality exceeds the partition-key contract "
+            f"({LP_MAX_LABELS}): a per-value quantizer loop is the wrong "
+            f"tool for a fine-grained column — use the lookup-join tier "
+            f"(filtered_batch_vs_ann_index)"
+        )
     assigned_parts = []
     cent_rows = []
     for lab in labels:

@@ -225,3 +225,18 @@ def test_lp_plan_pushes_both_predicates_no_metadata_join(spark):
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 1, plan
     assert "vectors_p" in plan
+
+
+def test_lp_build_refuses_fine_grained_payload(spark, tmp_path, monkeypatch):
+    """The partition-key contract's hard guard: a payload column with
+    more distinct values than LP_MAX_LABELS must raise (a silent cap
+    would serve empty results for the uncovered labels), pointing the
+    caller at the lookup-join tier."""
+    import pgcp_spark.functions.ann_filtered as AF
+
+    monkeypatch.setattr(AF, "LP_MAX_LABELS", 3)
+    e = _labeled(spark, SF_DIR).withColumn(
+        "label", (F.col("vec_id") % 10).cast("int")  # 10 labels > cap 3
+    )
+    with pytest.raises(ValueError, match="partition-key contract"):
+        AF.build_label_partitioned_index(spark, e, str(tmp_path / "lp"))
