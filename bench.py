@@ -52,6 +52,7 @@ HEADLINE_NEW = [
     "lake_cdc_merge_on_read_orders",  # CDC batch applied as deltas (r10)
     "sim_batch_vs_int8_ann_index",  # two-stage quantized ANN probe (r10)
     "sim_filtered_batch_vs_ann_index",  # filtered ANN (predicate pre-scoring, r10)
+    "lake_incremental_join_view_orders",  # delta-join IVM fold + MOR read (r10)
 ]
 
 

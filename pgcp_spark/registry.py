@@ -52,7 +52,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-10 window. The staleness invariant (no entry's driver row
 # predates its current implementation) has priority. Head of window:
-#   * 7 queries ADDED in round 10 — the filtered-vector-search trio
+#   * 8 queries ADDED in round 10 — the incremental JOIN-view
+#     maintenance query (hash-capable: fold == recompute oracle on the
+#     post state of both base tables), the filtered-vector-search trio
 #     (exact same-label top-k, hash-capable; the lookup-join filtered
 #     IVF probe and the label-PARTITIONED filter-in-index probe, both
 #     rows-only by design with all-lists == exact pinned), the two CDC
@@ -68,12 +70,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #     crash-consistency rework, the three loop queries that gained the
 #     maybe_flatten cadence, and the two hybrids (cost rule / shared
 #     fusion refactor).
-# The remaining 31 slots re-prove the OLDEST standing rows: the
-# r6-latest cohort minus its five alphabetically-last members
-# (text_rarity_score, text_repeated_span_pairs,
+# The remaining 30 slots re-prove the OLDEST standing rows: the
+# r6-latest cohort minus its six alphabetically-last members
+# (text_bigram_lift_top, text_rarity_score, text_repeated_span_pairs,
 # text_source_token_entropy, text_tfidf_top_terms,
 # text_winnow_fingerprints — unchanged since r6, they lead the r11
-# backlog; the first three still appear below, at positions 51-53,
+# backlog; four still appear below, at positions 51-54,
 # past the driver's 50-slot cut). Still excluded:
 # agg_approx_distinct_customers (rows-only AND unchanged since its r1
 # row — a new row adds nothing, rationale standing since r5) and
@@ -83,6 +85,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (COVERAGE.md).
 _AUDIT_PRIORITY: list[str] = [
     # --- NEW in round 10 (no driver row yet — must enter the window) ---
+    "lake_incremental_join_view_orders",  # hash-capable (delta-join IVM vs recompute oracle)
     "sim_filtered_cosine_topk",  # hash-capable (exact same-label top-k oracle)
     "sim_filtered_batch_vs_ann_index",  # rows-only by design (IVF routing; floors + all-lists pin)
     "sim_label_partitioned_ann_topk",  # rows-only by design (label-pure IVF routing; beats-lookup-join + all-lists pins)
@@ -227,6 +230,7 @@ def _load_operator_modules() -> None:
     import pgcp_spark.operators.udfs  # noqa: F401
     import pgcp_spark.operators.windows  # noqa: F401
     import pgcp_spark.sources.change_feed  # noqa: F401
+    import pgcp_spark.sources.view_maintenance  # noqa: F401
     import pgcp_spark.streaming.events  # noqa: F401
     import pgcp_spark.streaming.ingest_ann  # noqa: F401
     import pgcp_spark.streaming.ingest_dedup  # noqa: F401
