@@ -937,3 +937,137 @@ def text_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = scored.orderBy(F.desc("score"), "doc_id").limit(BM25_TOP)
     rnk = F.row_number().over(Window.orderBy(F.desc("score"), "doc_id"))
     return topk.withColumn("rnk", rnk).select("doc_id", "score", "rnk").orderBy("rnk")
+
+
+# --- bigram-LM perplexity quality scoring (round 10) ---------------------
+# Train/eval split by the repo's multiplicative doc_id hash (RNG-free,
+# cross-engine identical — functions/sampling.py); half the corpus trains
+# the model, every doc is scored.
+LM_KNUTH = 2654435761  # 2^32 / golden ratio (sampling.py's constant)
+LM_MOD = 4294967296  # 2^32
+
+
+@register(
+    "text_lm_perplexity_score",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t,
+         ((doc_id * {LM_KNUTH}) % {LM_MOD}) < {LM_MOD // 2} AS is_train
+  FROM documents
+),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) + 1 AS v
+  FROM (SELECT UNNEST(t) AS tok FROM d WHERE is_train)
+),
+bi AS (
+  SELECT doc_id, is_train, t[i.i] AS x, t[i.i + 1] AS y
+  FROM d, UNNEST(range(1, len(t))) AS i(i)
+),
+bcount AS (SELECT x, y, COUNT(*) AS c_xy FROM bi WHERE is_train GROUP BY x, y),
+ccount AS (SELECT x, SUM(c_xy) AS c_x FROM bcount GROUP BY x),
+scored AS (
+  SELECT e.doc_id, COALESCE(b.c_xy, 0) AS c_xy, COALESCE(c.c_x, 0) AS c_x
+  FROM bi e
+  LEFT JOIN bcount b ON e.x = b.x AND e.y = b.y
+  LEFT JOIN ccount c ON e.x = c.x
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN s.c_xy = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS unseen_frac,
+       ROUND(-SUM(LN(CAST(s.c_xy + 1 AS DOUBLE) / CAST(s.c_x + v.v AS DOUBLE)))
+             / COUNT(*), 6) AS cross_entropy
+FROM scored s CROSS JOIN vocab v
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+""",
+)
+def text_lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model perplexity quality filtering, the CCNet recipe
+    (Wenzek et al. LREC 2020): train an n-gram LM on a reference slice,
+    score every document by cross-entropy, and gate/bucket on the score —
+    the standard "does this read like the reference corpus" signal that
+    complements the model-free rarity profile (``text_rarity_score``).
+    Here the LM is an add-one-smoothed BIGRAM model trained on the
+    deterministic half-corpus hash split (``(doc_id·K) mod 2^32 <
+    2^31`` — the repo's RNG-free sampling hash), with OOV handled by the
+    count tables themselves: an out-of-vocab or unseen event reads
+    c=0 through the left joins and scores (0+1)/(c_x+V), the same value
+    an explicit UNK token would get, so no token rewriting pass is
+    needed. V = distinct train tokens + 1 (the UNK slot).
+
+    Cross-engine exactness: ln() is correctly rounded on identical
+    doubles in both engines; only the per-doc summation order differs, so
+    the final divide is rounded at 1e-6 (the ``text_source_token_entropy``
+    discipline). n_bigrams and unseen_frac are exact integers/ratios.
+    Docs with fewer than two tokens have no bigrams and drop out on both
+    engines.
+
+    Scale: the corpus is read twice (token pass for the vocab size,
+    bigram pass for everything else — the ``text_bigram_lift_top``
+    two-pass shape). The bigram frame is materialized ONCE and feeds both
+    the train-count branch and the eval join (per-branch pruning would
+    otherwise rebuild + re-tokenize per consumer). Model tables are
+    bigram-TYPE-sized (sublinear in corpus), the joins are token-keyed
+    hash joins with map-side partial aggregation upstream, V is a one-row
+    broadcast. At 100 TB the model tables are the only shuffled state —
+    the scoring pass is embarrassingly parallel.
+    """
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
+    base = d.select(
+        "doc_id",
+        toks.alias("t"),
+        ((F.col("doc_id") * F.lit(LM_KNUTH)) % F.lit(LM_MOD) < F.lit(LM_MOD // 2)).alias(
+            "is_train"
+        ),
+    )
+    vocab = (
+        base.filter("is_train")
+        .select(F.explode("t").alias("tok"))
+        .agg((F.countDistinct("tok") + 1).alias("v"))
+    )
+    bi = base.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)").alias("x"),
+                F.expr("slice(t, 2, size(t) - 1)").alias("y"),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id", "is_train", F.col("p.x").alias("x"), F.col("p.y").alias("y")
+    ).transform(materialize)
+    bcount = (
+        bi.filter("is_train")
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+        .transform(materialize)  # feeds ccount AND the eval join
+    )
+    ccount = bcount.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    scored = (
+        bi.join(bcount, ["x", "y"], "left")
+        .join(ccount, ["x"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("c_xy"), F.lit(0)).alias("c_xy"),
+            F.coalesce(F.col("c_x"), F.lit(0)).alias("c_x"),
+            "v",
+        )
+    )
+    n = F.count("*")
+    logp = F.log((F.col("c_xy") + 1).cast("double") / (F.col("c_x") + F.col("v")).cast("double"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            n.cast("long").alias("n_bigrams"),
+            (F.sum((F.col("c_xy") == 0).cast("int")).cast("double") / n).alias(
+                "unseen_frac"
+            ),
+            F.round(-F.sum(logp) / n, 6).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -155,3 +155,24 @@ def test_rarity_and_negatives_invariants(spark):
         assert row.neg_doc_id != row.doc_id
         per_doc.setdefault(row.doc_id, []).append(row.pair_idx)
     assert per_doc and all(len(v) <= NEG_PER_DOC for v in per_doc.values())
+
+
+def test_lm_perplexity_invariants(spark):
+    """Intent checks independent of the oracle: a TRAIN doc's bigrams are
+    all in the model by construction (unseen_frac == 0), every smoothed
+    probability is < 1 so cross-entropy is strictly positive, and the
+    train split is the sampling hash (deterministic)."""
+    from pyspark.sql import functions as F
+
+    from pgcp_spark.functions.text import LM_KNUTH, LM_MOD, text_lm_perplexity_score
+
+    out = text_lm_perplexity_score(spark, "/root/testdata/sf0.001")
+    is_train = (F.col("doc_id") * F.lit(LM_KNUTH)) % F.lit(LM_MOD) < F.lit(LM_MOD // 2)
+    rows = out.withColumn("is_train", is_train).collect()
+    assert rows, "expected scored documents"
+    assert any(r.is_train for r in rows) and any(not r.is_train for r in rows)
+    for r in rows:
+        assert r.cross_entropy > 0, r
+        assert 0.0 <= r.unseen_frac <= 1.0, r
+        if r.is_train:
+            assert r.unseen_frac == 0.0, f"train doc with unseen bigram: {r}"
