@@ -32,6 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pgcp_spark.plans.materialize import materialize
 from pgcp_spark.registry import register
 from pgcp_spark.sources import lake
 from pgcp_spark.sources.tables import load_table
@@ -272,3 +273,138 @@ def _sketch_table_files(table_dir: str) -> list[str]:
         for f in files
         if f.endswith(".parquet")
     ]
+
+
+# --- count-min frequency sketch + heavy hitters (round 10) ----------------
+# The frequency-sketch sibling of the HLL family: a d×w counter grid where
+# every key increments one counter per hash row and a point estimate reads
+# the MINIMUM of its d counters — never an underestimate (all error is
+# +collision mass), the Cormode/Muthukrishnan 2005 guarantee. Unlike HLL,
+# the whole sketch is expressible as RELATIONAL integer arithmetic on a
+# cross-engine hash (md5 hex slices), so the approximate structure has an
+# exact DuckDB twin and the registered query is HASH-GREEN — deterministic
+# approximation, bit-for-bit reproducible.
+CMS_D = 4  # hash rows: 4 disjoint 32-bit slices of one md5
+CMS_W = 512  # buckets per row — sized so collisions are LIVE on the test
+# corpus (916 bigram types → ~1.8/bucket) and the one-sided error is
+# visible in the output instead of vacuously zero
+HH_DENOM = 1000  # φ-heavy-hitter threshold: count > total/1000
+
+
+def _cms_bucket(col, j: int):
+    """Row-j bucket: 8 hex chars of md5 at offset 8j, as int, mod w.
+    Identical in DuckDB as ('0x' || substr(md5(k), 1+8j, 8))::BIGINT % w."""
+    return (
+        F.conv(F.substring(F.md5(col), 1 + 8 * j, 8), 16, 10).cast("long")
+        % CMS_W
+    )
+
+
+@register(
+    "agg_cms_bigram_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT source,
+         string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+bi AS (
+  SELECT source, t[i.i] || ' ' || t[i.i + 1] AS b
+  FROM toks, UNNEST(range(1, len(t))) AS i(i)
+),
+partials AS (
+  SELECT source, j.j AS j,
+         (('0x' || substr(md5(b), 1 + 8 * j.j, 8))::BIGINT) % {CMS_W} AS bucket,
+         COUNT(*) AS cnt
+  FROM bi, UNNEST(range(0, {CMS_D})) AS j(j)
+  GROUP BY 1, 2, 3
+),
+merged AS (SELECT j, bucket, SUM(cnt) AS cnt FROM partials GROUP BY 1, 2),
+cand AS (SELECT b, COUNT(*) AS true_cnt FROM bi GROUP BY 1),
+total AS (SELECT SUM(true_cnt) AS n FROM cand),
+probes AS (
+  SELECT c.b, c.true_cnt, j.j AS j,
+         (('0x' || substr(md5(c.b), 1 + 8 * j.j, 8))::BIGINT) % {CMS_W} AS bucket
+  FROM cand c, UNNEST(range(0, {CMS_D})) AS j(j)
+),
+est AS (
+  SELECT p.b, p.true_cnt, MIN(m.cnt) AS est_cnt
+  FROM probes p JOIN merged m ON m.j = p.j AND m.bucket = p.bucket
+  GROUP BY 1, 2
+)
+SELECT e.b AS bigram, CAST(e.true_cnt AS BIGINT) AS true_cnt,
+       CAST(e.est_cnt AS BIGINT) AS est_cnt
+FROM est e CROSS JOIN total t
+WHERE e.est_cnt > t.n / {HH_DENOM}.0
+ORDER BY e.b
+""",
+)
+def agg_cms_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy hitters over the corpus bigram stream via a count-min
+    sketch: per-SOURCE partial sketches (the mergeable-rollup shape —
+    day/source/partition partials sum into the global sketch exactly, the
+    HLL family's merge contract with plain integer addition) are merged,
+    then every candidate key reads min-of-d counters and keys whose
+    ESTIMATE clears total/{HH_DENOM} are emitted with both counts. The
+    one-sided guarantee is visible in the result itself: est_cnt ≥
+    true_cnt on every row, every true heavy hitter is present (recall 1
+    by construction — estimates never shrink), and borderline keys
+    inflated past the threshold by collision mass appear as
+    (true < threshold < est) rows — the measured false-positive band.
+
+    Candidates here are the distinct bigrams (vocabulary-sized — far
+    smaller than the stream); at 100 TB candidates come from per-partition
+    top-k or a sample, and the sketch answers them without any exact
+    per-key count table. The sketch itself is {CMS_D}×{CMS_W} rows
+    regardless of corpus size; merging partials is a sum keyed on
+    (row, bucket); the estimate join broadcasts the sketch. Map-side
+    partial aggregation collapses the ×{CMS_D} probe fan-out before the
+    shuffle. true_cnt in the output is the demo's yardstick, not part of
+    the production read path.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
+    t = d.select("source", toks.alias("t"))
+    bi = t.select(
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)").alias("x"),
+                F.expr("slice(t, 2, size(t) - 1)").alias("y"),
+            )
+        ).alias("p"),
+    ).select(
+        "source", F.concat_ws(" ", F.col("p.x"), F.col("p.y")).alias("b")
+    ).transform(materialize)  # feeds the sketch build AND the candidate counts
+    probe_rows = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), _cms_bucket(F.col("b"), j).alias("bucket"))
+            for j in range(CMS_D)
+        ]
+    )
+    partials = (
+        bi.select("source", F.explode(probe_rows).alias("r"))
+        .groupBy("source", F.col("r.j").alias("j"), F.col("r.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = partials.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+    cand = bi.groupBy("b").agg(F.count("*").alias("true_cnt"))
+    total = cand.agg(F.sum("true_cnt").alias("n"))
+    probes = cand.select(
+        "b", "true_cnt", F.explode(probe_rows).alias("r")
+    ).select("b", "true_cnt", F.col("r.j").alias("j"), F.col("r.bucket").alias("bucket"))
+    est = (
+        probes.join(merged, ["j", "bucket"])
+        .groupBy("b", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est_cnt") > F.col("n") / HH_DENOM)
+        .select(
+            F.col("b").alias("bigram"),
+            F.col("true_cnt").cast("long").alias("true_cnt"),
+            F.col("est_cnt").cast("long").alias("est_cnt"),
+        )
+        .orderBy("bigram")
+    )

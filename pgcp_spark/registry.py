@@ -52,10 +52,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-10 window. The staleness invariant (no entry's driver row
 # predates its current implementation) has priority. Head of window:
-#   * 9 queries ADDED in round 10 — the incremental JOIN-view
+#   * 10 queries ADDED in round 10 — the incremental JOIN-view
 #     maintenance query (hash-capable: fold == recompute oracle on the
 #     post state of both base tables), the bigram-LM perplexity scorer
 #     (hash-capable: CCNet-shaped cross-entropy, 1e-6-rounded ln sums),
+#     the count-min heavy-hitter query (hash-capable: the approximate
+#     sketch is deterministic relational arithmetic on md5 slices, so
+#     even its false-positive band is bit-reproducible),
 #     the filtered-vector-search trio
 #     (exact same-label top-k, hash-capable; the lookup-join filtered
 #     IVF probe and the label-PARTITIONED filter-in-index probe, both
@@ -72,13 +75,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #     crash-consistency rework, the three loop queries that gained the
 #     maybe_flatten cadence, and the two hybrids (cost rule / shared
 #     fusion refactor).
-# The remaining 29 slots re-prove the OLDEST standing rows: the
-# r6-latest cohort minus its seven alphabetically-last members
-# (streaming_tumbling_event_counts, text_bigram_lift_top,
+# The remaining 28 slots re-prove the OLDEST standing rows: the
+# r6-latest cohort minus its eight alphabetically-last members
+# (streaming_stream_stream_join_click_purchase,
+# streaming_tumbling_event_counts, text_bigram_lift_top,
 # text_rarity_score, text_repeated_span_pairs,
 # text_source_token_entropy, text_tfidf_top_terms,
 # text_winnow_fingerprints — unchanged since r6, they lead the r11
-# backlog; five still appear below, at positions 51-55,
+# backlog; six still appear below, at positions 51-56,
 # past the driver's 50-slot cut). Still excluded:
 # agg_approx_distinct_customers (rows-only AND unchanged since its r1
 # row — a new row adds nothing, rationale standing since r5) and
@@ -90,6 +94,7 @@ _AUDIT_PRIORITY: list[str] = [
     # --- NEW in round 10 (no driver row yet — must enter the window) ---
     "lake_incremental_join_view_orders",  # hash-capable (delta-join IVM vs recompute oracle)
     "text_lm_perplexity_score",  # hash-capable (CCNet bigram-LM cross-entropy)
+    "agg_cms_bigram_heavy_hitters",  # hash-capable (deterministic count-min grid)
     "sim_filtered_cosine_topk",  # hash-capable (exact same-label top-k oracle)
     "sim_filtered_batch_vs_ann_index",  # rows-only by design (IVF routing; floors + all-lists pin)
     "sim_label_partitioned_ann_topk",  # rows-only by design (label-pure IVF routing; beats-lookup-join + all-lists pins)

@@ -220,3 +220,82 @@ def test_streaming_replay_idempotent(spark, tmp_path):
     fold_sketch_batch(spark, replay, d)
     after = [tuple(r) for r in distinct_users_from_sketches(spark, d).collect()]
     assert after == before
+
+
+def test_cms_one_sided_and_recall(spark):
+    """Count-min contracts on the real corpus: estimates never
+    underestimate, and every EXACT heavy hitter survives the
+    estimate-threshold filter (recall 1 — estimates can only grow)."""
+    from pgcp_spark.functions.sketches import (
+        HH_DENOM,
+        agg_cms_bigram_heavy_hitters,
+    )
+
+    out = agg_cms_bigram_heavy_hitters(spark, SF_DIR).collect()
+    assert out, "expected heavy hitters on the test corpus"
+    assert all(r.est_cnt >= r.true_cnt for r in out)
+    # exact heavy hitters, recomputed independently
+    d = load_table(spark, SF_DIR, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
+    bi = (
+        d.select(toks.alias("t"))
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(t, 1, size(t) - 1)").alias("x"),
+                    F.expr("slice(t, 2, size(t) - 1)").alias("y"),
+                )
+            ).alias("p")
+        )
+        .select(F.concat_ws(" ", F.col("p.x"), F.col("p.y")).alias("b"))
+    )
+    counts = {r.b: r.cnt for r in bi.groupBy("b").agg(F.count("*").alias("cnt")).collect()}
+    total = sum(counts.values())
+    exact_hh = {b for b, c in counts.items() if c > total / HH_DENOM}
+    got = {r.bigram for r in out}
+    assert exact_hh <= got, f"missing true heavy hitters: {sorted(exact_hh - got)[:5]}"
+    for r in out:
+        assert r.true_cnt == counts[r.bigram]
+
+
+def test_cms_partials_merge_equals_direct(spark):
+    """The mergeable-rollup contract: per-source partial sketches summed
+    into the global grid equal the sketch built in one pass — integer
+    addition is exact, so this family's merge==whole holds bit-for-bit
+    (the HLL family pins the same shape within sketch tolerance)."""
+    from pgcp_spark.functions.sketches import CMS_D, _cms_bucket
+
+    d = load_table(spark, SF_DIR, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
+    bi = (
+        d.select("source", toks.alias("t"))
+        .select(
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(t, 1, size(t) - 1)").alias("x"),
+                    F.expr("slice(t, 2, size(t) - 1)").alias("y"),
+                )
+            ).alias("p"),
+        )
+        .select("source", F.concat_ws(" ", F.col("p.x"), F.col("p.y")).alias("b"))
+    )
+    rows = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), _cms_bucket(F.col("b"), j).alias("bucket"))
+            for j in range(CMS_D)
+        ]
+    )
+    exploded = bi.select("source", F.explode(rows).alias("r")).select(
+        "source", F.col("r.j").alias("j"), F.col("r.bucket").alias("bucket")
+    )
+    merged = (
+        exploded.groupBy("source", "j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = exploded.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+    a = sorted(tuple(r) for r in merged.collect())
+    b = sorted(tuple(r) for r in direct.collect())
+    assert a == b
