@@ -408,3 +408,102 @@ def agg_cms_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bigram")
     )
+
+
+# --- mergeable-histogram quantile rollup (round 10) ------------------------
+# The QUANTILE sibling of the HLL (distinct) and count-min (frequency)
+# families: per-(event_type, day, bin) fixed-width histogram partials are
+# the persisted rollup state; merging = integer addition (exact, like
+# count-min — no sketch tolerance); any quantile over any day range is
+# answered from the merged histogram by cumulative counts + linear
+# interpolation inside the target bin, with error bounded by the bin
+# width. approx_percentile answers one-shot queries but its state is not
+# a storable/mergeable table — this is the pre-aggregated form a 100 TB
+# metrics pipeline actually keeps.
+HIST_BIN_W = 4.0  # ~123 bins over the events.value range; error ≤ 4
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "agg_histogram_quantile_rollup",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(FLOOR(value / {HIST_BIN_W}) AS BIGINT) AS bin, COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+m AS (SELECT event_type, bin, SUM(c) AS cnt FROM h GROUP BY 1, 2),
+tot AS (SELECT event_type, SUM(cnt) AS n FROM m GROUP BY 1),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM m
+),
+qs AS (SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                      CAST(0.99 AS DOUBLE)]) AS q),
+sel AS (
+  SELECT c.event_type, q.q, t.n, c.bin, c.cnt, c.cum
+  FROM cum c JOIN tot t USING (event_type) CROSS JOIN qs q
+  WHERE c.cum - c.cnt < q.q * t.n AND q.q * t.n <= c.cum
+)
+SELECT event_type, q, CAST(n AS BIGINT) AS n,
+       ROUND(bin * {HIST_BIN_W}
+             + (q * n - (cum - cnt)) / cnt * {HIST_BIN_W}, 6) AS est_value
+FROM sel ORDER BY event_type, q
+""",
+)
+def agg_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of ``events.value`` per event type, answered from
+    MERGED per-day histogram partials instead of the raw values — the
+    hypertable-rollup pattern for percentiles. The partial table is
+    (event_type, day, bin, count): day-grain, tiny (≤ types × days ×
+    bins rows), and mergeable by plain integer addition, so day-range
+    re-aggregation never rescans events (the HLL family's contract,
+    without its approximation tolerance — the only error here is the
+    deterministic bin width, est within {HIST_BIN_W} of the exact
+    order statistic, pinned in tests). The quantile read is a cumulative
+    window per type (partitioned — bounded partitions, bins per type)
+    plus one interpolation expression; identical integer counts feed an
+    identical double expression on both engines, rounded at 1e-6.
+
+    NULL values are excluded on both sides (a histogram of known values;
+    the nulls lake exercises this). At 100 TB: the fact table is read
+    once per day at ingest to fold that day's partial rows; every later
+    quantile query touches only the histogram table.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    h = (
+        e.groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") / HIST_BIN_W).alias("bin"),
+        ).agg(F.count("*").alias("c"))
+    )
+    m = h.groupBy("event_type", "bin").agg(F.sum("c").alias("cnt"))
+    tot = m.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = m.withColumn("cum", F.sum("cnt").over(w))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in HIST_QS])).alias("q")
+    )
+    target = F.col("q") * F.col("n")
+    est = F.round(
+        F.col("bin") * HIST_BIN_W
+        + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt") * HIST_BIN_W,
+        6,
+    )
+    return (
+        cum.join(tot, "event_type")
+        .crossJoin(F.broadcast(qs))
+        .filter((F.col("cum") - F.col("cnt") < target) & (target <= F.col("cum")))
+        .select(
+            "event_type",
+            "q",
+            F.col("n").cast("long").alias("n"),
+            est.alias("est_value"),
+        )
+        .orderBy("event_type", "q")
+    )

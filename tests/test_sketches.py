@@ -299,3 +299,33 @@ def test_cms_partials_merge_equals_direct(spark):
     a = sorted(tuple(r) for r in merged.collect())
     b = sorted(tuple(r) for r in direct.collect())
     assert a == b
+
+
+def test_histogram_quantile_within_bin_width(spark):
+    """The histogram rollup's only error is the bin width: every
+    estimate sits within HIST_BIN_W of the exact order statistic AT THE
+    SAME RANK DEFINITION (the smallest value whose cumulative count
+    reaches q·n — the rank the histogram targets; interpolating
+    definitions like numpy's default differ by a whole inter-value gap
+    in sparse tails, which is a definition delta, not histogram error)."""
+    import math
+
+    from pgcp_spark.functions.sketches import (
+        HIST_BIN_W,
+        agg_histogram_quantile_rollup,
+    )
+
+    out = agg_histogram_quantile_rollup(spark, SF_DIR).collect()
+    assert out, "expected quantile rows"
+    vals = {}
+    for r in load_table(spark, SF_DIR, "events").select("event_type", "value").collect():
+        if r.value is not None:
+            vals.setdefault(r.event_type, []).append(r.value)
+    for r in out:
+        v = sorted(vals[r.event_type])
+        assert r.n == len(v)
+        rank = math.ceil(r.q * r.n)  # smallest rank with cum >= q*n
+        exact = v[rank - 1]
+        assert abs(r.est_value - exact) <= HIST_BIN_W, (
+            f"{r.event_type} q={r.q}: est {r.est_value} vs exact {exact}"
+        )
