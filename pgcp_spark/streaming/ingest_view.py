@@ -1,0 +1,232 @@
+"""Streaming materialized-view maintenance: the IVM loop.
+
+Completes the per-family streaming story for round 10's incremental
+JOIN-view layer (``sources/view_maintenance.py``), the way each index
+family got its ingest loop: CDC batches arrive as a stream of files;
+each micro-batch (a) applies its batches to the fact's lake table
+MERGE-ON-READ (``merge_cdc_delta`` — data delta + tombstone, base
+untouched) and (b) folds the SAME batch through ``fold_join_view`` into
+the materialized ``fact ⋈ dim`` view, so the view tracks the fact with
+CDC-batch latency and no base-table rescans anywhere in the loop.
+
+    readStream(files) ──► foreachBatch, per CDC batch IN SEQ ORDER:
+        merge_cdc_delta(fact, batch)           # fact stays current
+        fold_join_view(view, batch-as-feed)    # view stays current
+        loop.maybe_flatten(view)               # self-healing cadence
+
+Design decisions, inherited from the loop family:
+
+- **A CDC batch is its own change feed.** ``fold_join_view``'s fact arm
+  needs only post rows and deleted keys — exactly what a CDC batch
+  carries — so the streaming fold never diffs snapshots: upsert rows map
+  to ``update_postimage`` (the fold treats insert/postimage identically:
+  rebuild against the dim), delete rows to ``delete``.
+- **Batch-boundary invariance by ordered sub-batches.** Unlike the
+  ingest loops (whose folds are per-key replacement over key-disjoint
+  days), consecutive CDC batches legitimately touch the SAME key — a
+  later batch re-prices or resurrects a key an earlier one wrote — so
+  coalescing two batches into one ``merge_cdc_delta`` call would violate
+  its key-unique contract. The handler therefore splits a micro-batch by
+  its data-derived ``seq`` and applies each complete batch in seq order
+  (files are the source's atomic unit, so every seq present is whole):
+  availableNow-in-one-trigger produces a bit-identical view to
+  batch-at-a-time (pinned in tests/test_ingest_view.py).
+- **At-least-once replay converges**: ``merge_cdc_delta`` replay is
+  documented convergent, and the view fold's re-appended deltas shadow
+  their twins through newest-wins (the IVM replay pin).
+
+The registered query's end state has a FULL SQL twin — the view after
+three sequential CDC batches (price-doubling upserts, retention deletes,
+then a re-pricing batch that also RESURRECTS some deleted keys and
+inserts outside the base) must hash-match the join of the post-CDC fact
+state with the dim, recomputed from the raw tables. A streaming
+materialized-view pipeline, driver-checked bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgcp_spark.indexes import loop
+from pgcp_spark.plans.materialize import materialize
+from pgcp_spark.registry import register
+from pgcp_spark.sources import load_table
+from pgcp_spark.sources.lake import (
+    merge_cdc_delta,
+    read_current,
+    read_current_with_deltas,
+    write_snapshot,
+)
+from pgcp_spark.sources.view_maintenance import fold_join_view
+
+VIEW_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"]
+
+
+def _cdc_batches(orders: DataFrame) -> DataFrame:
+    """Three sequential CDC batches over the orders base (%3-filtered):
+    seq 0 doubles every 5th key (inserts where the key is outside the
+    base), seq 1 deletes every 7th non-5th key, seq 2 re-prices every
+    11th key at original+1000 — touching keys seq 0 wrote, RESURRECTING
+    %77 keys seq 1 deleted (commit order versions deletes against
+    upserts), and inserting %33 keys the base never had."""
+    ups5 = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("_op", F.lit("upsert"))
+        .withColumn("seq", F.lit(0))
+    )
+    dels7 = (
+        orders.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("_op", F.lit("delete"))
+        .withColumn("seq", F.lit(1))
+    )
+    ups11 = (
+        orders.filter(F.col("o_orderkey") % 11 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("_op", F.lit("upsert"))
+        .withColumn("seq", F.lit(2))
+    )
+    return ups5.unionByName(dels7).unionByName(ups11)
+
+
+def fold_view_batch(
+    spark: SparkSession,
+    micro_batch: DataFrame,
+    fact_dir: str,
+    view_dir: str,
+    dim: DataFrame,
+) -> None:
+    """Apply every COMPLETE CDC batch in the micro-batch, in seq order
+    (module docstring: coalesced delivery must split — merge_cdc_delta
+    is per-batch key-unique, and later batches overwrite earlier keys).
+    The seq scan is bounded by the number of staged batches."""
+    micro_batch = materialize(micro_batch)
+    seqs = sorted(r[0] for r in micro_batch.select("seq").distinct().collect())
+    for s in seqs:
+        b = micro_batch.filter(F.col("seq") == s).drop("seq")
+        merge_cdc_delta(spark, fact_dir, b, key=["o_orderkey"])
+        feed = b.withColumn(
+            "_change_type",
+            F.when(F.col("_op") == "delete", F.lit("delete")).otherwise(
+                F.lit("update_postimage")
+            ),
+        ).drop("_op")
+        fold_join_view(
+            spark,
+            view_dir,
+            view_key=["o_orderkey"],
+            fact_feed=feed,
+            dim_feed=None,
+            dim_current=dim,
+            fact_join_col="o_custkey",
+            dim_join_col="c_custkey",
+        )
+        loop.maybe_flatten(spark, view_dir, key=["o_orderkey"])
+
+
+def run_ingest_view(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
+) -> tuple[str, str]:
+    """Build the fact lake + initial view, stream the CDC batches through
+    the fold, return (fact_dir, view_dir). The caller owns both dirs.
+    ``max_files_per_trigger=None`` coalesces all batches into one
+    micro-batch — the ordered sub-batch split must make the final view
+    bit-identical (pinned)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    fact_dir = tempfile.mkdtemp(prefix="pgcp_ingest_view_fact_")
+    view_dir = tempfile.mkdtemp(prefix="pgcp_ingest_view_view_")
+    staging = None
+    try:
+        write_snapshot(base, fact_dir)
+        view0 = base.join(
+            dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+        ).select(*VIEW_COLS)
+        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+        batches = _cdc_batches(orders)
+        staging = loop.stage_group_files(
+            batches, F.col("seq"), range(3), "pgcp_ingest_view_stream_"
+        )
+        loop.run_availablenow_stream(
+            spark,
+            staging,
+            batches.schema,
+            lambda mb, _bid: fold_view_batch(spark, mb, fact_dir, view_dir, dim),
+            max_files_per_trigger,
+        )
+    except BaseException:
+        shutil.rmtree(fact_dir, ignore_errors=True)
+        shutil.rmtree(view_dir, ignore_errors=True)
+        raise
+    finally:
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
+    return fact_dir, view_dir
+
+
+_STREAM_VIEW_ORACLE = """
+WITH postfact AS (
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1000
+                WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+       OR o_orderkey % 5 = 0
+       OR (o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0)
+)
+SELECT f.o_orderkey, f.o_custkey, f.o_totalprice, d.c_name, d.c_mktsegment
+FROM postfact f JOIN customer d ON f.o_custkey = d.c_custkey
+ORDER BY f.o_orderkey
+"""
+
+
+@register(
+    "streaming_join_view_maintenance",
+    oracle=_STREAM_VIEW_ORACLE,
+    doc=(
+        "streaming materialized-view maintenance: CDC batches stream in, each "
+        "micro-batch lands merge-on-read on the fact AND folds the join view "
+        "(delta-join, ordered sub-batches for boundary invariance) — final view "
+        "hash-exact vs the post-CDC join recomputed from the raw tables"
+    ),
+)
+def streaming_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVM loop end to end (module docstring): stream three
+    sequential CDC batches — including same-key overwrites, a
+    delete-then-resurrect arc, and out-of-base inserts — and serve the
+    view the STREAM maintained, merge-on-read."""
+    fact_dir, view_dir = run_ingest_view(spark, sf_dir)
+    try:
+        result = materialize(
+            read_current_with_deltas(spark, view_dir, key=["o_orderkey"]).orderBy(
+                "o_orderkey"
+            )
+        )
+    except BaseException:
+        shutil.rmtree(fact_dir, ignore_errors=True)
+        shutil.rmtree(view_dir, ignore_errors=True)
+        raise
+    loop.reclaim_by_mode(fact_dir, view_dir)
+    return result
+
+
+# read_current is imported for tests (post-stream fact state assertions)
+__all__ = [
+    "fold_view_batch",
+    "run_ingest_view",
+    "streaming_join_view_maintenance",
+    "read_current",
+]
