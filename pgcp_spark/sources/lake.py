@@ -51,7 +51,9 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,6 +67,65 @@ DELTA_PREFIX = "delta_"
 DELTA_LOG = "_DELTAS"
 DELTA_RETIRED = "_DELTAS_RETIRED"
 TOMBSTONE = "_tombstone"
+
+# --- optimistic concurrency (round 10) -------------------------------------
+# The layer was single-writer by contract (indexes/loop.py); these
+# primitives make MULTI-writer safe instead of silently lossy. Two races
+# existed: (a) concurrent ``append_delta`` calls both read-modify-write
+# the ``_DELTAS`` log → one append vanishes (lost delta); (b) concurrent
+# snapshot commits both re-point — last wins, and a MERGE computed
+# against the loser's parent silently drops the loser's rows (lost
+# update). The fix is the standard lakehouse commit protocol reduced to
+# this layer's filesystem minimum: every METADATA commit (pointer/log
+# mutation — never the parquet writes, which stay unlocked and
+# uuid-isolated) serializes through an O_EXCL lock file, and a snapshot
+# commit may assert its EXPECTED PARENT under that lock — the
+# compare-and-swap Delta does with putIfAbsent on the next log entry and
+# Iceberg with its metadata-pointer CAS. Losers raise ``CommitConflict``
+# (detect, never lose); ``occ_upsert`` is the retry loop that recomputes
+# against the new current. Delta appends are commutative, so they only
+# serialize — they can never conflict. On an object store, swap
+# ``_commit_lock``/O_EXCL for the store's conditional put; the protocol
+# seam is identical.
+COMMIT_LOCK = "_COMMIT_LOCK"
+LOCK_STALE_S = 60.0  # a metadata commit takes milliseconds; a lock this
+# old is a crashed writer's — break it (the vacuum age-guard discipline)
+_UNCHECKED = object()  # expect_parent sentinel: None means "expect empty"
+
+
+class CommitConflict(RuntimeError):
+    """The table's current snapshot moved past the writer's parent —
+    the transaction must recompute against the new current and retry."""
+
+
+@contextmanager
+def _commit_lock(table_dir: str, timeout_s: float = 30.0):
+    os.makedirs(table_dir, exist_ok=True)
+    path = os.path.join(table_dir, COMMIT_LOCK)
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(time.time()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(path) > LOCK_STALE_S:
+                    os.unlink(path)  # crashed holder; best-effort break
+                    continue
+            except OSError:
+                continue  # holder released between the probe and the stat
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"commit lock busy > {timeout_s}s: {path}")
+            time.sleep(0.01)
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
 
 
 def _pointer_path(table_dir: str) -> str:
@@ -129,6 +190,7 @@ def write_snapshot(
     cluster_files: int | None = None,
     zorder_by: list[str] | None = None,
     zorder_rank: str = "width",
+    expect_parent=_UNCHECKED,
 ) -> str:
     """Write ``df`` as a new snapshot and atomically commit the pointer.
 
@@ -157,6 +219,13 @@ def write_snapshot(
     ``zorder_rank="quantile"`` swaps the fixed-width bucketing for
     approxQuantile ranks — the value-range-skew recovery
     (``sources/zorder.py`` module docstring, measured in SCALE.md r8).
+
+    ``expect_parent``: optimistic-concurrency CAS (module comment at
+    ``COMMIT_LOCK``). Pass the snapshot name this write was computed
+    against (``None`` for "expect a fresh table"); if another writer
+    committed in between, the staged files are reclaimed and
+    ``CommitConflict`` raises instead of silently dropping their rows.
+    Omitted → unconditional commit (the single-writer paths).
     """
     if cluster_by and zorder_by:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
@@ -180,20 +249,35 @@ def write_snapshot(
         df = df.drop("_zkey")
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, snap))
 
-    _atomic_write(_pointer_path(table_dir), snap)  # the atomic commit
-    committed = history(table_dir)  # reconciles snap via the pointer
-    _atomic_write(_log_path(table_dir), "\n".join(committed) + "\n")
+    with _commit_lock(table_dir):
+        if expect_parent is not _UNCHECKED and current_snapshot(table_dir) != expect_parent:
+            # CAS failure: another writer committed past our parent. The
+            # staged files are ours alone — reclaim and surface the
+            # conflict (occ_upsert is the retry loop).
+            shutil.rmtree(os.path.join(table_dir, snap), ignore_errors=True)
+            raise CommitConflict(
+                f"{table_dir}: parent moved from {expect_parent!r} to "
+                f"{current_snapshot(table_dir)!r}"
+            )
+        _atomic_write(_pointer_path(table_dir), snap)  # the atomic commit
+        committed = history(table_dir)  # reconciles snap via the pointer
+        _atomic_write(_log_path(table_dir), "\n".join(committed) + "\n")
 
-    kept = set(committed[-max(1, keep):])
-    # commit-time GC needs no in-flight age guard (unlike ``vacuum``):
-    # it runs inside THE single writer, which cannot race its own staging
-    for entry in os.listdir(table_dir):
-        if entry.startswith(SNAPSHOT_PREFIX) and entry not in kept:
-            shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
-    if len(committed) > keep:
-        _atomic_write(
-            _log_path(table_dir), "\n".join(committed[-max(1, keep):]) + "\n"
-        )
+        kept = set(committed[-max(1, keep):])
+        # commit-time GC: committed-and-beyond-keep snapshots only; an
+        # uncommitted uuid dir may be a CONCURRENT writer's stage (it can
+        # no longer only be our own) — that is vacuum's age-guarded job
+        for entry in os.listdir(table_dir):
+            if (
+                entry.startswith(SNAPSHOT_PREFIX)
+                and entry not in kept
+                and entry in committed
+            ):
+                shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
+        if len(committed) > keep:
+            _atomic_write(
+                _log_path(table_dir), "\n".join(committed[-max(1, keep):]) + "\n"
+            )
     return snap
 
 
@@ -291,9 +375,14 @@ def append_delta(
     if cluster_by:
         df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, name))
-    _atomic_write(
-        _delta_log_path(table_dir), "\n".join(delta_names(table_dir) + [name]) + "\n"
-    )
+    # the log append is a read-modify-write: serialized under the commit
+    # lock so two concurrent appends can't drop each other's entry (delta
+    # appends COMMUTE — they serialize, they never conflict)
+    with _commit_lock(table_dir):
+        _atomic_write(
+            _delta_log_path(table_dir),
+            "\n".join(delta_names(table_dir) + [name]) + "\n",
+        )
     return name
 
 
@@ -467,8 +556,18 @@ def flatten_deltas(
         zorder_by=zorder_by,
         zorder_rank=zorder_rank,
     )
-    _atomic_write(_delta_log_path(table_dir), "")
-    _atomic_write(_delta_retired_path(table_dir), "\n".join(names) + "\n")
+    # Retire ONLY the deltas this flatten folded (captured above), under
+    # the commit lock: a delta appended concurrently between the capture
+    # and this clear stays ACTIVE — it wasn't merged into the new base,
+    # and it still wins over that base through the merge-on-read reader.
+    # A blanket clear would silently drop it (lost delta).
+    with _commit_lock(table_dir):
+        remaining = [n for n in delta_names(table_dir) if n not in set(names)]
+        _atomic_write(
+            _delta_log_path(table_dir),
+            ("\n".join(remaining) + "\n") if remaining else "",
+        )
+        _atomic_write(_delta_retired_path(table_dir), "\n".join(names) + "\n")
     return snap
 
 
@@ -516,6 +615,59 @@ def upsert(
         zorder_by=zorder_by,
         zorder_rank=zorder_rank,
     )
+
+
+def occ_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key: list[str],
+    retries: int = 5,
+    keep: int = 1,
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
+) -> str:
+    """MERGE under optimistic concurrency: the standard OCC loop over
+    ``write_snapshot(expect_parent=…)`` — read the current snapshot name,
+    compute the merge against that state, commit with the CAS; on
+    ``CommitConflict`` (another writer landed first) recompute against
+    the NEW current and retry. Both writers' rows survive, in commit
+    order — the lost-update the unconditional ``upsert`` admits under
+    concurrency can't happen here. ``updates`` is materialized once: the
+    retry loop re-evaluates it per attempt, and a non-deterministic
+    source recomputed between attempts would merge different rows than
+    it probed (the ``merge_cdc_delta`` discipline).
+
+    Use this (or the commutative ``append_delta``) when a table has
+    concurrent writers; the plain ``upsert`` remains the cheaper call on
+    single-writer paths like the index loops."""
+    from pgcp_spark.plans.materialize import materialize
+
+    updates = materialize(updates)
+    last: CommitConflict | None = None
+    for _ in range(max(1, retries)):
+        parent = current_snapshot(table_dir)
+        if parent is None:  # first writer wins the table-creation race
+            merged = updates
+        else:
+            current = read_current(spark, table_dir)
+            kept = current.join(updates.select(*key), on=key, how="left_anti")
+            merged = kept.unionByName(updates)
+        try:
+            return write_snapshot(
+                merged,
+                table_dir,
+                keep=keep,
+                cluster_by=cluster_by,
+                cluster_files=cluster_files,
+                expect_parent=parent,
+            )
+        except CommitConflict as exc:
+            last = exc
+            continue
+    raise CommitConflict(
+        f"{table_dir}: gave up after {retries} conflicted attempts"
+    ) from last
 
 
 def delete(

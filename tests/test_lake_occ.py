@@ -1,0 +1,159 @@
+"""Optimistic-concurrency contracts of the lake layer (round 10):
+concurrent delta appends never lose a log entry, a snapshot commit with
+a stale parent raises CommitConflict instead of silently dropping the
+winner's rows, occ_upsert's retry loop lands BOTH concurrent writers'
+batches, and a delta appended while a flatten runs survives the flatten's
+log clear (selective retire)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgcp_spark.sources.lake import (
+    CommitConflict,
+    append_delta,
+    current_snapshot,
+    delta_names,
+    flatten_deltas,
+    occ_upsert,
+    read_current,
+    read_current_with_deltas,
+    write_snapshot,
+)
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="lake_occ_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _kv(spark, pairs):
+    return spark.createDataFrame(pairs, ["k", "v"])
+
+
+def test_concurrent_delta_appends_lose_nothing(spark, tdir):
+    """8 writers × 5 appends race the _DELTAS log; all 40 entries must be
+    logged and readable (the read-modify-write race this round's commit
+    lock closes — without it, concurrent appends overwrite each other's
+    log line)."""
+    write_snapshot(_kv(spark, [(0, 0)]), tdir)
+
+    def writer(w):
+        for i in range(5):
+            append_delta(_kv(spark, [(1000 + w * 10 + i, w)]), tdir)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(writer, range(8)))
+    assert len(delta_names(tdir)) == 40
+    got = read_current_with_deltas(spark, tdir, key=["k"]).count()
+    assert got == 41  # base row + every appended key
+
+
+def test_stale_parent_commit_raises_and_preserves_winner(spark, tdir):
+    """Writer B computed its merge against parent S0; writer A commits
+    first. B's CAS commit must raise CommitConflict and leave A's state
+    untouched (the lost-update detection)."""
+    s0 = write_snapshot(_kv(spark, [(1, 1)]), tdir, keep=3)
+    a_state = _kv(spark, [(1, 1), (2, 2)])
+    b_state = _kv(spark, [(1, 1), (3, 3)])
+    write_snapshot(a_state, tdir, keep=3, expect_parent=s0)  # A wins
+    with pytest.raises(CommitConflict):
+        write_snapshot(b_state, tdir, keep=3, expect_parent=s0)  # B must not
+    rows = sorted(tuple(r) for r in read_current(spark, tdir).collect())
+    assert rows == [(1, 1), (2, 2)]
+    # the loser's staged snapshot dir was reclaimed, not leaked
+    import os
+
+    staged = [e for e in os.listdir(tdir) if e.startswith("snapshot_")]
+    assert len(staged) == 2  # s0 + A's commit (keep=3 retains both)
+
+
+def test_occ_upsert_concurrent_writers_both_land(spark, tdir):
+    """Two writers occ_upsert disjoint key batches at the same time; the
+    retry loop means the final table contains BOTH batches regardless of
+    who wins the race (with plain upsert one batch could vanish)."""
+    write_snapshot(_kv(spark, [(0, 0)]), tdir)
+
+    def writer(w):
+        occ_upsert(
+            spark, tdir, _kv(spark, [(10 + w, w), (20 + w, w)]), key=["k"]
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(writer, range(2)))
+    keys = {r.k for r in read_current(spark, tdir).collect()}
+    assert keys == {0, 10, 11, 20, 21}
+
+
+def test_occ_upsert_retries_past_conflict(spark, tdir, monkeypatch):
+    """Deterministic conflict: the first CAS attempt is forced stale (an
+    interposed commit lands after occ_upsert reads its parent), the
+    retry must recompute against the new current and succeed with BOTH
+    writers' rows."""
+    import pgcp_spark.sources.lake as lake
+
+    write_snapshot(_kv(spark, [(0, 0)]), tdir, keep=5)
+    real = lake.current_snapshot
+    fired = {"done": False}
+
+    def racing(table_dir):
+        parent = real(table_dir)
+        if not fired["done"]:
+            fired["done"] = True
+            # another writer lands between parent read and CAS commit
+            lake.upsert(spark, table_dir, _kv(spark, [(99, 99)]), key=["k"], keep=5)
+        return parent
+
+    monkeypatch.setattr(lake, "current_snapshot", racing)
+    occ_upsert(spark, tdir, _kv(spark, [(1, 1)]), key=["k"], keep=5)
+    monkeypatch.setattr(lake, "current_snapshot", real)
+    keys = {r.k for r in read_current(spark, tdir).collect()}
+    assert keys == {0, 1, 99}
+
+
+def test_flatten_retires_only_what_it_folded(spark, tdir, monkeypatch):
+    """A delta appended WHILE a flatten runs (after its fold-set capture)
+    must stay active: the selective log clear retires only folded names,
+    and the straggler still wins over the new base merge-on-read."""
+    import pgcp_spark.sources.lake as lake
+
+    write_snapshot(_kv(spark, [(1, 1)]), tdir)
+    append_delta(_kv(spark, [(2, 2)]), tdir)
+    real_read = lake.read_current_with_deltas
+    fired = {"done": False}
+
+    def interposing(spark_, table_dir, key):
+        out = real_read(spark_, table_dir, key)
+        if not fired["done"]:
+            fired["done"] = True
+            # a concurrent writer appends between capture and log clear
+            append_delta(_kv(spark_, [(3, 3)]), table_dir)
+        return out
+
+    monkeypatch.setattr(lake, "read_current_with_deltas", interposing)
+    flatten_deltas(spark, tdir, key=["k"])
+    monkeypatch.setattr(lake, "read_current_with_deltas", real_read)
+    assert len(delta_names(tdir)) == 1  # the straggler survived the clear
+    rows = sorted(
+        tuple(r) for r in read_current_with_deltas(spark, tdir, key=["k"]).collect()
+    )
+    assert rows == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_single_writer_paths_unchanged(spark, tdir):
+    """The unconditional paths still work uncontended (no expect_parent →
+    no CAS): plain snapshot/upsert sequence, lock acquired and released
+    transparently."""
+    write_snapshot(_kv(spark, [(1, 1)]), tdir)
+    from pgcp_spark.sources.lake import upsert
+
+    upsert(spark, tdir, _kv(spark, [(2, 2)]), key=["k"])
+    assert current_snapshot(tdir) is not None
+    assert {r.k for r in read_current(spark, tdir).collect()} == {1, 2}

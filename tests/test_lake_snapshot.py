@@ -32,8 +32,11 @@ def test_upsert_replaces_by_key_and_keeps_rest(spark, tmp_path):
 
 
 def test_readers_unaffected_by_uncommitted_snapshot(spark, tmp_path):
-    """A snapshot dir without a pointer flip (= crash before commit) is
-    invisible; the next successful commit garbage-collects it."""
+    """A snapshot dir without a pointer flip (= crash before commit, or a
+    CONCURRENT writer's in-flight stage) is invisible to readers. Since
+    the round-10 multi-writer protocol, commit-time GC must NOT reap it —
+    only vacuum's age guard may (a young uncommitted dir could be another
+    writer's stage; reaping it at commit would corrupt that writer)."""
     table = str(tmp_path / "t")
     lake.write_snapshot(_df(spark, [(1, "a", 1.0)]), table)
     committed = lake.current_snapshot(table)
@@ -45,6 +48,8 @@ def test_readers_unaffected_by_uncommitted_snapshot(spark, tmp_path):
     assert got == [(1, "a", 1.0)]
 
     lake.write_snapshot(_df(spark, [(2, "b", 2.0)]), table)
+    assert os.path.exists(orphan)  # commit defers to vacuum now
+    lake.vacuum(table, orphan_min_age_s=0)  # explicit, age-guarded reap
     assert not os.path.exists(orphan)
 
 
