@@ -80,6 +80,13 @@ ALLOWLIST: dict[str, list[tuple[str, str]]] = {
     "dedup_embedding_cosine_pairs": [
         ("embedding", "block-pack collect_list ships each vector once into its block row"),
     ],
+    # SemDeDup's cluster-pack is the SAME pattern with cluster as the
+    # blocking key (top-2 multi-assignment → each vector rides the
+    # exchange at most twice, still O(n) bytes, no join-side replication).
+    "dedup_semantic_clustered_pairs": [
+        ("collect(embedding)", "cluster-pack collect_list ships each vector once per probed cluster"),
+        ("embedding", "cluster-pack collect_list ships each vector once per probed cluster"),
+    ],
 }
 
 

@@ -425,11 +425,13 @@ def merge_cdc_delta(
     an unmatched delete is a no-op (a tombstone on an absent key kills
     nothing), and at-least-once replay converges (the re-appended data
     delta shadows its twin; the re-appended tombstone re-kills the same
-    keys). Schema evolution is NOT supported on this path — delta reads
-    align columns positionally against the base schema, so an evolving
-    feed takes the copy-on-write ``merge_cdc(evolve_schema=True)``.
-    Returns the committed delta names (data first, then tombstone;
-    either may be absent for a one-sided batch).
+    keys). ADDITIVE schema evolution is supported since late round 10:
+    ``read_current_with_deltas`` resolves columns by name with null fill
+    (a batch may add columns or omit non-key ones), and the next flatten
+    materializes the evolved schema — the ``merge_cdc(evolve_schema=
+    True)`` contract on the merge-on-read path. Returns the committed
+    delta names (data first, then tombstone; either may be absent for a
+    one-sided batch).
 
     The batch is MATERIALIZED before the split: each side is evaluated
     twice (emptiness probe + delta write), and a non-deterministic
@@ -457,22 +459,49 @@ def read_current_with_deltas(
     tombstone deltas kill every matching row whose last write predates
     them. With no active deltas this IS ``read_current`` — zero
     overhead; with no TOMBSTONE deltas the plan is exactly the round-9
-    data-only shape."""
+    data-only shape. Additive schema evolution resolves BY NAME with
+    null fill (inline comment below); ``flatten_deltas`` then
+    materializes the evolved schema into the next base."""
     base = read_current(spark, table_dir)
     names = delta_names(table_dir)
     if not names:
         return base
-    cols = base.columns
     raw = [
         (i, spark.read.parquet(os.path.join(table_dir, n)))
         for i, n in enumerate(names)
     ]
-    data = [
-        (i, p.withColumn("_delta_seq", F.lit(i)))
-        for i, p in raw
-        if TOMBSTONE not in p.columns
-    ]
+    data = [(i, p) for i, p in raw if TOMBSTONE not in p.columns]
     tombs = [(i, p) for i, p in raw if TOMBSTONE in p.columns]
+
+    # Additive schema evolution, resolved BY NAME (round 10 — closes the
+    # positional-alignment limitation merge_cdc_delta used to document):
+    # the effective schema is base's columns plus any new delta columns in
+    # first-appearance order; every frame null-fills what it lacks, typed
+    # from whichever frame carries the column (the ``table_changes``
+    # evolve rule). A delta batch may therefore ADD columns (base rows
+    # read NULL) or OMIT non-key ones (its rows read NULL) — but never a
+    # KEY column, which newest-wins resolution cannot null-fill.
+    types: dict[str, str] = dict(base.dtypes)
+    cols = list(base.columns)
+    for _, p in data:
+        missing_keys = [k for k in key if k not in p.columns]
+        if missing_keys:
+            raise ValueError(
+                f"data delta lacks key column(s) {missing_keys}; keys cannot evolve"
+            )
+        for c, t in p.dtypes:
+            if c not in types:
+                types[c] = t
+                cols.append(c)
+
+    def _aligned(df: DataFrame) -> DataFrame:
+        for c in cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(types[c]))
+        return df.select(*cols)
+
+    base = _aligned(base)
+    data = [(i, _aligned(p).withColumn("_delta_seq", F.lit(i))) for i, p in data]
 
     # The touched-keys and newest-version frames are batch-sized UNDER
     # THE COMPACTION CADENCE, but nothing bounds how many folds a caller

@@ -157,3 +157,59 @@ def test_single_writer_paths_unchanged(spark, tdir):
     upsert(spark, tdir, _kv(spark, [(2, 2)]), key=["k"])
     assert current_snapshot(tdir) is not None
     assert {r.k for r in read_current(spark, tdir).collect()} == {1, 2}
+
+
+# --- delta-layer schema evolution (late round 10) --------------------------
+
+
+def test_delta_schema_evolution_by_name(spark, tdir):
+    """A delta batch may ADD a column (base rows read NULL) or OMIT a
+    non-key one (its rows read NULL); resolution is by name, and flatten
+    materializes the evolved schema into the next base."""
+    write_snapshot(_kv(spark, [(1, 1), (2, 2)]), tdir)
+    widened = spark.createDataFrame([(2, 20, "x"), (3, 30, "y")], ["k", "v", "tag"])
+    append_delta(widened, tdir)
+    narrow = spark.createDataFrame([(4,)], "k int").withColumn("k", F.col("k").cast("long"))
+    append_delta(narrow, tdir)
+
+    view = read_current_with_deltas(spark, tdir, key=["k"])
+    assert view.columns == ["k", "v", "tag"]
+    rows = {r.k: (r.v, r.tag) for r in view.collect()}
+    assert rows == {
+        1: (1, None),      # base row, evolved column null-filled
+        2: (20, "x"),      # delta wins with the new column
+        3: (30, "y"),
+        4: (None, None),   # omitting delta null-fills what it lacks
+    }
+    flatten_deltas(spark, tdir, key=["k"])
+    flat = read_current(spark, tdir)
+    assert flat.columns == ["k", "v", "tag"]
+    assert {r.k: (r.v, r.tag) for r in flat.collect()} == rows
+
+
+def test_delta_missing_key_column_raises(spark, tdir):
+    """Keys cannot evolve: a data delta without the key column must fail
+    loudly at read time, not resolve garbage."""
+    write_snapshot(_kv(spark, [(1, 1)]), tdir)
+    append_delta(spark.createDataFrame([(9,)], "v long"), tdir)
+    with pytest.raises(ValueError, match="key column"):
+        read_current_with_deltas(spark, tdir, key=["k"]).collect()
+
+
+def test_evolving_cdc_batch_merge_on_read(spark, tdir):
+    """merge_cdc_delta with an evolving batch: upserts carrying a new
+    column land as a delta, deletes tombstone, and the merge-on-read view
+    shows the evolved schema with base rows null-filled."""
+    from pgcp_spark.sources.lake import merge_cdc_delta
+
+    write_snapshot(_kv(spark, [(1, 1), (2, 2), (3, 3)]), tdir)
+    batch = spark.createDataFrame(
+        [(2, 20, "w", "upsert"), (3, None, None, "delete")],
+        ["k", "v", "tag", "_op"],
+    )
+    merge_cdc_delta(spark, tdir, batch, key=["k"])
+    rows = {
+        r.k: (r.v, r.tag)
+        for r in read_current_with_deltas(spark, tdir, key=["k"]).collect()
+    }
+    assert rows == {1: (1, None), 2: (20, "w")}
