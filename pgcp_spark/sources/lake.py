@@ -175,6 +175,52 @@ def read_snapshot(spark: SparkSession, table_dir: str, snapshot: str) -> DataFra
     return spark.read.parquet(path)
 
 
+def _commits_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_COMMITS")
+
+
+def commit_times(table_dir: str) -> list[tuple[str, float]]:
+    """(snapshot, commit epoch) pairs in commit order — the AS-OF sidecar
+    appended by every ``write_snapshot`` under the commit lock (commit
+    order == timestamp order by construction). Contains every commit
+    ever made; entries whose snapshot was GC'd past ``keep`` are still
+    listed (they answer "was there a commit then", just not its data)."""
+    path = _commits_path(table_dir)
+    if not os.path.exists(path):
+        return []
+    out = []
+    for line in open(path).read().splitlines():
+        if not line.strip():
+            continue
+        name, ts = line.rsplit("\t", 1)
+        out.append((name, float(ts)))
+    return out
+
+
+def read_as_of(spark: SparkSession, table_dir: str, as_of: float) -> DataFrame:
+    """Time travel by TIMESTAMP (the ``VERSION AS OF`` sibling every
+    lakehouse exposes): read the newest snapshot committed at or before
+    ``as_of`` (unix epoch seconds). Raises if no commit predates
+    ``as_of`` (the table didn't exist yet) or if the governing snapshot
+    has been GC'd past the ``keep`` window (the retention contract —
+    same answer Delta gives when a timestamp predates its retained
+    history)."""
+    times = commit_times(table_dir)
+    eligible = [(n, t) for n, t in times if t <= as_of]
+    if not eligible:
+        raise FileNotFoundError(
+            f"{table_dir}: no commit at or before {as_of} "
+            f"(earliest: {times[0][1] if times else 'none'})"
+        )
+    name = eligible[-1][0]
+    if not os.path.isdir(os.path.join(table_dir, name)):
+        raise FileNotFoundError(
+            f"{table_dir}: snapshot {name!r} governing as_of={as_of} was "
+            f"GC'd past the keep window — retained history starts later"
+        )
+    return read_snapshot(spark, table_dir, name)
+
+
 def _atomic_write(path: str, content: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -262,6 +308,10 @@ def write_snapshot(
         _atomic_write(_pointer_path(table_dir), snap)  # the atomic commit
         committed = history(table_dir)  # reconciles snap via the pointer
         _atomic_write(_log_path(table_dir), "\n".join(committed) + "\n")
+        # commit-time sidecar for AS-OF-timestamp time travel: appended
+        # under the commit lock, so commit order == timestamp order
+        with open(_commits_path(table_dir), "a") as cf:
+            cf.write(f"{snap}\t{time.time():.6f}\n")
 
         kept = set(committed[-max(1, keep):])
         # commit-time GC: committed-and-beyond-keep snapshots only; an

@@ -213,3 +213,38 @@ def test_evolving_cdc_batch_merge_on_read(spark, tdir):
         for r in read_current_with_deltas(spark, tdir, key=["k"]).collect()
     }
     assert rows == {1: (1, None), 2: (20, "w")}
+
+
+# --- AS-OF-timestamp time travel (late round 10) ---------------------------
+
+
+def test_read_as_of_timestamp(spark, tdir):
+    """Commit three versions with strictly increasing sidecar times; a
+    timestamp between commits reads the version current AT that time,
+    one before the first commit raises, and a timestamp governing a
+    GC'd snapshot raises the retention error."""
+    import time as _t
+
+    from pgcp_spark.sources.lake import commit_times, read_as_of
+
+    write_snapshot(_kv(spark, [(1, 1)]), tdir, keep=3)
+    _t.sleep(0.02)
+    write_snapshot(_kv(spark, [(1, 2)]), tdir, keep=3)
+    _t.sleep(0.02)
+    write_snapshot(_kv(spark, [(1, 3)]), tdir, keep=3)
+    times = commit_times(tdir)
+    assert len(times) == 3
+    assert times[0][1] < times[1][1] < times[2][1]  # lock-serialized order
+
+    mid = (times[0][1] + times[1][1]) / 2
+    assert [tuple(r) for r in read_as_of(spark, tdir, mid).collect()] == [(1, 1)]
+    assert [tuple(r) for r in read_as_of(spark, tdir, times[1][1]).collect()] == [(1, 2)]
+    assert [tuple(r) for r in read_as_of(spark, tdir, _t.time()).collect()] == [(1, 3)]
+    with pytest.raises(FileNotFoundError, match="no commit at or before"):
+        read_as_of(spark, tdir, times[0][1] - 1.0)
+
+    # GC the oldest (keep=1) — its timestamp now answers with the
+    # retention error, not silently newer data
+    write_snapshot(_kv(spark, [(1, 4)]), tdir, keep=1)
+    with pytest.raises(FileNotFoundError, match="GC'd past the keep window"):
+        read_as_of(spark, tdir, mid)
