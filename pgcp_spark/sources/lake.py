@@ -702,7 +702,7 @@ def occ_upsert(
     updates: DataFrame,
     key: list[str],
     retries: int = 5,
-    keep: int = 1,
+    keep: int = 2,
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
 ) -> str:
@@ -716,6 +716,17 @@ def occ_upsert(
     retry loop re-evaluates it per attempt, and a non-deterministic
     source recomputed between attempts would merge different rows than
     it probed (the ``merge_cdc_delta`` discipline).
+
+    ``keep`` is LOAD-BEARING under concurrency — it is the reader grace:
+    a competing writer's in-flight merge plan still SCANS the shared
+    parent's files while this writer commits, so retention must cover
+    every concurrent reader of the parent or the loser dies with
+    FAILED_READ_FILE inside its stage instead of a clean
+    ``CommitConflict`` (found by the fleet suite racing two writers at
+    keep=1 — the winner's commit-time GC deleted the parent mid-plan).
+    Rule: ``keep`` ≥ the number of concurrent writers; the default 2
+    covers the two-writer case, same discipline as the refit/compaction
+    keep=2 grace.
 
     Use this (or the commutative ``append_delta``) when a table has
     concurrent writers; the plain ``upsert`` remains the cheaper call on
