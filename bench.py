@@ -53,6 +53,9 @@ HEADLINE_NEW = [
     "sim_batch_vs_int8_ann_index",  # two-stage quantized ANN probe (r10)
     "sim_filtered_batch_vs_ann_index",  # filtered ANN (predicate pre-scoring, r10)
     "lake_incremental_join_view_orders",  # delta-join IVM fold + MOR read (r10)
+    "text_lm_perplexity_score",  # bigram-LM cross-entropy scoring (r10)
+    "agg_cms_bigram_heavy_hitters",  # count-min sketch + heavy hitters (r10)
+    "agg_histogram_quantile_rollup",  # mergeable histogram quantiles (r10)
 ]
 
 
