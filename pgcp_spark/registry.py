@@ -52,7 +52,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-10 window. The staleness invariant (no entry's driver row
 # predates its current implementation) has priority. Head of window:
-#   * 13 queries ADDED in round 10 — the incremental JOIN-view
+#   * 14 queries ADDED in round 10 — the incremental JOIN-view
 #     maintenance query (hash-capable: fold == recompute oracle on the
 #     post state of both base tables), the bigram-LM perplexity scorer
 #     (hash-capable: CCNet-shaped cross-entropy, 1e-6-rounded ln sums),
@@ -75,16 +75,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #     crash-consistency rework, the three loop queries that gained the
 #     maybe_flatten cadence, and the two hybrids (cost rule / shared
 #     fusion refactor).
-# The remaining 25 slots re-prove the OLDEST standing rows: the
-# r6-latest cohort minus its eleven alphabetically-last members
-# (streaming_sliding_window_value, streaming_stateful_user_stats,
-# streaming_static_join_segment_value,
+# The remaining 24 slots re-prove the OLDEST standing rows: the
+# r6-latest cohort minus its twelve alphabetically-last members
+# (streaming_session_windows, streaming_sliding_window_value,
+# streaming_stateful_user_stats, streaming_static_join_segment_value,
 # streaming_stream_stream_join_click_purchase,
 # streaming_tumbling_event_counts, text_bigram_lift_top,
 # text_rarity_score, text_repeated_span_pairs,
 # text_source_token_entropy, text_tfidf_top_terms,
 # text_winnow_fingerprints — unchanged since r6, they lead the r11
-# backlog; nine still appear below, at positions 51-59,
+# backlog; ten still appear below, at positions 51-60,
 # past the driver's 50-slot cut). Still excluded:
 # agg_approx_distinct_customers (rows-only AND unchanged since its r1
 # row — a new row adds nothing, rationale standing since r5) and
@@ -100,6 +100,7 @@ _AUDIT_PRIORITY: list[str] = [
     "dedup_semantic_clustered_pairs",  # rows-only by design (KMeans blocking; subset + recall floor + k=1==exact pins)
     "agg_histogram_quantile_rollup",  # hash-capable (mergeable day-grain histogram, bin-width error pinned)
     "streaming_join_view_maintenance",  # hash-capable (stream-maintained view vs post-CDC join recompute)
+    "lake_expectations_quarantine_orders",  # hash-capable (quarantine vs rules recomputed in SQL)
     "sim_filtered_cosine_topk",  # hash-capable (exact same-label top-k oracle)
     "sim_filtered_batch_vs_ann_index",  # rows-only by design (IVF routing; floors + all-lists pin)
     "sim_label_partitioned_ann_topk",  # rows-only by design (label-pure IVF routing; beats-lookup-join + all-lists pins)
@@ -244,6 +245,7 @@ def _load_operator_modules() -> None:
     import pgcp_spark.operators.udfs  # noqa: F401
     import pgcp_spark.operators.windows  # noqa: F401
     import pgcp_spark.sources.change_feed  # noqa: F401
+    import pgcp_spark.sources.quality  # noqa: F401
     import pgcp_spark.sources.view_maintenance  # noqa: F401
     import pgcp_spark.streaming.events  # noqa: F401
     import pgcp_spark.streaming.ingest_ann  # noqa: F401
