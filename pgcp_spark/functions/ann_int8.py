@@ -113,10 +113,13 @@ def reclaim_stale_sidecars(index_dir: str) -> list[str]:
     a stale sidecar when the cadence fires loses its files; that is the
     contract). Pure filesystem op; returns the dir names removed."""
     current = current_snapshot(os.path.join(index_dir, "vectors"))
-    keep = f"{SIDECAR_PREFIX}{current}" if current is not None else None
+    # every quantized-sidecar family shares the snapshot-keyed naming
+    # scheme and this one reclamation sweep (int8 + PQ)
+    prefixes = (SIDECAR_PREFIX, "pqcodes_")
+    keep = {f"{p}{current}" for p in prefixes} if current is not None else set()
     removed = []
     for entry in sorted(os.listdir(index_dir)):
-        if entry.startswith(SIDECAR_PREFIX) and entry != keep:
+        if any(entry.startswith(p) for p in prefixes) and entry not in keep:
             shutil.rmtree(os.path.join(index_dir, entry), ignore_errors=True)
             removed.append(entry)
     return removed
@@ -170,56 +173,23 @@ def ensure_int8_sidecar(spark: SparkSession, index_dir: str) -> str:
     return side
 
 
-def batch_vs_int8_index(
+def resolve_quantized_base(
     spark: SparkSession,
-    batch: DataFrame,
     index_dir: str,
-    nprobe: int = 4,
-    top_k: int = 3,
-    rescore_factor: int = RESCORE_FACTOR,
-) -> DataFrame:
-    """Two-stage quantized probe (module docstring): int8 candidate scan
-    → exact float refine. Returns (vec_id, neighbor_id, rank, cos_sim)
-    with the float kernel's exact score shapes and tie-breaks."""
-    centroids = _load_centroids(spark, index_dir)
-    if centroids.size == 0:
-        return spark.createDataFrame(
-            [], "vec_id long, neighbor_id long, rank long, cos_sim double"
-        )
-    side = ensure_int8_sidecar(spark, index_dir)
-    probes = materialize(_assign(batch, centroids, nprobe))
-    probed_lists = [r.list_id for r in probes.select("list_id").distinct().collect()]
-
-    # stage 1 — candidate generation over the QUANTIZED lists only.
-    # Query vectors quantize driver-side (a handful of rows); the corpus
-    # side reads tinyint arrays (the 4× scan win) and the approximate
-    # cosine is a JVM zip_with/aggregate over int-cast bytes — scales
-    # cancel per vector, so no float payload crosses this stage at all.
-    q_rows = probes.select("vec_id", "embedding", "list_id").collect()
-    qmap = []
-    for r in q_rows:
-        v = np.asarray(r.embedding, dtype=np.float64)
-        s = float(np.abs(v).max()) / 127.0
-        qv = (
-            np.zeros_like(v, dtype=np.int64)
-            if s == 0
-            else np.round(v / s).astype(np.int64)
-        )
-        qn = float(np.sqrt((qv * qv).sum()))
-        qmap.append((int(r.vec_id), int(r.list_id), [int(x) for x in qv], qn))
-    qframe = spark.createDataFrame(
-        qmap, "q_id long, list_id int, q_qvec array<int>, q_qnrm double"
-    )
+    stored_q: DataFrame,
+    probed_lists: list,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Merge-on-read resolution SHARED by the quantized sidecars (int8 and
+    PQ — module docstring): the quantized side is BASE-only, so every
+    delta-touched key leaves it (its live version, if any, re-enters
+    exactly from the MOR frame) and every tombstone shape anti-joins its
+    dead rows off (base rows always predate a tombstone, so the kill is
+    unconditional here). Returns the filtered base frame plus the frame
+    of LIVE delta rows in probed lists (or None) — batch-sized under the
+    flatten cadence, so AQE broadcasts them (no forced hint: the bfc1c23
+    rule — a maintenance-deferring caller must degrade to a shuffle
+    join, not a driver OOM)."""
     vec_dir = os.path.join(index_dir, "vectors")
-    stored_q = read_current(spark, side).filter(F.col("list_id").isin(probed_lists))
-    # merge-on-read resolution (module docstring): the quantized side is
-    # BASE-only, so every delta-touched key leaves it (its live version,
-    # if any, re-enters exactly from the MOR frame) and every tombstone
-    # shape anti-joins its dead rows off (base rows always predate a
-    # tombstone, so the kill is unconditional here). The key frames are
-    # batch-sized under the flatten cadence — AQE broadcasts them (no
-    # forced hint: the bfc1c23 rule, a maintenance-deferring caller must
-    # degrade to a shuffle join, not a driver OOM).
     delta_live = None
     names = delta_names(vec_dir)
     if names:
@@ -247,55 +217,40 @@ def batch_vs_int8_index(
                 .filter(F.col("list_id").isin(probed_lists))
                 .select("vec_id", "list_id")
             )
-    # int*int products summed as long: 64 dims × 127² fits easily; the
-    # cast is load-bearing (tinyint×tinyint would overflow at 127×127)
-    qdot = F.aggregate(
-        F.zip_with(
-            F.col("q_qvec"),
-            F.col("qvec"),
-            lambda x, y: x.cast("long") * y.cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    approx = (
-        F.broadcast(qframe)
-        .join(
-            stored_q,
-            (qframe.list_id == stored_q.list_id)
-            & (F.col("q_id") != F.col("vec_id")),
-        )
-        .select(
-            "q_id",
-            "vec_id",
-            (qdot.cast("double") / (F.col("q_qnrm") * F.col("qnrm") + F.lit(1e-12))).alias(
-                "acos"
-            ),
-        )
-        .dropDuplicates(["q_id", "vec_id"])  # a neighbor in 2 probed lists
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("acos"), "vec_id")
-    ranked = (
-        approx.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= top_k * rescore_factor)
+    return stored_q, delta_live
+
+
+def attach_delta_live(
+    ranked: DataFrame, qframe: DataFrame, delta_live: DataFrame | None
+) -> DataFrame:
+    """Live delta rows in probed lists bypass stage-1 ranking straight
+    into the refine set (shared by the quantized sidecars): batch-sized
+    by the cadence, exact-scored in stage 2 — recall can only improve."""
+    if delta_live is None:
+        return ranked
+    pairs = (
+        qframe.select("q_id", "list_id")
+        .join(delta_live, on="list_id")
+        .filter(F.col("q_id") != F.col("vec_id"))
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
     )
-    if delta_live is not None:
-        # live delta rows in probed lists bypass stage-1 ranking straight
-        # into the refine set: batch-sized by the cadence, exact-scored
-        # in stage 2 — recall can only improve
-        pairs = (
-            qframe.select("q_id", "list_id")
-            .join(delta_live, on="list_id")
-            .filter(F.col("q_id") != F.col("vec_id"))
-            .select("q_id", F.col("vec_id").alias("neighbor_id"))
-        )
-        ranked = ranked.unionByName(pairs).dropDuplicates(["q_id", "neighbor_id"])
-    cand = materialize(ranked)
+    return ranked.unionByName(pairs).dropDuplicates(["q_id", "neighbor_id"])
 
-    # stage 2 — exact refine: point-lookup the candidates' FLOAT rows
-    # (bounded at |queries|·top_k·factor by construction — the collect
-    # is the pushed-IN literal, same pattern as the probed-list filter)
+
+def exact_refine(
+    spark: SparkSession,
+    index_dir: str,
+    probes: DataFrame,
+    cand: DataFrame,
+    probed_lists: list,
+    top_k: int,
+) -> DataFrame:
+    """Stage 2 SHARED by the quantized sidecars: point-lookup the
+    candidates' FLOAT rows (bounded at |queries|·top_k·factor by
+    construction — the collect is the pushed-IN literal, same pattern as
+    the probed-list filter) and re-score with ``batch_vs_ann_index``'s
+    exact expression shapes, so every RETURNED score is bit-identical to
+    the float kernel's."""
     cand_ids = [r.neighbor_id for r in cand.select("neighbor_id").distinct().collect()]
     if not cand_ids:
         return spark.createDataFrame(
@@ -345,6 +300,88 @@ def batch_vs_int8_index(
         )
         .orderBy("vec_id", "rank")
     )
+
+
+def batch_vs_int8_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    nprobe: int = 4,
+    top_k: int = 3,
+    rescore_factor: int = RESCORE_FACTOR,
+) -> DataFrame:
+    """Two-stage quantized probe (module docstring): int8 candidate scan
+    → exact float refine. Returns (vec_id, neighbor_id, rank, cos_sim)
+    with the float kernel's exact score shapes and tie-breaks."""
+    centroids = _load_centroids(spark, index_dir)
+    if centroids.size == 0:
+        return spark.createDataFrame(
+            [], "vec_id long, neighbor_id long, rank long, cos_sim double"
+        )
+    side = ensure_int8_sidecar(spark, index_dir)
+    probes = materialize(_assign(batch, centroids, nprobe))
+    probed_lists = [r.list_id for r in probes.select("list_id").distinct().collect()]
+
+    # stage 1 — candidate generation over the QUANTIZED lists only.
+    # Query vectors quantize driver-side (a handful of rows); the corpus
+    # side reads tinyint arrays (the 4× scan win) and the approximate
+    # cosine is a JVM zip_with/aggregate over int-cast bytes — scales
+    # cancel per vector, so no float payload crosses this stage at all.
+    q_rows = probes.select("vec_id", "embedding", "list_id").collect()
+    qmap = []
+    for r in q_rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        s = float(np.abs(v).max()) / 127.0
+        qv = (
+            np.zeros_like(v, dtype=np.int64)
+            if s == 0
+            else np.round(v / s).astype(np.int64)
+        )
+        qn = float(np.sqrt((qv * qv).sum()))
+        qmap.append((int(r.vec_id), int(r.list_id), [int(x) for x in qv], qn))
+    qframe = spark.createDataFrame(
+        qmap, "q_id long, list_id int, q_qvec array<int>, q_qnrm double"
+    )
+    stored_q = read_current(spark, side).filter(F.col("list_id").isin(probed_lists))
+    stored_q, delta_live = resolve_quantized_base(
+        spark, index_dir, stored_q, probed_lists
+    )
+    # int*int products summed as long: 64 dims × 127² fits easily; the
+    # cast is load-bearing (tinyint×tinyint would overflow at 127×127)
+    qdot = F.aggregate(
+        F.zip_with(
+            F.col("q_qvec"),
+            F.col("qvec"),
+            lambda x, y: x.cast("long") * y.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx = (
+        F.broadcast(qframe)
+        .join(
+            stored_q,
+            (qframe.list_id == stored_q.list_id)
+            & (F.col("q_id") != F.col("vec_id")),
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            (qdot.cast("double") / (F.col("q_qnrm") * F.col("qnrm") + F.lit(1e-12))).alias(
+                "acos"
+            ),
+        )
+        .dropDuplicates(["q_id", "vec_id"])  # a neighbor in 2 probed lists
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("acos"), "vec_id")
+    ranked = (
+        approx.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= top_k * rescore_factor)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    ranked = attach_delta_live(ranked, qframe, delta_live)
+    cand = materialize(ranked)
+    return exact_refine(spark, index_dir, probes, cand, probed_lists, top_k)
 
 
 @register(
