@@ -56,6 +56,7 @@ HEADLINE_NEW = [
     "text_lm_perplexity_score",  # bigram-LM cross-entropy scoring (r10)
     "agg_cms_bigram_heavy_hitters",  # count-min sketch + heavy hitters (r10)
     "agg_histogram_quantile_rollup",  # mergeable histogram quantiles (r10)
+    "sim_batch_vs_pq_ann_index",  # two-stage PQ (IVFADC) probe (r10)
 ]
 
 
