@@ -229,16 +229,15 @@ def batch_vs_pq_index(
     kk = 1 + max(c for _, c in books)
     dim = len(q_rows[0].embedding)
     ds = dim // m
+    # dense (m, kk, ds) codebook tensor; absent codes stay zero-dot
+    B = np.zeros((m, kk, ds))
+    for (s, c), cent in books.items():
+        B[s, c] = cent
     qmap = []
     for r in q_rows:
         v = np.asarray(r.embedding, dtype=np.float64)
-        lut = np.zeros(m * kk)
-        for s in range(m):
-            qs = v[s * ds : (s + 1) * ds]
-            for c in range(kk):
-                cent = books.get((s, c))
-                if cent is not None:
-                    lut[s * kk + c] = float(qs @ cent)
+        # one vectorized batch of m (kk × ds) @ (ds,) products per query
+        lut = np.einsum("skd,sd->sk", B, v.reshape(m, ds)).ravel()
         qn = float(np.sqrt((v * v).sum()))
         qmap.append((int(r.vec_id), int(r.list_id), [float(x) for x in lut], qn))
     qframe = spark.createDataFrame(
