@@ -52,7 +52,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-10 window. The staleness invariant (no entry's driver row
 # predates its current implementation) has priority. Head of window:
-#   * 15 queries ADDED in round 10 — the incremental JOIN-view
+#   * 16 queries ADDED in round 10 — the incremental JOIN-view
 #     maintenance query (hash-capable: fold == recompute oracle on the
 #     post state of both base tables), the bigram-LM perplexity scorer
 #     (hash-capable: CCNet-shaped cross-entropy, 1e-6-rounded ln sums),
@@ -75,17 +75,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #     crash-consistency rework, the three loop queries that gained the
 #     maybe_flatten cadence, and the two hybrids (cost rule / shared
 #     fusion refactor).
-# The remaining 23 slots re-prove the OLDEST standing rows: the
-# r6-latest cohort minus its thirteen alphabetically-last members
-# (streaming_foreach_batch_lake_upsert, streaming_session_windows,
-# streaming_sliding_window_value,
+# The remaining 22 slots re-prove the OLDEST standing rows: the
+# r6-latest cohort minus its fourteen alphabetically-last members
+# (streaming_dedup_user_event_types, streaming_foreach_batch_lake_upsert,
+# streaming_session_windows, streaming_sliding_window_value,
 # streaming_stateful_user_stats, streaming_static_join_segment_value,
 # streaming_stream_stream_join_click_purchase,
 # streaming_tumbling_event_counts, text_bigram_lift_top,
 # text_rarity_score, text_repeated_span_pairs,
 # text_source_token_entropy, text_tfidf_top_terms,
 # text_winnow_fingerprints — unchanged since r6, they lead the r11
-# backlog; eleven still appear below, at positions 51-61,
+# backlog; twelve still appear below, at positions 51-62,
 # past the driver's 50-slot cut). Still excluded:
 # agg_approx_distinct_customers (rows-only AND unchanged since its r1
 # row — a new row adds nothing, rationale standing since r5) and
@@ -103,6 +103,7 @@ _AUDIT_PRIORITY: list[str] = [
     "streaming_join_view_maintenance",  # hash-capable (stream-maintained view vs post-CDC join recompute)
     "lake_expectations_quarantine_orders",  # hash-capable (quarantine vs rules recomputed in SQL)
     "sim_batch_vs_pq_ann_index",  # rows-only by design (PQ candidates; exact-refine + floors + MOR pins)
+    "streaming_quality_quarantine_docs",  # hash-capable (stream-built quarantine vs whole-corpus rules)
     "sim_filtered_cosine_topk",  # hash-capable (exact same-label top-k oracle)
     "sim_filtered_batch_vs_ann_index",  # rows-only by design (IVF routing; floors + all-lists pin)
     "sim_label_partitioned_ann_topk",  # rows-only by design (label-pure IVF routing; beats-lookup-join + all-lists pins)
@@ -253,6 +254,7 @@ def _load_operator_modules() -> None:
     import pgcp_spark.streaming.events  # noqa: F401
     import pgcp_spark.streaming.ingest_ann  # noqa: F401
     import pgcp_spark.streaming.ingest_dedup  # noqa: F401
+    import pgcp_spark.streaming.ingest_quality  # noqa: F401
     import pgcp_spark.streaming.ingest_text  # noqa: F401
     import pgcp_spark.streaming.ingest_view  # noqa: F401
 

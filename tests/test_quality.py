@@ -88,3 +88,52 @@ def test_duplicate_rule_names_and_bad_action_raise(spark):
         )
     with pytest.raises(ValueError, match="action"):
         Expectation("r", F.lit(True), "explode")
+
+
+# --- the streaming form (streaming/ingest_quality.py) ----------------------
+
+
+def test_streaming_gate_boundary_invariance_and_complementarity(spark):
+    """availableNow-in-one-trigger must build bit-identical main +
+    quarantine tables to day-at-a-time (row-local verdicts are
+    batch-boundary-free), and main ∪ quarantine == the whole corpus with
+    no overlap — nothing unvetted reaches main, nothing is lost."""
+    from pyspark.sql import functions as F
+
+    from pgcp_spark.sources.lake import read_current_with_deltas
+    from pgcp_spark.sources.tables import load_table
+    from pgcp_spark.streaming.ingest_quality import run_ingest_quality
+
+    sf = "/root/testdata/sf0.001"
+    dirs = []
+    try:
+        m1, q1 = run_ingest_quality(spark, sf, max_files_per_trigger=1)
+        m2, q2 = run_ingest_quality(spark, sf, max_files_per_trigger=None)
+        dirs += [m1, q1, m2, q2]
+
+        def rows(d, drop_v=False):
+            df = read_current_with_deltas(spark, d, key=["doc_id"])
+            if drop_v and "_violations" in df.columns:
+                df = df.drop("_violations")
+            return sorted(tuple(r) for r in df.collect())
+
+        assert rows(m1) == rows(m2)
+        assert rows(q1) == rows(q2)
+        main_ids = {r[0] for r in rows(m1)}
+        quar_ids = {r[0] for r in rows(q1)}
+        all_ids = {
+            r.doc_id for r in load_table(spark, sf, "documents").collect()
+        }
+        assert main_ids | quar_ids == all_ids
+        assert not (main_ids & quar_ids)
+        # the drop rules actually fired on this corpus (live gate)
+        assert quar_ids, "expected quarantined short docs"
+        # warn-only rule never quarantines on its own: every quarantined
+        # row has a drop-rule violation
+        for r in read_current_with_deltas(spark, q1, key=["doc_id"]).collect():
+            assert set(r._violations) & {"min_length", "chars_consistent"}, r
+    finally:
+        import shutil
+
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
