@@ -654,7 +654,14 @@ def semantic_cluster_pairs(
     import pandas as pd
 
     corpus = corpus.select("vec_id", "embedding").filter(valid_embedding())
-    if k <= 1:
+    # the IVF build's degenerate-corpus guard: a fit needs ≥2 distinct
+    # points and k capped at the distinct count, else everything is one
+    # cluster (empty/degenerate lakes — exactness unchanged, the blocking
+    # just stops pruning)
+    nd = corpus.agg(
+        F.countDistinct(F.xxhash64("embedding")).alias("nd")
+    ).collect()[0]["nd"]
+    if k <= 1 or nd < 2:
         assigned = corpus.withColumn("cluster", F.lit(0))
     else:
         from pyspark.ml.clustering import KMeans
@@ -666,7 +673,7 @@ def semantic_cluster_pairs(
             "features", array_to_vector(F.col("embedding").cast("array<double>"))
         )
         model = KMeans(
-            k=k,
+            k=int(min(k, nd)),
             seed=42,
             maxIter=10,
             distanceMeasure="cosine",
