@@ -502,18 +502,64 @@ EMB_BLOCKS_MIN = 1
 EMB_BLOCKS_MAX = 64
 
 
-def _emb_blocks(n_vecs: int, parallelism: int) -> int:
+def _emb_blocks(
+    n_vecs: int,
+    parallelism: int,
+    target_rows: int = EMB_BLOCK_TARGET_ROWS,
+    min_rows: int = EMB_BLOCK_MIN_ROWS,
+) -> int:
     import math
 
-    by_mem = math.ceil(n_vecs / EMB_BLOCK_TARGET_ROWS)
+    by_mem = math.ceil(n_vecs / target_rows)
     # smallest B with B(B+1)/2 >= 2*parallelism (two grid cells per core) —
     # but never fragment blocks below EMB_BLOCK_MIN_ROWS vectors: on a
     # small corpus, per-task + Arrow round-trip overhead beats the matmul
     # (measured at sf0.1/5k vectors: B=11 → 2.9 s vs B=4 → 1.5 s), and a
     # big numpy matmul is already the fastest way through a small cell.
     by_cpu = math.ceil((math.sqrt(1 + 16 * parallelism) - 1) / 2)
-    by_cpu = min(by_cpu, max(1, n_vecs // EMB_BLOCK_MIN_ROWS))
-    return min(EMB_BLOCKS_MAX, max(EMB_BLOCKS_MIN, by_mem, by_cpu))
+    by_cpu = min(by_cpu, max(1, n_vecs // min_rows))
+    # EMB_BLOCKS_MAX bounds only the CPU-driven fan-out (communication is
+    # O(B·n)); the MEMORY bound is never capped — a packed row larger than
+    # target_rows is an executor OOM at scale, while extra replication
+    # traffic is merely the inherent cost of exact quadratic work.
+    return max(EMB_BLOCKS_MIN, by_mem, min(EMB_BLOCKS_MAX, by_cpu))
+
+
+def _grid_cell_pairs(threshold: float):
+    """mapInPandas kernel shared by the exact block-matmul query and
+    SemDeDup's within-cluster sub-grid: one float64 numpy matmul per
+    grid cell (columns ``block_a ids_a vecs_a block_b ids_b vecs_b``).
+    A diagonal cell (block_a == block_b) carries both orientations, so
+    it keeps id_a < id_b; an off-diagonal cell sees each unordered pair
+    exactly once (the mirrored cell is not in the grid) and orients by
+    min/max. Per-pair dots are blocking-independent, which is what makes
+    sub-blocked results bit-identical to unblocked ones."""
+    import numpy as np
+    import pandas as pd
+
+    def block_pairs(batches):
+        for batch in batches:
+            for _, row in batch.iterrows():
+                ma = np.array(row["vecs_a"].tolist(), dtype=np.float64)
+                mb = np.array(row["vecs_b"].tolist(), dtype=np.float64)
+                ia = np.asarray(row["ids_a"], dtype=np.int64)
+                ib = np.asarray(row["ids_b"], dtype=np.int64)
+                na = np.sqrt((ma * ma).sum(axis=1))
+                nb = np.sqrt((mb * mb).sum(axis=1))
+                sims = np.round((ma @ mb.T) / (na[:, None] * nb[None, :]), 6)
+                if row["block_a"] == row["block_b"]:
+                    keep = (sims >= threshold) & (ia[:, None] < ib[None, :])
+                else:
+                    keep = sims >= threshold
+                xi, yi = np.nonzero(keep)
+                if len(xi):
+                    lo = np.minimum(ia[xi], ib[yi])
+                    hi = np.maximum(ia[xi], ib[yi])
+                    yield pd.DataFrame(
+                        {"vec_a": lo, "vec_b": hi, "cos_sim": sims[xi, yi]}
+                    )
+
+    return block_pairs
 
 
 @register(
@@ -549,9 +595,6 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is still quadratic — that is inherent to EXACT near-dup; the
     LSH/IVF variants are the subquadratic approximate path.
     """
-    import numpy as np
-    import pandas as pd
-
     e = (
         load_table_parallel(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
@@ -576,33 +619,9 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.vecs").alias("vecs_b"),
     )
 
-    def block_pairs(batches):
-        for batch in batches:
-            for _, row in batch.iterrows():
-                ma = np.array(row["vecs_a"].tolist(), dtype=np.float64)
-                mb = np.array(row["vecs_b"].tolist(), dtype=np.float64)
-                ia = np.asarray(row["ids_a"], dtype=np.int64)
-                ib = np.asarray(row["ids_b"], dtype=np.int64)
-                na = np.sqrt((ma * ma).sum(axis=1))
-                nb = np.sqrt((mb * mb).sum(axis=1))
-                sims = np.round((ma @ mb.T) / (na[:, None] * nb[None, :]), 6)
-                if row["block_a"] == row["block_b"]:
-                    # both orientations present in this cell: keep id_a < id_b
-                    keep = (sims >= EMB_DUP_THRESHOLD) & (ia[:, None] < ib[None, :])
-                else:
-                    # each unordered pair appears exactly once (the mirrored
-                    # block cell is not in the grid) — keep all, then orient
-                    keep = sims >= EMB_DUP_THRESHOLD
-                xi, yi = np.nonzero(keep)
-                if len(xi):
-                    lo = np.minimum(ia[xi], ib[yi])
-                    hi = np.maximum(ia[xi], ib[yi])
-                    yield pd.DataFrame(
-                        {"vec_a": lo, "vec_b": hi, "cos_sim": sims[xi, yi]}
-                    )
-
     out = grid.repartition(blocks * (blocks + 1) // 2).mapInPandas(
-        block_pairs, schema="vec_a long, vec_b long, cos_sim double"
+        _grid_cell_pairs(EMB_DUP_THRESHOLD),
+        schema="vec_a long, vec_b long, cos_sim double",
     )
     return out.orderBy("vec_a", "vec_b")
 
@@ -618,6 +637,8 @@ def semantic_cluster_pairs(
     k: int = SEMDEDUP_K,
     probes: int = SEMDEDUP_PROBES,
     threshold: float = EMB_DUP_THRESHOLD,
+    block_target_rows: int = EMB_BLOCK_TARGET_ROWS,
+    block_min_rows: int = EMB_BLOCK_MIN_ROWS,
 ) -> DataFrame:
     """Within-cluster near-dup pairs, the SemDeDup recipe (Abbas et al.
     2023, arXiv:2303.09540): k-means the embeddings, then score pairs
@@ -635,23 +656,25 @@ def semantic_cluster_pairs(
     degenerates to the exact all-pairs kernel (no fit, one cluster) —
     the family's all-lists==exact pin.
 
-    The cluster is a BLOCKING key: each cluster packs into one row and
-    scores with the same float64 numpy kernel as
-    ``dedup_embedding_cosine_pairs`` (so k=1 is bit-identical to the
-    exact query's pair set — per-pair dots don't depend on the blocking),
-    then multi-assigned duplicates collapse by max (values are equal).
-    At 100 TB a giant cluster sub-blocks into the B(B+1)/2 grid exactly
-    like the exact query; here clusters are corpus/k-sized and one cell
-    per cluster suffices. The KMeans fit is the IVF family's cosine
-    geometry (seed 42), and assignment reuses the IVF probe kernel
-    (``ann_index._assign`` — one numpy matmul per Arrow batch against the
-    broadcast centroid matrix); treeAggregate reduction jitter can flip
-    boundary assignments between runs, so the registered query is
-    rows-only with jitter-robust pins (subset-of-exact, recall floor) in
-    tests.
+    The cluster is a BLOCKING key, and within each cluster the vectors
+    SUB-BLOCK into a B_c(B_c+1)/2 grid — block key
+    ``(cluster, vec_id % B_c)`` with B_c derived per cluster by the same
+    ``_emb_blocks`` rule as the exact query — so per-task memory is
+    bounded by ~``block_target_rows`` vectors regardless of how skewed
+    the clustering is (one row per cluster would be corpus/k vectors in
+    one executor row: an OOM at 100 TB, not a slowdown). Cells score with
+    the shared ``_grid_cell_pairs`` float64 kernel (per-pair dots don't
+    depend on the blocking, so sub-blocked == unblocked bit-for-bit and
+    k=1 IS the exact query — same grid, same cells), then multi-assigned
+    duplicates collapse by max (values are equal). The KMeans fit is the
+    IVF family's cosine geometry (seed 42), and assignment reuses the IVF
+    probe kernel (``ann_index._assign`` — one numpy matmul per Arrow
+    batch against the broadcast centroid matrix); treeAggregate reduction
+    jitter can flip boundary assignments between runs, so the registered
+    query is rows-only with jitter-robust pins (subset-of-exact, recall
+    floor) in tests.
     """
     import numpy as np
-    import pandas as pd
 
     corpus = corpus.select("vec_id", "embedding").filter(valid_embedding())
     # the IVF build's degenerate-corpus guard: a fit needs ≥2 distinct
@@ -684,34 +707,66 @@ def semantic_cluster_pairs(
         assigned = _assign(corpus, centroids, nprobe=probes).withColumnRenamed(
             "list_id", "cluster"
         )
-    packed = assigned.groupBy("cluster").agg(
-        F.collect_list("vec_id").alias("ids"),
-        F.collect_list("embedding").alias("vecs"),
+    # Within-cluster SUB-BLOCKING (the 100 TB memory bound): a cluster is
+    # corpus/k-sized, so packing it into one row is unbounded per-executor
+    # state. Instead each cluster gets its own B_c(B_c+1)/2 sub-grid —
+    # block key (cluster, vec_id % B_c) — with B_c derived per cluster by
+    # the SAME rule the exact query uses (_emb_blocks: packed rows stay
+    # ~target_rows vectors; CPU share weighted by the cluster's n_c²
+    # fraction of the quadratic work so small clusters stay at B_c=1 and
+    # one giant skewed cluster fans out across the whole session). Cluster
+    # sizes are a ≤k-row aggregate — a bounded driver collect.
+    import math
+
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    if not sizes:
+        return spark.createDataFrame(
+            [], "vec_a long, vec_b long, cos_sim double"
+        )
+    par = spark.sparkContext.defaultParallelism
+    total_sq = sum(n * n for n in sizes.values()) or 1
+    bcs = {
+        c: _emb_blocks(
+            n,
+            max(1, math.ceil(par * n * n / total_sq)),
+            target_rows=block_target_rows,
+            min_rows=block_min_rows,
+        )
+        for c, n in sizes.items()
+    }
+    bmap = F.create_map(*[F.lit(x) for kv in bcs.items() for x in kv])
+    packed = (
+        assigned.withColumn("sblock", F.col("vec_id") % bmap[F.col("cluster")])
+        .groupBy("cluster", "sblock")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("embedding").alias("vecs"),
+        )
+        .transform(materialize)  # feeds both sides of the sub-grid self-join
     )
-
-    def cluster_pairs(batches):
-        for batch in batches:
-            for _, row in batch.iterrows():
-                m = np.array(row["vecs"].tolist(), dtype=np.float64)
-                ids = np.asarray(row["ids"], dtype=np.int64)
-                if len(ids) < 2:
-                    continue
-                nrm = np.sqrt((m * m).sum(axis=1))
-                sims = np.round((m @ m.T) / (nrm[:, None] * nrm[None, :]), 6)
-                keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
-                xi, yi = np.nonzero(keep)
-                if len(xi):
-                    yield pd.DataFrame(
-                        {
-                            "vec_a": ids[xi],
-                            "vec_b": ids[yi],
-                            "cos_sim": sims[xi, yi],
-                        }
-                    )
-
+    a, b = packed.alias("a"), packed.alias("b")
+    grid = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.sblock") <= F.col("b.sblock")),
+    ).select(
+        F.col("a.sblock").alias("block_a"),
+        F.col("a.ids").alias("ids_a"),
+        F.col("a.vecs").alias("vecs_a"),
+        F.col("b.sblock").alias("block_b"),
+        F.col("b.ids").alias("ids_b"),
+        F.col("b.vecs").alias("vecs_b"),
+    )
+    cells = sum(bc * (bc + 1) // 2 for bc in bcs.values())
     return (
-        packed.repartition(max(k, 1))
-        .mapInPandas(cluster_pairs, schema="vec_a long, vec_b long, cos_sim double")
+        grid.repartition(max(cells, 1))
+        .mapInPandas(
+            _grid_cell_pairs(threshold),
+            schema="vec_a long, vec_b long, cos_sim double",
+        )
         # a pair sharing BOTH probed clusters appears twice with equal sims
         .groupBy("vec_a", "vec_b")
         .agg(F.max("cos_sim").alias("cos_sim"))

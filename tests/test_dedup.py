@@ -93,3 +93,60 @@ def test_semdedup_k1_equals_exact_bit_for_bit(spark):
         tuple(r) for r in dedup_embedding_cosine_pairs(spark, sf).collect()
     )
     assert k1 == exact
+
+
+def test_semdedup_subblocked_equals_unblocked_bit_for_bit(spark):
+    """Forcing tiny sub-blocks (target 16 vectors/row vs the default
+    4096) must not change a single pair or cos_sim: the shared grid
+    kernel's per-pair float64 dots are blocking-independent. This is the
+    pin that lets the 100 TB memory bound (bounded packed rows) ride on
+    the already-proven k=1==exact and subset-of-exact contracts."""
+    from pgcp_spark.functions.dedup import semantic_cluster_pairs
+    from pgcp_spark.sources import load_table_parallel
+
+    sf = "/root/testdata/sf0.001"
+    corpus = load_table_parallel(spark, sf, "embeddings")
+    # k=1: no KMeans fit, so both runs see the identical (single-cluster)
+    # assignment and the comparison isolates the sub-blocking itself.
+    coarse = sorted(
+        tuple(r)
+        for r in semantic_cluster_pairs(spark, corpus, k=1).collect()
+    )
+    fine = sorted(
+        tuple(r)
+        for r in semantic_cluster_pairs(
+            spark, corpus, k=1, block_target_rows=16, block_min_rows=4
+        ).collect()
+    )
+    assert coarse == fine
+    assert coarse, "corpus should contain near-dup pairs"
+
+
+def test_semdedup_packed_rows_bounded_under_skew(spark):
+    """The scale contract: even a maximally skewed clustering (k=1 — ONE
+    giant cluster holding the whole corpus) packs into rows no larger
+    than ~2× the block target, because B_c = ceil(n_c / target) splits
+    the cluster before collect_list runs. vec_id % B_c is near-uniform
+    for dense ids, so the 2× slack is generous."""
+    import math
+
+    from pgcp_spark.functions.dedup import _emb_blocks
+    from pgcp_spark.sources import load_table_parallel
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    corpus = load_table_parallel(spark, sf, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n = corpus.count()
+    target = 16
+    bc = _emb_blocks(n, spark.sparkContext.defaultParallelism, target_rows=target, min_rows=4)
+    assert bc >= math.ceil(n / target / 2), "sub-blocking must engage under skew"
+    sizes = (
+        corpus.withColumn("sblock", F.col("vec_id") % bc)
+        .groupBy("sblock")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert sizes <= 2 * target, f"packed row of {sizes} vectors exceeds 2x target {target}"
