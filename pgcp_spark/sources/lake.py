@@ -49,6 +49,7 @@ ingest-then-delete deletes. ``flatten_deltas`` applies them physically.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -175,6 +176,30 @@ def read_snapshot(spark: SparkSession, table_dir: str, snapshot: str) -> DataFra
     return spark.read.parquet(path)
 
 
+def snapshot_meta(table_dir: str, snapshot: str | None = None) -> dict:
+    """Commit metadata of a snapshot (``write_snapshot(meta=…)``), ``{}``
+    when the commit carried none. ``snapshot=None`` reads the current
+    pointer's — the downstream-fold replay check."""
+    snap = snapshot if snapshot is not None else current_snapshot(table_dir)
+    if snap is None:
+        return {}
+    try:
+        with open(os.path.join(table_dir, snap, "_meta.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def pending_state(table_dir: str) -> str:
+    """Deterministic id of the table's merge-on-read state: current base
+    snapshot + the active delta log, in order. Two reads with equal
+    ``pending_state`` see identical data, so a fold that stamps the id it
+    consumed (``write_snapshot(meta=…)``) can detect an at-least-once
+    replay of the same feed exactly — the cascade IVM's crash-window
+    guard (``sources/view_maintenance.py``)."""
+    return f"{current_snapshot(table_dir)}|{','.join(delta_names(table_dir))}"
+
+
 def _commits_path(table_dir: str) -> str:
     return os.path.join(table_dir, "_COMMITS")
 
@@ -237,6 +262,7 @@ def write_snapshot(
     zorder_by: list[str] | None = None,
     zorder_rank: str = "width",
     expect_parent=_UNCHECKED,
+    meta: dict | None = None,
 ) -> str:
     """Write ``df`` as a new snapshot and atomically commit the pointer.
 
@@ -272,6 +298,16 @@ def write_snapshot(
     committed in between, the staged files are reclaimed and
     ``CommitConflict`` raises instead of silently dropping their rows.
     Omitted → unconditional commit (the single-writer paths).
+
+    ``meta``: small JSON-able dict committed ATOMICALLY with the snapshot
+    (written as ``_meta.json`` inside the staged snapshot dir — Spark's
+    parquet reader ignores underscore files — so it becomes visible in
+    the same pointer swap as the data). This is the Delta-style
+    idempotent-writer transaction record (txnAppId/txnVersion): a
+    downstream fold stamps the upstream state it consumed, and a replay
+    after a crash can ask ``snapshot_meta`` whether this exact feed was
+    already applied — the exactly-once watermark the cascade IVM fold
+    (``sources/view_maintenance.py``) rides on.
     """
     if cluster_by and zorder_by:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
@@ -294,6 +330,12 @@ def write_snapshot(
         # columns' footer stats, which interleaved locality keeps narrow)
         df = df.drop("_zkey")
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, snap))
+    if meta is not None:
+        # staged INSIDE the snapshot dir: visible to readers only via the
+        # pointer swap below, i.e. atomic with the data it describes
+        _atomic_write(
+            os.path.join(table_dir, snap, "_meta.json"), json.dumps(meta)
+        )
 
     with _commit_lock(table_dir):
         if expect_parent is not _UNCHECKED and current_snapshot(table_dir) != expect_parent:
@@ -502,7 +544,11 @@ def merge_cdc_delta(
 
 
 def read_current_with_deltas(
-    spark: SparkSession, table_dir: str, key: list[str]
+    spark: SparkSession,
+    table_dir: str,
+    key: list[str],
+    snapshot: str | None = None,
+    names: list[str] | None = None,
 ) -> DataFrame:
     """Merge-on-read view of base ∪ active deltas (module comment above):
     whole-key replacement, newest delta wins, base fills the rest;
@@ -511,9 +557,20 @@ def read_current_with_deltas(
     overhead; with no TOMBSTONE deltas the plan is exactly the round-9
     data-only shape. Additive schema evolution resolves BY NAME with
     null fill (inline comment below); ``flatten_deltas`` then
-    materializes the evolved schema into the next base."""
-    base = read_current(spark, table_dir)
-    names = delta_names(table_dir)
+    materializes the evolved schema into the next base.
+
+    ``snapshot``/``names`` pin an EXPLICIT merge-on-read state (base
+    snapshot + delta list) instead of resolving the live pointer and
+    delta log — the cross-table manifest reader (``sources/txn.py``)
+    uses this so every table in an atomic group is served from one
+    consistent manifest resolution."""
+    base = (
+        read_current(spark, table_dir)
+        if snapshot is None
+        else read_snapshot(spark, table_dir, snapshot)
+    )
+    if names is None:
+        names = delta_names(table_dir)
     if not names:
         return base
     raw = [
@@ -661,6 +718,7 @@ def upsert(
     cluster_files: int | None = None,
     zorder_by: list[str] | None = None,
     zorder_rank: str = "width",
+    meta: dict | None = None,
 ) -> str:
     """MERGE-shaped copy-on-write upsert: rows in ``updates`` replace
     current rows with the same key; all other current rows carry over.
@@ -693,6 +751,7 @@ def upsert(
         cluster_files=cluster_files,
         zorder_by=zorder_by,
         zorder_rank=zorder_rank,
+        meta=meta,
     )
 
 
@@ -1115,15 +1174,22 @@ def pending_changes(
     semi-joined to the union of the deltas' key values (batch-sized
     under the compaction cadence → AQE broadcasts it, one pass over the
     base, no corpus shuffle) and the full-outer diff itself runs over
-    batch-sized frames. A tombstone whose sub-key is a PREFIX of ``key``
-    still prunes correctly: the semi-join on the prefix keeps every row
-    the tombstone could kill."""
+    batch-sized frames. A data delta prunes on the reader ``key`` (it
+    replaces whole rows by key); a tombstone prunes on its OWN column
+    set (equality-delete semantics: it kills exactly the rows matching
+    those columns, whether or not they overlap the reader key — the IVM
+    dim arm's attribute-keyed tombstones are the live case). Only a
+    tombstone on columns the table doesn't carry forces the unpruned
+    full diff (which stays correct — it is what ``table_changes``
+    always pays)."""
     base = read_current(spark, table_dir)
     names = delta_names(table_dir)
     if not names:  # nothing pending: empty feed, zero scans beyond schema
         return _keyed_diff(base.limit(0), base.limit(0), base.columns, key)
     view = read_current_with_deltas(spark, table_dir, key)
     shapes = _touched_key_shapes(spark, table_dir, names, key)
+    if any(not s or any(c not in base.columns for c in s) for s, _ in shapes):
+        return _keyed_diff(base, view, base.columns, key)
 
     def pruned(df: DataFrame) -> DataFrame:
         # a row is in play if ANY shape's touched set matches it (union,
@@ -1142,14 +1208,19 @@ def pending_changes(
 def _touched_key_shapes(
     spark: SparkSession, table_dir: str, names: list[str], key: list[str]
 ):
-    """[(key-column subset, distinct touched values)] across the active
-    deltas, grouped by each delta's own key shape (a partial-key
-    tombstone contributes its prefix columns only). Used by
-    ``pending_changes`` to bound the diff at batch size."""
+    """[(pruning-column set, distinct touched values)] across the active
+    deltas. A data delta prunes on the reader ``key`` (all key columns
+    are guaranteed present — the delta-key contract); a tombstone prunes
+    on its own column set, which may be a key prefix OR disjoint
+    attribute columns (equality deletes). Used by ``pending_changes`` to
+    bound the diff at batch size."""
     by_shape: dict[tuple[str, ...], list[DataFrame]] = {}
     for n in names:
         p = spark.read.parquet(os.path.join(table_dir, n))
-        shape = tuple(c for c in key if c in p.columns)
+        if TOMBSTONE in p.columns:
+            shape = tuple(c for c in p.columns if c != TOMBSTONE)
+        else:
+            shape = tuple(c for c in key if c in p.columns)
         by_shape.setdefault(shape, []).append(p.select(*shape))
     out = []
     for shape, frames in by_shape.items():

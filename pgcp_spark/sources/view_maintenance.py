@@ -312,3 +312,244 @@ def lake_incremental_join_view_orders(spark: SparkSession, sf_dir: str) -> DataF
         raise
     reclaim_by_mode(fact_dir, dim_dir, view_dir)
     return result
+
+
+# --- cascade IVM: aggregate OVER the maintained join view (round 11) -------
+# The delta-join rule's second half (same Blakeley SIGMOD'86 lineage the
+# module cites): the join fold's MOR deltas on the view ARE a change feed
+# for a downstream aggregate — ``lake.pending_changes`` classifies them as
+# insert / delete / update pre+post, and the signed fold (+1 post, -1 pre)
+# maintains ``A = groupBy(g)(fact ⋈ dim)`` for the price of the feed,
+# never rescanning the view. Exactly-once across crashes rides on the
+# lake's commit metadata: the fold stamps the view state id it consumed
+# (``pending_state``) into the aggregate's own atomic commit, so an
+# at-least-once replay of the same feed is detected and skipped — the
+# Delta txnAppId/txnVersion idiom reduced to this layer. Protocol: the
+# fold-then-flatten pair is the view's single maintenance owner (the
+# index-loop discipline); flatten consumes the feed, arming the next fold.
+
+
+def build_agg_over(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """The stored aggregate's schema over any view-shaped frame:
+    (group, exact decimal sum, non-NULL value count, row count). Shared
+    by the initial build and every test's recompute oracle so the fold
+    and the ground truth can't drift. NULL group keys are excluded (the
+    ``_run_incremental_agg`` contract: a NULL key can't match itself
+    through the keyed upsert's anti-join)."""
+    from pgcp_spark.operators._decimal import dec
+
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.coalesce(F.sum(dec(value_col, "decimal(18,2)")), zero).alias("sum_dec"),
+            F.count(value_col).alias("priced_cnt"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+    )
+
+
+def read_agg(spark: SparkSession, agg_dir: str, group_col: str) -> DataFrame:
+    """Serve the stored aggregate: groups folded down to zero rows drop
+    out; a group whose every value is NULL serves a NULL sum (ANSI
+    sum-over-nothing, carried through the fold by priced_cnt)."""
+    return (
+        read_current(spark, agg_dir)
+        .filter(F.col("order_cnt") > 0)
+        .select(
+            group_col,
+            F.when(F.col("priced_cnt") > 0, F.col("sum_dec").cast("double")).alias(
+                f"sum_{group_col.split('_', 1)[-1]}_total"
+            ),
+            "order_cnt",
+        )
+    )
+
+
+def fold_agg_join_view(
+    spark: SparkSession,
+    agg_dir: str,
+    view_dir: str,
+    view_key: list[str],
+    group_col: str,
+    value_col: str,
+) -> bool:
+    """Fold the view's PENDING merge-on-read feed into the stored
+    aggregate at ``agg_dir``. Returns False when this exact feed was
+    already applied (crash-window replay: the aggregate's commit carries
+    the consumed view state id) or the feed is empty; True after a fold
+    commits. The caller then flattens the view to consume the feed —
+    see the section comment for the exactly-once protocol.
+
+    Scale: the feed is batch-sized under the compaction cadence; the
+    signed delta aggregate is one feed-sized shuffle on ``group_col``;
+    the stored-aggregate join touches only changed groups (right-outer,
+    AQE broadcasts the delta side); the upsert carries untouched groups
+    over without reading the view or the base tables.
+    """
+    from pgcp_spark.operators._decimal import dec
+    from pgcp_spark.sources.lake import pending_changes, pending_state, snapshot_meta
+
+    state = pending_state(view_dir)
+    if snapshot_meta(agg_dir).get("applied_view_state") == state:
+        return False  # at-least-once replay of an already-folded feed
+    feed = materialize(pending_changes(spark, view_dir, key=view_key))
+    if feed.isEmpty():
+        return False
+    zero = F.lit(0).cast("decimal(18,2)")
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    deltas = (
+        feed.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.coalesce(
+                F.sum(sign * F.coalesce(dec(value_col, "decimal(18,2)"), zero)), zero
+            ).alias("d_sum"),
+            F.sum(sign * F.col(value_col).isNotNull().cast("int")).alias("d_priced"),
+            F.sum(sign).alias("d_cnt"),
+        )
+    )
+    stored = read_current(spark, agg_dir)
+    touched = stored.join(deltas, group_col, "right_outer").select(
+        group_col,
+        (F.coalesce(F.col("sum_dec"), zero) + F.col("d_sum"))
+        .cast("decimal(18,2)")
+        .alias("sum_dec"),
+        (F.coalesce(F.col("priced_cnt"), F.lit(0)) + F.col("d_priced")).alias(
+            "priced_cnt"
+        ),
+        (F.coalesce(F.col("order_cnt"), F.lit(0)) + F.col("d_cnt")).alias("order_cnt"),
+    )
+    upsert(
+        spark,
+        agg_dir,
+        touched,
+        key=[group_col],
+        meta={"applied_view_state": state},
+    )
+    return True
+
+
+_AGG_JOIN_VIEW_ORACLE = """
+WITH postfact AS (
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+    FROM orders
+    WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) * 2
+    FROM orders WHERE o_orderkey % 5 = 0
+),
+postdim AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment || '_R'
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+)
+SELECT d.c_mktsegment,
+       CAST(SUM(f.p) AS DOUBLE) AS sum_mktsegment_total,
+       COUNT(*) AS order_cnt
+FROM postfact f JOIN postdim d ON f.o_custkey = d.c_custkey
+GROUP BY d.c_mktsegment
+ORDER BY d.c_mktsegment
+"""
+
+
+@register(
+    "lake_incremental_agg_join_view_orders",
+    oracle=_AGG_JOIN_VIEW_ORACLE,
+    doc=(
+        "cascade IVM: a per-segment aggregate maintained OVER the maintained "
+        "orders ⋈ customer view — the join fold's merge-on-read deltas, read "
+        "back as the view's pending change feed, drive the signed aggregate "
+        "fold (post adds, pre subtracts), so a dim update MOVES its orders "
+        "between segment groups without rescanning fact, dim, or view; the "
+        "fold stamps the consumed view state into its own atomic commit "
+        "(exactly-once across replays); oracle recomputes the aggregated join "
+        "from both post states, so a hash match proves cascade == recompute"
+    ),
+)
+def lake_incremental_agg_join_view_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end cascade cycle on driver-checkable data: the same
+    fact/dim/view scenario as ``lake_incremental_join_view_orders``
+    (base fact = orders %3≠0; dim segment renamed for every 10th
+    customer; fact CDC doubling every 5th key and deleting every
+    non-5th 7th), PLUS a per-``c_mktsegment`` aggregate built over the
+    initial view and maintained purely from the cascade: base feeds →
+    join fold (MOR deltas on the view) → ``pending_changes`` feed →
+    signed aggregate fold → flatten. The dim's segment rename is the
+    shape a fact-feed-only consumer cannot see — the moved orders'
+    totals must LEAVE the old segment group and ENTER the '_R' one, and
+    only the view feed's pre/post pairs carry that."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base_fact = orders.filter(F.col("o_orderkey") % 3 != 0)
+    fact_dir = tempfile.mkdtemp(prefix="pgcp_cascade_fact_")
+    dim_dir = tempfile.mkdtemp(prefix="pgcp_cascade_dim_")
+    view_dir = tempfile.mkdtemp(prefix="pgcp_cascade_view_")
+    agg_dir = tempfile.mkdtemp(prefix="pgcp_cascade_agg_")
+
+    def _cleanup() -> None:
+        for d in (fact_dir, dim_dir, view_dir, agg_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+    try:
+        fact_snap = write_snapshot(base_fact, fact_dir, keep=2)
+        dim_snap = write_snapshot(dim, dim_dir, keep=2)
+        view0 = base_fact.join(
+            dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+        ).select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+        write_snapshot(
+            build_agg_over(view0, "c_mktsegment", "o_totalprice"), agg_dir
+        )
+
+        # --- mutations on the base tables (the join-view query's set) ---
+        dim_updates = dim.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "c_mktsegment", F.concat(F.col("c_mktsegment"), F.lit("_R"))
+        )
+        upsert(spark, dim_dir, dim_updates, key=["c_custkey"], keep=2)
+        ups = (
+            orders.filter(F.col("o_orderkey") % 5 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn("_op", F.lit("upsert"))
+        )
+        dels = orders.filter(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
+        ).withColumn("_op", F.lit("delete"))
+        merge_cdc(spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"], keep=2)
+
+        # --- the cascade: base feeds → join fold → view feed → agg fold ---
+        fold_join_view(
+            spark,
+            view_dir,
+            view_key=["o_orderkey"],
+            fact_feed=table_changes(spark, fact_dir, fact_snap, key=["o_orderkey"]),
+            dim_feed=table_changes(spark, dim_dir, dim_snap, key=["c_custkey"]),
+            dim_current=read_current(spark, dim_dir),
+            fact_join_col="o_custkey",
+            dim_join_col="c_custkey",
+        )
+        if not fold_agg_join_view(
+            spark, agg_dir, view_dir, ["o_orderkey"], "c_mktsegment", "o_totalprice"
+        ):
+            raise RuntimeError("cascade fold must consume a non-empty view feed")
+        from pgcp_spark.sources.lake import flatten_deltas
+
+        flatten_deltas(
+            spark, view_dir, key=["o_orderkey"], cluster_by=["o_custkey"]
+        )
+        result = materialize(
+            read_agg(spark, agg_dir, "c_mktsegment").orderBy("c_mktsegment")
+        )
+    except BaseException:
+        _cleanup()
+        raise
+    reclaim_by_mode(fact_dir, dim_dir, view_dir, agg_dir)
+    return result

@@ -38,6 +38,18 @@ def _rows(df):
 
 
 @pytest.fixture(scope="module")
+def ivm_lake_factory(spark):
+    """Builds a fresh instance of the ivm_lake scenario (below); the
+    cascade fixture needs its own because the flatten test consumes the
+    shared instance's pending feed. Caller owns cleanup."""
+
+    def build():
+        return _build_ivm_lake(spark)
+
+    return build
+
+
+@pytest.fixture(scope="module")
 def ivm_lake(spark):
     """A fact/dim/view lake exercising every delta-join arm at once:
 
@@ -47,6 +59,13 @@ def ivm_lake(spark):
     one CDC batch inserting o13, doubling o1, re-pointing o5→6 and
     o6→404 (missing partner — must leave the view), deleting o2.
     """
+    lk = _build_ivm_lake(spark)
+    yield lk
+    for d in (lk["fact_dir"], lk["dim_dir"], lk["view_dir"]):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _build_ivm_lake(spark):
     dim_rows = [(k, f"n{k}", f"s{k}") for k in range(1, 7)]
     fact_rows = [
         (1, 1, 10.0), (2, 1, 20.0), (3, 2, 30.0), (4, 2, 40.0),
@@ -90,15 +109,13 @@ def ivm_lake(spark):
     )
     merge_cdc(spark, fact_dir, batch, key=["o_orderkey"], keep=2)
 
-    yield {
+    return {
         "fact_dir": fact_dir,
         "dim_dir": dim_dir,
         "view_dir": view_dir,
         "fact_snap": fact_snap,
         "dim_snap": dim_snap,
     }
-    for d in (fact_dir, dim_dir, view_dir):
-        shutil.rmtree(d, ignore_errors=True)
 
 
 def _fold(spark, lk):
@@ -207,3 +224,151 @@ def test_pushdown_probe_is_bounded(spark):
     df = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
     out = _pruned_by_keys(df, "k", big)
     assert out is df
+
+
+# --- cascade IVM: aggregate over the maintained join view (round 11) -------
+
+
+def _agg_recompute(spark, lk):
+    from pgcp_spark.sources.view_maintenance import build_agg_over
+
+    return build_agg_over(_recompute(spark, lk), "c_mktsegment", "o_totalprice")
+
+
+@pytest.fixture(scope="module")
+def cascade_lake(spark, request):
+    """Its own fact/dim/view lake (the ivm_lake scenario rebuilt — that
+    fixture's view feed is consumed by the flatten test), plus an
+    aggregate built over the view's initial state and ONE join fold run,
+    so the view carries the full pending feed (every CDC shape at once)
+    when the cascade tests start."""
+    from pgcp_spark.sources.lake import read_current as rc
+    from pgcp_spark.sources.view_maintenance import build_agg_over
+
+    lk = request.getfixturevalue("ivm_lake_factory")()
+    agg_dir = tempfile.mkdtemp(prefix="ivm_t_agg_")
+    write_snapshot(
+        build_agg_over(rc(spark, lk["view_dir"]), "c_mktsegment", "o_totalprice"),
+        agg_dir,
+    )
+    _fold(spark, lk)  # land the view's MOR deltas — the cascade's feed
+    yield {**lk, "agg_dir": agg_dir}
+    shutil.rmtree(agg_dir, ignore_errors=True)
+    for d in (lk["fact_dir"], lk["dim_dir"], lk["view_dir"]):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cascade_fold_equals_recompute(spark, cascade_lake):
+    """The signed fold over the view's pending feed must equal a full
+    recompute of the aggregate from both POST base states — including
+    the dim's segment rename (s2 → s2X), which moves orders BETWEEN
+    groups and is invisible to any fact-feed-only consumer."""
+    from pgcp_spark.sources.lake import delta_names
+    from pgcp_spark.sources.view_maintenance import fold_agg_join_view
+
+    lk = cascade_lake
+    assert delta_names(lk["view_dir"]), "cascade test needs a pending view feed"
+    folded = fold_agg_join_view(
+        spark, lk["agg_dir"], lk["view_dir"], ["o_orderkey"], "c_mktsegment",
+        "o_totalprice",
+    )
+    assert folded is True
+    from pgcp_spark.sources.lake import read_current
+
+    got = _rows(read_current(spark, lk["agg_dir"]).filter(F.col("order_cnt") > 0))
+    want = _rows(_agg_recompute(spark, lk))
+    assert got == want
+    segs = {r[0] for r in got}
+    assert "s2X" in segs and "s2" not in segs  # the rename MOVED the group
+
+
+def test_cascade_crash_window_replay_is_skipped(spark, cascade_lake):
+    """The crash window: agg committed, flatten not yet run. A replayed
+    fold sees the SAME pending view state, finds its id stamped in the
+    aggregate's commit metadata, and must skip — signed folds are not
+    idempotent, so this watermark is what makes the cascade exactly-once."""
+    from pgcp_spark.sources.lake import read_current, snapshot_meta
+    from pgcp_spark.sources.view_maintenance import fold_agg_join_view
+
+    lk = cascade_lake
+    before = _rows(read_current(spark, lk["agg_dir"]))
+    assert snapshot_meta(lk["agg_dir"]).get("applied_view_state")
+    folded = fold_agg_join_view(
+        spark, lk["agg_dir"], lk["view_dir"], ["o_orderkey"], "c_mktsegment",
+        "o_totalprice",
+    )
+    assert folded is False  # replay detected via the commit watermark
+    assert _rows(read_current(spark, lk["agg_dir"])) == before
+
+
+def test_cascade_flatten_then_fold_is_noop(spark, cascade_lake):
+    """After flatten consumes the feed, the pending feed is empty and the
+    next fold is a no-op — the steady state between CDC batches."""
+    from pgcp_spark.sources.lake import flatten_deltas, read_current
+    from pgcp_spark.sources.view_maintenance import fold_agg_join_view
+
+    lk = cascade_lake
+    flatten_deltas(
+        spark, lk["view_dir"], key=["o_orderkey"], cluster_by=["o_custkey"]
+    )
+    before = _rows(read_current(spark, lk["agg_dir"]))
+    folded = fold_agg_join_view(
+        spark, lk["agg_dir"], lk["view_dir"], ["o_orderkey"], "c_mktsegment",
+        "o_totalprice",
+    )
+    assert folded is False
+    assert _rows(read_current(spark, lk["agg_dir"])) == before
+    # and the aggregate STILL equals the recompute after the flatten
+    got = _rows(read_current(spark, lk["agg_dir"]).filter(F.col("order_cnt") > 0))
+    assert got == _rows(_agg_recompute(spark, lk))
+
+
+def test_pending_changes_prunes_by_tombstone_own_shape(spark):
+    """An attribute-keyed equality-delete tombstone (the dim arm's shape:
+    its column is NOT the reader key) must still produce a correct feed —
+    round 11 fixed the shape grouping that crashed on it."""
+    from pgcp_spark.sources.lake import (
+        append_delta,
+        delete_delta,
+        pending_changes,
+        write_snapshot,
+    )
+
+    d = tempfile.mkdtemp(prefix="pc_shape_")
+    try:
+        base = spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 10, "c")], ["k", "g", "v"]
+        )
+        write_snapshot(base, d)
+        append_delta(spark.createDataFrame([(4, 30, "d")], ["k", "g", "v"]), d)
+        delete_delta(spark.createDataFrame([(10,)], ["g"]), d, key=["g"])
+        feed = _rows(pending_changes(spark, d, key=["k"]))
+        assert feed == [
+            (1, 10, "a", "delete"),
+            (3, 10, "c", "delete"),
+            (4, 30, "d", "insert"),
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_snapshot_meta_commits_atomically_with_data(spark):
+    """meta lives INSIDE the snapshot dir: a new commit without meta
+    reads {}, a commit with meta reads it back, and time-travel reads
+    the meta of THAT snapshot, not the current one."""
+    from pgcp_spark.sources.lake import snapshot_meta, upsert, write_snapshot
+
+    d = tempfile.mkdtemp(prefix="meta_t_")
+    try:
+        df = spark.createDataFrame([(1, "a")], ["k", "v"])
+        s1 = write_snapshot(df, d, keep=3, meta={"applied": "v1"})
+        assert snapshot_meta(d) == {"applied": "v1"}
+        s2 = upsert(
+            spark, d, spark.createDataFrame([(2, "b")], ["k", "v"]), key=["k"],
+            keep=3,
+        )
+        assert snapshot_meta(d) == {}  # the new commit carried none
+        assert snapshot_meta(d, s1) == {"applied": "v1"}  # time travel
+        assert s2 != s1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
