@@ -250,6 +250,7 @@ def _load_operator_modules() -> None:
     import pgcp_spark.operators.windows  # noqa: F401
     import pgcp_spark.sources.change_feed  # noqa: F401
     import pgcp_spark.sources.quality  # noqa: F401
+    import pgcp_spark.sources.txn  # noqa: F401
     import pgcp_spark.sources.view_maintenance  # noqa: F401
     import pgcp_spark.streaming.events  # noqa: F401
     import pgcp_spark.streaming.ingest_ann  # noqa: F401

@@ -1,0 +1,273 @@
+"""Cross-table atomic commit: one manifest, N tables, all-or-nothing.
+
+The lake's OCC layer (``lake.py``) serializes writers PER TABLE, but a
+fact+view pair still committed as two independent pointers — a reader
+between the two commits saw fact advanced and the view stale. The
+reference has the same per-table-snapshot limitation (SURVEY §4.2:
+hotswap is per table, ``postgres.rb:93-106`` renames one table per
+transaction); this module retires it instead of inheriting it.
+
+Design — the standard multi-table metadata transaction reduced to this
+layer's filesystem minimum (Iceberg's catalog-level multi-table commit /
+Delta's planned txn log unification have the same shape):
+
+  - a TABLE GROUP is a directory holding member lake tables plus one
+    ``_MANIFEST`` file mapping each member to its full merge-on-read
+    state: ``{name: {"snapshot": <snap>, "deltas": [<delta>, …]}}``;
+  - writers mutate member tables with the ordinary lake writers (their
+    per-table commits stay invisible to GROUP readers), then publish ALL
+    post states in ONE atomic manifest replace under ONE group lock,
+    with a CAS against the manifest state the transaction was computed
+    from (``GroupConflict`` on interleave — detect, never lose);
+  - readers call ``read_group`` ONCE per transaction: it resolves the
+    manifest in a single read and pins every member to that resolution
+    (``read_current_with_deltas(snapshot=…, names=…)``), so a mixed
+    fact-new/view-old observation is structurally impossible — the
+    atomicity point is the one ``os.replace``, exactly like the
+    single-table pointer.
+
+Crash anywhere before the manifest replace leaves group readers on the
+old consistent state; the half-applied per-table writes are invisible to
+them and converge on replay (MOR newest-wins for data/tombstone deltas,
+the cascade fold's commit watermark for the aggregate — the repo's
+standing at-least-once discipline). Retention: member tables must keep
+``keep >= 2`` snapshots so the PREVIOUS manifest's pins survive one
+group commit (the same reader-grace rule as ``occ_upsert``).
+
+Single-table readers of a member table see its per-table commits as they
+land (fresher than the manifest, possibly mixed across tables) — the
+atomic contract holds for manifest-resolved readers, which is what the
+serving path uses. This mirrors Iceberg: cross-table consistency lives
+at the catalog, per-table readers are per-table consistent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pgcp_spark.sources.lake import (
+    _atomic_write,
+    _commit_lock,
+    current_snapshot,
+    delta_names,
+    read_current_with_deltas,
+    read_snapshot,
+)
+
+MANIFEST = "_MANIFEST"
+TXN = "_txn"  # monotonic commit counter inside the manifest: makes every
+# group commit observable to the CAS even when the published table states
+# are bytewise identical to the previous ones
+
+
+class GroupConflict(RuntimeError):
+    """The group manifest moved past the transaction's expected state —
+    recompute against the new manifest and retry (the ``CommitConflict``
+    contract, lifted to the group)."""
+
+
+def _manifest_path(group_dir: str) -> str:
+    return os.path.join(group_dir, MANIFEST)
+
+
+def group_state(group_dir: str) -> dict:
+    """The committed manifest: ``{name: {"snapshot": …, "deltas": […]}}``,
+    ``{}`` before the first group commit. ONE read — the snapshot of the
+    whole group a transaction reads or CASes against."""
+    try:
+        with open(_manifest_path(group_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def table_state(group_dir: str, name: str) -> dict:
+    """A member table's LIVE merge-on-read state (per-table pointer +
+    delta log), in manifest form — what ``commit_group`` publishes after
+    the transaction's per-table writes have landed."""
+    tdir = os.path.join(group_dir, name)
+    return {
+        "snapshot": current_snapshot(tdir),
+        "deltas": delta_names(tdir),
+    }
+
+
+def commit_group(
+    group_dir: str,
+    tables: dict[str, dict] | None = None,
+    expect: dict | None = None,
+) -> dict:
+    """Atomically publish the post states of the group's member tables.
+
+    ``tables`` maps member name → manifest-form state (default: capture
+    every already-listed member's live state plus any new dirs the
+    caller names — pass explicitly to control exactly what publishes).
+    ``expect`` is the manifest the transaction was computed against
+    (``group_state`` at read time); if another group commit landed in
+    between, ``GroupConflict`` raises and nothing publishes. ``expect``
+    omitted → unconditional (single-writer groups).
+
+    The commit is ONE ``os.replace`` of the manifest under the group's
+    commit lock — N tables, one atomicity point. Returns the committed
+    manifest."""
+    if tables is None:
+        tables = {
+            name: table_state(group_dir, name)
+            for name in group_state(group_dir)
+            if not name.startswith("_")
+        }
+    with _commit_lock(group_dir):
+        if expect is not None and group_state(group_dir) != expect:
+            raise GroupConflict(
+                f"{group_dir}: manifest moved past the transaction's snapshot"
+            )
+        new = dict(group_state(group_dir))
+        new.update(tables)
+        new[TXN] = int(new.get(TXN, 0)) + 1
+        _atomic_write(_manifest_path(group_dir), json.dumps(new, sort_keys=True))
+        return new
+
+
+def read_group(
+    spark: SparkSession,
+    group_dir: str,
+    keys: dict[str, list[str]],
+    state: dict | None = None,
+) -> dict[str, DataFrame]:
+    """Resolve the manifest ONCE and serve every requested member pinned
+    to that resolution — the all-or-nothing read. ``keys`` maps member
+    name → its merge-on-read key (the ``read_current_with_deltas``
+    contract); a member with no pending deltas in the manifest reads its
+    pinned snapshot directly. ``state`` reuses an already-fetched
+    ``group_state`` (a transaction that must read AND CAS against the
+    same snapshot passes it to both)."""
+    st = group_state(group_dir) if state is None else state
+    out: dict[str, DataFrame] = {}
+    for name, key in keys.items():
+        if name not in st:
+            raise KeyError(f"{name!r} not in group manifest {group_dir}")
+        pin = st[name]
+        tdir = os.path.join(group_dir, name)
+        if pin["deltas"]:
+            out[name] = read_current_with_deltas(
+                spark, tdir, key, snapshot=pin["snapshot"], names=pin["deltas"]
+            )
+        else:
+            out[name] = read_snapshot(spark, tdir, pin["snapshot"])
+    return out
+
+
+_GROUP_VIEW_ORACLE = """
+WITH postfact AS (
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice * 2
+    FROM orders WHERE o_orderkey % 5 = 0
+),
+postdim AS (SELECT c_custkey, c_name, c_mktsegment FROM customer)
+SELECT f.o_orderkey, f.o_custkey, f.o_totalprice, d.c_name, d.c_mktsegment
+FROM postfact f JOIN postdim d ON f.o_custkey = d.c_custkey
+ORDER BY f.o_orderkey
+"""
+
+
+def _register_group_query() -> None:
+    """Deferred: registry + the lake writers import at call time to keep
+    this module's import graph one-directional."""
+    from pgcp_spark.indexes.loop import reclaim_by_mode
+    from pgcp_spark.plans.materialize import materialize
+    from pgcp_spark.registry import register
+    from pgcp_spark.sources import load_table
+    from pgcp_spark.sources.lake import merge_cdc_delta, read_current, write_snapshot
+    from pgcp_spark.sources.view_maintenance import fold_join_view
+
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    @register(
+        "lake_atomic_group_commit_orders",
+        oracle=_GROUP_VIEW_ORACLE,
+        doc=(
+            "cross-table atomic commit: a fact CDC batch (merge-on-read) and its "
+            "join-view fold publish as ONE manifest replace — the group reader "
+            "resolves fact+view from a single manifest read, so the returned view "
+            "is the transaction's all-or-nothing state; oracle recomputes the "
+            "join from the post fact state"
+        ),
+    )
+    def lake_atomic_group_commit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """End-to-end group transaction on driver-checkable data: group =
+        {fact, dim, view} with fact = orders %3≠0 and view = fact ⋈
+        customer; one transaction lands the standard CDC batch on the
+        fact as MOR deltas, folds the view from the pending feed, and
+        publishes both post states in one ``commit_group`` CAS; the
+        result is served through ``read_group`` — the manifest-pinned,
+        torn-read-impossible path the race test pins."""
+        from pgcp_spark.sources.lake import pending_changes, read_current_with_deltas
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        dim = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+        base_fact = orders.filter(F.col("o_orderkey") % 3 != 0)
+        gdir = tempfile.mkdtemp(prefix="pgcp_txn_group_")
+        try:
+            write_snapshot(base_fact, gdir + "/fact", keep=2)
+            write_snapshot(dim, gdir + "/dim", keep=2)
+            view0 = base_fact.join(
+                dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+            ).select(
+                "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"
+            )
+            write_snapshot(view0, gdir + "/view", cluster_by=["o_custkey"], keep=2)
+            snap0 = commit_group(
+                gdir, {n: table_state(gdir, n) for n in ("fact", "dim", "view")}
+            )
+
+            # --- ONE transaction: fact CDC + view fold, one publish ---
+            ups = (
+                orders.filter(F.col("o_orderkey") % 5 == 0)
+                .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+                .withColumn("_op", F.lit("upsert"))
+            )
+            dels = orders.filter(
+                (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
+            ).withColumn("_op", F.lit("delete"))
+            merge_cdc_delta(
+                spark, gdir + "/fact", ups.unionByName(dels), key=["o_orderkey"]
+            )
+            fold_join_view(
+                spark,
+                gdir + "/view",
+                view_key=["o_orderkey"],
+                fact_feed=pending_changes(spark, gdir + "/fact", key=["o_orderkey"]),
+                dim_feed=None,
+                dim_current=read_current(spark, gdir + "/dim"),
+                fact_join_col="o_custkey",
+                dim_join_col="c_custkey",
+            )
+            commit_group(
+                gdir,
+                {n: table_state(gdir, n) for n in ("fact", "view")},
+                expect=snap0,
+            )
+            pinned = read_group(
+                spark, gdir, {"view": ["o_orderkey"], "fact": ["o_orderkey"]}
+            )
+            result = materialize(pinned["view"].orderBy("o_orderkey"))
+        except BaseException:
+            shutil.rmtree(gdir, ignore_errors=True)
+            raise
+        reclaim_by_mode(gdir)
+        return result
+
+
+_register_group_query()

@@ -553,3 +553,94 @@ def lake_incremental_agg_join_view_orders(
         raise
     reclaim_by_mode(fact_dir, dim_dir, view_dir, agg_dir)
     return result
+
+
+@register(
+    "lake_join_view_from_pending_feeds",
+    oracle=_JOIN_VIEW_ORACLE,
+    doc=(
+        "the join-view IVM fold driven by MERGE-ON-READ base feeds: both base "
+        "tables mutate as un-flattened deltas (merge_cdc_delta / append_delta) "
+        "and the fold consumes pending_changes instead of the snapshot diff — "
+        "same oracle as lake_incremental_join_view_orders, proving the MOR CDC "
+        "feed plugs into the same fold unchanged"
+    ),
+)
+def lake_join_view_from_pending_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``lake_incremental_join_view_orders`` scenario with every base
+    mutation landing MERGE-ON-READ: the dim's segment rename is an
+    ``append_delta`` (newest-wins), the fact CDC batch a
+    ``merge_cdc_delta`` (data delta + tombstone) — neither base snapshot
+    is rewritten — and the fold's feeds come from ``pending_changes``,
+    the CDC view between compactions. SCALE.md r10 claimed the MOR feed
+    "plugs into the same fold unchanged"; this is that claim as a driver
+    row. ``dim_current`` resolves merge-on-read too, so the fact arm
+    rebuilds against the post dim state the deltas imply."""
+    from pgcp_spark.sources.lake import merge_cdc_delta, pending_changes
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    base_fact = orders.filter(F.col("o_orderkey") % 3 != 0)
+    fact_dir = tempfile.mkdtemp(prefix="pgcp_ivm_mor_fact_")
+    dim_dir = tempfile.mkdtemp(prefix="pgcp_ivm_mor_dim_")
+    view_dir = tempfile.mkdtemp(prefix="pgcp_ivm_mor_view_")
+
+    def _cleanup() -> None:
+        for d in (fact_dir, dim_dir, view_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+    try:
+        write_snapshot(base_fact, fact_dir, keep=2)
+        write_snapshot(dim, dim_dir, keep=2)
+        view0 = base_fact.join(
+            dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+        ).select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+        view_base = current_snapshot(view_dir)
+
+        # --- merge-on-read mutations: base snapshots never rewritten ---
+        dim_updates = dim.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "c_mktsegment", F.concat(F.col("c_mktsegment"), F.lit("_R"))
+        )
+        append_delta(dim_updates, dim_dir)
+        ups = (
+            orders.filter(F.col("o_orderkey") % 5 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn("_op", F.lit("upsert"))
+        )
+        dels = orders.filter(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
+        ).withColumn("_op", F.lit("delete"))
+        merge_cdc_delta(
+            spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"]
+        )
+
+        # --- the fold: pending (un-flattened) feeds only ---
+        fold_join_view(
+            spark,
+            view_dir,
+            view_key=["o_orderkey"],
+            fact_feed=pending_changes(spark, fact_dir, key=["o_orderkey"]),
+            dim_feed=pending_changes(spark, dim_dir, key=["c_custkey"]),
+            dim_current=read_current_with_deltas(
+                spark, dim_dir, key=["c_custkey"]
+            ),
+            fact_join_col="o_custkey",
+            dim_join_col="c_custkey",
+        )
+        if current_snapshot(view_dir) != view_base:
+            raise RuntimeError("IVM fold must land as deltas, not a view rewrite")
+        result = materialize(
+            read_current_with_deltas(spark, view_dir, key=["o_orderkey"]).orderBy(
+                "o_orderkey"
+            )
+        )
+    except BaseException:
+        _cleanup()
+        raise
+    reclaim_by_mode(fact_dir, dim_dir, view_dir)
+    return result

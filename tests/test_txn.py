@@ -1,0 +1,191 @@
+"""Contracts for the cross-table atomic commit (``sources/txn.py``):
+group readers can never observe fact-advanced/view-stale, the manifest
+CAS detects interleaved group commits, and the commit is all-or-nothing
+under a racing reader."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgcp_spark.sources.lake import (
+    read_current,
+    table_changes,
+    upsert,
+    write_snapshot,
+)
+from pgcp_spark.sources.txn import (
+    GroupConflict,
+    commit_group,
+    group_state,
+    read_group,
+    table_state,
+)
+from pgcp_spark.sources.view_maintenance import fold_join_view
+
+KEYS = {"fact": ["k"], "view": ["k"]}
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def group(spark):
+    """A fact+view group: fact(k, g, v) ⋈ dim(g, dname) = view, all
+    committed through one initial manifest."""
+    gdir = tempfile.mkdtemp(prefix="txn_group_")
+    fact = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0), (3, 10, 3.0)], ["k", "g", "v"]
+    )
+    dim = spark.createDataFrame([(10, "a"), (20, "b")], ["g", "dname"])
+    import os
+
+    write_snapshot(fact, os.path.join(gdir, "fact"), keep=6)
+    write_snapshot(dim, os.path.join(gdir, "dim"), keep=6)
+    view = fact.join(dim, on="g").select("k", "g", "v", "dname")
+    write_snapshot(view, os.path.join(gdir, "view"), keep=6)
+    commit_group(
+        gdir,
+        {n: table_state(gdir, n) for n in ("fact", "dim", "view")},
+    )
+    yield gdir
+    shutil.rmtree(gdir, ignore_errors=True)
+
+
+def _txn_cycle(spark, gdir, i):
+    """One two-table transaction: upsert the fact, fold the view from the
+    change feed, publish both post states in ONE group commit."""
+    import os
+
+    fact_dir, view_dir = os.path.join(gdir, "fact"), os.path.join(gdir, "view")
+    prev = group_state(gdir)["fact"]["snapshot"]
+    upsert(
+        spark,
+        fact_dir,
+        spark.createDataFrame([(i + 100, 10, float(i))], ["k", "g", "v"]),
+        key=["k"],
+        keep=6,
+    )
+    fold_join_view(
+        spark,
+        view_dir,
+        view_key=["k"],
+        fact_feed=table_changes(spark, fact_dir, prev, key=["k"]),
+        dim_feed=None,
+        dim_current=read_current(spark, os.path.join(gdir, "dim")),
+        fact_join_col="g",
+        dim_join_col="g",
+    )
+    commit_group(gdir, {n: table_state(gdir, n) for n in ("fact", "view")})
+
+
+def test_group_reader_never_sees_torn_state(spark, group):
+    """THE pin: a reader racing the two-table commit resolves the
+    manifest once per read and must see view == fact ⋈ dim on EVERY
+    observation — fact-advanced/view-stale is structurally impossible."""
+    dim = read_current(spark, f"{group}/dim")
+    stop = threading.Event()
+    torn: list[str] = []
+
+    def reader():
+        while not stop.is_set():
+            dfs = read_group(spark, group, KEYS)
+            want = _rows(
+                dfs["fact"].join(dim, on="g").select("k", "g", "v", "dname")
+            )
+            got = _rows(dfs["view"].select("k", "g", "v", "dname"))
+            if got != want:
+                torn.append(f"view={got} expected={want}")
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(4):
+            _txn_cycle(spark, group, i)
+    finally:
+        stop.set()
+        t.join()
+    assert not torn, torn[0]
+    # and the final state reflects every transaction
+    dfs = read_group(spark, group, KEYS)
+    assert dfs["fact"].count() == 3 + 4
+    assert dfs["view"].count() == 3 + 4
+
+
+def test_uncommitted_per_table_writes_invisible_to_group(spark, group):
+    """Crash window: per-table commits landed, group commit didn't run.
+    Group readers stay on the old consistent state."""
+    import os
+
+    before = _rows(read_group(spark, group, KEYS)["fact"])
+    upsert(
+        spark,
+        os.path.join(group, "fact"),
+        spark.createDataFrame([(999, 10, 9.9)], ["k", "g", "v"]),
+        key=["k"],
+        keep=6,
+    )
+    # per-table reader sees it; group reader does not
+    assert (999,) in {
+        (r.k,) for r in read_current(spark, os.path.join(group, "fact")).collect()
+    }
+    assert _rows(read_group(spark, group, KEYS)["fact"]) == before
+
+
+def test_group_cas_detects_interleaved_commit(spark, group):
+    """Two transactions computed against the same manifest: the second
+    commit's CAS must raise GroupConflict, not silently publish."""
+    snap = group_state(group)
+    commit_group(group, {"fact": table_state(group, "fact")}, expect=snap)
+    with pytest.raises(GroupConflict):
+        commit_group(group, {"view": table_state(group, "view")}, expect=snap)
+
+
+def test_concurrent_group_commits_serialize(spark, group):
+    """Unconditional group commits from many threads never corrupt the
+    manifest (the lock serializes the read-modify-write)."""
+
+    def commit(i):
+        commit_group(group, {f"t{i}": {"snapshot": f"s{i}", "deltas": []}})
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(commit, range(16)))
+    st = group_state(group)
+    assert all(f"t{i}" in st for i in range(16))
+
+
+def test_read_group_unknown_member_raises(spark, group):
+    with pytest.raises(KeyError):
+        read_group(spark, group, {"nope": ["k"]})
+
+
+def test_group_pins_mor_deltas(spark, group):
+    """A manifest entry carrying pending deltas serves the merge-on-read
+    state AS OF the manifest — later per-table deltas stay invisible."""
+    import os
+
+    from pgcp_spark.sources.lake import append_delta
+
+    view_dir = os.path.join(group, "view")
+    append_delta(
+        spark.createDataFrame([(50, 10, 5.0, "a")], ["k", "g", "v", "dname"]),
+        view_dir,
+    )
+    commit_group(group, {"view": table_state(group, "view")})
+    pinned = read_group(spark, group, KEYS)  # manifest includes the delta
+    assert (50,) in {(r.k,) for r in pinned["view"].collect()}
+    st = group_state(group)
+    append_delta(
+        spark.createDataFrame([(51, 10, 5.1, "a")], ["k", "g", "v", "dname"]),
+        view_dir,
+    )  # NOT group-committed
+    again = read_group(spark, group, KEYS, state=st)
+    ks = {(r.k,) for r in again["view"].collect()}
+    assert (50,) in ks and (51,) not in ks
