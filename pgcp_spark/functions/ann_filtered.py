@@ -324,37 +324,52 @@ def build_label_partitioned_index(
             f"tool for a fine-grained column — use the lookup-join tier "
             f"(filtered_batch_vs_ann_index)"
         )
-    assigned_parts = []
-    cent_rows = []
-    for lab in labels:
+    def _fit_label(lab):
         sub = corpus.filter(F.col("label") == lab).select("vec_id", "embedding")
         nd = sub.agg(
             F.countDistinct(F.xxhash64("embedding")).alias("nd")
         ).collect()[0]["nd"]
         if nd == 0:
-            continue
+            return lab, None, None
         if nd < 2:
-            assigned = sub.withColumn("list_id", F.lit(0))
-            cents = np.array(
-                [sub.select("embedding").head()[0]], dtype=np.float64
+            return (
+                lab,
+                sub.withColumn("list_id", F.lit(0)),
+                np.array([sub.select("embedding").head()[0]], dtype=np.float64),
             )
-        else:
-            vecs = sub.withColumn(
-                "features",
-                array_to_vector(F.col("embedding").cast("array<double>")),
-            )
-            model = KMeans(
-                k=int(min(IVF_LISTS, nd)),
-                seed=42,
-                maxIter=10,
-                distanceMeasure="cosine",
-                featuresCol="features",
-                predictionCol="list_id",
-            ).fit(vecs)
-            assigned = model.transform(vecs).select(
-                "vec_id", "embedding", "list_id"
-            )
-            cents = np.stack(model.clusterCenters())
+        vecs = sub.withColumn(
+            "features",
+            array_to_vector(F.col("embedding").cast("array<double>")),
+        )
+        model = KMeans(
+            k=int(min(IVF_LISTS, nd)),
+            seed=42,
+            maxIter=10,
+            distanceMeasure="cosine",
+            featuresCol="features",
+            predictionCol="list_id",
+        ).fit(vecs)
+        return (
+            lab,
+            model.transform(vecs).select("vec_id", "embedding", "list_id"),
+            np.stack(model.clusterCenters()),
+        )
+
+    # The fits are independent distributed jobs — submit them from a
+    # driver thread pool so the cluster pipelines them instead of idling
+    # between per-label jobs (Spark job submission is thread-safe; each
+    # fit is seeded, so concurrency cannot change results). Results
+    # assemble in label order, keeping the persisted layout
+    # bit-deterministic regardless of completion order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(labels)))) as ex:
+        fitted = list(ex.map(_fit_label, labels))
+    assigned_parts = []
+    cent_rows = []
+    for lab, assigned, cents in fitted:  # labels order — ex.map preserves it
+        if assigned is None:
+            continue
         assigned_parts.append(assigned.withColumn("label", F.lit(lab)))
         cent_rows.extend(
             (int(lab), int(i), [float(x) for x in c]) for i, c in enumerate(cents)
@@ -533,4 +548,224 @@ def sim_label_partitioned_ann_topk(spark: SparkSession, sf_dir: str) -> DataFram
     e = _labeled(spark, sf_dir)
     return label_partitioned_topk(
         spark, e.filter(F.col("vec_id") % 10 == 0), index_dir
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-predicate filtered search (round 11): the label tiers above cover
+# payload EQUALITY; production filters are just as often RANGES
+# ("ingested in the last week", "score between a and b"). Same recipe:
+# an exact hash-checked tier and a pre-filter-then-search IVF probe over
+# the lookup-join layout, with the pre-vs-post-filtering A/B measured
+# (SCALE.md r11). The payload is a deterministic Knuth-hash
+# pseudo-timestamp derived from vec_id — reproducible in ANSI SQL, and
+# deliberately NOT monotone in vec_id so the metadata lookup join is a
+# genuine join, not a predicate the index column already answers.
+# ---------------------------------------------------------------------------
+
+TS_MODULUS = 100_000
+TS_LO, TS_HI = 20_000, 80_000  # ~60% selectivity: selective enough to
+# change every top-k list, wide enough that nprobe recall is meaningful
+_TS_SQL = f"(vec_id * 2654435761) % {TS_MODULUS}"
+
+
+def _ts_payload(df: DataFrame) -> DataFrame:
+    """(vec_id, ts): the synthetic ingestion-time payload. In production
+    this is a metadata table column; the Knuth multiplicative hash stands
+    in deterministically on the synthetic lake."""
+    return df.select(
+        "vec_id",
+        ((F.col("vec_id") * F.lit(2654435761)) % TS_MODULUS).alias("ts"),
+    )
+
+
+def range_filtered_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    payload: DataFrame,
+    lo: int,
+    hi: int,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """EXACT range-filtered top-k: each query's ``top_k`` highest-cosine
+    corpus rows whose payload ``ts`` lies in [lo, hi] (self excluded).
+    The predicate lands on the corpus side BEFORE scoring — the filtered
+    family's pre-filter contract — via a (vec_id, ts) join kept to two
+    columns so only ids and the payload cross the exchange."""
+    eligible = corpus.join(
+        payload.filter(F.col("ts").between(lo, hi)).select("vec_id"), on="vec_id"
+    )
+    q = with_norm(queries.select("vec_id", "embedding")).alias("q")
+    c = with_norm(eligible.select("vec_id", "embedding")).alias("c")
+    cos = F.round(_pair_dot("q", "c") / (F.col("q.nrm") * F.col("c.nrm")), 6)
+    scored = q.join(c, F.col("q.vec_id") != F.col("c.vec_id")).select(
+        F.col("q.vec_id").alias("vec_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+def range_filtered_batch_vs_ann_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    payload: DataFrame,
+    lo: int,
+    hi: int,
+    nprobe: int = FILTER_NPROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Range-filtered IVF probe over the lookup-join layout: route each
+    batch row to its ``nprobe`` nearest lists, prune the stored scan to
+    those lists, attach the payload to the candidates via the pruned
+    (vec_id, ts) lookup, keep candidates with ts ∈ [lo, hi] BEFORE any
+    scoring, then score/rank with the family's exact expression shapes.
+    Approximate by contract (nprobe of k lists); returned scores are
+    exact cosines. ``nprobe`` defaults doubled exactly like the label
+    probe — a ~60% range thins every list ~1.7×, and the same
+    compensation argument applies.
+
+    Layout note (the 100 TB answer for ranges): the label tier's
+    filter-in-index trick — one quantizer per value — cannot cover a
+    range predicate. What recovers in-scan pruning instead is the
+    existing z-order layout (``sources/zorder.py``) on (ts, list_id):
+    Morton order keeps both columns' footer min/max narrow, so the
+    pushed range AND the pushed list IN prune files together in ONE
+    scan with no metadata join. That is a table-layout decision at
+    index-build time; this function demonstrates the lookup-join form
+    that works on the frozen shared index."""
+    centroids = _load_centroids(spark, index_dir)
+    if centroids.size == 0:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    probes = materialize(
+        _assign(batch.select("vec_id", "embedding"), centroids, nprobe)
+    )
+    probed_lists = [
+        r.list_id for r in probes.select("list_id").distinct().collect()
+    ]
+    eligible = payload.filter(F.col("ts").between(lo, hi)).select("vec_id")
+    stored = (
+        stored_vectors(spark, index_dir)
+        .filter(F.col("list_id").isin(probed_lists))
+        .join(eligible, on="vec_id")  # pre-filter: BEFORE scoring
+    )
+    q = with_norm(probes).alias("q")
+    c = stored.alias("c")
+    cos = F.round(_pair_dot("q", "c") / (F.col("q.nrm") * F.col("c.nrm")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.list_id") == F.col("c.list_id"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("vec_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+@register(
+    "sim_range_filtered_cosine_topk",
+    oracle=f"""
+WITH valid AS (
+  SELECT vec_id, embedding FROM embeddings WHERE {EMB_VALID_SQL}
+),
+eligible AS (
+  SELECT vec_id, embedding FROM valid
+  WHERE {_TS_SQL} BETWEEN {TS_LO} AND {TS_HI}
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+  FROM valid a JOIN eligible b
+    ON a.vec_id % {QUERY_STRIDE} = 0 AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY vec_id, rank
+""",
+)
+def sim_range_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact range-filtered search, hash-checked: for every strided
+    query vector, the top-3 most-similar vectors whose pseudo-timestamp
+    falls in the [{lo}, {hi}] window — the 'ts BETWEEN' case of
+    WHERE-plus-ANN. The exactness oracle for the range probe tier."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(valid_embedding())
+    )
+    return range_filtered_topk(
+        e.filter(F.col("vec_id") % QUERY_STRIDE == 0), e, _ts_payload(e), TS_LO, TS_HI
+    )
+
+
+@register(
+    "sim_range_filtered_batch_vs_ann_index",
+    # NO oracle by design (nprobe of k lists); correctness = the
+    # in-window invariant, all-lists == exact bit-identity, recall floor
+    # vs the exact range tier, and probe-beats-post-filtering — all
+    # pinned in tests/test_ann_filtered.py
+    doc=(
+        "range-filtered ANN: IVF probe with a ts-BETWEEN payload predicate "
+        "applied via the pruned lookup join before scoring — rows-only with "
+        "recall floors vs the exact range tier and a measured pre-vs-post-"
+        "filtering A/B"
+    ),
+)
+def sim_range_filtered_batch_vs_ann_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ANN family's demo split served through the RANGE-filtered
+    probe: each batch vector's top-3 neighbors among indexed rows whose
+    pseudo-timestamp is in [TS_LO, TS_HI], the predicate applied to the
+    candidate side before scoring."""
+    index_dir = ensure_ann_index(spark, sf_dir)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(valid_embedding())
+    )
+    payload = _ts_payload(
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .filter(F.col("vec_id").isNotNull())
+    )
+    return range_filtered_batch_vs_ann_index(
+        spark, e.filter(F.col("vec_id") % 10 == 0), index_dir, payload, TS_LO, TS_HI
     )
