@@ -114,8 +114,12 @@ def reclaim_stale_sidecars(index_dir: str) -> list[str]:
     contract). Pure filesystem op; returns the dir names removed."""
     current = current_snapshot(os.path.join(index_dir, "vectors"))
     # every quantized-sidecar family shares the snapshot-keyed naming
-    # scheme and this one reclamation sweep (int8 + PQ)
-    prefixes = (SIDECAR_PREFIX, "pqcodes_")
+    # scheme and this one reclamation sweep; each family's prefix is read
+    # FROM its module (late import — PQ imports this module) so a prefix
+    # rename can never silently strand that family's corpus-sized dirs
+    from pgcp_spark.functions import ann_pq
+
+    prefixes = (SIDECAR_PREFIX, ann_pq.SIDECAR_PREFIX)
     keep = {f"{p}{current}" for p in prefixes} if current is not None else set()
     removed = []
     for entry in sorted(os.listdir(index_dir)):

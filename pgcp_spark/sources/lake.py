@@ -99,6 +99,57 @@ class CommitConflict(RuntimeError):
     the transaction must recompute against the new current and retry."""
 
 
+def _try_break_stale_lock(path: str) -> bool:
+    """Break a crashed holder's lock WITHOUT the blind-unlink TOCTOU the
+    old break had (a waiter could stat a stale lock, the holder release
+    and a NEW writer re-acquire, and the waiter then unlink the LIVE
+    lock — two writers in the metadata critical section). Protocol:
+
+      1. stat; not stale → don't touch it;
+      2. CLAIM by atomic rename to a uuid break-name — rename moves one
+         specific inode, so of N racing breakers exactly one wins and
+         nobody can unlink a lock it never claimed;
+      3. RE-VERIFY staleness on the claimed inode (rename preserves
+         mtime): verified stale → unlink it, broken; turned out FRESH
+         (re-acquired between the stat and the rename) → restore it via
+         ``os.link`` (which refuses to clobber a newer lock at the
+         path) and report not-broken.
+
+    Residual window: the restore can find a newer lock already at the
+    path, in which case the displaced fresh holder has lost its lock —
+    that needs the stat→rename gap (microseconds) to straddle the exact
+    staleness boundary AND a third writer to acquire inside it; with
+    commit-time GC moved OUTSIDE the lock (hold times are pure-metadata
+    milliseconds against a 60 s threshold) this is as small as a
+    filesystem lock gets. An object store's conditional delete replaces
+    this whole dance (module comment above).
+
+    Returns True when the caller should immediately retry the acquire
+    (lock broken or already gone), False when a live holder stands."""
+    try:
+        if time.time() - os.path.getmtime(path) <= LOCK_STALE_S:
+            return False
+    except OSError:
+        return True  # holder released between the probe and the stat
+    claim = f"{path}.break.{uuid.uuid4().hex}"
+    try:
+        os.rename(path, claim)
+    except OSError:
+        return True  # another breaker claimed it, or the holder released
+    try:
+        if time.time() - os.path.getmtime(claim) > LOCK_STALE_S:
+            os.unlink(claim)  # verified stale on the claimed inode
+            return True
+        try:
+            os.link(claim, path)  # fresh: restore; refuses to clobber
+        except OSError:
+            pass
+        os.unlink(claim)
+        return False
+    except OSError:
+        return True
+
+
 @contextmanager
 def _commit_lock(table_dir: str, timeout_s: float = 30.0):
     os.makedirs(table_dir, exist_ok=True)
@@ -107,16 +158,12 @@ def _commit_lock(table_dir: str, timeout_s: float = 30.0):
     while True:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(time.time()).encode())
+            os.write(fd, f"{uuid.uuid4().hex} {time.time():.6f}".encode())
             os.close(fd)
             break
         except FileExistsError:
-            try:
-                if time.time() - os.path.getmtime(path) > LOCK_STALE_S:
-                    os.unlink(path)  # crashed holder; best-effort break
-                    continue
-            except OSError:
-                continue  # holder released between the probe and the stat
+            if _try_break_stale_lock(path):
+                continue
             if time.monotonic() > deadline:
                 raise TimeoutError(f"commit lock busy > {timeout_s}s: {path}")
             time.sleep(0.01)
@@ -217,8 +264,16 @@ def commit_times(table_dir: str) -> list[tuple[str, float]]:
     for line in open(path).read().splitlines():
         if not line.strip():
             continue
-        name, ts = line.rsplit("\t", 1)
-        out.append((name, float(ts)))
+        # the sidecar is appended with a plain write: a crash mid-append
+        # can leave a torn trailing line (no tab / truncated float).
+        # Skip it defensively — the commit it described either also lost
+        # its pointer swap (never happened) or is reconcilable from _LOG;
+        # raising here would permanently brick read_as_of for the table.
+        try:
+            name, ts = line.rsplit("\t", 1)
+            out.append((name, float(ts)))
+        except ValueError:
+            continue
     return out
 
 
@@ -356,20 +411,29 @@ def write_snapshot(
             cf.write(f"{snap}\t{time.time():.6f}\n")
 
         kept = set(committed[-max(1, keep):])
-        # commit-time GC: committed-and-beyond-keep snapshots only; an
-        # uncommitted uuid dir may be a CONCURRENT writer's stage (it can
-        # no longer only be our own) — that is vacuum's age-guarded job
-        for entry in os.listdir(table_dir):
-            if (
-                entry.startswith(SNAPSHOT_PREFIX)
-                and entry not in kept
-                and entry in committed
-            ):
-                shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
+        # commit-time GC DECISION under the lock (it reads the committed
+        # log), the rmtree I/O AFTER release: deleting a whole snapshot
+        # dir can legitimately take longer than LOCK_STALE_S on a big
+        # table, and a lock held past the staleness threshold invites a
+        # waiter to break it mid-critical-section. Only committed-and-
+        # beyond-keep snapshots reap; an uncommitted uuid dir may be a
+        # CONCURRENT writer's stage — that is vacuum's age-guarded job.
+        # Two overlapping reapers double-delete harmlessly
+        # (ignore_errors); a reader pinned beyond ``keep`` was never
+        # protected — keep IS the reader grace (occ_upsert docstring).
+        to_reap = [
+            entry
+            for entry in os.listdir(table_dir)
+            if entry.startswith(SNAPSHOT_PREFIX)
+            and entry not in kept
+            and entry in committed
+        ]
         if len(committed) > keep:
             _atomic_write(
                 _log_path(table_dir), "\n".join(committed[-max(1, keep):]) + "\n"
             )
+    for entry in to_reap:  # outside the lock: pure I/O, no metadata reads
+        shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
     return snap
 
 

@@ -133,7 +133,17 @@ def write_with_expectations(
     violation (nothing commits — the gate is before the pointer, so
     readers never see a bad batch), commit passing rows, and commit
     quarantined rows (with their ``_violations``) to the side table.
-    Returns the per-rule metrics."""
+    Returns the per-rule metrics.
+
+    Commit ORDER is load-bearing: the quarantine snapshot lands FIRST.
+    The two writes are independent pointer swaps, so a crash between
+    them must leave the gate's invariant recoverable — with quarantine
+    first, a crash strands an orphaned quarantine commit whose main
+    batch never published (cheap: the batch replays, the next quarantine
+    commit supersedes it), whereas main-first would publish the batch
+    and silently LOSE its violating rows and their ``_violations``
+    triage data, breaking main/quarantine complementarity with nothing
+    left to reconstruct it from."""
     passing, quarantined, metrics = apply_expectations(batch, rules)
     failed = [
         r.name for r in rules if r.action == "fail" and metrics[r.name] > 0
@@ -143,9 +153,9 @@ def write_with_expectations(
             f"fail-action rule(s) violated, batch not committed: "
             f"{ {n: metrics[n] for n in failed} }"
         )
-    write_snapshot(passing, table_dir, keep=keep)
     if quarantine_dir is not None:
         write_snapshot(quarantined, quarantine_dir, keep=keep)
+    write_snapshot(passing, table_dir, keep=keep)
     return metrics
 
 

@@ -248,3 +248,67 @@ def test_read_as_of_timestamp(spark, tdir):
     write_snapshot(_kv(spark, [(1, 4)]), tdir, keep=1)
     with pytest.raises(FileNotFoundError, match="GC'd past the keep window"):
         read_as_of(spark, tdir, mid)
+
+
+def test_stale_lock_break_protocol(tmp_path):
+    """Round-11 break protocol: a stale lock is claimed by rename then
+    verified on the claimed inode; a FRESH lock is never broken and is
+    restored if a breaker displaced it mid-verify."""
+    import os
+    import time
+
+    from pgcp_spark.sources.lake import LOCK_STALE_S, _try_break_stale_lock
+
+    lock = str(tmp_path / "_COMMIT_LOCK")
+    # fresh lock: untouched, caller keeps waiting
+    open(lock, "w").write("tok now")
+    assert _try_break_stale_lock(lock) is False
+    assert os.path.exists(lock)
+    # stale lock: broken, caller retries the acquire
+    old = time.time() - LOCK_STALE_S - 5
+    os.utime(lock, (old, old))
+    assert _try_break_stale_lock(lock) is True
+    assert not os.path.exists(lock)
+    # vanished lock (holder released between probe and stat): retry
+    assert _try_break_stale_lock(lock) is True
+
+
+def test_commit_gc_runs_outside_lock(spark, tmp_path):
+    """Beyond-keep snapshots still reap on commit (the GC moved outside
+    the lock — behavior unchanged, hold time shortened), and the lock
+    file is gone when write_snapshot returns."""
+    import os
+
+    from pgcp_spark.sources.lake import (
+        COMMIT_LOCK,
+        history,
+        write_snapshot,
+    )
+
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], ["k"])
+    s1 = write_snapshot(df, d, keep=1)
+    s2 = write_snapshot(df, d, keep=1)
+    assert history(d) == [s2]
+    assert not os.path.isdir(os.path.join(d, s1))  # reaped
+    assert os.path.isdir(os.path.join(d, s2))
+    assert not os.path.exists(os.path.join(d, COMMIT_LOCK))
+
+
+def test_commit_times_skips_torn_trailing_line(spark, tmp_path):
+    """A crash mid-append leaves a torn _COMMITS line; the parser must
+    skip it instead of permanently breaking read_as_of."""
+    import os
+
+    from pgcp_spark.sources.lake import commit_times, write_snapshot
+
+    d = str(tmp_path / "t")
+    write_snapshot(spark.createDataFrame([(1,)], ["k"]), d, keep=2)
+    good = commit_times(d)
+    assert len(good) == 1
+    with open(os.path.join(d, "_COMMITS"), "a") as f:
+        f.write("snapshot_torn")          # no tab
+    assert commit_times(d) == good
+    with open(os.path.join(d, "_COMMITS"), "a") as f:
+        f.write("\nsnapshot_torn2\t12.3.4\n")  # unparsable float
+    assert commit_times(d) == good
