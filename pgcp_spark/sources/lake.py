@@ -1246,14 +1246,71 @@ def pending_changes(
     tombstone on columns the table doesn't carry forces the unpruned
     full diff (which stays correct — it is what ``table_changes``
     always pays)."""
-    base = read_current(spark, table_dir)
-    names = delta_names(table_dir)
-    if not names:  # nothing pending: empty feed, zero scans beyond schema
+    cur = current_snapshot(table_dir)
+    return state_changes(
+        spark, table_dir, f"{cur}|", pending_state(table_dir), key
+    )
+
+
+def _parse_state(state: str) -> tuple[str, list[str]]:
+    snap, _, deltas = state.partition("|")
+    return snap, [d for d in deltas.split(",") if d]
+
+
+def state_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_state: str,
+    to_state: str,
+    key: list[str],
+) -> DataFrame:
+    """Change feed between ANY two merge-on-read states of the table
+    (``pending_state`` ids: ``"<snapshot>|<delta>,<delta>,…"``), in
+    ``table_changes``' vocabulary. This is the primitive the cascade IVM
+    fold consumes: a downstream aggregate stamps the state it applied
+    and reads exactly the changes since — across multiple folds, without
+    coupling to the flatten cadence.
+
+    Scale: when ``to_state`` EXTENDS ``from_state`` (same base snapshot,
+    from-deltas a prefix of to-deltas — the single-maintenance-owner
+    loop's invariant shape), every change is by construction at a key
+    the NEW deltas touched, so both sides prune to batch size exactly
+    like ``pending_changes`` (data deltas by reader key, tombstones by
+    their own column shape). A non-extending pair (e.g. a flatten
+    between the states) falls back to the full keyed diff — correct,
+    and it costs what ``table_changes`` always costs; the cascade avoids
+    it by re-stamping after each flatten
+    (``view_maintenance.stamp_applied_state``)."""
+    f_snap, f_deltas = _parse_state(from_state)
+    t_snap, t_deltas = _parse_state(to_state)
+    if from_state == to_state:
+        base = read_snapshot(spark, table_dir, t_snap) if t_snap else None
+        if base is None:
+            raise FileNotFoundError(f"no snapshot in state {to_state!r}")
         return _keyed_diff(base.limit(0), base.limit(0), base.columns, key)
-    view = read_current_with_deltas(spark, table_dir, key)
-    shapes = _touched_key_shapes(spark, table_dir, names, key)
-    if any(not s or any(c not in base.columns for c in s) for s, _ in shapes):
-        return _keyed_diff(base, view, base.columns, key)
+    old = read_current_with_deltas(
+        spark, table_dir, key, snapshot=f_snap, names=f_deltas
+    )
+    new = read_current_with_deltas(
+        spark, table_dir, key, snapshot=t_snap, names=t_deltas
+    )
+    cols = list(new.columns) + [c for c in old.columns if c not in new.columns]
+    old_t, new_t = dict(old.dtypes), dict(new.dtypes)
+    for c in cols:  # additive evolution between the states: NULL fill
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(new_t[c]))
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None).cast(old_t[c]))
+    old, new = old.select(*cols), new.select(*cols)
+    extends = f_snap == t_snap and t_deltas[: len(f_deltas)] == f_deltas
+    if not extends:
+        return _keyed_diff(old, new, cols, key)
+    fresh = t_deltas[len(f_deltas):]
+    if not fresh:
+        return _keyed_diff(old.limit(0), new.limit(0), cols, key)
+    shapes = _touched_key_shapes(spark, table_dir, fresh, key)
+    if any(not s or any(c not in cols for c in s) for s, _ in shapes):
+        return _keyed_diff(old, new, cols, key)
 
     def pruned(df: DataFrame) -> DataFrame:
         # a row is in play if ANY shape's touched set matches it (union,
@@ -1266,7 +1323,7 @@ def pending_changes(
             out = out.unionByName(p)
         return out.dropDuplicates(key) if len(parts) > 1 else out
 
-    return _keyed_diff(pruned(base), pruned(view), base.columns, key)
+    return _keyed_diff(pruned(old), pruned(new), cols, key)
 
 
 def _touched_key_shapes(

@@ -375,26 +375,55 @@ def fold_agg_join_view(
     group_col: str,
     value_col: str,
 ) -> bool:
-    """Fold the view's PENDING merge-on-read feed into the stored
-    aggregate at ``agg_dir``. Returns False when this exact feed was
-    already applied (crash-window replay: the aggregate's commit carries
-    the consumed view state id) or the feed is empty; True after a fold
-    commits. The caller then flattens the view to consume the feed —
-    see the section comment for the exactly-once protocol.
+    """Fold the view's changes SINCE THE LAST FOLD into the stored
+    aggregate at ``agg_dir``. The aggregate's commit metadata carries the
+    view state id it has applied (``pending_state``); the fold reads
+    ``state_changes(applied → current)`` — so it composes across many
+    view folds WITHOUT requiring a flatten in between, and an
+    at-least-once replay of the same state is detected and skipped
+    (returns False; True after a fold commits). An aggregate built
+    before any watermark existed (no ``applied_view_state`` meta) folds
+    the full pending feed — the legacy round-11 bootstrap; stamp the
+    build with ``pending_state(view_dir)`` to start incremental.
 
-    Scale: the feed is batch-sized under the compaction cadence; the
-    signed delta aggregate is one feed-sized shuffle on ``group_col``;
-    the stored-aggregate join touches only changed groups (right-outer,
-    AQE broadcasts the delta side); the upsert carries untouched groups
-    over without reading the view or the base tables.
+    After a FLATTEN of the view, call ``stamp_applied_state`` — the
+    flatten preserves data, but the state id changes, and re-stamping
+    keeps the next fold on the prefix-pruned (batch-sized) path instead
+    of the full-diff fallback.
+
+    Scale: the feed is batch-sized on the prefix path; the signed delta
+    aggregate is one feed-sized shuffle on ``group_col``; the
+    stored-aggregate join touches only changed groups (right-outer, AQE
+    broadcasts the delta side); the upsert carries untouched groups over
+    without reading the view or the base tables.
     """
     from pgcp_spark.operators._decimal import dec
-    from pgcp_spark.sources.lake import pending_changes, pending_state, snapshot_meta
+    from pgcp_spark.sources.lake import (
+        pending_changes,
+        pending_state,
+        snapshot_meta,
+        state_changes,
+    )
 
     state = pending_state(view_dir)
-    if snapshot_meta(agg_dir).get("applied_view_state") == state:
-        return False  # at-least-once replay of an already-folded feed
-    feed = materialize(pending_changes(spark, view_dir, key=view_key))
+    applied = snapshot_meta(agg_dir).get("applied_view_state")
+    if applied == state:
+        return False  # at-least-once replay of an already-folded state
+    if applied is None:
+        feed = pending_changes(spark, view_dir, key=view_key)
+    else:
+        try:
+            feed = state_changes(spark, view_dir, applied, state, key=view_key)
+        except FileNotFoundError as exc:
+            raise RuntimeError(
+                "the aggregate's applied view state is no longer readable "
+                "(a flatten/vacuum GC'd it). The cascade owner must re-anchor "
+                "with stamp_applied_state immediately after each flatten; "
+                "recovery now = rebuild the aggregate from the view "
+                "(build_agg_over + a stamped write_snapshot). Refusing to "
+                "guess — a blind re-fold double-counts."
+            ) from exc
+    feed = materialize(feed)
     if feed.isEmpty():
         return False
     zero = F.lit(0).cast("decimal(18,2)")
@@ -431,6 +460,24 @@ def fold_agg_join_view(
         meta={"applied_view_state": state},
     )
     return True
+
+
+def stamp_applied_state(
+    spark: SparkSession, agg_dir: str, view_dir: str
+) -> None:
+    """Re-anchor the aggregate's watermark to the view's CURRENT state id
+    without changing a row — called after a view flatten (which preserves
+    data but renames the state). One atomic commit of the (small,
+    group-cardinality-sized) aggregate table carrying the new meta; the
+    next fold then diffs from a state that EXTENDS cheaply instead of
+    crossing the flatten into the full-diff fallback."""
+    from pgcp_spark.sources.lake import pending_state, write_snapshot as _ws
+
+    _ws(
+        read_current(spark, agg_dir),
+        agg_dir,
+        meta={"applied_view_state": pending_state(view_dir)},
+    )
 
 
 _AGG_JOIN_VIEW_ORACLE = """
@@ -506,8 +553,12 @@ def lake_incremental_agg_join_view_orders(
             dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
         ).select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
         write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+        from pgcp_spark.sources.lake import pending_state
+
         write_snapshot(
-            build_agg_over(view0, "c_mktsegment", "o_totalprice"), agg_dir
+            build_agg_over(view0, "c_mktsegment", "o_totalprice"),
+            agg_dir,
+            meta={"applied_view_state": pending_state(view_dir)},
         )
 
         # --- mutations on the base tables (the join-view query's set) ---

@@ -70,3 +70,74 @@ def test_batch_boundary_invariance_and_resurrect(spark):
         for d in (f1, v1, f2, v2):
             if d:
                 shutil.rmtree(d, ignore_errors=True)
+
+
+# --- streaming cascade (round 11) -------------------------------------------
+
+
+def _agg_rows(spark, agg_dir):
+    from pgcp_spark.sources.view_maintenance import read_agg
+
+    return sorted(
+        tuple(r) for r in read_agg(spark, agg_dir, "c_mktsegment").collect()
+    )
+
+
+def test_cascade_boundary_invariance(spark):
+    """Coalesced delivery (all CDC batches in ONE micro-batch) must
+    leave the cascade's aggregate bit-identical to batch-at-a-time —
+    the fold's watermarked state-diff makes batching invisible."""
+    from pgcp_spark.streaming.ingest_view import run_ingest_agg_view
+
+    dirs_a = run_ingest_agg_view(spark, SF, max_files_per_trigger=1)
+    dirs_b = run_ingest_agg_view(spark, SF, max_files_per_trigger=None)
+    try:
+        assert _agg_rows(spark, dirs_a[2]) == _agg_rows(spark, dirs_b[2])
+        assert _agg_rows(spark, dirs_a[2])
+    finally:
+        for d in dirs_a + dirs_b:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cascade_replay_converges_and_matches_recompute(spark):
+    """At-least-once: replaying a CDC batch through the cascade fold
+    appends shadow view deltas (new state id, same data) — the agg fold
+    must see an EMPTY state diff and skip, leaving the aggregate equal
+    to a recompute from the post fact state."""
+    from pgcp_spark.sources import load_table
+    from pgcp_spark.sources.lake import read_current
+    from pgcp_spark.sources.view_maintenance import build_agg_over
+    from pgcp_spark.streaming.ingest_view import (
+        fold_agg_view_batch,
+        run_ingest_agg_view,
+    )
+
+    fact_dir, view_dir, agg_dir = run_ingest_agg_view(spark, SF)
+    try:
+        before = _agg_rows(spark, agg_dir)
+        # replay the LAST CDC batch (seq 2) verbatim
+        orders = load_table(spark, SF, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        dim = load_table(spark, SF, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+        replay = (
+            orders.filter(F.col("o_orderkey") % 11 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+            .withColumn("_op", F.lit("upsert"))
+            .withColumn("seq", F.lit(2))
+        )
+        fold_agg_view_batch(spark, replay, fact_dir, view_dir, agg_dir, dim)
+        assert _agg_rows(spark, agg_dir) == before
+        # and the whole cascade equals a recompute of the aggregated join
+        view = read_current_with_deltas(spark, view_dir, key=["o_orderkey"])
+        want = sorted(
+            (r.c_mktsegment, float(r.sum_dec), r.order_cnt)
+            for r in build_agg_over(view, "c_mktsegment", "o_totalprice").collect()
+        )
+        got = [(g, float(sv), c) for g, sv, c in _agg_rows(spark, agg_dir)]
+        assert got == want
+    finally:
+        for d in (fact_dir, view_dir, agg_dir):
+            shutil.rmtree(d, ignore_errors=True)

@@ -301,16 +301,28 @@ def test_cascade_crash_window_replay_is_skipped(spark, cascade_lake):
     assert _rows(read_current(spark, lk["agg_dir"])) == before
 
 
-def test_cascade_flatten_then_fold_is_noop(spark, cascade_lake):
-    """After flatten consumes the feed, the pending feed is empty and the
-    next fold is a no-op — the steady state between CDC batches."""
+def test_cascade_flatten_stamp_then_fold_is_noop(spark, cascade_lake):
+    """The owner protocol after a flatten: the old state id is GC-bait,
+    so a fold across it must REFUSE with the re-anchor recipe (never
+    guess — a blind re-fold double-counts), and the documented
+    flatten-then-stamp sequence makes the next fold a clean no-op with
+    the aggregate still equal to the recompute."""
     from pgcp_spark.sources.lake import flatten_deltas, read_current
-    from pgcp_spark.sources.view_maintenance import fold_agg_join_view
+    from pgcp_spark.sources.view_maintenance import (
+        fold_agg_join_view,
+        stamp_applied_state,
+    )
 
     lk = cascade_lake
     flatten_deltas(
         spark, lk["view_dir"], key=["o_orderkey"], cluster_by=["o_custkey"]
     )
+    with pytest.raises(RuntimeError, match="stamp_applied_state"):
+        fold_agg_join_view(
+            spark, lk["agg_dir"], lk["view_dir"], ["o_orderkey"], "c_mktsegment",
+            "o_totalprice",
+        )
+    stamp_applied_state(spark, lk["agg_dir"], lk["view_dir"])
     before = _rows(read_current(spark, lk["agg_dir"]))
     folded = fold_agg_join_view(
         spark, lk["agg_dir"], lk["view_dir"], ["o_orderkey"], "c_mktsegment",
