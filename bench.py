@@ -57,6 +57,10 @@ HEADLINE_NEW = [
     "agg_cms_bigram_heavy_hitters",  # count-min sketch + heavy hitters (r10)
     "agg_histogram_quantile_rollup",  # mergeable histogram quantiles (r10)
     "sim_batch_vs_pq_ann_index",  # two-stage PQ (IVFADC) probe (r10)
+    "lake_incremental_agg_join_view_orders",  # cascade IVM: agg over join view (r11)
+    "lake_atomic_group_commit_orders",  # cross-table atomic commit + group read (r11)
+    "sim_range_filtered_batch_vs_ann_index",  # range-predicate filtered ANN probe (r11)
+    "streaming_agg_join_view_maintenance",  # streaming cascade IVM loop (r11)
 ]
 
 

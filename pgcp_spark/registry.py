@@ -50,103 +50,44 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # come first; entries already re-proven in a recent round's
 # CORRECTNESS_r{N}.json rotate to the back.
 #
-# Round-10 window. The staleness invariant (no entry's driver row
+# Round-11 window. The staleness invariant (no entry's driver row
 # predates its current implementation) has priority. Head of window:
-#   * 16 queries ADDED in round 10 — the incremental JOIN-view
-#     maintenance query (hash-capable: fold == recompute oracle on the
-#     post state of both base tables), the bigram-LM perplexity scorer
-#     (hash-capable: CCNet-shaped cross-entropy, 1e-6-rounded ln sums),
-#     the count-min heavy-hitter query (hash-capable: the approximate
-#     sketch is deterministic relational arithmetic on md5 slices, so
-#     even its false-positive band is bit-reproducible),
-#     the filtered-vector-search trio
-#     (exact same-label top-k, hash-capable; the lookup-join filtered
-#     IVF probe and the label-PARTITIONED filter-in-index probe, both
-#     rows-only by design with all-lists == exact pinned), the two CDC
-#     merge-on-read queries (both hash-capable: the delta-applied batch
-#     vs the post-CDC state, and the pending-delta feed vs the
-#     copy-on-write feed's unchanged oracle), the indexed multi-topic
-#     hybrid and the int8 two-stage ANN probe (both rows-only BY
-#     DESIGN: IVF routing / int8 candidate selection; overlap floors +
-#     exact-refine pins in tests);
-#   * 12 queries whose implementation CHANGED in round 10 — the
-#     tombstone-delete retention pair, the tombstone-aware merge-on-read
-#     readers (text/dedup/ANN families), the stats-from-doclen
-#     crash-consistency rework, the three loop queries that gained the
-#     maybe_flatten cadence, and the two hybrids (cost rule / shared
-#     fusion refactor).
-# The remaining 22 slots re-prove the OLDEST standing rows: the
-# r6-latest cohort minus its fourteen alphabetically-last members
-# (streaming_dedup_user_event_types, streaming_foreach_batch_lake_upsert,
-# streaming_session_windows, streaming_sliding_window_value,
-# streaming_stateful_user_stats, streaming_static_join_segment_value,
-# streaming_stream_stream_join_click_purchase,
-# streaming_tumbling_event_counts, text_bigram_lift_top,
-# text_rarity_score, text_repeated_span_pairs,
-# text_source_token_entropy, text_tfidf_top_terms,
-# text_winnow_fingerprints — unchanged since r6, they lead the r11
-# backlog; twelve still appear below, at positions 51-62,
-# past the driver's 50-slot cut). Still excluded:
-# agg_approx_distinct_customers (rows-only AND unchanged since its r1
-# row — a new row adds nothing, rationale standing since r5) and
-# dedup_ngram_jaccard_pairs (dead ledger — quarantined out of the
-# registry in r5). Everything else outside the window holds an r7-r9
-# row no older than its implementation, plus the mimic matrix
-# (COVERAGE.md).
+#   * 6 queries ADDED in round 11 — the cascade IVM aggregate-over-join
+#     fold, its streaming-loop twin, the cross-table atomic group
+#     commit, the pending-(MOR)-feeds join-view fold, and the
+#     range-predicate filtered-search pair (exact tier hash-capable;
+#     the IVF probe rows-only BY DESIGN with all-lists == exact,
+#     in-window invariant, and the measured pre-beats-post-filtering
+#     A/B pinned in tests/test_ann_filtered.py);
+#   * 4 queries whose implementation CHANGED in round 11 — SemDeDup
+#     (within-cluster sub-blocking: the r10 verdict's one scale weak),
+#     the exact embedding-cosine query (shared grid kernel; the
+#     memory-driven block count now escapes the EMB_BLOCKS_MAX cap),
+#     the pending-deltas CDC feed (tombstones now prune by their OWN
+#     column shape; refactored onto state_changes), and the
+#     expectations gate (quarantine-first commit order).
+# Next: the full 14-query r6-latest cohort (the oldest standing rows —
+# text_tfidf_top_terms and text_winnow_fingerprints lead, the two the
+# r10 window documented as backlog leads), then the r7 cohort
+# alphabetically. The 50-slot cut lands 26 of the 43 r7 rows; the
+# remaining 17 (positions 51+ below) lead the r12 backlog. Still
+# excluded: agg_approx_distinct_customers (rows-only AND unchanged
+# since its r1 row — a new row adds nothing, rationale standing since
+# r5) and dedup_ngram_jaccard_pairs (dead ledger — quarantined out of
+# the registry in r5).
 _AUDIT_PRIORITY: list[str] = [
-    # --- NEW in round 10 (no driver row yet — must enter the window) ---
-    "lake_incremental_join_view_orders",  # hash-capable (delta-join IVM vs recompute oracle)
-    "text_lm_perplexity_score",  # hash-capable (CCNet bigram-LM cross-entropy)
-    "agg_cms_bigram_heavy_hitters",  # hash-capable (deterministic count-min grid)
-    "dedup_semantic_clustered_pairs",  # rows-only by design (KMeans blocking; subset + recall floor + k=1==exact pins)
-    "agg_histogram_quantile_rollup",  # hash-capable (mergeable day-grain histogram, bin-width error pinned)
-    "streaming_join_view_maintenance",  # hash-capable (stream-maintained view vs post-CDC join recompute)
-    "lake_expectations_quarantine_orders",  # hash-capable (quarantine vs rules recomputed in SQL)
-    "sim_batch_vs_pq_ann_index",  # rows-only by design (PQ candidates; exact-refine + floors + MOR pins)
-    "streaming_quality_quarantine_docs",  # hash-capable (stream-built quarantine vs whole-corpus rules)
-    "sim_filtered_cosine_topk",  # hash-capable (exact same-label top-k oracle)
-    "sim_filtered_batch_vs_ann_index",  # rows-only by design (IVF routing; floors + all-lists pin)
-    "sim_label_partitioned_ann_topk",  # rows-only by design (label-pure IVF routing; beats-lookup-join + all-lists pins)
-    "lake_cdc_merge_on_read_orders",  # hash-capable (post-CDC state oracle)
-    "lake_cdc_pending_changes_orders",  # hash-capable (same oracle as the copy-on-write feed)
-    "hybrid_multi_query_from_indexes",  # rows-only by design (IVF legs; per-topic floors pinned)
-    "sim_batch_vs_int8_ann_index",  # rows-only by design (int8 candidates; exact-refine + floors pinned)
-    # --- changed in round 10 ---
-    "text_bm25_after_retention_delete",  # remove now tombstones (delete_delta); stats from doclen
-    "text_bm25_topk_index_delta_fold",  # assert->raise guard; stats from doclen
-    "text_bm25_topk_from_index",  # reader gained tombstone resolution
-    "text_bm25_multi_query_topk",  # reader gained tombstone resolution
-    "streaming_text_index_bm25",  # fold stats derivation + maybe_flatten cadence
-    "streaming_ingest_dedup_decisions",  # maybe_flatten cadence in the loop
-    "streaming_ingest_ann_neighbors",  # maybe_flatten cadence in the loop
-    "dedup_incremental_batch_vs_index",  # stored_table reader gained tombstone resolution
-    "dedup_batch_vs_index_after_delete",  # remove now tombstones (partial-key delete_delta)
-    "sim_incremental_batch_vs_ann_index",  # reader + keep-warn on fold/remove
-    "hybrid_from_indexes",  # vec leg gained the exact_below cost rule (forced 0 here)
-    "hybrid_multi_query_rrf",  # fusion refactored onto shared _multi_rrf_fuse
-    # --- oldest rows: the full r6-latest cohort (36) ---
-    "graph_pagerank_dup_docs",
-    "markov_event_type_transitions",
-    "q10_returned_items",
-    "q11_important_part_value",
-    "q12_late_shipment_priority",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_revenue_supplier",
-    "q16_brand_supplier_counts_not_in",
-    "q17_small_quantity_order_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_join_revenue",
-    "q21_sole_late_supplier",
-    "q2_cheapest_part_per_type",
-    "q4_priority_with_late_line",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_pair_volume",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "sim_cosine_lsh_pairs",
-    "streaming_append_finalized_windows",
+    "lake_incremental_agg_join_view_orders",
+    "streaming_agg_join_view_maintenance",
+    "lake_atomic_group_commit_orders",
+    "lake_join_view_from_pending_feeds",
+    "sim_range_filtered_cosine_topk",
+    "sim_range_filtered_batch_vs_ann_index",
+    "dedup_semantic_clustered_pairs",
+    "dedup_embedding_cosine_pairs",
+    "lake_cdc_pending_changes_orders",
+    "lake_expectations_quarantine_orders",
+    "text_tfidf_top_terms",
+    "text_winnow_fingerprints",
     "streaming_dedup_user_event_types",
     "streaming_foreach_batch_lake_upsert",
     "streaming_session_windows",
@@ -159,10 +100,49 @@ _AUDIT_PRIORITY: list[str] = [
     "text_rarity_score",
     "text_repeated_span_pairs",
     "text_source_token_entropy",
-    # text_tfidf_top_terms and text_winnow_fingerprints are the two r6
-    # rows the 50-slot window cannot fit this round (16 new/changed + 34
-    # of the 36 r6 rows); both unchanged since r6, they lead the r11
-    # backlog
+    "agg_bool_flags_per_segment",
+    "agg_mode_priority_deterministic",
+    "agg_winsorized_quantity_stats",
+    "corpus_chunk_fixed_tokens",
+    "corpus_pack_token_budget",
+    "corpus_train_val_test_split",
+    "dedup_orders_by_customer_day",
+    "join_salted_skew_events_per_user",
+    "path_top_event_sequences",
+    "percentile_approx_price",
+    "percentile_exact_quantity",
+    "pipeline_training_data_prep",
+    "pivot_segment_by_priority",
+    "q1_pricing_summary",
+    "q20_promotion_supplier_candidates",
+    "q22_idle_rich_customers",
+    "q3_shipping_priority",
+    "reshape_unpivot_order_metrics",
+    "sample_weighted_bernoulli_documents",
+    "scalar_array_functions",
+    "scalar_case_when_order_size",
+    "scalar_date_functions",
+    "scalar_date_trunc_events",
+    "scalar_from_json_struct",
+    "scalar_json_extract_events",
+    "scalar_map_functions",
+    "scalar_math_functions",
+    "scalar_regexp_extract_order_priority",
+    "setop_distinct_ship_modes",
+    "setop_except_inactive_customers",
+    "setop_exceptall_priority_bags",
+    "setop_intersect_both_segments",
+    "setop_intersectall_segment_nations",
+    "setop_union_active_parties",
+    "setop_union_by_name_mixed_schemas",
+    "sim_cosine_ivf_topk",
+    "sort_global_top_orders",
+    "timeseries_gapfill_locf",
+    "udf_map_in_arrow_doc_stats",
+    "udf_sql_registered_priority_class",
+    "window_ntile_customer_value",
+    "window_rank_dense_rank_suppliers",
+    "window_top3_orders_per_customer",
 ]
 
 
