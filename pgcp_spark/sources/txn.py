@@ -271,3 +271,31 @@ def _register_group_query() -> None:
 
 
 _register_group_query()
+
+
+def occ_commit_group(
+    group_dir: str,
+    compute,
+    retries: int = 5,
+) -> dict:
+    """Group commit under optimistic concurrency — the ``occ_upsert``
+    retry loop lifted to the manifest. ``compute(state)`` receives the
+    manifest the attempt reads and must perform the transaction's
+    per-table writes against that state, returning the ``tables`` dict
+    to publish (it re-runs per attempt, so it must be replay-convergent —
+    every lake writer used in this repo's transactions is: MOR deltas
+    shadow their twins, the cascade fold skips via its watermark).
+    Returns the committed manifest; raises ``GroupConflict`` after
+    ``retries`` conflicted attempts."""
+    last: GroupConflict | None = None
+    for _ in range(max(1, retries)):
+        state = group_state(group_dir)
+        tables = compute(state)
+        try:
+            return commit_group(group_dir, tables, expect=state)
+        except GroupConflict as exc:
+            last = exc
+            continue
+    raise GroupConflict(
+        f"{group_dir}: gave up after {retries} conflicted attempts"
+    ) from last

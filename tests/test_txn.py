@@ -189,3 +189,40 @@ def test_group_pins_mor_deltas(spark, group):
     again = read_group(spark, group, KEYS, state=st)
     ks = {(r.k,) for r in again["view"].collect()}
     assert (50,) in ks and (51,) not in ks
+
+
+def test_occ_commit_group_retries_past_conflict(spark, group):
+    """Two threads transacting against the same manifest: the loser's
+    CAS conflicts, occ_commit_group recomputes against the new manifest
+    and lands — both transactions' table states publish."""
+    from pgcp_spark.sources.txn import occ_commit_group
+
+    def txn(i):
+        def compute(state):
+            return {f"occ{i}": {"snapshot": f"s{i}", "deltas": []}}
+
+        return occ_commit_group(group, compute)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(txn, range(2)))
+    st = group_state(group)
+    assert "occ0" in st and "occ1" in st
+
+
+def test_occ_commit_group_gives_up_cleanly(spark, group, monkeypatch):
+    """Permanent conflict (the manifest moves under every attempt) must
+    surface as GroupConflict, never a silent publish."""
+    import pgcp_spark.sources.txn as T
+
+    real = T.commit_group
+    calls = {"n": 0}
+
+    def always_behind(group_dir, tables=None, expect=None):
+        calls["n"] += 1
+        real(group_dir, {"noise": {"snapshot": f"x{calls['n']}", "deltas": []}})
+        return real(group_dir, tables, expect=expect)
+
+    monkeypatch.setattr(T, "commit_group", always_behind)
+    with pytest.raises(T.GroupConflict):
+        T.occ_commit_group(group, lambda st: {"t": {"snapshot": "s", "deltas": []}}, retries=3)
+    assert calls["n"] == 3
