@@ -769,3 +769,147 @@ def sim_range_filtered_batch_vs_ann_index(
     return range_filtered_batch_vs_ann_index(
         spark, e.filter(F.col("vec_id") % 10 == 0), index_dir, payload, TS_LO, TS_HI
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-ordered range tier (round 11): the layout note above, as code. The
+# filter-in-index trick (one quantizer per value) cannot cover a RANGE
+# predicate; what recovers in-scan pruning for ranges is the existing
+# z-order layout — lay the stored vectors in Morton order of
+# (ts, list_id), and a probe's pushed range AND pushed list IN prune
+# FILES together in ONE scan, no metadata join. Candidates are identical
+# to the lookup-join tier probe-for-probe (same quantizer, same window),
+# so results are BIT-IDENTICAL — the layout changes what the scan READS,
+# never what it returns (pinned, with the file-skipping measured).
+# ---------------------------------------------------------------------------
+
+ZR_INDEX_ROOT = os.environ.get(
+    "SPARK_GRAFT_ANN_ZR_INDEX_ROOT", "/tmp/pgcp_ann_zr_index"
+)
+ZR_FILES = 16  # enough files that footer min/max skipping is measurable
+# at every test sf; at 100 TB this is the ordinary file-count knob
+
+
+def zr_index_dir_for(sf_dir: str) -> str:
+    return loop.content_version_dir(
+        ZR_INDEX_ROOT, sf_dir, "embeddings.parquet", salt="zr-format:v1:cosine"
+    )
+
+
+def build_zorder_range_index(
+    spark: SparkSession, base_index_dir: str, index_dir: str
+) -> None:
+    """Re-lay the shared demo index's stored vectors (SAME quantizer,
+    same rows — routing quality is deliberately unchanged) with the
+    payload column IN the table, z-ordered on (ts, list_id)."""
+    from pgcp_spark.functions.ann_index import stored_vectors as _sv
+
+    v = _sv(spark, base_index_dir).withColumn(
+        "ts", (F.col("vec_id") * F.lit(2654435761)) % TS_MODULUS
+    )
+    write_snapshot(
+        v.select("vec_id", "ts", "list_id", "embedding", "nrm"),
+        os.path.join(index_dir, "vectors_z"),
+        zorder_by=["ts", "list_id"],
+        cluster_files=ZR_FILES,
+    )
+
+
+def ensure_zr_index(spark: SparkSession, sf_dir: str) -> str:
+    base = ensure_ann_index(spark, sf_dir)
+    index_dir = zr_index_dir_for(sf_dir)
+    return loop.ensure_built(
+        index_dir,
+        ["vectors_z"],
+        lambda: build_zorder_range_index(spark, base, index_dir),
+    )
+
+
+def range_filtered_zorder_topk(
+    spark: SparkSession,
+    batch: DataFrame,
+    base_index_dir: str,
+    zr_index_dir: str,
+    lo: int,
+    hi: int,
+    nprobe: int = FILTER_NPROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """The range probe over the z-ordered layout: route with the SHARED
+    quantizer, then ONE scan of ``vectors_z`` with both predicates
+    pushed (``ts BETWEEN`` + ``list_id IN``) — no payload lookup join.
+    Bit-identical to ``range_filtered_batch_vs_ann_index`` at equal
+    nprobe (same candidate universe); the layout buys file skipping,
+    not different answers."""
+    centroids = _load_centroids(spark, base_index_dir)
+    if centroids.size == 0:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    probes = materialize(
+        _assign(batch.select("vec_id", "embedding"), centroids, nprobe)
+    )
+    probed_lists = [
+        r.list_id for r in probes.select("list_id").distinct().collect()
+    ]
+    stored = read_current(spark, os.path.join(zr_index_dir, "vectors_z")).filter(
+        F.col("ts").between(lo, hi) & F.col("list_id").isin(probed_lists)
+    )
+    q = with_norm(probes).alias("q")
+    c = stored.alias("c")
+    cos = F.round(_pair_dot("q", "c") / (F.col("q.nrm") * F.col("c.nrm")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.list_id") == F.col("c.list_id"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("vec_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+@register(
+    "sim_range_filtered_zorder_ann_topk",
+    # NO oracle by design (nprobe routing); correctness = BIT-IDENTITY
+    # with the lookup-join range probe at equal nprobe (which carries the
+    # all-lists == exact pin), the single-scan/no-join plan pin, and the
+    # measured file skipping — tests/test_ann_filtered.py
+    doc=(
+        "range-filtered ANN over the z-ordered (ts, list_id) layout: both "
+        "predicates pushed into ONE vectors scan, no payload join — "
+        "bit-identical to the lookup-join range probe, with footer min/max "
+        "file skipping measured vs the list-clustered layout"
+    ),
+)
+def sim_range_filtered_zorder_ann_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ANN demo split through the range probe's z-ordered layout —
+    the tier the lookup-join probe's docstring names as the 100 TB
+    answer for range predicates, as a registered query."""
+    base = ensure_ann_index(spark, sf_dir)
+    zr = ensure_zr_index(spark, sf_dir)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(valid_embedding())
+    )
+    return range_filtered_zorder_topk(
+        spark, e.filter(F.col("vec_id") % 10 == 0), base, zr, TS_LO, TS_HI
+    )

@@ -52,13 +52,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-11 window. The staleness invariant (no entry's driver row
 # predates its current implementation) has priority. Head of window:
-#   * 6 queries ADDED in round 11 — the cascade IVM aggregate-over-join
+#   * 7 queries ADDED in round 11 — the cascade IVM aggregate-over-join
 #     fold, its streaming-loop twin, the cross-table atomic group
 #     commit, the pending-(MOR)-feeds join-view fold, and the
-#     range-predicate filtered-search pair (exact tier hash-capable;
+#     range-predicate filtered-search trio (exact tier hash-capable;
 #     the IVF probe rows-only BY DESIGN with all-lists == exact,
 #     in-window invariant, and the measured pre-beats-post-filtering
-#     A/B pinned in tests/test_ann_filtered.py);
+#     A/B pinned; the z-ordered-layout probe rows-only BY DESIGN,
+#     bit-identical to the lookup-join probe with the file skipping
+#     measured — all in tests/test_ann_filtered.py);
 #   * 4 queries whose implementation CHANGED in round 11 — SemDeDup
 #     (within-cluster sub-blocking: the r10 verdict's one scale weak),
 #     the exact embedding-cosine query (shared grid kernel; the
@@ -69,8 +71,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Next: the full 14-query r6-latest cohort (the oldest standing rows —
 # text_tfidf_top_terms and text_winnow_fingerprints lead, the two the
 # r10 window documented as backlog leads), then the r7 cohort
-# alphabetically. The 50-slot cut lands 26 of the 43 r7 rows; the
-# remaining 17 (positions 51+ below) lead the r12 backlog. Still
+# alphabetically. The 50-slot cut lands 25 of the 43 r7 rows; the
+# remaining 18 (positions 51+ below) lead the r12 backlog. Still
 # excluded: agg_approx_distinct_customers (rows-only AND unchanged
 # since its r1 row — a new row adds nothing, rationale standing since
 # r5) and dedup_ngram_jaccard_pairs (dead ledger — quarantined out of
@@ -82,6 +84,7 @@ _AUDIT_PRIORITY: list[str] = [
     "lake_join_view_from_pending_feeds",
     "sim_range_filtered_cosine_topk",
     "sim_range_filtered_batch_vs_ann_index",
+    "sim_range_filtered_zorder_ann_topk",
     "dedup_semantic_clustered_pairs",
     "dedup_embedding_cosine_pairs",
     "lake_cdc_pending_changes_orders",

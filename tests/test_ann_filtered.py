@@ -348,3 +348,102 @@ def test_range_probe_recall_floor_and_beats_post_filtering(spark):
     post_recall = len(post & exact) / len(exact)
     assert pre_recall >= 0.55, f"pre-filter recall too low: {pre_recall:.2f}"
     assert pre_recall >= post_recall, (pre_recall, post_recall)
+
+
+def test_zr_probe_bit_identical_to_lookup_join_probe(spark):
+    """The z-ordered layout changes what the scan READS, never what it
+    returns: at equal nprobe (default AND all-lists) the z-tier result
+    equals the lookup-join range probe bit-for-bit — which carries the
+    all-lists == exact pin, so exactness transfers."""
+    from pgcp_spark.functions.ann_filtered import (
+        FILTER_NPROBE,
+        TS_HI,
+        TS_LO,
+        ensure_zr_index,
+        range_filtered_batch_vs_ann_index,
+        range_filtered_zorder_topk,
+    )
+
+    e, batch, split, payload = _range_frames(spark)
+    base = ensure_ann_index(spark, SF_DIR)
+    zr = ensure_zr_index(spark, SF_DIR)
+    for nprobe in (FILTER_NPROBE, IVF_LISTS):
+        want = [
+            tuple(r)
+            for r in range_filtered_batch_vs_ann_index(
+                spark, batch, base, payload, TS_LO, TS_HI, nprobe=nprobe
+            ).collect()
+        ]
+        got = [
+            tuple(r)
+            for r in range_filtered_zorder_topk(
+                spark, batch, base, zr, TS_LO, TS_HI, nprobe=nprobe
+            ).collect()
+        ]
+        assert got == want and len(got) > 0, f"nprobe={nprobe}"
+
+
+def test_zr_plan_single_scan_both_predicates_pushed(spark):
+    """The z-tier's payoff, plan-pinned: ONE parquet scan (the z-ordered
+    vectors table — no payload lookup join anywhere), whose PushedFilters
+    carry BOTH the ts range and the list_id IN."""
+    from pgcp_spark.functions.ann_filtered import (
+        sim_range_filtered_zorder_ann_topk,
+    )
+    from pgcp_spark.plans.explain import physical_plan, pushed_filters
+
+    df = sim_range_filtered_zorder_ann_topk(spark, SF_DIR)
+    both = [
+        f for f in pushed_filters(df) if "ts" in f and "list_id" in f
+    ]
+    assert both, f"no scan pushes (ts, list_id): {pushed_filters(df)}"
+    import re
+
+    plan = physical_plan(df)
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+    assert "vectors_z" in plan
+
+
+def test_zr_layout_skips_files_the_list_clustered_layout_cannot(spark):
+    """The measurement behind the tier: a ts-window predicate consults
+    footer min/max stats — under z-order on (ts, list_id) a ~20% window
+    overlaps a minority of files, while the base index's list-clustered
+    layout spreads every ts range across essentially all files."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pgcp_spark.functions.ann_filtered import ZR_FILES, ensure_zr_index
+    from pgcp_spark.sources.lake import current_snapshot
+
+    def overlap(table_dir, col, lo, hi):
+        snap = os.path.join(table_dir, current_snapshot(table_dir))
+        files = sorted(glob.glob(os.path.join(snap, "*.parquet")))
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for i in range(rg.num_columns):
+                    c = rg.column(i)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        mins.append(c.statistics.min)
+                        maxs.append(c.statistics.max)
+            if mins and not (max(maxs) < lo or min(mins) > hi):
+                hit += 1
+        return hit, len(files)
+
+    zr = ensure_zr_index(spark, SF_DIR)
+    # a 12% stripe INSIDE one ts quadrant (the test_zorder.py discipline:
+    # a stripe straddling a high-bit boundary legitimately touches two z
+    # bands). Measured 8/16 files hit at both sf0.001 and sf0.01; pinned
+    # at half. The base index's list-clustered vectors table carries no
+    # ts column AT ALL — a range reader there scans every file — so any
+    # skipping here is strictly better than the lookup-join tier's scan.
+    lo, hi = 56_000, 68_000
+    z_hit, z_total = overlap(os.path.join(zr, "vectors_z"), "ts", lo, hi)
+    assert z_total == ZR_FILES
+    assert z_hit <= z_total // 2, f"z-order skipped only {z_total - z_hit}/{z_total}"
