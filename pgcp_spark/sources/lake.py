@@ -989,7 +989,10 @@ def merge_cdc(
 
 
 def vacuum(
-    table_dir: str, keep: int = 1, orphan_min_age_s: float = 3600.0
+    table_dir: str,
+    keep: int = 1,
+    orphan_min_age_s: float = 3600.0,
+    protect: set[str] | None = None,
 ) -> list[str]:
     """Physically reclaim retained history: drop every committed snapshot
     except the newest ``keep`` (plus AGED crash orphans), trim the log,
@@ -1021,11 +1024,19 @@ def vacuum(
     never touched; RETIRED deltas (folded by a flatten, lingering for
     reader grace) are reaped — vacuum is the explicit end of grace,
     same as for retained snapshots; unlogged delta dirs are crash
-    orphans under the same age guard as uncommitted snapshots."""
+    orphans under the same age guard as uncommitted snapshots.
+
+    ``protect``: snapshot/delta names that must SURVIVE regardless of
+    ``keep`` — the cross-table manifest's pins (``txn.vacuum_group``
+    passes them), since a group reader resolves through the manifest and
+    may lag the per-table pointer by design. Protected committed
+    snapshots also stay in the log, so a later unprotected vacuum still
+    sees them as committed rather than aged orphans."""
+    protect = protect or set()
     committed = history(table_dir)
     if not committed:  # empty / never-committed table dir: nothing to do
         return []
-    kept = set(committed[-max(1, keep):])
+    kept = set(committed[-max(1, keep):]) | (protect & set(committed))
     committed_set = set(committed)
     active_deltas = set(delta_names(table_dir))
     retired_deltas = set(retired_delta_names(table_dir))
@@ -1040,8 +1051,8 @@ def vacuum(
             continue
         if is_snap and entry in kept:
             continue
-        if is_delta and entry in active_deltas:
-            continue  # live merge-on-read data — never vacuum's to take
+        if is_delta and (entry in active_deltas or entry in protect):
+            continue  # live merge-on-read data / manifest-pinned — keep
         uncommitted = (is_snap and entry not in committed_set) or (
             is_delta and entry not in retired_deltas
         )
@@ -1055,7 +1066,11 @@ def vacuum(
         shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
         removed.append(entry)
     if retired_deltas:  # their grace ends with this vacuum
-        _atomic_write(_delta_retired_path(table_dir), "")
+        _atomic_write(
+            _delta_retired_path(table_dir),
+            "\n".join(d for d in retired_deltas if d in protect)
+            + ("\n" if retired_deltas & protect else ""),
+        )
     _atomic_write(
         _log_path(table_dir),
         "\n".join(s for s in committed if s in kept) + "\n",

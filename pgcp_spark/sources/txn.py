@@ -299,3 +299,32 @@ def occ_commit_group(
     raise GroupConflict(
         f"{group_dir}: gave up after {retries} conflicted attempts"
     ) from last
+
+
+def vacuum_group(
+    group_dir: str, keep: int = 1, orphan_min_age_s: float = 3600.0
+) -> dict[str, list[str]]:
+    """Vacuum every member table while PROTECTING the states the
+    committed manifest pins — the retention companion the group contract
+    needs: per-table vacuum/GC knows nothing about the manifest, and a
+    group reader may lag the per-table pointer by design, so reclaiming
+    history through this entry point (instead of per-table ``vacuum``)
+    is what keeps ``read_group`` safe past the keep window. Returns
+    {member: removed names}."""
+    from pgcp_spark.sources.lake import vacuum
+
+    st = group_state(group_dir)
+    out: dict[str, list[str]] = {}
+    for name, pin in st.items():
+        if name.startswith("_"):
+            continue
+        tdir = os.path.join(group_dir, name)
+        if not os.path.isdir(tdir):
+            continue  # a logical member (tests register bare states)
+        out[name] = vacuum(
+            tdir,
+            keep=keep,
+            orphan_min_age_s=orphan_min_age_s,
+            protect={pin["snapshot"], *pin["deltas"]},
+        )
+    return out

@@ -226,3 +226,43 @@ def test_occ_commit_group_gives_up_cleanly(spark, group, monkeypatch):
     with pytest.raises(T.GroupConflict):
         T.occ_commit_group(group, lambda st: {"t": {"snapshot": "s", "deltas": []}}, retries=3)
     assert calls["n"] == 3
+
+
+def test_vacuum_group_protects_manifest_pins(spark, group):
+    """Per-table vacuum knows nothing about the manifest; vacuum_group
+    must keep every manifest-pinned snapshot/delta alive even past the
+    keep window, so read_group stays servable — and still reap the
+    unpinned history."""
+    import os
+
+    from pgcp_spark.sources.lake import append_delta, history
+    from pgcp_spark.sources.txn import vacuum_group
+
+    fact_dir = os.path.join(group, "fact")
+    pinned_snap = group_state(group)["fact"]["snapshot"]
+    # advance the per-table pointer twice WITHOUT a group commit: the
+    # manifest now lags by two snapshots
+    for i in range(2):
+        upsert(
+            spark,
+            fact_dir,
+            spark.createDataFrame([(700 + i, 10, 7.0)], ["k", "g", "v"]),
+            key=["k"],
+            keep=6,
+        )
+    # pin a delta on the view through the manifest, then vacuum
+    view_dir = os.path.join(group, "view")
+    append_delta(
+        spark.createDataFrame([(60, 10, 6.0, "a")], ["k", "g", "v", "dname"]),
+        view_dir,
+    )
+    commit_group(group, {"view": table_state(group, "view")})
+    removed = vacuum_group(group, keep=1)
+    assert os.path.isdir(os.path.join(fact_dir, pinned_snap))  # pin survives
+    assert pinned_snap in history(fact_dir)  # and stays COMMITTED in the log
+    assert len(history(fact_dir)) == 2  # newest + the protected pin only
+    assert any(removed.values())  # the unpinned middle snapshot reaped
+    # the group read still serves the manifest's states bit-for-bit
+    dfs = read_group(spark, group, KEYS)
+    assert (60,) in {(r.k,) for r in dfs["view"].collect()}
+    assert (700,) not in {(r.k,) for r in dfs["fact"].collect()}  # manifest lags
