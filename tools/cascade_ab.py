@@ -20,18 +20,29 @@ deletes):
              cascade.
 
 Equality of the two results is asserted every round (the A/B is also a
-correctness check). Usage: python tools/cascade_ab.py
+correctness check).
+
+Honest framing: the fold is ~20 small Spark jobs (delta writes, probes,
+semi-joined state diff, agg upsert) with fixed per-job overhead, while
+the recompute is ONE scan-bound pipeline — so at toy scale the
+recompute WINS and the measurement's product is the CROSSOVER, exactly
+like the ANN family's exact-vs-IVF bracket (ANN_LEG_EXACT_BELOW): below
+it, recompute the view; above it, fold. Usage: python tools/cascade_ab.py
 """
 
 from __future__ import annotations
 
+import os
 import shutil
+import sys
 import tempfile
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from pyspark.sql import functions as F
 
-SIZES = (1_000_000, 4_000_000, 16_000_000)
+SIZES = (1_000_000, 16_000_000, 64_000_000)
 DIM_KEYS = 1_000
 BATCH_UPS = 2_000
 BATCH_DELS = 1_000
