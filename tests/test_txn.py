@@ -266,3 +266,112 @@ def test_vacuum_group_protects_manifest_pins(spark, group):
     dfs = read_group(spark, group, KEYS)
     assert (60,) in {(r.k,) for r in dfs["view"].collect()}
     assert (700,) not in {(r.k,) for r in dfs["fact"].collect()}  # manifest lags
+
+
+def test_three_table_group_fact_view_agg_consistent(spark):
+    """The round's two big features composed: fact CDC → view fold →
+    cascade aggregate fold, all three post states published in ONE
+    manifest commit. A reader racing the transactions resolves the
+    manifest once and must find BOTH invariants on every observation:
+    view == fact ⋈ dim AND agg == groupBy(view) — the cascade's
+    watermark makes the agg exactly-once, the manifest makes the trio
+    atomic."""
+    import os
+
+    from pgcp_spark.sources.lake import pending_state
+    from pgcp_spark.sources.view_maintenance import (
+        build_agg_over,
+        fold_agg_join_view,
+    )
+
+    gdir = tempfile.mkdtemp(prefix="txn_casc_group_")
+    try:
+        fact = spark.createDataFrame(
+            [(1, 10, 1.0), (2, 20, 2.0), (3, 10, 3.0)], ["k", "g", "v"]
+        )
+        dim = spark.createDataFrame([(10, "a"), (20, "b")], ["g", "dname"])
+        write_snapshot(fact, os.path.join(gdir, "fact"), keep=6)
+        write_snapshot(dim, os.path.join(gdir, "dim"), keep=6)
+        view = fact.join(dim, on="g").select("k", "g", "v", "dname")
+        write_snapshot(view, os.path.join(gdir, "view"), keep=6)
+        write_snapshot(
+            build_agg_over(view, "dname", "v"),
+            os.path.join(gdir, "agg"),
+            keep=6,
+            meta={"applied_view_state": pending_state(os.path.join(gdir, "view"))},
+        )
+        commit_group(
+            gdir, {n: table_state(gdir, n) for n in ("fact", "dim", "view", "agg")}
+        )
+
+        stop = threading.Event()
+        torn: list[str] = []
+
+        def reader():
+            keys = {"fact": ["k"], "view": ["k"], "agg": ["dname"]}
+            while not stop.is_set():
+                dfs = read_group(spark, gdir, keys)
+                want_view = _rows(
+                    dfs["fact"].join(dim, on="g").select("k", "g", "v", "dname")
+                )
+                got_view = _rows(dfs["view"].select("k", "g", "v", "dname"))
+                if got_view != want_view:
+                    torn.append("view != fact join dim")
+                    return
+                want_agg = _rows(
+                    build_agg_over(dfs["view"], "dname", "v").filter(
+                        F.col("order_cnt") > 0
+                    )
+                )
+                got_agg = _rows(dfs["agg"].filter(F.col("order_cnt") > 0))
+                if got_agg != want_agg:
+                    torn.append(f"agg {got_agg} != groupBy(view) {want_agg}")
+                    return
+
+        def txn(i):
+            # ONE transaction end to end: fact upsert + view fold + agg
+            # fold, then a SINGLE three-table publish. (Committing
+            # fact+view first and agg second would itself be the torn
+            # window the reader hunts.)
+            fact_dir = os.path.join(gdir, "fact")
+            view_dir = os.path.join(gdir, "view")
+            prev = group_state(gdir)["fact"]["snapshot"]
+            upsert(
+                spark, fact_dir,
+                spark.createDataFrame([(i + 100, 10, float(i))], ["k", "g", "v"]),
+                key=["k"], keep=6,
+            )
+            fold_join_view(
+                spark, view_dir, view_key=["k"],
+                fact_feed=table_changes(spark, fact_dir, prev, key=["k"]),
+                dim_feed=None,
+                dim_current=read_current(spark, os.path.join(gdir, "dim")),
+                fact_join_col="g", dim_join_col="g",
+            )
+            fold_agg_join_view(
+                spark, os.path.join(gdir, "agg"), view_dir, ["k"], "dname", "v"
+            )
+            commit_group(
+                gdir, {n: table_state(gdir, n) for n in ("fact", "view", "agg")}
+            )
+
+        t = threading.Thread(target=reader)
+        t.start()
+        try:
+            for i in range(3):
+                txn(i)
+        finally:
+            stop.set()
+            t.join()
+        assert not torn, torn[0]
+        final = read_group(spark, gdir, {"view": ["k"], "agg": ["dname"]})
+        assert final["view"].count() == 3 + 3
+        got = _rows(final["agg"].filter(F.col("order_cnt") > 0))
+        want = _rows(
+            build_agg_over(final["view"], "dname", "v").filter(
+                F.col("order_cnt") > 0
+            )
+        )
+        assert got == want and got
+    finally:
+        shutil.rmtree(gdir, ignore_errors=True)
