@@ -346,9 +346,12 @@ SELECT d.c_mktsegment,
        CAST(SUM(f.p) AS DOUBLE) AS sum_mktsegment_total,
        COUNT(*) AS order_cnt
 FROM postfact f JOIN customer d ON f.o_custkey = d.c_custkey
+WHERE d.c_mktsegment IS NOT NULL
 GROUP BY d.c_mktsegment
 ORDER BY d.c_mktsegment
 """
+# the NOT NULL mirrors build_agg_over's NULL-group-key exclusion (the
+# keyed-upsert ANSI contract; caught by the nulls edge lake)
 
 
 @register(

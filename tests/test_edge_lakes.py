@@ -53,6 +53,12 @@ EDGE_CASES = [
     ("window_percent_rank_cume_dist", ("nulls",)),
     # NULL-semantics of decorrelated EXISTS
     ("q21_sole_late_supplier", ("nulls",)),
+    # NULL-group-key contract of the cascade aggregate (the fold excludes
+    # NULL c_mktsegment groups — keyed-upsert ANSI rule — and the oracle
+    # must mirror it; empty lake: the fold legitimately sees an empty
+    # feed and must no-op, not raise) — round-11 first-contact failures
+    ("lake_incremental_agg_join_view_orders", ("empty", "nulls")),
+    ("streaming_agg_join_view_maintenance", ("empty", "nulls")),
     # event-time contract
     ("window_sessionize_events", ("nulls",)),
     ("join_asof_click_attribution", ("nulls",)),
