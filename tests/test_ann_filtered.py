@@ -446,4 +446,9 @@ def test_zr_layout_skips_files_the_list_clustered_layout_cannot(spark):
     lo, hi = 56_000, 68_000
     z_hit, z_total = overlap(os.path.join(zr, "vectors_z"), "ts", lo, hi)
     assert z_total == ZR_FILES
-    assert z_hit <= z_total // 2, f"z-order skipped only {z_total - z_hit}/{z_total}"
+    # one file of slack: the range exchange SAMPLES its partition bounds
+    # (RangePartitioner), so file cut points jitter run to run — the
+    # test_zorder.py discipline
+    assert z_hit <= z_total // 2 + 1, (
+        f"z-order skipped only {z_total - z_hit}/{z_total}"
+    )
