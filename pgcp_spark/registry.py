@@ -52,7 +52,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-11 window. The staleness invariant (no entry's driver row
 # predates its current implementation) has priority. Head of window:
-#   * 7 queries ADDED in round 11 — the cascade IVM aggregate-over-join
+#   * 8 queries ADDED in round 11 — the typed PII-redaction pass
+#     (hash-capable: both engines replay the identical regex pipeline
+#     over deterministically injected PII), the cascade IVM aggregate-over-join
 #     fold, its streaming-loop twin, the cross-table atomic group
 #     commit, the pending-(MOR)-feeds join-view fold, and the
 #     range-predicate filtered-search trio (exact tier hash-capable;
@@ -71,8 +73,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Next: the full 14-query r6-latest cohort (the oldest standing rows —
 # text_tfidf_top_terms and text_winnow_fingerprints lead, the two the
 # r10 window documented as backlog leads), then the r7 cohort
-# alphabetically. The 50-slot cut lands 25 of the 43 r7 rows; the
-# remaining 18 (positions 51+ below) lead the r12 backlog. Still
+# alphabetically. The 50-slot cut lands 24 of the 43 r7 rows; the
+# remaining 19 (positions 51+ below) lead the r12 backlog. Still
 # excluded: agg_approx_distinct_customers (rows-only AND unchanged
 # since its r1 row — a new row adds nothing, rationale standing since
 # r5) and dedup_ngram_jaccard_pairs (dead ledger — quarantined out of
@@ -85,6 +87,7 @@ _AUDIT_PRIORITY: list[str] = [
     "sim_range_filtered_cosine_topk",
     "sim_range_filtered_batch_vs_ann_index",
     "sim_range_filtered_zorder_ann_topk",
+    "text_pii_redaction",
     "dedup_semantic_clustered_pairs",
     "dedup_embedding_cosine_pairs",
     "lake_cdc_pending_changes_orders",
@@ -211,6 +214,7 @@ def _load_operator_modules() -> None:
     import pgcp_spark.functions.dedup_index  # noqa: F401
     import pgcp_spark.functions.graph  # noqa: F401
     import pgcp_spark.functions.multimodal  # noqa: F401
+    import pgcp_spark.functions.pii  # noqa: F401
     import pgcp_spark.functions.pipeline  # noqa: F401
     import pgcp_spark.functions.retrieval  # noqa: F401
     import pgcp_spark.functions.sampling  # noqa: F401
