@@ -42,11 +42,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-SIZES = (1_000_000, 16_000_000, 64_000_000)
+import json as _json
+
+SIZES = tuple(
+    _json.loads(os.environ.get("CASCADE_AB_SIZES", "[1000000, 16000000, 64000000]"))
+)
 DIM_KEYS = 1_000
 BATCH_UPS = 2_000
 BATCH_DELS = 1_000
-RUNS = 3
+RUNS = int(os.environ.get("CASCADE_AB_RUNS", "3"))
 
 
 def median(xs):
