@@ -90,7 +90,13 @@ TOMBSTONE = "_tombstone"
 # seam is identical.
 COMMIT_LOCK = "_COMMIT_LOCK"
 LOCK_STALE_S = 60.0  # a metadata commit takes milliseconds; a lock this
-# old is a crashed writer's — break it (the vacuum age-guard discipline)
+# old is a crashed writer's — break it (the vacuum age-guard discipline).
+# ASSUMPTION: staleness compares a waiter's clock against the holder's
+# lock-file mtime, so the protocol needs mtime/clock coherence across
+# writers — true on one host and on coherent NFS mounts, NOT guaranteed
+# on eventually-consistent or clock-skewed network filesystems. On those
+# (and on object stores) replace the whole dance with the store's
+# conditional put/delete; the protocol seam is identical.
 _UNCHECKED = object()  # expect_parent sentinel: None means "expect empty"
 
 
@@ -116,13 +122,17 @@ def _try_break_stale_lock(path: str) -> bool:
          path) and report not-broken.
 
     Residual window: the restore can find a newer lock already at the
-    path, in which case the displaced fresh holder has lost its lock —
+    path, in which case the displaced fresh holder proceeds lockless —
     that needs the stat→rename gap (microseconds) to straddle the exact
     staleness boundary AND a third writer to acquire inside it; with
     commit-time GC moved OUTSIDE the lock (hold times are pure-metadata
     milliseconds against a 60 s threshold) this is as small as a
-    filesystem lock gets. An object store's conditional delete replaces
-    this whole dance (module comment above).
+    filesystem lock gets. The FENCED release in ``_commit_lock`` contains
+    the damage: the displaced holder's release verifies its own token
+    against the lock file and refuses to unlink the newer writer's lock,
+    so the residual race cannot cascade into a second lock loss. An
+    object store's conditional delete replaces this whole dance (module
+    comment above).
 
     Returns True when the caller should immediately retry the acquire
     (lock broken or already gone), False when a live holder stands."""
@@ -154,11 +164,12 @@ def _try_break_stale_lock(path: str) -> bool:
 def _commit_lock(table_dir: str, timeout_s: float = 30.0):
     os.makedirs(table_dir, exist_ok=True)
     path = os.path.join(table_dir, COMMIT_LOCK)
+    token = uuid.uuid4().hex  # fencing token: release only what we hold
     deadline = time.monotonic() + timeout_s
     while True:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{uuid.uuid4().hex} {time.time():.6f}".encode())
+            os.write(fd, f"{token} {time.time():.6f}".encode())
             os.close(fd)
             break
         except FileExistsError:
@@ -170,8 +181,17 @@ def _commit_lock(table_dir: str, timeout_s: float = 30.0):
     try:
         yield
     finally:
+        # FENCED release: unlink only if the lock file still carries OUR
+        # token. A holder displaced by the stale-break residual race (see
+        # _try_break_stale_lock) finds another writer's token here and
+        # leaves the lock alone — the race costs one doubled critical
+        # section, never a cascading second lock loss. The read→unlink
+        # gap is itself a (much smaller) TOCTOU; the object-store
+        # conditional delete closes it for real (module comment).
         try:
-            os.unlink(path)
+            with open(path) as f:
+                if f.read().split(" ", 1)[0] == token:
+                    os.unlink(path)
         except OSError:
             pass
 
@@ -243,8 +263,20 @@ def pending_state(table_dir: str) -> str:
     ``pending_state`` see identical data, so a fold that stamps the id it
     consumed (``write_snapshot(meta=…)``) can detect an at-least-once
     replay of the same feed exactly — the cascade IVM's crash-window
-    guard (``sources/view_maintenance.py``)."""
-    return f"{current_snapshot(table_dir)}|{','.join(delta_names(table_dir))}"
+    guard (``sources/view_maintenance.py``).
+
+    Raises ``FileNotFoundError`` on an empty / never-committed table:
+    stringifying the None snapshot would mint a valid-looking id
+    ("None|…") that a fold could stamp as a watermark, and the later
+    ``state_changes`` read would fail far away with a misleading
+    'snapshot not found' — fail here, at the cause."""
+    snap = current_snapshot(table_dir)
+    if snap is None:
+        raise FileNotFoundError(
+            f"{table_dir}: no committed snapshot — pending_state is "
+            f"undefined on an empty table (commit a snapshot first)"
+        )
+    return f"{snap}|{','.join(delta_names(table_dir))}"
 
 
 def _commits_path(table_dir: str) -> str:

@@ -112,14 +112,23 @@ def commit_group(
 
     The commit is ONE ``os.replace`` of the manifest under the group's
     commit lock — N tables, one atomicity point. Returns the committed
-    manifest."""
-    if tables is None:
-        tables = {
-            name: table_state(group_dir, name)
-            for name in group_state(group_dir)
-            if not name.startswith("_")
-        }
+    manifest.
+
+    The default capture (``tables=None``) reads every member's live state
+    INSIDE the group commit lock, so the published states are all taken at
+    one serialized point — capturing them outside would let racing
+    per-table writers produce a manifest mixing pre- and post-transaction
+    states across members. Note the lock serializes the CAPTURE, not the
+    per-table writers themselves: a multi-writer group whose transactions
+    must publish exactly the states they wrote passes explicit ``tables``
+    (+ ``expect``), the shape ``occ_commit_group`` drives."""
     with _commit_lock(group_dir):
+        if tables is None:
+            tables = {
+                name: table_state(group_dir, name)
+                for name in group_state(group_dir)
+                if not name.startswith("_")
+            }
         if expect is not None and group_state(group_dir) != expect:
             raise GroupConflict(
                 f"{group_dir}: manifest moved past the transaction's snapshot"

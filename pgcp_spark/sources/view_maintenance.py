@@ -381,10 +381,19 @@ def fold_agg_join_view(
     ``state_changes(applied → current)`` — so it composes across many
     view folds WITHOUT requiring a flatten in between, and an
     at-least-once replay of the same state is detected and skipped
-    (returns False; True after a fold commits). An aggregate built
-    before any watermark existed (no ``applied_view_state`` meta) folds
-    the full pending feed — the legacy round-11 bootstrap; stamp the
-    build with ``pending_state(view_dir)`` to start incremental.
+    (returns False; True after a fold commits). A MISSING watermark
+    (no ``applied_view_state`` in the aggregate's commit meta) REFUSES,
+    exactly like the unreadable-state path below: any metaless commit to
+    the aggregate table (a compaction, a manual ``write_snapshot`` — meta
+    is per-snapshot and does not carry forward) silently clears the
+    watermark, and folding the full pending feed from there would
+    double-count every already-applied delta — the signed fold is not
+    idempotent. Recovery is the same as for a GC'd state: rebuild from
+    the view (``build_agg_over`` + a stamped ``write_snapshot``), or
+    ``stamp_applied_state`` if the caller KNOWS the stored aggregate
+    reflects the view's current state. (The round-11 "legacy bootstrap"
+    fold-the-full-feed path is gone — it was indistinguishable from the
+    silent-corruption case.)
 
     After a FLATTEN of the view, call ``stamp_applied_state`` — the
     flatten preserves data, but the state id changes, and re-stamping
@@ -399,7 +408,6 @@ def fold_agg_join_view(
     """
     from pgcp_spark.operators._decimal import dec
     from pgcp_spark.sources.lake import (
-        pending_changes,
         pending_state,
         snapshot_meta,
         state_changes,
@@ -410,19 +418,27 @@ def fold_agg_join_view(
     if applied == state:
         return False  # at-least-once replay of an already-folded state
     if applied is None:
-        feed = pending_changes(spark, view_dir, key=view_key)
-    else:
-        try:
-            feed = state_changes(spark, view_dir, applied, state, key=view_key)
-        except FileNotFoundError as exc:
-            raise RuntimeError(
-                "the aggregate's applied view state is no longer readable "
-                "(a flatten/vacuum GC'd it). The cascade owner must re-anchor "
-                "with stamp_applied_state immediately after each flatten; "
-                "recovery now = rebuild the aggregate from the view "
-                "(build_agg_over + a stamped write_snapshot). Refusing to "
-                "guess — a blind re-fold double-counts."
-            ) from exc
+        raise RuntimeError(
+            f"{agg_dir}: the aggregate carries no applied_view_state "
+            "watermark. Either it was never stamped at build time, or a "
+            "metaless commit (compaction / manual write_snapshot) cleared "
+            "it — and folding the full pending feed would silently "
+            "double-count already-applied deltas (the signed fold is not "
+            "idempotent). Recovery: rebuild from the view (build_agg_over "
+            "+ a stamped write_snapshot), or stamp_applied_state if the "
+            "stored aggregate is KNOWN to reflect the view's current state."
+        )
+    try:
+        feed = state_changes(spark, view_dir, applied, state, key=view_key)
+    except FileNotFoundError as exc:
+        raise RuntimeError(
+            "the aggregate's applied view state is no longer readable "
+            "(a flatten/vacuum GC'd it). The cascade owner must re-anchor "
+            "with stamp_applied_state immediately after each flatten; "
+            "recovery now = rebuild the aggregate from the view "
+            "(build_agg_over + a stamped write_snapshot). Refusing to "
+            "guess — a blind re-fold double-counts."
+        ) from exc
     feed = materialize(feed)
     if feed.isEmpty():
         return False
@@ -478,6 +494,331 @@ def stamp_applied_state(
         agg_dir,
         meta={"applied_view_state": pending_state(view_dir)},
     )
+
+
+# --- MIN/MAX in the cascade fold (round 12) ---------------------------------
+# The signed fold above covers the sum/count/avg family; MIN/MAX — the
+# other half of every serving dashboard — cannot fold under deletes (a
+# retracted group minimum needs evidence the fold doesn't carry). The
+# standard split (Palpanas et al. VLDB'02 call these non-distributive
+# aggregates "unaffectable" by deletes; self-maintainable views fold only
+# inserts): INSERTS fold via least/greatest against the stored value;
+# a REMOVAL (delete / update_preimage) forces a rescan ONLY when the
+# removed value TIES the stored min or max — any other removed value v
+# satisfies min < v < max and cannot move either bound. The rescan reads
+# exactly the affected groups from the MAINTAINED VIEW (pushed-IN via the
+# same bounded-probe discipline as the dim arm), never the base tables.
+
+
+def build_minmax_over(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """The stored MIN/MAX aggregate's schema over any view-shaped frame:
+    (group, exact decimal min, exact decimal max, row count). Shared by
+    the initial build, the fold's rescan arm, and every test's recompute
+    oracle so they can't drift. NULL group keys are excluded (the keyed-
+    upsert contract, as in ``build_agg_over``); NULL values never
+    participate in min/max (ANSI)."""
+    from pgcp_spark.operators._decimal import dec
+
+    return (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.min(dec(value_col, "decimal(18,2)")).alias("min_dec"),
+            F.max(dec(value_col, "decimal(18,2)")).alias("max_dec"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+    )
+
+
+def read_minmax_agg(spark: SparkSession, agg_dir: str, group_col: str) -> DataFrame:
+    """Serve the stored MIN/MAX aggregate: groups folded down to zero
+    rows drop out; a group whose every value is NULL serves NULL bounds
+    (ANSI min/max-over-nothing, carried naturally — both the fold's
+    least/greatest and the rescan's min/max skip NULLs)."""
+    return (
+        read_current(spark, agg_dir)
+        .filter(F.col("order_cnt") > 0)
+        .select(
+            group_col,
+            F.col("min_dec").cast("double").alias("min_total"),
+            F.col("max_dec").cast("double").alias("max_total"),
+            "order_cnt",
+        )
+    )
+
+
+def minmax_rescan_groups(stored: DataFrame, deltas: DataFrame, group_col: str):
+    """The rescan decision, factored for the pin in tests: join the
+    per-group feed stats onto the stored bounds and return
+    ``(touched, rescan_flag_column)`` where the flag is TRUE exactly for
+    groups whose removal set could have held the stored min or max:
+
+      - a removed value ≤ stored min (equality in a consistent state —
+        nothing below the true min exists to remove; ≤ keeps the check
+        safe under duplicates and drift) endangers the min;
+      - symmetrically ≥ stored max endangers the max;
+      - removals against a group the store has NO row for (min/max NULL
+        with a non-NULL removal) rescan defensively — the fold cannot
+        prove anything about a group it has no evidence for.
+
+    Groups with only inserts, or whose removals sit strictly inside the
+    (min, max) interval, fold without touching the view."""
+    touched = stored.join(deltas, group_col, "right_outer")
+    min_hit = F.col("rm_min").isNotNull() & (
+        F.col("min_dec").isNull() | (F.col("rm_min") <= F.col("min_dec"))
+    )
+    max_hit = F.col("rm_max").isNotNull() & (
+        F.col("max_dec").isNull() | (F.col("rm_max") >= F.col("max_dec"))
+    )
+    return touched, (min_hit | max_hit)
+
+
+def fold_minmax_join_view(
+    spark: SparkSession,
+    agg_dir: str,
+    view_dir: str,
+    view_key: list[str],
+    group_col: str,
+    value_col: str,
+) -> bool:
+    """Fold the view's changes since the last fold into the stored
+    per-group MIN/MAX aggregate at ``agg_dir`` — the cascade fold for the
+    non-signed half of the dashboard. Watermark discipline is identical
+    to ``fold_agg_join_view`` (same ``applied_view_state`` commit meta,
+    same replay skip / missing-watermark refuse / GC'd-state refuse), so
+    the two folds compose over one maintained view.
+
+    Scale: the feed is batch-sized on the prefix path; one feed-sized
+    shuffle computes per-group insert bounds + removal bounds + the
+    signed count; the stored join touches only changed groups
+    (right-outer, AQE broadcasts the delta side). The rescan arm then
+    reads ONLY min/max-endangered groups from the maintained view — the
+    group list is pushed as an IN filter into the view scan when small
+    (``_pruned_by_keys``), so a view laid out CLUSTER BY the group column
+    reads only affected files; it is measured against full recompute in
+    tools/minmax_ab.py (SCALE.md r12). The base tables are never read.
+    """
+    from pgcp_spark.operators._decimal import dec
+    from pgcp_spark.sources.lake import (
+        pending_state,
+        snapshot_meta,
+        state_changes,
+    )
+
+    state = pending_state(view_dir)
+    applied = snapshot_meta(agg_dir).get("applied_view_state")
+    if applied == state:
+        return False  # at-least-once replay of an already-folded state
+    if applied is None:
+        raise RuntimeError(
+            f"{agg_dir}: the aggregate carries no applied_view_state "
+            "watermark (never stamped, or cleared by a metaless commit) — "
+            "refusing to fold; rebuild from the view (build_minmax_over + "
+            "a stamped write_snapshot) or stamp_applied_state if the "
+            "stored aggregate is KNOWN current."
+        )
+    try:
+        feed = state_changes(spark, view_dir, applied, state, key=view_key)
+    except FileNotFoundError as exc:
+        raise RuntimeError(
+            "the aggregate's applied view state is no longer readable "
+            "(a flatten/vacuum GC'd it); re-anchor with stamp_applied_state "
+            "after each flatten, or rebuild from the view. Refusing to "
+            "guess — a blind re-fold double-counts."
+        ) from exc
+    feed = materialize(feed)
+    if feed.isEmpty():
+        return False
+    post = F.col("_change_type").isin("insert", "update_postimage")
+    pre = F.col("_change_type").isin("delete", "update_preimage")
+    val = dec(value_col, "decimal(18,2)")
+    deltas = (
+        feed.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.min(F.when(post, val)).alias("ins_min"),
+            F.max(F.when(post, val)).alias("ins_max"),
+            F.min(F.when(pre, val)).alias("rm_min"),
+            F.max(F.when(pre, val)).alias("rm_max"),
+            F.sum(F.when(post, 1).otherwise(-1)).alias("d_cnt"),
+        )
+    )
+    stored = read_current(spark, agg_dir)
+    touched, rescan = minmax_rescan_groups(stored, deltas, group_col)
+    folded = touched.select(
+        group_col,
+        rescan.alias("_rescan"),
+        # least/greatest skip NULLs: a new group (stored NULL) takes the
+        # insert bound; an insert-free fold keeps the stored bound
+        F.least(F.col("min_dec"), F.col("ins_min")).alias("min_dec"),
+        F.greatest(F.col("max_dec"), F.col("ins_max")).alias("max_dec"),
+        (F.coalesce(F.col("order_cnt"), F.lit(0)) + F.col("d_cnt")).alias(
+            "order_cnt"
+        ),
+    )
+    folded = materialize(folded)  # consumed by the rescan probe + upsert
+    rescan_keys = folded.filter(F.col("_rescan")).select(group_col)
+    if rescan_keys.isEmpty():
+        out = folded.drop("_rescan")
+    else:
+        # the maintained view at exactly `state` (the single-maintenance-
+        # owner invariant): pruned to the endangered groups — pushed-IN
+        # reaches the parquet footers when the list is small, and the
+        # semi-join keeps correctness when _pruned_by_keys declines
+        view_now = _pruned_by_keys(
+            read_current_with_deltas(spark, view_dir, key=view_key),
+            group_col,
+            rescan_keys,
+        ).join(rescan_keys, on=group_col, how="left_semi")
+        rescanned = build_minmax_over(view_now, group_col, value_col).select(
+            group_col,
+            F.col("min_dec").alias("r_min"),
+            F.col("max_dec").alias("r_max"),
+        )
+        out = (
+            folded.join(rescanned, on=group_col, how="left")
+            .select(
+                group_col,
+                F.when(F.col("_rescan"), F.col("r_min"))
+                .otherwise(F.col("min_dec"))
+                .alias("min_dec"),
+                F.when(F.col("_rescan"), F.col("r_max"))
+                .otherwise(F.col("max_dec"))
+                .alias("max_dec"),
+                "order_cnt",
+            )
+        )
+    upsert(
+        spark,
+        agg_dir,
+        out,
+        key=[group_col],
+        meta={"applied_view_state": state},
+    )
+    return True
+
+
+_MINMAX_JOIN_VIEW_ORACLE = """
+WITH postfact AS (
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+    FROM orders
+    WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) * 2
+    FROM orders WHERE o_orderkey % 5 = 0
+),
+postdim AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment || '_R'
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+)
+SELECT d.c_mktsegment,
+       CAST(MIN(f.p) AS DOUBLE) AS min_total,
+       CAST(MAX(f.p) AS DOUBLE) AS max_total,
+       COUNT(*) AS order_cnt
+FROM postfact f JOIN postdim d ON f.o_custkey = d.c_custkey
+WHERE d.c_mktsegment IS NOT NULL
+GROUP BY d.c_mktsegment
+ORDER BY d.c_mktsegment
+"""
+
+
+@register(
+    "lake_incremental_minmax_join_view_orders",
+    oracle=_MINMAX_JOIN_VIEW_ORACLE,
+    doc=(
+        "cascade IVM for MIN/MAX — the non-signed dashboard half: a per-segment "
+        "min/max/count maintained OVER the maintained orders ⋈ customer view; "
+        "inserts fold via least/greatest, and a removal rescans ONLY the groups "
+        "where it tied the stored bound — through the maintained view with "
+        "pushed-IN pruning, never the base tables; exactly-once via the same "
+        "stamped view-state watermark as the signed fold; oracle recomputes "
+        "min/max from both post states, so a hash match proves fold+selective-"
+        "rescan == recompute"
+    ),
+)
+def lake_incremental_minmax_join_view_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end MIN/MAX cascade cycle on driver-checkable data: the
+    standard fact/dim/view scenario (base fact = orders %3≠0; dim segment
+    renamed for every 10th customer; fact CDC doubling every 5th key and
+    deleting every non-5th 7th), with a per-``c_mktsegment`` MIN/MAX
+    aggregate maintained purely from the cascade. The CDC exercises both
+    fold arms: the doubling's postimages RAISE maxima through the
+    least/greatest fold, while its preimages and the deletes remove
+    values that tie segment minima/maxima — those groups (and only
+    those) rescan through the view."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base_fact = orders.filter(F.col("o_orderkey") % 3 != 0)
+    fact_dir = tempfile.mkdtemp(prefix="pgcp_minmax_fact_")
+    dim_dir = tempfile.mkdtemp(prefix="pgcp_minmax_dim_")
+    view_dir = tempfile.mkdtemp(prefix="pgcp_minmax_view_")
+    agg_dir = tempfile.mkdtemp(prefix="pgcp_minmax_agg_")
+
+    def _cleanup() -> None:
+        for d in (fact_dir, dim_dir, view_dir, agg_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+    try:
+        fact_snap = write_snapshot(base_fact, fact_dir, keep=2)
+        dim_snap = write_snapshot(dim, dim_dir, keep=2)
+        view0 = base_fact.join(
+            dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+        ).select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+        from pgcp_spark.sources.lake import pending_state
+
+        write_snapshot(
+            build_minmax_over(view0, "c_mktsegment", "o_totalprice"),
+            agg_dir,
+            meta={"applied_view_state": pending_state(view_dir)},
+        )
+
+        dim_updates = dim.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "c_mktsegment", F.concat(F.col("c_mktsegment"), F.lit("_R"))
+        )
+        upsert(spark, dim_dir, dim_updates, key=["c_custkey"], keep=2)
+        ups = (
+            orders.filter(F.col("o_orderkey") % 5 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn("_op", F.lit("upsert"))
+        )
+        dels = orders.filter(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
+        ).withColumn("_op", F.lit("delete"))
+        merge_cdc(spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"], keep=2)
+
+        fold_join_view(
+            spark,
+            view_dir,
+            view_key=["o_orderkey"],
+            fact_feed=table_changes(spark, fact_dir, fact_snap, key=["o_orderkey"]),
+            dim_feed=table_changes(spark, dim_dir, dim_snap, key=["c_custkey"]),
+            dim_current=read_current(spark, dim_dir),
+            fact_join_col="o_custkey",
+            dim_join_col="c_custkey",
+        )
+        fold_minmax_join_view(
+            spark, agg_dir, view_dir, ["o_orderkey"], "c_mktsegment", "o_totalprice"
+        )
+        from pgcp_spark.sources.lake import flatten_deltas
+
+        flatten_deltas(
+            spark, view_dir, key=["o_orderkey"], cluster_by=["o_custkey"]
+        )
+        result = materialize(
+            read_minmax_agg(spark, agg_dir, "c_mktsegment").orderBy("c_mktsegment")
+        )
+    except BaseException:
+        _cleanup()
+        raise
+    reclaim_by_mode(fact_dir, dim_dir, view_dir, agg_dir)
+    return result
 
 
 _AGG_JOIN_VIEW_ORACLE = """

@@ -7,6 +7,7 @@ log clear (selective retire)."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 from concurrent.futures import ThreadPoolExecutor
@@ -312,3 +313,38 @@ def test_commit_times_skips_torn_trailing_line(spark, tmp_path):
     with open(os.path.join(d, "_COMMITS"), "a") as f:
         f.write("\nsnapshot_torn2\t12.3.4\n")  # unparsable float
     assert commit_times(d) == good
+
+
+def test_fenced_release_spares_anothers_lock(tmp_path):
+    """Round-12 fencing (ADVICE r11): a holder whose lock was displaced
+    (the stale-break residual race) must NOT unlink a newer writer's
+    lock on release — release verifies the holder token first."""
+    import os
+
+    from pgcp_spark.sources.lake import COMMIT_LOCK, _commit_lock
+
+    d = str(tmp_path / "t")
+    lock = os.path.join(d, COMMIT_LOCK)
+    with _commit_lock(d):
+        # simulate the displacement: a breaker removed our lock and a new
+        # writer acquired with a different token
+        os.unlink(lock)
+        open(lock, "w").write("othertoken 123.0")
+    # fenced release left the other writer's lock standing
+    assert open(lock).read().startswith("othertoken")
+    os.unlink(lock)
+    # normal path: our own token → released
+    with _commit_lock(d):
+        assert open(lock).read().split(" ", 1)[0]
+    assert not os.path.exists(lock)
+
+
+def test_pending_state_on_empty_table_raises(tmp_path):
+    """ADVICE r11: pending_state on a never-committed table must fail at
+    the cause, not mint a 'None|' id a fold could stamp as a watermark."""
+    from pgcp_spark.sources.lake import pending_state
+
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+        pending_state(d)

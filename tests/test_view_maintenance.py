@@ -242,6 +242,7 @@ def cascade_lake(spark, request):
     aggregate built over the view's initial state and ONE join fold run,
     so the view carries the full pending feed (every CDC shape at once)
     when the cascade tests start."""
+    from pgcp_spark.sources.lake import pending_state
     from pgcp_spark.sources.lake import read_current as rc
     from pgcp_spark.sources.view_maintenance import build_agg_over
 
@@ -250,6 +251,7 @@ def cascade_lake(spark, request):
     write_snapshot(
         build_agg_over(rc(spark, lk["view_dir"]), "c_mktsegment", "o_totalprice"),
         agg_dir,
+        meta={"applied_view_state": pending_state(lk["view_dir"])},
     )
     _fold(spark, lk)  # land the view's MOR deltas — the cascade's feed
     yield {**lk, "agg_dir": agg_dir}
@@ -384,3 +386,64 @@ def test_snapshot_meta_commits_atomically_with_data(spark):
         assert s2 != s1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cascade_missing_watermark_refuses(spark):
+    """ADVICE r11: an aggregate with NO applied_view_state watermark must
+    REFUSE to fold — the round-11 'legacy bootstrap' folded the full
+    pending feed, which silently double-counts whenever the watermark was
+    CLEARED by a metaless commit (compaction / manual write_snapshot)
+    rather than never written. Both arrivals at the metaless state raise."""
+    from pgcp_spark.sources.lake import (
+        append_delta,
+        pending_state,
+        read_current,
+        write_snapshot as ws,
+    )
+    from pgcp_spark.sources.view_maintenance import (
+        build_agg_over,
+        fold_agg_join_view,
+    )
+
+    view_dir = tempfile.mkdtemp(prefix="ivm_wm_view_")
+    agg_dir = tempfile.mkdtemp(prefix="ivm_wm_agg_")
+    try:
+        view0 = spark.createDataFrame(
+            [(1, 10, 5.0, "a"), (2, 20, 7.0, "b")],
+            ["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"],
+        )
+        ws(view0, view_dir)
+        # (1) never stamped at build
+        ws(build_agg_over(view0, "c_mktsegment", "o_totalprice"), agg_dir)
+        append_delta(
+            spark.createDataFrame(
+                [(3, 10, 9.0, "a")], view0.columns
+            ),
+            view_dir,
+        )
+        with pytest.raises(RuntimeError, match="applied_view_state"):
+            fold_agg_join_view(
+                spark, agg_dir, view_dir, ["o_orderkey"], "c_mktsegment",
+                "o_totalprice",
+            )
+        # (2) stamped, folded once, then a metaless commit CLEARS the
+        # watermark (the silent-corruption shape) — must refuse, not
+        # double-count
+        ws(
+            build_agg_over(view0, "c_mktsegment", "o_totalprice"),
+            agg_dir,
+            meta={"applied_view_state": f"{pending_state(view_dir).split('|')[0]}|"},
+        )
+        assert fold_agg_join_view(
+            spark, agg_dir, view_dir, ["o_orderkey"], "c_mktsegment",
+            "o_totalprice",
+        )
+        ws(read_current(spark, agg_dir), agg_dir)  # meta dropped — cleared
+        with pytest.raises(RuntimeError, match="applied_view_state"):
+            fold_agg_join_view(
+                spark, agg_dir, view_dir, ["o_orderkey"], "c_mktsegment",
+                "o_totalprice",
+            )
+    finally:
+        shutil.rmtree(view_dir, ignore_errors=True)
+        shutil.rmtree(agg_dir, ignore_errors=True)
