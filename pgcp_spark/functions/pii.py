@@ -11,11 +11,30 @@ pipeline and the driver hash proves redaction parity byte for byte.
 
 Counting convention: per-type counts are measured on the RAW text
 (``size(split(text, pat)) - 1`` — both engines keep trailing empty
-fields), independent of replacement order; the redacted text applies the
-rules IN ORDER (email → SSN → phone → IPv4), which is load-bearing —
-the IPv4 pattern would otherwise match inside a dotted phone number.
-NULL text stays NULL through both the redaction and the counts (ANSI),
-and zero-match text round-trips unchanged.
+fields), independent of replacement order. Because some patterns
+genuinely overlap (a separated E.164 number CONTAINS a bare 3-3-4 phone
+match), raw counts are per-pattern hit counts, not a disjoint
+attribution — a "+1 555 123 4567" raw hit counts once under e164 and
+once under phone, identically on both engines.
+
+The redacted text applies the rules IN ORDER, and for one pair the
+order is genuinely load-bearing: ``phone_e164`` must run BEFORE the
+bare ``phone`` rule, because the bare rule matches the 3-3-4 tail
+inside a separated E.164 number and would leave "+1 <PHONE>" behind
+(pinned in tests/test_pii.py). The remaining rules are mutually
+non-overlapping — in particular the IPv4 pattern can never match inside
+a dotted phone (an IPv4 needs three dots and 1-3-digit octets; a dotted
+phone has two separators and a 4-digit tail), so their relative order is
+free. NULL text stays NULL through both the redaction and the counts
+(ANSI), and zero-match text round-trips unchanged.
+
+Recall tiers (round 12 broadened the round-11 precision-first set): the
+added paren / space-separated / E.164 phone shapes and the
+``user at example dot com`` obfuscated-email tier trade some precision
+for recall — word salad can legitimately contain " at X dot yz" — the
+standard corpus-scrub trade (a false positive deletes a little training
+signal; a false negative leaks PII). All patterns stay inside the
+Java∩RE2 replayable subset.
 
 Scale: row-local string work — embarrassingly parallel, no shuffle, no
 UDF. Public-method anchor: the C4/Gopher-style cleanup passes describe
@@ -36,13 +55,27 @@ from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table
 
 # (name, pattern, placeholder) — pattern syntax restricted to the
-# Java-regex ∩ RE2 regular subset; ORDER MATTERS for redaction (module
-# docstring). Patterns favor precision over recall (the usual PII-scrub
-# trade: a false positive deletes training signal silently).
+# Java-regex ∩ RE2 regular subset. ORDER: phone_e164 before phone is
+# load-bearing (module docstring); the rest are non-overlapping.
 PII_RULES: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # obfuscated tier: "user at example dot com" (one literal-word hop
+    # per separator; recall over precision — docstring)
+    (
+        "email_obf",
+        r"[A-Za-z0-9._%+-]+ at [A-Za-z0-9-]+ dot [A-Za-z]{2,}\b",
+        "<EMAIL>",
+    ),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    # E.164, separated ("+1 555 123 4567", "+44-555-123-4567") — MUST
+    # precede the bare phone rule, whose 3-3-4 shape matches its tail
+    ("phone_e164", r"\+\d{1,3}[ -]\d{3}[ -]\d{3}[ -]\d{4}\b", "<PHONE>"),
+    # E.164, compact ("+15551234567"); no \b before + — + is non-word
+    ("phone_e164c", r"\+\d{7,15}\b", "<PHONE>"),
+    # US paren shape "(555) 123-4567"
+    ("phone_paren", r"\(\d{3}\) ?\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    # bare 3-3-4 with -, ., or space separators
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
     ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
 ]
 
@@ -57,7 +90,8 @@ def redact_text(col: Column | str) -> Column:
 
 def pii_counts(col: Column | str) -> list[Column]:
     """Raw per-type hit counts (aliased ``n_<type>``), measured on the
-    un-redacted text so they are replacement-order-independent."""
+    un-redacted text so they are replacement-order-independent (and
+    therefore per-pattern, not disjoint — module docstring)."""
     src = F.col(col) if isinstance(col, str) else col
     return [
         (F.size(F.split(src, pat)) - 1).cast("long").alias(f"n_{name}")
@@ -80,11 +114,11 @@ def _sql_counts(expr: str) -> str:
 
 
 # The synthetic corpus is PII-free word salad, so the registered query
-# INJECTS deterministic PII first (every 7th doc an email derived from
-# its id, every 11th an IP, every 13th an SSN shape, every 17th a dotted
-# phone), mirrored verbatim in the oracle — the hash then proves real
-# redactions, not a no-op pass. The injection is demo harness; the
-# operators above are the product and take any text column.
+# INJECTS deterministic PII first — one shape per small prime slice of
+# doc_id, mirrored verbatim in the oracle — the hash then proves real
+# redactions of EVERY rule (injected hits > 0 per type at sf0.01), not a
+# no-op pass. The injection is demo harness; the operators above are the
+# product and take any text column.
 _INJECT_SQL = (
     "text"
     " || CASE WHEN doc_id % 7 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)"
@@ -93,33 +127,39 @@ _INJECT_SQL = (
     " || '.0.1 inbound' ELSE '' END"
     " || CASE WHEN doc_id % 13 = 0 THEN ' id 123-45-6789' ELSE '' END"
     " || CASE WHEN doc_id % 17 = 0 THEN ' call 555.123.4567' ELSE '' END"
+    " || CASE WHEN doc_id % 19 = 0 THEN ' desk (555) 123-4567 ok' ELSE '' END"
+    " || CASE WHEN doc_id % 23 = 0 THEN ' intl +1 555 123 4567 line' ELSE '' END"
+    " || CASE WHEN doc_id % 29 = 0 THEN ' cell +447911123456 end' ELSE '' END"
+    " || CASE WHEN doc_id % 31 = 0 THEN ' mail bob"
+    " at example dot com soon' ELSE '' END"
 )
 
 
 def _injected(d: DataFrame) -> DataFrame:
     did = F.col("doc_id").cast("string")
+
+    def when_mod(m: int, *parts) -> Column:
+        return F.when(F.col("doc_id") % m == 0, F.concat(*parts)).otherwise(
+            F.lit("")
+        )
+
     return d.select(
         "doc_id",
         F.concat(
             F.col("text"),
-            F.when(
-                F.col("doc_id") % 7 == 0,
-                F.concat(F.lit(" reach user"), did, F.lit("@example.com now")),
-            ).otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 11 == 0,
-                F.concat(
-                    F.lit(" from 10."),
-                    (F.col("doc_id") % 200).cast("string"),
-                    F.lit(".0.1 inbound"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(F.col("doc_id") % 13 == 0, F.lit(" id 123-45-6789")).otherwise(
-                F.lit("")
+            when_mod(7, F.lit(" reach user"), did, F.lit("@example.com now")),
+            when_mod(
+                11,
+                F.lit(" from 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0.1 inbound"),
             ),
-            F.when(F.col("doc_id") % 17 == 0, F.lit(" call 555.123.4567")).otherwise(
-                F.lit("")
-            ),
+            when_mod(13, F.lit(" id 123-45-6789")),
+            when_mod(17, F.lit(" call 555.123.4567")),
+            when_mod(19, F.lit(" desk (555) 123-4567 ok")),
+            when_mod(23, F.lit(" intl +1 555 123 4567 line")),
+            when_mod(29, F.lit(" cell +447911123456 end")),
+            when_mod(31, F.lit(" mail bob at example dot com soon")),
         ).alias("t"),
     )
 
@@ -139,9 +179,9 @@ ORDER BY doc_id
 )
 def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed PII scrub over the documents corpus (deterministic injected
-    PII — see module comment), returning the redacted text plus the
-    per-type compliance counts; hash-checked against DuckDB replaying
-    the identical regex pipeline."""
+    PII covering every rule — see module comment), returning the
+    redacted text plus the per-type compliance counts; hash-checked
+    against DuckDB replaying the identical regex pipeline."""
     d = _injected(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",

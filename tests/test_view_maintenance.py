@@ -447,3 +447,185 @@ def test_cascade_missing_watermark_refuses(spark):
     finally:
         shutil.rmtree(view_dir, ignore_errors=True)
         shutil.rmtree(agg_dir, ignore_errors=True)
+
+
+# --- MIN/MAX cascade fold (round 12) ---------------------------------------
+
+
+def _mm_lake(spark, rows, agg_from=None):
+    """A tiny view lake + stamped min/max aggregate over it. ``rows`` are
+    (o_orderkey, o_custkey, o_totalprice, c_mktsegment)."""
+    from pgcp_spark.sources.lake import pending_state
+    from pgcp_spark.sources.view_maintenance import build_minmax_over
+
+    view_dir = tempfile.mkdtemp(prefix="mm_view_")
+    agg_dir = tempfile.mkdtemp(prefix="mm_agg_")
+    view0 = spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"]
+    )
+    write_snapshot(view0, view_dir, cluster_by=["c_mktsegment"])
+    write_snapshot(
+        build_minmax_over(agg_from if agg_from is not None else view0,
+                          "c_mktsegment", "o_totalprice"),
+        agg_dir,
+        meta={"applied_view_state": pending_state(view_dir)},
+    )
+    return view_dir, agg_dir
+
+
+def _mm_fold(spark, agg_dir, view_dir):
+    from pgcp_spark.sources.view_maintenance import fold_minmax_join_view
+
+    return fold_minmax_join_view(
+        spark, agg_dir, view_dir, ["o_orderkey"], "c_mktsegment", "o_totalprice"
+    )
+
+
+def _mm_serve(spark, agg_dir):
+    from pgcp_spark.sources.view_maintenance import read_minmax_agg
+
+    return _rows(read_minmax_agg(spark, agg_dir, "c_mktsegment"))
+
+
+def _mm_recompute(spark, view_dir):
+    from pgcp_spark.sources.view_maintenance import build_minmax_over
+
+    v = read_current_with_deltas(spark, view_dir, key=["o_orderkey"])
+    return _rows(
+        build_minmax_over(v, "c_mktsegment", "o_totalprice").select(
+            "c_mktsegment",
+            F.col("min_dec").cast("double"),
+            F.col("max_dec").cast("double"),
+            "order_cnt",
+        )
+    )
+
+
+def test_minmax_delete_raises_group_minimum(spark):
+    """THE case the signed fold cannot serve: deleting the row holding a
+    group's minimum must RAISE the served minimum — via the selective
+    rescan, with fold==recompute."""
+    from pgcp_spark.sources.lake import delete_delta
+
+    view_dir, agg_dir = _mm_lake(
+        spark,
+        [(1, 10, 5.0, "a"), (2, 11, 10.0, "a"), (3, 12, 40.0, "a"),
+         (4, 20, 7.0, "b"), (5, 21, 9.0, "b")],
+    )
+    try:
+        # delete o1 — the holder of group a's minimum 5.0
+        delete_delta(
+            spark.createDataFrame([(1,)], ["o_orderkey"]), view_dir,
+            key=["o_orderkey"],
+        )
+        assert _mm_fold(spark, agg_dir, view_dir) is True
+        got = _mm_serve(spark, agg_dir)
+        assert got == [("a", 10.0, 40.0, 2), ("b", 7.0, 9.0, 2)]
+        assert got == _mm_recompute(spark, view_dir)
+    finally:
+        shutil.rmtree(view_dir, ignore_errors=True)
+        shutil.rmtree(agg_dir, ignore_errors=True)
+
+
+def test_minmax_rescan_scoped_to_endangered_groups(spark):
+    """The rescan-decision helper: a removal strictly INSIDE a group's
+    (min, max) folds without rescan; only bound-tying removals (or
+    removals against a group the store can't vouch for) flag."""
+    from pgcp_spark.sources.view_maintenance import minmax_rescan_groups
+
+    stored = spark.createDataFrame(
+        [("a", 5.0, 40.0, 3), ("b", 7.0, 9.0, 2), ("c", 1.0, 2.0, 2)],
+        ["c_mktsegment", "min_dec", "max_dec", "order_cnt"],
+    ).select(
+        "c_mktsegment",
+        F.col("min_dec").cast("decimal(18,2)").alias("min_dec"),
+        F.col("max_dec").cast("decimal(18,2)").alias("max_dec"),
+        "order_cnt",
+    )
+    deltas = spark.createDataFrame(
+        [
+            # a: removal 10.0 strictly inside (5, 40) + an insert → fold
+            ("a", 3.0, 3.0, 10.0, 10.0, 0),
+            # b: removal ties the max 9.0 → rescan
+            ("b", None, None, 9.0, 9.0, -1),
+            # d: new group, insert only → fold
+            ("d", 1.0, 2.0, None, None, 2),
+        ],
+        ["c_mktsegment", "ins_min", "ins_max", "rm_min", "rm_max", "d_cnt"],
+    ).select(
+        "c_mktsegment",
+        *[F.col(c).cast("decimal(18,2)").alias(c)
+          for c in ("ins_min", "ins_max", "rm_min", "rm_max")],
+        "d_cnt",
+    )
+    touched, flag = minmax_rescan_groups(stored, deltas, "c_mktsegment")
+    flags = {
+        r[0]: r[1]
+        for r in touched.select("c_mktsegment", flag.alias("f")).collect()
+    }
+    assert flags == {"a": False, "b": True, "d": False}
+
+
+def test_minmax_insert_only_folds_and_matches(spark):
+    """Inserts (a new global max, a new group) fold via least/greatest;
+    fold == recompute with no rescan possible (no removals)."""
+    from pgcp_spark.sources.lake import append_delta
+
+    view_dir, agg_dir = _mm_lake(
+        spark, [(1, 10, 5.0, "a"), (2, 11, 10.0, "a")]
+    )
+    try:
+        append_delta(
+            spark.createDataFrame(
+                [(3, 12, 50.0, "a"), (4, 13, 2.0, "a"), (5, 20, 7.0, "z")],
+                ["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"],
+            ),
+            view_dir,
+        )
+        assert _mm_fold(spark, agg_dir, view_dir) is True
+        got = _mm_serve(spark, agg_dir)
+        assert got == [("a", 2.0, 50.0, 4), ("z", 7.0, 7.0, 1)]
+        assert got == _mm_recompute(spark, view_dir)
+    finally:
+        shutil.rmtree(view_dir, ignore_errors=True)
+        shutil.rmtree(agg_dir, ignore_errors=True)
+
+
+def test_minmax_replay_and_group_to_zero_and_nulls(spark):
+    """One fold covering the remaining contracts: an update moves the
+    bound, a whole group folds to zero rows (drops from serving), NULL
+    values never move bounds; an at-least-once replay of the same state
+    is skipped bit-exactly."""
+    from pgcp_spark.sources.lake import delete_delta, merge_cdc_delta, read_current
+
+    view_dir, agg_dir = _mm_lake(
+        spark,
+        [(1, 10, 5.0, "a"), (2, 11, 10.0, "a"),
+         (3, 20, 7.0, "gone"), (4, 30, None, "n"), (5, 31, 3.0, "n")],
+    )
+    try:
+        batch = spark.createDataFrame(
+            [(2, 11, 100.0, "a", "upsert"),      # raises a's max via update
+             (3, 20, None, None, "delete"),       # group 'gone' → zero rows
+             (6, 32, None, "n", "upsert")],       # NULL value: bounds hold
+            ["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment", "_op"],
+        )
+        merge_cdc_delta(spark, view_dir, batch, key=["o_orderkey"])
+        assert _mm_fold(spark, agg_dir, view_dir) is True
+        got = _mm_serve(spark, agg_dir)
+        assert got == [("a", 5.0, 100.0, 2), ("n", 3.0, 3.0, 3)]
+        assert got == _mm_recompute(spark, view_dir)
+        before = _rows(read_current(spark, agg_dir))
+        assert _mm_fold(spark, agg_dir, view_dir) is False  # replay skip
+        assert _rows(read_current(spark, agg_dir)) == before
+        # and the missing-watermark refuse holds for this fold too
+        write_snapshot(read_current(spark, agg_dir), agg_dir)
+        delete_delta(
+            spark.createDataFrame([(5,)], ["o_orderkey"]), view_dir,
+            key=["o_orderkey"],
+        )
+        with pytest.raises(RuntimeError, match="applied_view_state"):
+            _mm_fold(spark, agg_dir, view_dir)
+    finally:
+        shutil.rmtree(view_dir, ignore_errors=True)
+        shutil.rmtree(agg_dir, ignore_errors=True)
