@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -58,6 +59,12 @@ from pgcp_spark.sources.lake import (
 )
 
 MANIFEST = "_MANIFEST"
+MANIFEST_LOG = "_MANIFEST_LOG"  # round 12: every committed manifest,
+# appended "<epoch>\t<json>" under the group lock — time travel for
+# TRANSACTIONS (read_group_as_of), the group-level twin of _COMMITS.
+# Torn-line-safe exactly like commit_times: a crash mid-append leaves an
+# unparsable tail the parser skips; the _MANIFEST pointer stays
+# authoritative for the CURRENT state.
 TXN = "_txn"  # monotonic commit counter inside the manifest: makes every
 # group commit observable to the CAS even when the published table states
 # are bytewise identical to the previous ones
@@ -137,7 +144,55 @@ def commit_group(
         new.update(tables)
         new[TXN] = int(new.get(TXN, 0)) + 1
         _atomic_write(_manifest_path(group_dir), json.dumps(new, sort_keys=True))
+        # history sidecar: appended under the same lock, so log order ==
+        # commit order == timestamp order (the _COMMITS discipline)
+        with open(os.path.join(group_dir, MANIFEST_LOG), "a") as lf:
+            lf.write(f"{time.time():.6f}\t{json.dumps(new, sort_keys=True)}\n")
         return new
+
+
+def manifest_history(group_dir: str) -> list[tuple[float, dict]]:
+    """(commit epoch, manifest) pairs in commit order — every group
+    commit ever made. Torn trailing lines (crash mid-append) are skipped;
+    the current ``_MANIFEST`` pointer stays authoritative, so a group
+    whose log predates the history feature still serves current reads."""
+    path = os.path.join(group_dir, MANIFEST_LOG)
+    if not os.path.exists(path):
+        return []
+    out = []
+    for line in open(path).read().splitlines():
+        if not line.strip():
+            continue
+        try:
+            ts, payload = line.split("\t", 1)
+            out.append((float(ts), json.loads(payload)))
+        except ValueError:
+            continue
+    return out
+
+
+def read_group_as_of(
+    spark: SparkSession,
+    group_dir: str,
+    keys: dict[str, list[str]],
+    as_of: float,
+) -> dict[str, DataFrame]:
+    """Time travel for TRANSACTIONS: serve every requested member pinned
+    to the newest manifest committed at or before ``as_of`` (unix epoch
+    seconds) — the group-level ``read_as_of``. All-or-nothing exactly
+    like ``read_group``: one historical manifest resolution, so the
+    returned members are mutually consistent AS OF that commit. Raises
+    if no group commit predates ``as_of``, or (from the snapshot reads)
+    if the governing pins were vacuumed past ``vacuum_group``'s
+    ``history_keep`` window — the retention contract."""
+    hist = manifest_history(group_dir)
+    eligible = [(t, m) for t, m in hist if t <= as_of]
+    if not eligible:
+        raise FileNotFoundError(
+            f"{group_dir}: no group commit at or before {as_of} "
+            f"(earliest: {hist[0][0] if hist else 'none'})"
+        )
+    return read_group(spark, group_dir, keys, state=eligible[-1][1])
 
 
 def read_group(
@@ -311,22 +366,41 @@ def occ_commit_group(
 
 
 def vacuum_group(
-    group_dir: str, keep: int = 1, orphan_min_age_s: float = 3600.0
+    group_dir: str,
+    keep: int = 1,
+    orphan_min_age_s: float = 3600.0,
+    history_keep: int = 1,
 ) -> dict[str, list[str]]:
     """Vacuum every member table while PROTECTING the states the
     committed manifest pins — the retention companion the group contract
     needs: per-table vacuum/GC knows nothing about the manifest, and a
     group reader may lag the per-table pointer by design, so reclaiming
     history through this entry point (instead of per-table ``vacuum``)
-    is what keeps ``read_group`` safe past the keep window. Returns
-    {member: removed names}."""
+    is what keeps ``read_group`` safe past the keep window.
+
+    ``history_keep`` (round 12) extends the protection to the pins of
+    the newest N LOGGED manifests, so ``read_group_as_of`` stays
+    servable over the retained transaction window (the current manifest
+    is always protected — it is the log's newest entry by construction,
+    and is protected directly as well for groups whose log predates the
+    history feature). Returns {member: removed names}."""
     from pgcp_spark.sources.lake import vacuum
 
-    st = group_state(group_dir)
+    protect_by_member: dict[str, set[str]] = {}
+
+    def _pin(manifest: dict) -> None:
+        for name, pin in manifest.items():
+            if name.startswith("_"):
+                continue
+            protect_by_member.setdefault(name, set()).update(
+                {pin["snapshot"], *pin["deltas"]}
+            )
+
+    _pin(group_state(group_dir))
+    for _, manifest in manifest_history(group_dir)[-max(1, history_keep):]:
+        _pin(manifest)
     out: dict[str, list[str]] = {}
-    for name, pin in st.items():
-        if name.startswith("_"):
-            continue
+    for name, protect in protect_by_member.items():
         tdir = os.path.join(group_dir, name)
         if not os.path.isdir(tdir):
             continue  # a logical member (tests register bare states)
@@ -334,6 +408,6 @@ def vacuum_group(
             tdir,
             keep=keep,
             orphan_min_age_s=orphan_min_age_s,
-            protect={pin["snapshot"], *pin["deltas"]},
+            protect=protect,
         )
     return out

@@ -350,21 +350,24 @@ def build_agg_over(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
 
 
-def read_agg(spark: SparkSession, agg_dir: str, group_col: str) -> DataFrame:
-    """Serve the stored aggregate: groups folded down to zero rows drop
-    out; a group whose every value is NULL serves a NULL sum (ANSI
-    sum-over-nothing, carried through the fold by priced_cnt)."""
-    return (
-        read_current(spark, agg_dir)
-        .filter(F.col("order_cnt") > 0)
-        .select(
-            group_col,
-            F.when(F.col("priced_cnt") > 0, F.col("sum_dec").cast("double")).alias(
-                f"sum_{group_col.split('_', 1)[-1]}_total"
-            ),
-            "order_cnt",
-        )
+def serve_agg(stored: DataFrame, group_col: str) -> DataFrame:
+    """The serving projection over any stored-aggregate frame: groups
+    folded down to zero rows drop out; a group whose every value is NULL
+    serves a NULL sum (ANSI sum-over-nothing, carried through the fold
+    by priced_cnt). Factored from ``read_agg`` so manifest-pinned group
+    reads (``txn.read_group``) serve the identical shape."""
+    return stored.filter(F.col("order_cnt") > 0).select(
+        group_col,
+        F.when(F.col("priced_cnt") > 0, F.col("sum_dec").cast("double")).alias(
+            f"sum_{group_col.split('_', 1)[-1]}_total"
+        ),
+        "order_cnt",
     )
+
+
+def read_agg(spark: SparkSession, agg_dir: str, group_col: str) -> DataFrame:
+    """Serve the stored aggregate from its lake table (``serve_agg``)."""
+    return serve_agg(read_current(spark, agg_dir), group_col)
 
 
 def fold_agg_join_view(

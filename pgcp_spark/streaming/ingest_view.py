@@ -388,13 +388,177 @@ def streaming_agg_join_view_maintenance(
     return result
 
 
+# --- streaming cascade THROUGH the group commit (round 12) -----------------
+# The r11 loop above lands per-micro-batch commits per table: a reader
+# between the fact's delta commit and the agg's fold commit sees
+# fact-advanced/agg-stale — exactly the torn window ``sources/txn.py``
+# retires for batch transactions. This variant makes each complete CDC
+# batch ONE group transaction: the per-table writes land first (invisible
+# to manifest-resolved readers), then one ``occ_commit_group`` publishes
+# the {fact, view, agg} post states atomically — a ``read_group`` reader
+# racing the stream observes only batch-consistent trios (pinned in
+# tests/test_ingest_view.py), and the served result is the manifest's.
+
+
+def fold_agg_view_batch_txn(
+    spark: SparkSession,
+    micro_batch: DataFrame,
+    gdir: str,
+    dim: DataFrame,
+) -> None:
+    """``fold_agg_view_batch`` with the trio commit routed through the
+    group manifest, one transaction per complete CDC batch. The stream
+    is the group's single writer, so ``occ_commit_group``'s compute just
+    captures the three live post states; the CAS still guards against an
+    operator accidentally racing a second owner (detect, never lose)."""
+    import os
+
+    from pgcp_spark.sources.txn import occ_commit_group, table_state
+    from pgcp_spark.sources.view_maintenance import (
+        fold_agg_join_view,
+        stamp_applied_state,
+    )
+
+    fact_dir = os.path.join(gdir, "fact")
+    view_dir = os.path.join(gdir, "view")
+    agg_dir = os.path.join(gdir, "agg")
+    micro_batch = materialize(micro_batch)
+    seqs = sorted(r[0] for r in micro_batch.select("seq").distinct().collect())
+    for s in seqs:
+        b = micro_batch.filter(F.col("seq") == s).drop("seq")
+        merge_cdc_delta(spark, fact_dir, b, key=["o_orderkey"])
+        feed = b.withColumn(
+            "_change_type",
+            F.when(F.col("_op") == "delete", F.lit("delete")).otherwise(
+                F.lit("update_postimage")
+            ),
+        ).drop("_op")
+        fold_join_view(
+            spark,
+            view_dir,
+            view_key=["o_orderkey"],
+            fact_feed=feed,
+            dim_feed=None,
+            dim_current=dim,
+            fact_join_col="o_custkey",
+            dim_join_col="c_custkey",
+        )
+        fold_agg_join_view(
+            spark, agg_dir, view_dir, ["o_orderkey"], "c_mktsegment",
+            "o_totalprice",
+        )
+        if loop.maybe_flatten(spark, view_dir, key=["o_orderkey"]) is not None:
+            stamp_applied_state(spark, agg_dir, view_dir)
+        occ_commit_group(
+            gdir,
+            lambda _state: {
+                n: table_state(gdir, n) for n in ("fact", "view", "agg")
+            },
+        )
+
+
+def run_ingest_agg_view_txn(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
+) -> str:
+    """Build the {fact, view, agg} group (initial states group-committed),
+    stream the CDC batches through the transactional cascade fold, and
+    return the group dir (caller owns it)."""
+    import os
+
+    from pgcp_spark.sources.lake import pending_state
+    from pgcp_spark.sources.txn import commit_group, table_state
+    from pgcp_spark.sources.view_maintenance import build_agg_over
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    gdir = tempfile.mkdtemp(prefix="pgcp_ingest_txn_casc_")
+    staging = None
+    try:
+        write_snapshot(base, os.path.join(gdir, "fact"), keep=2)
+        view0 = base.join(
+            dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+        ).select(*VIEW_COLS)
+        write_snapshot(
+            view0, os.path.join(gdir, "view"), cluster_by=["o_custkey"], keep=2
+        )
+        write_snapshot(
+            build_agg_over(view0, "c_mktsegment", "o_totalprice"),
+            os.path.join(gdir, "agg"),
+            keep=2,
+            meta={"applied_view_state": pending_state(os.path.join(gdir, "view"))},
+        )
+        commit_group(
+            gdir, {n: table_state(gdir, n) for n in ("fact", "view", "agg")}
+        )
+        batches = _cdc_batches(orders)
+        staging = loop.stage_group_files(
+            batches, F.col("seq"), range(3), "pgcp_ingest_txn_casc_stream_"
+        )
+        loop.run_availablenow_stream(
+            spark,
+            staging,
+            batches.schema,
+            lambda mb, _bid: fold_agg_view_batch_txn(spark, mb, gdir, dim),
+            max_files_per_trigger,
+        )
+    except BaseException:
+        shutil.rmtree(gdir, ignore_errors=True)
+        raise
+    finally:
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
+    return gdir
+
+
+@register(
+    "streaming_cascade_group_commit",
+    oracle=_STREAM_AGG_VIEW_ORACLE,
+    doc=(
+        "streaming cascade IVM through the cross-table atomic commit: each CDC "
+        "batch lands fact delta + view fold + aggregate fold, then publishes "
+        "the trio as ONE group-manifest transaction — a read_group reader "
+        "racing the stream sees only batch-consistent states (pinned in "
+        "tests), and the served aggregate is the final manifest's; same "
+        "oracle as the per-table streaming cascade, so a hash match proves "
+        "the atomic routing changes nothing about the result"
+    ),
+)
+def streaming_cascade_group_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming cascade with every batch published atomically: the
+    same three sequential CDC batches as the per-table loop, but served
+    through the manifest-pinned group read — the end state must be
+    hash-identical to the non-transactional stream's."""
+    from pgcp_spark.sources.txn import read_group
+    from pgcp_spark.sources.view_maintenance import serve_agg
+
+    gdir = run_ingest_agg_view_txn(spark, sf_dir)
+    try:
+        pinned = read_group(spark, gdir, {"agg": ["c_mktsegment"]})
+        result = materialize(
+            serve_agg(pinned["agg"], "c_mktsegment").orderBy("c_mktsegment")
+        )
+    except BaseException:
+        shutil.rmtree(gdir, ignore_errors=True)
+        raise
+    loop.reclaim_by_mode(gdir)
+    return result
+
+
 # read_current is imported for tests (post-stream fact state assertions)
 __all__ = [
     "fold_view_batch",
     "fold_agg_view_batch",
+    "fold_agg_view_batch_txn",
     "run_ingest_view",
     "run_ingest_agg_view",
+    "run_ingest_agg_view_txn",
     "streaming_join_view_maintenance",
     "streaming_agg_join_view_maintenance",
+    "streaming_cascade_group_commit",
     "read_current",
 ]

@@ -141,3 +141,101 @@ def test_cascade_replay_converges_and_matches_recompute(spark):
     finally:
         for d in (fact_dir, view_dir, agg_dir):
             shutil.rmtree(d, ignore_errors=True)
+
+
+# --- streaming cascade through the group commit (round 12) ------------------
+
+
+def test_txn_stream_reader_sees_only_batch_consistent_trios(spark):
+    """THE pin for the transactional streaming cascade: a read_group
+    reader racing the stream resolves the manifest once per observation
+    and must find view == fact ⋈ dim AND agg == groupBy(view) EVERY
+    time — the per-table loop's fact-advanced/agg-stale window is
+    structurally gone. End state must equal the per-table cascade's
+    (the registered query shares its oracle; here we pin the recompute)."""
+    import threading
+
+    from pgcp_spark.sources import load_table
+    from pgcp_spark.sources.txn import read_group
+    from pgcp_spark.sources.view_maintenance import build_agg_over, serve_agg
+    from pgcp_spark.streaming.ingest_view import run_ingest_agg_view_txn
+
+    dim = load_table(spark, SF, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    keys = {"fact": ["o_orderkey"], "view": ["o_orderkey"], "agg": ["c_mktsegment"]}
+    torn: list[str] = []
+    stop = threading.Event()
+    gdir_holder: list[str] = []
+    started = threading.Event()
+
+    def reader():
+        started.wait(timeout=30)
+        while not stop.is_set():
+            if not gdir_holder:
+                continue
+            dfs = read_group(spark, gdir_holder[0], keys)
+            want_view = sorted(
+                tuple(r)
+                for r in dfs["fact"]
+                .join(dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey")
+                .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+                .collect()
+            )
+            got_view = sorted(tuple(r) for r in dfs["view"].collect())
+            if got_view != want_view:
+                torn.append("view != fact join dim under the manifest")
+                return
+            want_agg = sorted(
+                tuple(r)
+                for r in build_agg_over(dfs["view"], "c_mktsegment", "o_totalprice")
+                .filter(F.col("order_cnt") > 0)
+                .collect()
+            )
+            got_agg = sorted(
+                tuple(r) for r in dfs["agg"].filter(F.col("order_cnt") > 0).collect()
+            )
+            if got_agg != want_agg:
+                torn.append("agg != groupBy(view) under the manifest")
+                return
+
+    # patch the builder to expose gdir to the reader as soon as the
+    # initial group commit lands: run_ingest_agg_view_txn builds then
+    # streams, so we start the reader right away and let it spin on the
+    # manifest as the transactions land
+    import pgcp_spark.streaming.ingest_view as iv
+
+    orig = iv.fold_agg_view_batch_txn
+
+    def hooked(spark_, mb, gdir, dim_):
+        if not gdir_holder:
+            gdir_holder.append(gdir)
+            started.set()
+        return orig(spark_, mb, gdir, dim_)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    iv.fold_agg_view_batch_txn = hooked
+    gdir = None
+    try:
+        gdir = run_ingest_agg_view_txn(spark, SF)
+    finally:
+        iv.fold_agg_view_batch_txn = orig
+        stop.set()
+        t.join()
+    try:
+        assert not torn, torn[0]
+        # end state: served agg equals the recompute from the pinned view
+        pinned = read_group(spark, gdir, keys)
+        got = sorted(
+            tuple(r) for r in serve_agg(pinned["agg"], "c_mktsegment").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in serve_agg(
+                build_agg_over(pinned["view"], "c_mktsegment", "o_totalprice"),
+                "c_mktsegment",
+            ).collect()
+        )
+        assert got == want and got
+    finally:
+        if gdir:
+            shutil.rmtree(gdir, ignore_errors=True)

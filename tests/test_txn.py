@@ -375,3 +375,80 @@ def test_three_table_group_fact_view_agg_consistent(spark):
         assert got == want and got
     finally:
         shutil.rmtree(gdir, ignore_errors=True)
+
+
+def test_manifest_history_and_read_group_as_of(spark, group):
+    """Round 12: every group commit appends to _MANIFEST_LOG; as-of reads
+    resolve the newest manifest at or before the timestamp and serve the
+    trio pinned to THAT transaction — mutually consistent history."""
+    import time
+
+    from pgcp_spark.sources.txn import manifest_history, read_group_as_of
+
+    t_initial = time.time()
+    _txn_cycle(spark, group, 0)
+    t_mid = time.time()
+    _txn_cycle(spark, group, 1)
+    hist = manifest_history(group)
+    assert len(hist) == 3  # initial + two transactions
+    assert [t for t, _ in hist] == sorted(t for t, _ in hist)
+    old = read_group_as_of(spark, group, KEYS, t_initial)
+    assert old["fact"].count() == 3 and old["view"].count() == 3
+    mid = read_group_as_of(spark, group, KEYS, t_mid)
+    assert mid["fact"].count() == 4 and mid["view"].count() == 4
+    now = read_group_as_of(spark, group, KEYS, time.time())
+    assert now["fact"].count() == 5
+    # the as-of members are mutually consistent AT that commit
+    dim = read_current(spark, f"{group}/dim")
+    assert _rows(mid["view"].select("k", "g", "v", "dname")) == _rows(
+        mid["fact"].join(dim, on="g").select("k", "g", "v", "dname")
+    )
+    with pytest.raises(FileNotFoundError, match="no group commit"):
+        read_group_as_of(spark, group, KEYS, hist[0][0] - 1.0)
+
+
+def test_manifest_log_torn_line_skipped(spark, group):
+    """A crash mid-append leaves a torn _MANIFEST_LOG tail; the parser
+    skips it and current + historical reads keep working."""
+    import os
+
+    from pgcp_spark.sources.txn import MANIFEST_LOG, manifest_history
+
+    good = manifest_history(group)
+    assert good
+    with open(os.path.join(group, MANIFEST_LOG), "a") as f:
+        f.write("torn-no-tab")
+    assert manifest_history(group) == good
+    with open(os.path.join(group, MANIFEST_LOG), "a") as f:
+        f.write("\n12.3\t{not json")
+    assert manifest_history(group) == good
+    assert read_group(spark, group, KEYS)["fact"].count() == 3
+
+
+def test_vacuum_group_history_keep_window(spark, group):
+    """vacuum_group protects the pins of the newest history_keep logged
+    manifests: inside the window read_group_as_of stays servable, past
+    it the governing snapshot is reclaimed and the read fails with the
+    retention error — the same contract as read_as_of past keep."""
+    import time
+
+    from pgcp_spark.sources.txn import (
+        manifest_history,
+        read_group_as_of,
+        vacuum_group,
+    )
+
+    t0 = time.time()
+    for i in range(3):
+        _txn_cycle(spark, group, i)
+        time.sleep(0.02)
+    hist = manifest_history(group)
+    assert len(hist) == 4  # initial + three transactions
+    # protect the newest 3 manifests: the INITIAL manifest's pins age out
+    vacuum_group(group, keep=1, history_keep=3)
+    with pytest.raises(FileNotFoundError):
+        read_group_as_of(spark, group, KEYS, t0)  # governing pin reclaimed
+    # inside the window every transaction still serves, pinned
+    kept = read_group_as_of(spark, group, KEYS, hist[1][0])
+    assert kept["fact"].count() == 4
+    assert read_group_as_of(spark, group, KEYS, time.time())["fact"].count() == 6
