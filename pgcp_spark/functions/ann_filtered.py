@@ -913,3 +913,330 @@ def sim_range_filtered_zorder_ann_topk(
     return range_filtered_zorder_topk(
         spark, e.filter(F.col("vec_id") % 10 == 0), base, zr, TS_LO, TS_HI
     )
+
+
+# ---------------------------------------------------------------------------
+# Conjunctive tier (round 12): label AND range in ONE probe. The label
+# tiers and the range tiers each cover one predicate family; a real
+# serving query carries both ("same label AND ts BETWEEN …"). Three
+# forms, the family's standard ladder:
+#
+#   exact:     label_range_filtered_topk — both predicates on the corpus
+#              side before scoring; HASH-CHECKED oracle.
+#   composed:  label_range_filtered_batch_vs_ann_index — the IVF probe
+#              with TWO pruned lookup joins (label + window payload),
+#              pre-filter before scoring. Works on the frozen shared
+#              index; the bit-identity reference for the layout tier.
+#   layout:    label_range_filtered_zorder_topk — ONE scan of a
+#              (label, ts, list_id) z-ordered vectors table with ALL
+#              THREE predicates pushed (label IN batch-labels, ts
+#              BETWEEN, list_id IN probed) — no metadata joins at all.
+#              The 2-D (ts, list_id) tier generalizes: Morton order over
+#              three dims keeps every column's footer min/max narrow, so
+#              a single-label windowed probe reads a FRACTION of the
+#              files (measured vs the 2-key layout in tests). Candidates
+#              are identical to the composed form probe-for-probe (same
+#              quantizer, same window, same labels), so results are
+#              BIT-IDENTICAL — layout changes what the scan reads, never
+#              what it returns.
+#
+# nprobe: the conjunction thins each probed list by ~|labels| × the
+# window selectivity (~17× here), the hardest filter in the family —
+# CONJ_NPROBE = 12 of 16 lists (recall floor measured and pinned; at
+# nprobe = all lists the probe is bit-identical to the exact tier, the
+# usual exhaustive-setting pin).
+# ---------------------------------------------------------------------------
+
+CONJ_NPROBE = 12
+
+ZLR_INDEX_ROOT = os.environ.get(
+    "SPARK_GRAFT_ANN_ZLR_INDEX_ROOT", "/tmp/pgcp_ann_zlr_index"
+)
+ZLR_FILES = 16  # same file-count knob as the 2-key tier — the skipping
+# comparison below is apples-to-apples
+
+
+def zlr_index_dir_for(sf_dir: str) -> str:
+    return loop.content_version_dir(
+        ZLR_INDEX_ROOT, sf_dir, "embeddings.parquet", salt="zlr-format:v1:cosine"
+    )
+
+
+def label_range_filtered_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    payload: DataFrame,
+    lo: int,
+    hi: int,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """EXACT conjunctive top-k: each query's ``top_k`` highest-cosine
+    corpus rows that share its label AND whose payload ``ts`` lies in
+    [lo, hi] (self excluded). Both predicates land on the corpus side
+    BEFORE scoring; the window join stays (vec_id)-only so the exchange
+    carries ids, not vectors."""
+    eligible = corpus.join(
+        payload.filter(F.col("ts").between(lo, hi)).select("vec_id"), on="vec_id"
+    )
+    return filtered_topk(queries, eligible, top_k=top_k)
+
+
+def label_range_filtered_batch_vs_ann_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    labels: DataFrame,
+    payload: DataFrame,
+    lo: int,
+    hi: int,
+    nprobe: int = CONJ_NPROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Conjunctive IVF probe, lookup-join form: route each batch row to
+    its ``nprobe`` nearest lists, prune the stored scan to those lists,
+    attach label and window eligibility via the two pruned metadata
+    joins, keep same-label in-window candidates BEFORE scoring, then
+    score/rank with the family's exact expression shapes."""
+    centroids = _load_centroids(spark, index_dir)
+    if centroids.size == 0:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    probes = materialize(
+        _assign(batch.select("vec_id", "embedding"), centroids, nprobe)
+    )
+    probed_lists = [
+        r.list_id for r in probes.select("list_id").distinct().collect()
+    ]
+    eligible = payload.filter(F.col("ts").between(lo, hi)).select("vec_id")
+    stored = (
+        stored_vectors(spark, index_dir)
+        .filter(F.col("list_id").isin(probed_lists))
+        .join(labels.select("vec_id", "label"), on="vec_id")
+        .join(eligible, on="vec_id")  # both pre-filters BEFORE scoring
+    )
+    q = with_norm(probes).join(
+        batch.select("vec_id", "label"), on="vec_id"
+    ).alias("q")
+    c = stored.alias("c")
+    cos = F.round(_pair_dot("q", "c") / (F.col("q.nrm") * F.col("c.nrm")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.list_id") == F.col("c.list_id"))
+            & (F.col("q.label") == F.col("c.label"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("vec_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+def build_zorder_label_range_index(
+    spark: SparkSession, base_index_dir: str, index_dir: str, sf_dir: str
+) -> None:
+    """Re-lay the shared demo index's stored vectors (SAME quantizer,
+    same rows) with label AND payload IN the table, z-ordered on
+    (label, ts, list_id) — the three-column generalization of the
+    round-11 (ts, list_id) layout. Label is already a small integer, so
+    it ranks directly; its leading interleave position gives the
+    single-label probe the narrowest per-file ranges."""
+    from pgcp_spark.functions.ann_index import stored_vectors as _sv
+
+    labels = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .filter(F.col("vec_id").isNotNull() & F.col("label").isNotNull())
+    )
+    v = (
+        _sv(spark, base_index_dir)
+        .withColumn("ts", (F.col("vec_id") * F.lit(2654435761)) % TS_MODULUS)
+        .join(labels, on="vec_id")
+    )
+    write_snapshot(
+        v.select("vec_id", "label", "ts", "list_id", "embedding", "nrm"),
+        os.path.join(index_dir, "vectors_zlr"),
+        zorder_by=["label", "ts", "list_id"],
+        cluster_files=ZLR_FILES,
+    )
+
+
+def ensure_zlr_index(spark: SparkSession, sf_dir: str) -> str:
+    base = ensure_ann_index(spark, sf_dir)
+    index_dir = zlr_index_dir_for(sf_dir)
+    return loop.ensure_built(
+        index_dir,
+        ["vectors_zlr"],
+        lambda: build_zorder_label_range_index(spark, base, index_dir, sf_dir),
+    )
+
+
+def label_range_filtered_zorder_topk(
+    spark: SparkSession,
+    batch: DataFrame,
+    base_index_dir: str,
+    zlr_index_dir: str,
+    lo: int,
+    hi: int,
+    nprobe: int = CONJ_NPROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """The conjunctive probe over the 3-key z-ordered layout: route with
+    the SHARED quantizer, then ONE scan of ``vectors_zlr`` with all
+    three predicates pushed (``label IN`` the batch's labels, ``ts
+    BETWEEN``, ``list_id IN`` the probed lists) — no metadata joins.
+    Bit-identical to ``label_range_filtered_batch_vs_ann_index`` at
+    equal nprobe (same candidate universe); the layout buys file
+    skipping, not different answers. The batch-label IN list is bounded
+    by the corpus's label cardinality (the LP_MAX_LABELS ceiling — the
+    same small-domain contract the label-partitioned tier documents)."""
+    centroids = _load_centroids(spark, base_index_dir)
+    if centroids.size == 0:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    probes = materialize(
+        _assign(batch.select("vec_id", "embedding"), centroids, nprobe)
+    )
+    probed_lists = [
+        r.list_id for r in probes.select("list_id").distinct().collect()
+    ]
+    batch_labels = [
+        r.label
+        for r in batch.select("label").distinct().limit(LP_MAX_LABELS + 1).collect()
+    ]
+    if len(batch_labels) > LP_MAX_LABELS:
+        raise ValueError(
+            f"batch carries > {LP_MAX_LABELS} distinct labels — the pushed "
+            "IN stops pruning; use the lookup-join probe for open domains"
+        )
+    stored = read_current(
+        spark, os.path.join(zlr_index_dir, "vectors_zlr")
+    ).filter(
+        F.col("label").isin(batch_labels)
+        & F.col("ts").between(lo, hi)
+        & F.col("list_id").isin(probed_lists)
+    )
+    # the broadcast side materializes (probes already did; the label
+    # join folds in) so the served plan is ONE scan — the z-ordered
+    # vectors table — with all three predicates pushed (plan-pinned)
+    q = materialize(
+        with_norm(probes).join(batch.select("vec_id", "label"), on="vec_id")
+    ).alias("q")
+    c = stored.alias("c")
+    cos = F.round(_pair_dot("q", "c") / (F.col("q.nrm") * F.col("c.nrm")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.list_id") == F.col("c.list_id"))
+            & (F.col("q.label") == F.col("c.label"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("vec_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+@register(
+    "sim_label_range_filtered_cosine_topk",
+    oracle=f"""
+WITH valid AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE {EMB_VALID_SQL} AND label IS NOT NULL
+),
+eligible AS (
+  SELECT vec_id, embedding, label FROM valid
+  WHERE {_TS_SQL} BETWEEN {TS_LO} AND {TS_HI}
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+  FROM valid a JOIN eligible b
+    ON a.vec_id % {QUERY_STRIDE} = 0 AND a.label = b.label AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY vec_id, rank
+""",
+)
+def sim_label_range_filtered_cosine_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact conjunctive search, hash-checked: for every strided query
+    vector, the top-3 most-similar vectors that SHARE ITS LABEL and
+    whose pseudo-timestamp falls in the window — label AND range in one
+    query, the exactness oracle for the conjunctive probe tiers."""
+    e = _labeled(spark, sf_dir)
+    return label_range_filtered_topk(
+        e.filter(F.col("vec_id") % QUERY_STRIDE == 0),
+        e,
+        _ts_payload(e),
+        TS_LO,
+        TS_HI,
+    )
+
+
+@register(
+    "sim_label_range_filtered_zorder_ann_topk",
+    # NO oracle by design (nprobe routing); correctness = BIT-IDENTITY
+    # with the composed lookup-join conjunctive probe at equal nprobe,
+    # the conjunction invariant (same label AND in-window), all-lists ==
+    # exact, the recall floor, and the measured 3-key-vs-2-key file
+    # skipping — tests/test_ann_filtered.py
+    doc=(
+        "conjunctive filtered ANN (label AND ts-range) over the z-ordered "
+        "(label, ts, list_id) layout: all three predicates pushed into ONE "
+        "vectors scan, no metadata joins — bit-identical to the composed "
+        "two-join lookup probe, with 3-key file skipping measured against "
+        "the 2-key layout"
+    ),
+)
+def sim_label_range_filtered_zorder_ann_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ANN demo split through the conjunctive z-ordered probe — the
+    generalization the round-11 z-tier's docstring promised (Morton on
+    three columns), as a registered query."""
+    base = ensure_ann_index(spark, sf_dir)
+    zlr = ensure_zlr_index(spark, sf_dir)
+    e = _labeled(spark, sf_dir)
+    return label_range_filtered_zorder_topk(
+        spark, e.filter(F.col("vec_id") % 10 == 0), base, zlr, TS_LO, TS_HI
+    )

@@ -39,8 +39,26 @@ def has_nested_loop_join(df: DataFrame) -> bool:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """PushedFilters lists from every parquet scan in the plan."""
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", physical_plan(df))
+    """PushedFilters lists from every parquet scan in the plan. The list
+    is bracket-balanced, not regex-sliced to the first ``]`` — an
+    ``In(col, [v, …])`` filter nests brackets, and the naive slice
+    silently drops every filter after it (found by the round-12
+    three-predicate z-order pin)."""
+    plan = physical_plan(df)
+    out = []
+    marker = "PushedFilters: ["
+    i = plan.find(marker)
+    while i != -1:
+        j, depth = i + len(marker), 1
+        while j < len(plan) and depth:
+            if plan[j] == "[":
+                depth += 1
+            elif plan[j] == "]":
+                depth -= 1
+            j += 1
+        out.append(plan[i + len(marker):j - 1])
+        i = plan.find(marker, j)
+    return out
 
 
 def read_schemas(df: DataFrame) -> list[str]:
