@@ -173,14 +173,16 @@ def _write_tables(
 
 
 def _write_stats_from_doclen(
-    spark: SparkSession, index_dir: str, keep: int = 1
+    spark: SparkSession, index_dir: str, keep: int = 1, meta: dict | None = None
 ) -> None:
     """Commit stats/ as a pure function of the COMMITTED doclen (one
     doc-count-sized aggregate). Every stats write in this module goes
     through here: build, fold, and remove — so the three tables can
     never disagree beyond the documented crash window, and replaying
     any maintenance step after a mid-sequence crash converges (the
-    round-10 crash-consistency pin)."""
+    round-10 crash-consistency pin). ``meta`` rides the commit — the
+    CDC-driven fold (round 12) stamps the consumed documents state here,
+    on the index's LAST-committed table."""
     stored_dl = read_current(spark, os.path.join(index_dir, "doclen"))
     row = stored_dl.agg(
         F.count("*").alias("n_docs"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tot")
@@ -192,6 +194,7 @@ def _write_stats_from_doclen(
         ),
         os.path.join(index_dir, "stats"),
         keep=keep,
+        meta=meta,
     )
 
 
@@ -230,7 +233,11 @@ def stored_postings(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def update_text_index(
-    spark: SparkSession, batch_docs: DataFrame, index_dir: str, keep: int = 2
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    index_dir: str,
+    keep: int = 2,
+    meta: dict | None = None,
 ) -> None:
     """Fold a document batch into the stored index (the daily ingest
     step). Whole-document replacement semantics: a batch doc's ENTIRE
@@ -279,11 +286,15 @@ def update_text_index(
         keep=keep,
         cluster_by=["doc_id"],
     )
-    _write_stats_from_doclen(spark, index_dir, keep=keep)
+    _write_stats_from_doclen(spark, index_dir, keep=keep, meta=meta)
 
 
 def remove_from_text_index(
-    spark: SparkSession, ids: DataFrame, index_dir: str, keep: int = 2
+    spark: SparkSession,
+    ids: DataFrame,
+    index_dir: str,
+    keep: int = 2,
+    meta: dict | None = None,
 ) -> None:
     """Retention/GDPR delete PROPAGATION: drop every trace of ``ids``
     (single column ``doc_id``) from the stored index. A corpus delete
@@ -324,7 +335,7 @@ def remove_from_text_index(
         spark, doclen_dir, keys=ids, key=["doc_id"], keep=keep,
         cluster_by=["doc_id"],
     )
-    _write_stats_from_doclen(spark, index_dir, keep=keep)
+    _write_stats_from_doclen(spark, index_dir, keep=keep, meta=meta)
 
 
 def compact_text_index(
@@ -681,3 +692,170 @@ def text_bm25_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query oracle union."""
     index_dir = ensure_text_index(spark, sf_dir)
     return bm25_multi_query_from_index(spark, index_dir)
+
+
+# ---------------------------------------------------------------------------
+# CDC-driven maintenance (round 12): the index fold consuming the
+# documents LAKE TABLE's state diff instead of explicit batches — proving
+# the `state_changes` primitive composes with the index loops exactly as
+# it does with the cascade aggregate. The watermark discipline is the
+# cascade's (`applied_docs_state` stamped into a commit's meta — here the
+# stats table, the index's LAST-committed table), but unlike the signed
+# aggregate fold this one tolerates AT-LEAST-ONCE replay of a diff: the
+# posting fold's shadow deltas and the remove's absent-id no-op are both
+# replay-convergent, so a crash between the constituent folds and the
+# stamp re-folds the same diff and converges — the watermark here buys
+# O(batch) incrementality (never re-reading old diffs), not correctness.
+# ---------------------------------------------------------------------------
+
+
+def fold_text_index_from_docs_state(
+    spark: SparkSession, docs_dir: str, index_dir: str, keep: int = 2
+) -> bool:
+    """Fold the documents lake's changes SINCE THE LAST FOLD into the
+    stored BM25 index: inserts/postimages re-ingest through
+    ``update_text_index`` (whole-document replacement), deletes propagate
+    through ``remove_from_text_index`` (tombstone deltas), and the
+    consumed ``pending_state`` stamps into the stats commit. Returns
+    False on an already-applied state or an empty diff; raises on a
+    missing or GC'd watermark (the cascade fold's refuse contract —
+    rebuild from the lake or re-stamp after a flatten)."""
+    from pgcp_spark.sources.lake import (
+        pending_state,
+        snapshot_meta,
+        state_changes,
+    )
+
+    state = pending_state(docs_dir)
+    stats_dir = os.path.join(index_dir, "stats")
+    applied = snapshot_meta(stats_dir).get("applied_docs_state")
+    if applied == state:
+        return False
+    if applied is None:
+        raise RuntimeError(
+            f"{index_dir}: no applied_docs_state watermark (never stamped, "
+            "or cleared by a metaless stats commit) — rebuild the index "
+            "from the lake (build_text_index_from + a stamped stats "
+            "commit) rather than guessing a fold window."
+        )
+    try:
+        feed = state_changes(spark, docs_dir, applied, state, key=["doc_id"])
+    except FileNotFoundError as exc:
+        raise RuntimeError(
+            "the index's applied documents state is no longer readable (a "
+            "flatten/vacuum GC'd it) — re-stamp after each docs flatten, "
+            "or rebuild from the lake."
+        ) from exc
+    feed = materialize(feed)
+    meta = {"applied_docs_state": state}
+    ups = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("doc_id", "text")
+    dels = feed.filter(F.col("_change_type") == "delete").select("doc_id")
+    have_ups, have_dels = not ups.isEmpty(), not dels.isEmpty()
+    if not (have_ups or have_dels):
+        # state moved without row changes (shadow deltas): stamp so the
+        # next fold diffs from here instead of re-walking this window
+        _write_stats_from_doclen(spark, index_dir, keep=keep, meta=meta)
+        return False
+    if have_ups:
+        update_text_index(
+            spark, ups, index_dir, keep=keep,
+            meta=None if have_dels else meta,
+        )
+    if have_dels:
+        remove_from_text_index(spark, dels, index_dir, keep=keep, meta=meta)
+    return True
+
+
+# the CDC scenario's slices mirror the repo's standard orders shapes:
+# base = %3≠0 docs; upsert %5 (re-text, with %15 keys being genuine
+# INSERTS — outside the base); delete non-%5 %7 keys
+_CDC_ORACLE = BM25_ORACLE.replace(
+    "FROM documents",
+    """FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' reindexed' ELSE text END
+             AS text
+    FROM documents
+    WHERE doc_id % 5 = 0
+       OR (doc_id % 3 <> 0 AND doc_id % 7 <> 0)
+  )""",
+)
+
+
+@register(
+    "text_bm25_from_docs_change_feed",
+    # the one-shot oracle over the POST-CDC corpus: a hash match proves
+    # the state-diff-driven maintenance is complete — replaced docs score
+    # on new text only, inserted docs appear, deleted docs leave no trace
+    # in scores, df, or corpus stats
+    oracle=_CDC_ORACLE,
+    doc=(
+        "BM25 index maintained FROM the documents lake's CDC state diff: the "
+        "docs table mutates merge-on-read (re-texts, inserts, deletes), the "
+        "fold consumes state_changes since its stamped watermark and routes "
+        "upserts/deletes through the existing index folds — hash-exact vs "
+        "the one-shot oracle on the post-CDC corpus"
+    ),
+)
+def text_bm25_from_docs_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC-composed index loop end to end: documents land in a lake
+    table (base = %3≠0), the BM25 index builds from that state (stamped),
+    one MOR CDC batch re-texts every %5 doc (inserting the %15 keys the
+    base never had) and deletes every non-%5 %7 doc, and the index folds
+    purely from the lake's state diff — never re-reading the corpus."""
+    import shutil
+    import tempfile
+
+    from pgcp_spark.sources.lake import merge_cdc_delta, pending_state
+
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    docs_dir = tempfile.mkdtemp(prefix="pgcp_bm25_cdc_docs_")
+    index_dir = tempfile.mkdtemp(prefix="pgcp_bm25_cdc_idx_")
+    try:
+        write_snapshot(
+            docs.filter(F.col("doc_id") % 3 != 0), docs_dir, keep=2
+        )
+        lake_docs = read_current(spark, docs_dir)
+        build_text_index_from(spark, lake_docs, index_dir)
+        _write_stats_from_doclen(
+            spark, index_dir,
+            meta={"applied_docs_state": pending_state(docs_dir)},
+        )
+        ups = (
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" reindexed")).alias("text"),
+            )
+            .withColumn("_op", F.lit("upsert"))
+        )
+        dels = (
+            docs.filter(
+                (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0)
+            )
+            .select("doc_id", F.lit(None).cast("string").alias("text"))
+            .withColumn("_op", F.lit("delete"))
+        )
+        merge_cdc_delta(
+            spark, docs_dir, ups.unionByName(dels), key=["doc_id"]
+        )
+        # an EMPTY lake legitimately yields an empty diff (fold returns
+        # False) — the sf0.01 oracle hash is what proves the fold ran and
+        # matched on real data (the cascade query's rule); when it DID
+        # fold, it must have landed as deltas, never a base rewrite
+        if fold_text_index_from_docs_state(spark, docs_dir, index_dir):
+            if not delta_names(os.path.join(index_dir, "postings")):
+                raise RuntimeError(
+                    "fold must land as deltas, not a base rewrite"
+                )
+        result = materialize(bm25_from_index(spark, index_dir))
+    except BaseException:
+        shutil.rmtree(docs_dir, ignore_errors=True)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        raise
+    loop.reclaim_by_mode(docs_dir, index_dir)
+    return result

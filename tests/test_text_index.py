@@ -599,3 +599,79 @@ def test_maybe_flatten_triggers_exactly_once_past_threshold(spark, tmp_path, mon
     assert _rows(
         bm25_from_index(spark, index_dir, ("beta",), 10), "rnk"
     ) == _rows(bm25_from_index(spark, rebuild_dir, ("beta",), 10), "rnk")
+
+
+# --- CDC-driven maintenance (round 12) --------------------------------------
+
+
+def test_cdc_fold_contracts(spark, tmp_path):
+    """fold_text_index_from_docs_state: an already-applied state skips, a
+    shadow-delta state change stamps without folding, a replayed diff
+    converges to the same served ranking (at-least-once tolerance — the
+    module comment's argument, exercised), and a missing watermark
+    refuses."""
+    import pgcp_spark.sources.lake as lake
+    from pgcp_spark.functions.text_index import (
+        bm25_from_index,
+        build_text_index_from,
+        fold_text_index_from_docs_state,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    index_dir = str(tmp_path / "idx")
+    d0 = _docs(spark, [(1, "alpha beta"), (2, "beta gamma"), (3, "gamma delta")])
+    lake.write_snapshot(d0, docs_dir, keep=2)
+    build_text_index_from(spark, lake.read_current(spark, docs_dir), index_dir)
+    TI._write_stats_from_doclen(
+        spark, index_dir,
+        meta={"applied_docs_state": lake.pending_state(docs_dir)},
+    )
+    # already-applied state: skip
+    assert fold_text_index_from_docs_state(spark, docs_dir, index_dir) is False
+
+    # a real CDC batch: re-text doc 2, delete doc 3, insert doc 4
+    batch = spark.createDataFrame(
+        [
+            (2, "beta beta epsilon", "upsert"),
+            (3, None, "delete"),
+            (4, "epsilon zeta", "upsert"),
+        ],
+        ["doc_id", "text", "_op"],
+    )
+    lake.merge_cdc_delta(spark, docs_dir, batch, key=["doc_id"])
+    assert fold_text_index_from_docs_state(spark, docs_dir, index_dir) is True
+    got = _rows(bm25_from_index(spark, index_dir, ("beta", "epsilon"), 10), "rnk")
+    rebuild_dir = str(tmp_path / "rb")
+    build_text_index_from(
+        spark,
+        lake.read_current_with_deltas(spark, docs_dir, key=["doc_id"]),
+        rebuild_dir,
+    )
+    assert got == _rows(
+        bm25_from_index(spark, rebuild_dir, ("beta", "epsilon"), 10), "rnk"
+    )
+    # replay of the same state: watermark skips it
+    assert fold_text_index_from_docs_state(spark, docs_dir, index_dir) is False
+
+    # shadow delta (state id moves, data does not): stamp, no fold
+    lake.append_delta(
+        spark.createDataFrame(
+            [(2, "beta beta epsilon")], ["doc_id", "text"]
+        ),
+        docs_dir,
+    )
+    assert fold_text_index_from_docs_state(spark, docs_dir, index_dir) is False
+    assert lake.snapshot_meta(os.path.join(index_dir, "stats")).get(
+        "applied_docs_state"
+    ) == lake.pending_state(docs_dir)
+    assert got == _rows(
+        bm25_from_index(spark, index_dir, ("beta", "epsilon"), 10), "rnk"
+    )
+
+    # missing watermark (metaless stats commit) refuses
+    TI._write_stats_from_doclen(spark, index_dir)
+    lake.append_delta(
+        spark.createDataFrame([(5, "zeta zeta")], ["doc_id", "text"]), docs_dir
+    )
+    with pytest.raises(RuntimeError, match="applied_docs_state"):
+        fold_text_index_from_docs_state(spark, docs_dir, index_dir)
