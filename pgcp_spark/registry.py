@@ -50,86 +50,45 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # come first; entries already re-proven in a recent round's
 # CORRECTNESS_r{N}.json rotate to the back.
 #
-# Round-11 window. The staleness invariant (no entry's driver row
+# Round-12 window. The staleness invariant (no entry's driver row
 # predates its current implementation) has priority. Head of window:
-#   * 8 queries ADDED in round 11 — the typed PII-redaction pass
-#     (hash-capable: both engines replay the identical regex pipeline
-#     over deterministically injected PII), the cascade IVM aggregate-over-join
-#     fold, its streaming-loop twin, the cross-table atomic group
-#     commit, the pending-(MOR)-feeds join-view fold, and the
-#     range-predicate filtered-search trio (exact tier hash-capable;
-#     the IVF probe rows-only BY DESIGN with all-lists == exact,
-#     in-window invariant, and the measured pre-beats-post-filtering
-#     A/B pinned; the z-ordered-layout probe rows-only BY DESIGN,
-#     bit-identical to the lookup-join probe with the file skipping
-#     measured — all in tests/test_ann_filtered.py);
-#   * 4 queries whose implementation CHANGED in round 11 — SemDeDup
-#     (within-cluster sub-blocking: the r10 verdict's one scale weak),
-#     the exact embedding-cosine query (shared grid kernel; the
-#     memory-driven block count now escapes the EMB_BLOCKS_MAX cap),
-#     the pending-deltas CDC feed (tombstones now prune by their OWN
-#     column shape; refactored onto state_changes), and the
-#     expectations gate (quarantine-first commit order).
-# Next: the full 14-query r6-latest cohort (the oldest standing rows —
-# text_tfidf_top_terms and text_winnow_fingerprints lead, the two the
-# r10 window documented as backlog leads), then the r7 cohort
-# alphabetically. The 50-slot cut lands 24 of the 43 r7 rows; the
-# remaining 19 (positions 51+ below) lead the r12 backlog. Still
+#   * 5 queries ADDED in round 12 — the MIN/MAX cascade fold
+#     (hash-capable: the oracle recomputes min/max from the post
+#     states), the streaming cascade routed through the group commit
+#     (hash-capable: same oracle as the per-table cascade — the atomic
+#     routing must change nothing), the conjunctive label-AND-range
+#     exact tier (hash-capable), its 3-key z-ordered probe (rows-only
+#     BY DESIGN: bit-identical to the composed lookup-join probe, which
+#     carries all-lists == exact; floors + file skipping measured in
+#     tests/test_ann_filtered.py), and the CDC-driven BM25 index fold
+#     (hash-capable vs the one-shot oracle on the post-CDC corpus);
+#   * 6 queries whose implementation CHANGED in round 12 — the PII pass
+#     (recall tiers broadened: paren/space/E.164 phones, obfuscated
+#     emails), the cascade agg fold + its streaming twin (the missing-
+#     watermark path now REFUSES instead of the legacy full-feed
+#     bootstrap; serve_agg factored), the group commit (capture moved
+#     inside the lock; manifest history appended per commit), and the
+#     two pending-feed consumers (pending_state now raises on an empty
+#     table).
+# Next: the 19-query r7 remainder (the oldest standing rows), then the
+# r8 cohort alphabetically. The 50-slot cut lands 20 of the 40 r8 rows;
+# the remaining 20 (positions 51+ below) lead the r13 backlog. Still
 # excluded: agg_approx_distinct_customers (rows-only AND unchanged
 # since its r1 row — a new row adds nothing, rationale standing since
 # r5) and dedup_ngram_jaccard_pairs (dead ledger — quarantined out of
 # the registry in r5).
 _AUDIT_PRIORITY: list[str] = [
+    "lake_incremental_minmax_join_view_orders",
+    "streaming_cascade_group_commit",
+    "sim_label_range_filtered_cosine_topk",
+    "sim_label_range_filtered_zorder_ann_topk",
+    "text_bm25_from_docs_change_feed",
+    "text_pii_redaction",
     "lake_incremental_agg_join_view_orders",
     "streaming_agg_join_view_maintenance",
     "lake_atomic_group_commit_orders",
     "lake_join_view_from_pending_feeds",
-    "sim_range_filtered_cosine_topk",
-    "sim_range_filtered_batch_vs_ann_index",
-    "sim_range_filtered_zorder_ann_topk",
-    "text_pii_redaction",
-    "dedup_semantic_clustered_pairs",
-    "dedup_embedding_cosine_pairs",
     "lake_cdc_pending_changes_orders",
-    "lake_expectations_quarantine_orders",
-    "text_tfidf_top_terms",
-    "text_winnow_fingerprints",
-    "streaming_dedup_user_event_types",
-    "streaming_foreach_batch_lake_upsert",
-    "streaming_session_windows",
-    "streaming_sliding_window_value",
-    "streaming_stateful_user_stats",
-    "streaming_static_join_segment_value",
-    "streaming_stream_stream_join_click_purchase",
-    "streaming_tumbling_event_counts",
-    "text_bigram_lift_top",
-    "text_rarity_score",
-    "text_repeated_span_pairs",
-    "text_source_token_entropy",
-    "agg_bool_flags_per_segment",
-    "agg_mode_priority_deterministic",
-    "agg_winsorized_quantity_stats",
-    "corpus_chunk_fixed_tokens",
-    "corpus_pack_token_budget",
-    "corpus_train_val_test_split",
-    "dedup_orders_by_customer_day",
-    "join_salted_skew_events_per_user",
-    "path_top_event_sequences",
-    "percentile_approx_price",
-    "percentile_exact_quantity",
-    "pipeline_training_data_prep",
-    "pivot_segment_by_priority",
-    "q1_pricing_summary",
-    "q20_promotion_supplier_candidates",
-    "q22_idle_rich_customers",
-    "q3_shipping_priority",
-    "reshape_unpivot_order_metrics",
-    "sample_weighted_bernoulli_documents",
-    "scalar_array_functions",
-    "scalar_case_when_order_size",
-    "scalar_date_functions",
-    "scalar_date_trunc_events",
-    "scalar_from_json_struct",
     "scalar_json_extract_events",
     "scalar_map_functions",
     "scalar_math_functions",
@@ -149,6 +108,47 @@ _AUDIT_PRIORITY: list[str] = [
     "window_ntile_customer_value",
     "window_rank_dense_rank_suppliers",
     "window_top3_orders_per_customer",
+    "agg_avg_order_gap_days",
+    "agg_collect_sorted_priorities",
+    "agg_cube_returnflag_linestatus",
+    "agg_distinct_parts_per_supplier",
+    "agg_grouping_id_rollup",
+    "agg_grouping_sets",
+    "agg_having_big_customers",
+    "agg_histogram_order_value",
+    "agg_hll_daily_distinct_rollup",
+    "agg_regression_price_on_qty",
+    "agg_rollup_region_nation",
+    "agg_stats_correlation",
+    "analytics_conversion_ztest",
+    "corpus_contrastive_negatives",
+    "corpus_decontaminate_eval_overlap",
+    "join_asof_click_attribution",
+    "join_asof_forward_next_view",
+    "lake_change_feed_orders",
+    "lake_delete_change_feed_orders",
+    "lake_incremental_agg_orders",
+    # --- positions 51+: the r13 backlog (r8 cohort remainder) ---
+    "lake_incremental_agg_orders_cdc",
+    "multimodal_feature_extract",
+    "profile_orders_columns",
+    "scalar_string_functions",
+    "scd2_point_in_time_lookup",
+    "scd2_user_state_history",
+    "sim_embedding_int8_quantize",
+    "text_bm25_search_topk",
+    "text_repetition_quality",
+    "timeseries_interarrival_gap_stats",
+    "udf_grouped_map_priority_order_stats",
+    "udf_pandas_price_tier",
+    "udtf_top_tokens_per_doc",
+    "window_first_last_value",
+    "window_lag_lead_order_dates",
+    "window_percent_rank_cume_dist",
+    "window_range_frame_30day_revenue",
+    "window_running_distinct_priorities",
+    "window_running_total_per_customer",
+    "window_sessionize_events",
 ]
 
 
