@@ -467,3 +467,158 @@ def lake_cdc_pending_changes_orders(spark: SparkSession, sf_dir: str) -> DataFra
         raise
     reclaim_by_mode(tdir)
     return result
+
+
+# --- MIN/MAX from the change feed, no view in between (round 12) -----------
+
+_MINMAX_AGG_ORACLE = """
+WITH post AS (
+    SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+    FROM orders
+    WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+      AND o_custkey IS NOT NULL
+    UNION ALL
+    SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) * 2
+    FROM orders WHERE o_orderkey % 5 = 0 AND o_custkey IS NOT NULL
+)
+SELECT o_custkey,
+       CAST(MIN(p) AS DOUBLE) AS min_total,
+       CAST(MAX(p) AS DOUBLE) AS max_total,
+       COUNT(*) AS order_cnt
+FROM post GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+@register(
+    "lake_incremental_minmax_orders",
+    oracle=_MINMAX_AGG_ORACLE,
+    doc=(
+        "MIN/MAX maintained directly from a fact table's change feed (no "
+        "view in between): inserts/postimages fold via least/greatest, and a "
+        "removal rescans ONLY the groups where it tied a stored bound — "
+        "through the CLUSTER BY o_custkey fact with pushed-IN pruning; "
+        "oracle recomputes min/max from the post state, proving "
+        "fold+selective-rescan == recompute on the direct path too"
+    ),
+)
+def lake_incremental_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cascade's MIN/MAX split applied to the simplest consumer
+    shape — a per-customer min/max/count maintained straight from the
+    fact's snapshot-diff feed. The CDC batch (every 5th key doubled,
+    every non-5th 7th deleted) exercises both arms: doubled postimages
+    raise maxima through the fold; their preimages and the deletes
+    remove values that tie group bounds, and exactly those groups rescan
+    from the fact (pushed-IN + the CLUSTER BY o_custkey layout, so the
+    rescan reads only affected files)."""
+    from pgcp_spark.operators._decimal import dec
+    from pgcp_spark.sources.lake import read_current
+    from pgcp_spark.sources.view_maintenance import (
+        _pruned_by_keys,
+        build_minmax_over,
+        minmax_rescan_groups,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    fact_dir = tempfile.mkdtemp(prefix="pgcp_inc_mm_fact_")
+    agg_dir = tempfile.mkdtemp(prefix="pgcp_inc_mm_agg_")
+
+    def _cleanup() -> None:
+        shutil.rmtree(fact_dir, ignore_errors=True)
+        shutil.rmtree(agg_dir, ignore_errors=True)
+
+    try:
+        snap_a = write_snapshot(
+            base, fact_dir, keep=3, cluster_by=["o_custkey"]
+        )
+        write_snapshot(
+            build_minmax_over(base, "o_custkey", "o_totalprice"), agg_dir
+        )
+        ups = (
+            orders.filter(F.col("o_orderkey") % 5 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn("_op", F.lit("upsert"))
+        )
+        dels = orders.filter(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
+        ).withColumn("_op", F.lit("delete"))
+        merge_cdc(
+            spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"],
+            keep=3, cluster_by=["o_custkey"],
+        )
+
+        feed = table_changes(spark, fact_dir, snap_a, key=["o_orderkey"])
+        post = F.col("_change_type").isin("insert", "update_postimage")
+        pre = F.col("_change_type").isin("delete", "update_preimage")
+        val = dec("o_totalprice", "decimal(18,2)")
+        deltas = (
+            feed.filter(F.col("o_custkey").isNotNull())
+            .groupBy("o_custkey")
+            .agg(
+                F.min(F.when(post, val)).alias("ins_min"),
+                F.max(F.when(post, val)).alias("ins_max"),
+                F.min(F.when(pre, val)).alias("rm_min"),
+                F.max(F.when(pre, val)).alias("rm_max"),
+                F.sum(F.when(post, 1).otherwise(-1)).alias("d_cnt"),
+            )
+        )
+        stored = read_current(spark, agg_dir)
+        touched, rescan = minmax_rescan_groups(stored, deltas, "o_custkey")
+        folded = materialize(
+            touched.select(
+                "o_custkey",
+                rescan.alias("_rescan"),
+                F.least(F.col("min_dec"), F.col("ins_min")).alias("min_dec"),
+                F.greatest(F.col("max_dec"), F.col("ins_max")).alias("max_dec"),
+                (F.coalesce(F.col("order_cnt"), F.lit(0)) + F.col("d_cnt")).alias(
+                    "order_cnt"
+                ),
+            )
+        )
+        rescan_keys = folded.filter(F.col("_rescan")).select("o_custkey")
+        if rescan_keys.isEmpty():
+            out = folded.drop("_rescan")
+        else:
+            # the rescan source is the FACT itself here — pruned to the
+            # endangered groups (pushed-IN reaches the CLUSTER BY
+            # o_custkey footers; semi-join keeps correctness if the
+            # probe declines the literal list)
+            fact_now = _pruned_by_keys(
+                read_current(spark, fact_dir), "o_custkey", rescan_keys
+            ).join(rescan_keys, on="o_custkey", how="left_semi")
+            rescanned = build_minmax_over(
+                fact_now, "o_custkey", "o_totalprice"
+            ).select(
+                "o_custkey",
+                F.col("min_dec").alias("r_min"),
+                F.col("max_dec").alias("r_max"),
+            )
+            out = folded.join(rescanned, on="o_custkey", how="left").select(
+                "o_custkey",
+                F.when(F.col("_rescan"), F.col("r_min"))
+                .otherwise(F.col("min_dec"))
+                .alias("min_dec"),
+                F.when(F.col("_rescan"), F.col("r_max"))
+                .otherwise(F.col("max_dec"))
+                .alias("max_dec"),
+                "order_cnt",
+            )
+        upsert(spark, agg_dir, out, key=["o_custkey"])
+        result = materialize(
+            read_current(spark, agg_dir)
+            .filter(F.col("order_cnt") > 0)
+            .select(
+                "o_custkey",
+                F.col("min_dec").cast("double").alias("min_total"),
+                F.col("max_dec").cast("double").alias("max_total"),
+                "order_cnt",
+            )
+            .orderBy("o_custkey")
+        )
+    except BaseException:
+        _cleanup()
+        raise
+    reclaim_by_mode(fact_dir, agg_dir)
+    return result
