@@ -52,10 +52,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-12 window. The staleness invariant (no entry's driver row
 # predates its current implementation) has priority. Head of window:
-#   * 6 queries ADDED in round 12 — the MIN/MAX cascade fold
+#   * 7 queries ADDED in round 12 — the MIN/MAX cascade fold
 #     (hash-capable: the oracle recomputes min/max from the post
 #     states), its direct change-feed twin (hash-capable — same split,
-#     rescan through the CLUSTER BY fact), the streaming cascade routed
+#     rescan through the CLUSTER BY fact), its streaming-loop twin
+#     (hash-capable), the streaming cascade routed
 #     through the group commit
 #     (hash-capable: same oracle as the per-table cascade — the atomic
 #     routing must change nothing), the conjunctive label-AND-range
@@ -73,8 +74,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #     two pending-feed consumers (pending_state now raises on an empty
 #     table).
 # Next: the 19-query r7 remainder (the oldest standing rows), then the
-# r8 cohort alphabetically. The 50-slot cut lands 19 of the 40 r8 rows;
-# the remaining 21 (positions 51+ below) lead the r13 backlog. Still
+# r8 cohort alphabetically. The 50-slot cut lands 18 of the 40 r8 rows;
+# the remaining 22 (positions 51+ below) lead the r13 backlog. Still
 # excluded: agg_approx_distinct_customers (rows-only AND unchanged
 # since its r1 row — a new row adds nothing, rationale standing since
 # r5) and dedup_ngram_jaccard_pairs (dead ledger — quarantined out of
@@ -82,6 +83,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 _AUDIT_PRIORITY: list[str] = [
     "lake_incremental_minmax_join_view_orders",
     "lake_incremental_minmax_orders",
+    "streaming_minmax_join_view_maintenance",
     "streaming_cascade_group_commit",
     "sim_label_range_filtered_cosine_topk",
     "sim_label_range_filtered_zorder_ann_topk",
@@ -129,8 +131,8 @@ _AUDIT_PRIORITY: list[str] = [
     "join_asof_click_attribution",
     "join_asof_forward_next_view",
     "lake_change_feed_orders",
-    "lake_delete_change_feed_orders",
     # --- positions 51+: the r13 backlog (r8 cohort remainder) ---
+    "lake_delete_change_feed_orders",
     "lake_incremental_agg_orders",
     "lake_incremental_agg_orders_cdc",
     "multimodal_feature_extract",

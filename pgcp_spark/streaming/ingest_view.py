@@ -388,6 +388,169 @@ def streaming_agg_join_view_maintenance(
     return result
 
 
+# --- streaming MIN/MAX cascade (round 12): the non-signed twin -------------
+
+
+def fold_minmax_view_batch(
+    spark: SparkSession,
+    micro_batch: DataFrame,
+    fact_dir: str,
+    view_dir: str,
+    agg_dir: str,
+    dim: DataFrame,
+) -> None:
+    """``fold_agg_view_batch`` with the MIN/MAX fold as the downstream
+    consumer: after each complete CDC batch folds the view, the min/max
+    aggregate folds the view's changes since ITS watermark — inserts via
+    least/greatest, bound-tying removals rescanning only their groups
+    through the view (``fold_minmax_join_view``); the self-healing
+    flatten re-anchors the watermark exactly like the signed twin."""
+    from pgcp_spark.sources.view_maintenance import (
+        fold_minmax_join_view,
+        stamp_applied_state,
+    )
+
+    micro_batch = materialize(micro_batch)
+    seqs = sorted(r[0] for r in micro_batch.select("seq").distinct().collect())
+    for s in seqs:
+        b = micro_batch.filter(F.col("seq") == s).drop("seq")
+        merge_cdc_delta(spark, fact_dir, b, key=["o_orderkey"])
+        feed = b.withColumn(
+            "_change_type",
+            F.when(F.col("_op") == "delete", F.lit("delete")).otherwise(
+                F.lit("update_postimage")
+            ),
+        ).drop("_op")
+        fold_join_view(
+            spark,
+            view_dir,
+            view_key=["o_orderkey"],
+            fact_feed=feed,
+            dim_feed=None,
+            dim_current=dim,
+            fact_join_col="o_custkey",
+            dim_join_col="c_custkey",
+        )
+        fold_minmax_join_view(
+            spark, agg_dir, view_dir, ["o_orderkey"], "c_mktsegment",
+            "o_totalprice",
+        )
+        if loop.maybe_flatten(spark, view_dir, key=["o_orderkey"]) is not None:
+            stamp_applied_state(spark, agg_dir, view_dir)
+
+
+def run_ingest_minmax_view(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
+) -> tuple[str, str, str]:
+    """Build fact + view + the stamped MIN/MAX aggregate, stream the CDC
+    batches through the fold, return (fact_dir, view_dir, agg_dir)."""
+    from pgcp_spark.sources.lake import pending_state
+    from pgcp_spark.sources.view_maintenance import build_minmax_over
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    fact_dir = tempfile.mkdtemp(prefix="pgcp_ingest_mm_fact_")
+    view_dir = tempfile.mkdtemp(prefix="pgcp_ingest_mm_view_")
+    agg_dir = tempfile.mkdtemp(prefix="pgcp_ingest_mm_agg_")
+    staging = None
+    try:
+        write_snapshot(base, fact_dir)
+        view0 = base.join(
+            dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+        ).select(*VIEW_COLS)
+        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+        write_snapshot(
+            build_minmax_over(view0, "c_mktsegment", "o_totalprice"),
+            agg_dir,
+            meta={"applied_view_state": pending_state(view_dir)},
+        )
+        batches = _cdc_batches(orders)
+        staging = loop.stage_group_files(
+            batches, F.col("seq"), range(3), "pgcp_ingest_mm_stream_"
+        )
+        loop.run_availablenow_stream(
+            spark,
+            staging,
+            batches.schema,
+            lambda mb, _bid: fold_minmax_view_batch(
+                spark, mb, fact_dir, view_dir, agg_dir, dim
+            ),
+            max_files_per_trigger,
+        )
+    except BaseException:
+        for d in (fact_dir, view_dir, agg_dir):
+            shutil.rmtree(d, ignore_errors=True)
+        raise
+    finally:
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
+    return fact_dir, view_dir, agg_dir
+
+
+_STREAM_MINMAX_VIEW_ORACLE = """
+WITH postfact AS (
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 11 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(12,2)) + 1000
+                WHEN o_orderkey % 5 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS p
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+       OR o_orderkey % 5 = 0
+       OR (o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0)
+)
+SELECT d.c_mktsegment,
+       CAST(MIN(f.p) AS DOUBLE) AS min_total,
+       CAST(MAX(f.p) AS DOUBLE) AS max_total,
+       COUNT(*) AS order_cnt
+FROM postfact f JOIN customer d ON f.o_custkey = d.c_custkey
+WHERE d.c_mktsegment IS NOT NULL
+GROUP BY d.c_mktsegment
+ORDER BY d.c_mktsegment
+"""
+
+
+@register(
+    "streaming_minmax_join_view_maintenance",
+    oracle=_STREAM_MINMAX_VIEW_ORACLE,
+    doc=(
+        "streaming MIN/MAX cascade: CDC batches stream in, each micro-batch "
+        "lands merge-on-read on the fact, folds the join view, AND folds the "
+        "per-segment min/max from the view's state-diff feed — deletes and "
+        "re-pricings rescan only bound-tying groups through the view; final "
+        "aggregate hash-exact vs min/max recomputed from the post-CDC join"
+    ),
+)
+def streaming_minmax_join_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MIN/MAX cascade as a streaming loop — the signed twin's
+    delete-then-resurrect and re-pricing arcs are exactly the shapes
+    that force selective rescans, and the served bounds are the
+    STREAM's fold, never a recompute."""
+    from pgcp_spark.sources.view_maintenance import read_minmax_agg
+
+    fact_dir, view_dir, agg_dir = run_ingest_minmax_view(spark, sf_dir)
+    try:
+        result = materialize(
+            read_minmax_agg(spark, agg_dir, "c_mktsegment").orderBy(
+                "c_mktsegment"
+            )
+        )
+    except BaseException:
+        for d in (fact_dir, view_dir, agg_dir):
+            shutil.rmtree(d, ignore_errors=True)
+        raise
+    loop.reclaim_by_mode(fact_dir, view_dir, agg_dir)
+    return result
+
+
 # --- streaming cascade THROUGH the group commit (round 12) -----------------
 # The r11 loop above lands per-micro-batch commits per table: a reader
 # between the fact's delta commit and the agg's fold commit sees

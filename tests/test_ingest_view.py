@@ -239,3 +239,28 @@ def test_txn_stream_reader_sees_only_batch_consistent_trios(spark):
     finally:
         if gdir:
             shutil.rmtree(gdir, ignore_errors=True)
+
+
+def test_minmax_cascade_boundary_invariance(spark):
+    """The MIN/MAX streaming cascade: coalesced delivery (all CDC
+    batches in ONE micro-batch) must leave the served bounds
+    bit-identical to batch-at-a-time — the watermarked state-diff plus
+    the selective rescan make batching invisible, exactly like the
+    signed twin."""
+    from pgcp_spark.sources.view_maintenance import read_minmax_agg
+    from pgcp_spark.streaming.ingest_view import run_ingest_minmax_view
+
+    def mm_rows(agg_dir):
+        return sorted(
+            tuple(r)
+            for r in read_minmax_agg(spark, agg_dir, "c_mktsegment").collect()
+        )
+
+    dirs_a = run_ingest_minmax_view(spark, SF, max_files_per_trigger=1)
+    dirs_b = run_ingest_minmax_view(spark, SF, max_files_per_trigger=None)
+    try:
+        assert mm_rows(dirs_a[2]) == mm_rows(dirs_b[2])
+        assert mm_rows(dirs_a[2])
+    finally:
+        for d in dirs_a + dirs_b:
+            shutil.rmtree(d, ignore_errors=True)
