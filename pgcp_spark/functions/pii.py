@@ -67,9 +67,12 @@ PII_RULES: list[tuple[str, str, str]] = [
         "<EMAIL>",
     ),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    # E.164, separated ("+1 555 123 4567", "+44-555-123-4567") — MUST
-    # precede the bare phone rule, whose 3-3-4 shape matches its tail
-    ("phone_e164", r"\+\d{1,3}[ -]\d{3}[ -]\d{3}[ -]\d{4}\b", "<PHONE>"),
+    # E.164, separated ("+1 555 123 4567", "+44-555-123-4567",
+    # "+1.555.123.4567") — MUST precede the bare phone rule, whose 3-3-4
+    # shape matches its tail; the separator class matches the bare
+    # rule's exactly, else a dot-separated E.164 slips past this rule
+    # and half-redacts to "+1.<PHONE>" (the hole the review found)
+    ("phone_e164", r"\+\d{1,3}[-. ]\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
     # E.164, compact ("+15551234567"); no \b before + — + is non-word
     ("phone_e164c", r"\+\d{7,15}\b", "<PHONE>"),
     # US paren shape "(555) 123-4567"

@@ -759,9 +759,17 @@ def fold_text_index_from_docs_state(
         _write_stats_from_doclen(spark, index_dir, keep=keep, meta=meta)
         return False
     if have_ups:
+        # the INTERMEDIATE stats commit (both folds pending) carries the
+        # OLD watermark, never None: a metaless commit would CLEAR the
+        # watermark, and a crash between the two constituent folds would
+        # then refuse forever (forced rebuild). Re-stamping `applied`
+        # instead makes the crash window replay the whole diff — which
+        # the module comment's at-least-once argument covers: the
+        # re-folded upserts shadow their twins, the re-removed ids are
+        # no-ops, and the FINAL commit advances the watermark to `state`.
         update_text_index(
             spark, ups, index_dir, keep=keep,
-            meta=None if have_dels else meta,
+            meta={"applied_docs_state": applied} if have_dels else meta,
         )
     if have_dels:
         remove_from_text_index(spark, dels, index_dir, keep=keep, meta=meta)

@@ -49,14 +49,21 @@ def pushed_filters(df: DataFrame) -> list[str]:
     marker = "PushedFilters: ["
     i = plan.find(marker)
     while i != -1:
+        # a PushedFilters entry is single-line in formatted explain, so
+        # bound the balance scan to the line: a list ELIDED by
+        # spark.sql.maxMetadataStringLength loses its closing bracket,
+        # and an unbounded scan would swallow the rest of the plan
+        # (silently dropping every later scan's entry)
+        eol = plan.find("\n", i)
+        stop = eol if eol != -1 else len(plan)
         j, depth = i + len(marker), 1
-        while j < len(plan) and depth:
+        while j < stop and depth:
             if plan[j] == "[":
                 depth += 1
             elif plan[j] == "]":
                 depth -= 1
             j += 1
-        out.append(plan[i + len(marker):j - 1])
+        out.append(plan[i + len(marker):j - 1 if depth == 0 else j])
         i = plan.find(marker, j)
     return out
 

@@ -153,21 +153,36 @@ def commit_group(
 
 def manifest_history(group_dir: str) -> list[tuple[float, dict]]:
     """(commit epoch, manifest) pairs in commit order — every group
-    commit ever made. Torn trailing lines (crash mid-append) are skipped;
-    the current ``_MANIFEST`` pointer stays authoritative, so a group
-    whose log predates the history feature still serves current reads."""
+    commit ever made. Torn trailing lines (crash mid-append) are
+    skipped, and the current ``_MANIFEST`` pointer stays AUTHORITATIVE:
+    a crash between the manifest replace and the log append (or a torn
+    append) would otherwise lose the newest committed transaction from
+    history while it is live as the current state — so, exactly like
+    ``lake.history()``, the committed manifest is reconciled in (best-
+    effort timestamped from the manifest file's mtime) whenever its
+    ``_txn`` counter is ahead of the log's newest entry. Groups whose
+    log predates the history feature get a one-entry reconciled
+    history the same way."""
     path = os.path.join(group_dir, MANIFEST_LOG)
-    if not os.path.exists(path):
-        return []
     out = []
-    for line in open(path).read().splitlines():
-        if not line.strip():
-            continue
-        try:
-            ts, payload = line.split("\t", 1)
-            out.append((float(ts), json.loads(payload)))
-        except ValueError:
-            continue
+    if os.path.exists(path):
+        for line in open(path).read().splitlines():
+            if not line.strip():
+                continue
+            try:
+                ts, payload = line.split("\t", 1)
+                out.append((float(ts), json.loads(payload)))
+            except ValueError:
+                continue
+    current = group_state(group_dir)
+    if current:
+        last_txn = int(out[-1][1].get(TXN, 0)) if out else 0
+        if int(current.get(TXN, 0)) > last_txn:
+            try:
+                ts = os.path.getmtime(_manifest_path(group_dir))
+            except OSError:
+                ts = out[-1][0] if out else 0.0
+            out.append((ts, current))
     return out
 
 

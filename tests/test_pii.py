@@ -77,6 +77,8 @@ def test_broadened_shapes_redact(spark):
         1: ("desk (555) 123-4567 ok", "desk <PHONE> ok"),
         2: ("raw 555 123 4567 ok", "raw <PHONE> ok"),
         3: ("cell +447911123456 end", "cell <PHONE> end"),
+        7: ("fax +1.555.123.4567 sent", "fax <PHONE> sent"),  # dot-separated
+        #    E.164 must redact WHOLE, never half to '+1.<PHONE>' (review fix)
         4: ("mail bob at example dot com soon", "mail <EMAIL> soon"),
         # near-misses: 3-2-4 with spaces is not a phone (nor an SSN —
         # SSN requires dashes); a short +digits run is not E.164

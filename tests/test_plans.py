@@ -551,3 +551,23 @@ def test_hybrid_cosine_leg_takes_topk_parallel_no_global_window_sort(spark):
     assert width.audit_single_partition_windows("cosine_leg", leg_plan) == []
     full_plan = width.formatted_plan(hybrid_bm25_cosine_rrf(spark, SF_DIR))
     assert width.audit_single_partition_windows("hybrid", full_plan) == []
+
+
+def test_pushed_filters_survives_elided_bracket(monkeypatch):
+    """Round-12 review fix: a PushedFilters list elided by
+    spark.sql.maxMetadataStringLength loses its closing bracket; the
+    parser must stop at the line end instead of swallowing the rest of
+    the plan (which silently dropped every later scan's entry)."""
+    import pgcp_spark.plans.explain as E
+
+    plan = (
+        "(4) Scan parquet\n"
+        "PushedFilters: [IsNotNull(ts), In(label, [0,1,2,3,4,5,6,7,8,9...\n"
+        "(9) Scan parquet\n"
+        "PushedFilters: [IsNotNull(k), In(list_id, [1,2])]\n"
+    )
+    monkeypatch.setattr(E, "physical_plan", lambda df: plan)
+    got = E.pushed_filters(None)
+    assert len(got) == 2
+    assert got[0].startswith("IsNotNull(ts), In(label")
+    assert got[1] == "IsNotNull(k), In(list_id, [1,2])"

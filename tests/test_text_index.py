@@ -675,3 +675,59 @@ def test_cdc_fold_contracts(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="applied_docs_state"):
         fold_text_index_from_docs_state(spark, docs_dir, index_dir)
+
+
+def test_cdc_fold_crash_between_folds_keeps_watermark(spark, tmp_path, monkeypatch):
+    """Round-12 review fix: a mixed diff (upserts AND deletes) commits
+    stats twice; the INTERMEDIATE commit must carry the OLD watermark,
+    not clear it — a crash between the two constituent folds then
+    replays the whole diff (convergent) instead of refusing forever."""
+    import pgcp_spark.sources.lake as lake
+    from pgcp_spark.functions.text_index import (
+        bm25_from_index,
+        build_text_index_from,
+        fold_text_index_from_docs_state,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    index_dir = str(tmp_path / "idx")
+    d0 = _docs(spark, [(1, "alpha beta"), (2, "beta gamma"), (3, "gamma delta")])
+    lake.write_snapshot(d0, docs_dir, keep=2)
+    build_text_index_from(spark, lake.read_current(spark, docs_dir), index_dir)
+    applied0 = lake.pending_state(docs_dir)
+    TI._write_stats_from_doclen(
+        spark, index_dir, meta={"applied_docs_state": applied0}
+    )
+    batch = spark.createDataFrame(
+        [(2, "beta beta epsilon", "upsert"), (3, None, "delete")],
+        ["doc_id", "text", "_op"],
+    )
+    lake.merge_cdc_delta(spark, docs_dir, batch, key=["doc_id"])
+
+    # crash between the folds: the delete arm raises after the update
+    # arm's stats commit landed
+    real_remove = TI.remove_from_text_index
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash before the delete fold")
+
+    monkeypatch.setattr(TI, "remove_from_text_index", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        fold_text_index_from_docs_state(spark, docs_dir, index_dir)
+    monkeypatch.setattr(TI, "remove_from_text_index", real_remove)
+    # the watermark survived as the OLD state (not None, not the new one)
+    wm = lake.snapshot_meta(os.path.join(index_dir, "stats")).get(
+        "applied_docs_state"
+    )
+    assert wm == applied0
+    # the replay folds the whole diff and converges to the rebuild
+    assert fold_text_index_from_docs_state(spark, docs_dir, index_dir) is True
+    rebuild_dir = str(tmp_path / "rb")
+    build_text_index_from(
+        spark,
+        lake.read_current_with_deltas(spark, docs_dir, key=["doc_id"]),
+        rebuild_dir,
+    )
+    assert _rows(bm25_from_index(spark, index_dir, ("beta",), 10), "rnk") == _rows(
+        bm25_from_index(spark, rebuild_dir, ("beta",), 10), "rnk"
+    )

@@ -452,3 +452,34 @@ def test_vacuum_group_history_keep_window(spark, group):
     kept = read_group_as_of(spark, group, KEYS, hist[1][0])
     assert kept["fact"].count() == 4
     assert read_group_as_of(spark, group, KEYS, time.time())["fact"].count() == 6
+
+
+def test_manifest_history_reconciles_lost_log_tail(spark, group):
+    """Round-12 review fix: a crash between the manifest replace and the
+    log append loses the newest transaction from the log — the pointer
+    stays authoritative, so manifest_history must reconcile the current
+    manifest back in (the lake.history() rule) and as-of reads at 'now'
+    must serve the CURRENT states, not the previous transaction's."""
+    import os
+    import time
+
+    from pgcp_spark.sources.txn import (
+        MANIFEST_LOG,
+        manifest_history,
+        read_group_as_of,
+    )
+
+    _txn_cycle(spark, group, 0)
+    full = manifest_history(group)
+    assert len(full) == 2
+    # simulate the crash: drop the newest log line (the txn IS committed
+    # — the manifest pointer moved — but the history append was lost)
+    path = os.path.join(group, MANIFEST_LOG)
+    lines = open(path).read().splitlines()
+    open(path, "w").write("\n".join(lines[:-1]) + "\n")
+    rec = manifest_history(group)
+    assert len(rec) == 2  # reconciled back in from the pointer
+    assert rec[-1][1] == full[-1][1]
+    assert read_group_as_of(spark, group, KEYS, time.time())[
+        "fact"
+    ].count() == 4  # the current transaction's state, not the initial 3
