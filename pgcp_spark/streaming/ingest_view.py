@@ -96,17 +96,32 @@ def _cdc_batches(orders: DataFrame) -> DataFrame:
     return ups5.unionByName(dels7).unionByName(ups11)
 
 
-def fold_view_batch(
+def apply_cdc_batches(
     spark: SparkSession,
     micro_batch: DataFrame,
     fact_dir: str,
     view_dir: str,
     dim: DataFrame,
+    after_fold=None,
+    on_flatten=None,
+    after_batch=None,
 ) -> None:
-    """Apply every COMPLETE CDC batch in the micro-batch, in seq order
+    """THE per-seq CDC apply loop, shared by every streaming variant in
+    this module (plain view, cascade, MIN/MAX cascade, transactional —
+    the four used to be near-identical copies, and their semantic
+    equivalence is a contract the shared-oracle hash checks rely on):
+    apply every COMPLETE CDC batch in the micro-batch IN SEQ ORDER
     (module docstring: coalesced delivery must split — merge_cdc_delta
-    is per-batch key-unique, and later batches overwrite earlier keys).
-    The seq scan is bounded by the number of staged batches."""
+    is per-batch key-unique, and later batches overwrite earlier keys),
+    landing merge-on-read on the fact and folding the join view; a CDC
+    batch is its own change feed (upsert → update_postimage, delete →
+    delete). The seq scan is bounded by the number of staged batches.
+
+    Per batch, in this order (matching all four original copies):
+    view fold → ``after_fold()`` (the downstream consumer's fold) →
+    ``maybe_flatten`` → ``on_flatten()`` iff it fired (watermark
+    re-anchoring) → ``after_batch()`` (the transactional variant's
+    group publish — it must see post-flatten states)."""
     micro_batch = materialize(micro_batch)
     seqs = sorted(r[0] for r in micro_batch.select("seq").distinct().collect())
     for s in seqs:
@@ -128,7 +143,25 @@ def fold_view_batch(
             fact_join_col="o_custkey",
             dim_join_col="c_custkey",
         )
-        loop.maybe_flatten(spark, view_dir, key=["o_orderkey"])
+        if after_fold is not None:
+            after_fold()
+        if loop.maybe_flatten(spark, view_dir, key=["o_orderkey"]) is not None:
+            if on_flatten is not None:
+                on_flatten()
+        if after_batch is not None:
+            after_batch()
+
+
+def fold_view_batch(
+    spark: SparkSession,
+    micro_batch: DataFrame,
+    fact_dir: str,
+    view_dir: str,
+    dim: DataFrame,
+) -> None:
+    """The plain view-maintenance loop: the shared apply loop with no
+    downstream consumer."""
+    apply_cdc_batches(spark, micro_batch, fact_dir, view_dir, dim)
 
 
 def run_ingest_view(
@@ -247,33 +280,18 @@ def fold_agg_view_batch(
         stamp_applied_state,
     )
 
-    micro_batch = materialize(micro_batch)
-    seqs = sorted(r[0] for r in micro_batch.select("seq").distinct().collect())
-    for s in seqs:
-        b = micro_batch.filter(F.col("seq") == s).drop("seq")
-        merge_cdc_delta(spark, fact_dir, b, key=["o_orderkey"])
-        feed = b.withColumn(
-            "_change_type",
-            F.when(F.col("_op") == "delete", F.lit("delete")).otherwise(
-                F.lit("update_postimage")
-            ),
-        ).drop("_op")
-        fold_join_view(
-            spark,
-            view_dir,
-            view_key=["o_orderkey"],
-            fact_feed=feed,
-            dim_feed=None,
-            dim_current=dim,
-            fact_join_col="o_custkey",
-            dim_join_col="c_custkey",
-        )
-        fold_agg_join_view(
+    apply_cdc_batches(
+        spark,
+        micro_batch,
+        fact_dir,
+        view_dir,
+        dim,
+        after_fold=lambda: fold_agg_join_view(
             spark, agg_dir, view_dir, ["o_orderkey"], "c_mktsegment",
             "o_totalprice",
-        )
-        if loop.maybe_flatten(spark, view_dir, key=["o_orderkey"]) is not None:
-            stamp_applied_state(spark, agg_dir, view_dir)
+        ),
+        on_flatten=lambda: stamp_applied_state(spark, agg_dir, view_dir),
+    )
 
 
 def run_ingest_agg_view(
@@ -410,33 +428,18 @@ def fold_minmax_view_batch(
         stamp_applied_state,
     )
 
-    micro_batch = materialize(micro_batch)
-    seqs = sorted(r[0] for r in micro_batch.select("seq").distinct().collect())
-    for s in seqs:
-        b = micro_batch.filter(F.col("seq") == s).drop("seq")
-        merge_cdc_delta(spark, fact_dir, b, key=["o_orderkey"])
-        feed = b.withColumn(
-            "_change_type",
-            F.when(F.col("_op") == "delete", F.lit("delete")).otherwise(
-                F.lit("update_postimage")
-            ),
-        ).drop("_op")
-        fold_join_view(
-            spark,
-            view_dir,
-            view_key=["o_orderkey"],
-            fact_feed=feed,
-            dim_feed=None,
-            dim_current=dim,
-            fact_join_col="o_custkey",
-            dim_join_col="c_custkey",
-        )
-        fold_minmax_join_view(
+    apply_cdc_batches(
+        spark,
+        micro_batch,
+        fact_dir,
+        view_dir,
+        dim,
+        after_fold=lambda: fold_minmax_join_view(
             spark, agg_dir, view_dir, ["o_orderkey"], "c_mktsegment",
             "o_totalprice",
-        )
-        if loop.maybe_flatten(spark, view_dir, key=["o_orderkey"]) is not None:
-            stamp_applied_state(spark, agg_dir, view_dir)
+        ),
+        on_flatten=lambda: stamp_applied_state(spark, agg_dir, view_dir),
+    )
 
 
 def run_ingest_minmax_view(
@@ -585,39 +588,25 @@ def fold_agg_view_batch_txn(
     fact_dir = os.path.join(gdir, "fact")
     view_dir = os.path.join(gdir, "view")
     agg_dir = os.path.join(gdir, "agg")
-    micro_batch = materialize(micro_batch)
-    seqs = sorted(r[0] for r in micro_batch.select("seq").distinct().collect())
-    for s in seqs:
-        b = micro_batch.filter(F.col("seq") == s).drop("seq")
-        merge_cdc_delta(spark, fact_dir, b, key=["o_orderkey"])
-        feed = b.withColumn(
-            "_change_type",
-            F.when(F.col("_op") == "delete", F.lit("delete")).otherwise(
-                F.lit("update_postimage")
-            ),
-        ).drop("_op")
-        fold_join_view(
-            spark,
-            view_dir,
-            view_key=["o_orderkey"],
-            fact_feed=feed,
-            dim_feed=None,
-            dim_current=dim,
-            fact_join_col="o_custkey",
-            dim_join_col="c_custkey",
-        )
-        fold_agg_join_view(
+    apply_cdc_batches(
+        spark,
+        micro_batch,
+        fact_dir,
+        view_dir,
+        dim,
+        after_fold=lambda: fold_agg_join_view(
             spark, agg_dir, view_dir, ["o_orderkey"], "c_mktsegment",
             "o_totalprice",
-        )
-        if loop.maybe_flatten(spark, view_dir, key=["o_orderkey"]) is not None:
-            stamp_applied_state(spark, agg_dir, view_dir)
-        occ_commit_group(
+        ),
+        on_flatten=lambda: stamp_applied_state(spark, agg_dir, view_dir),
+        # the publish runs LAST so the manifest pins post-flatten states
+        after_batch=lambda: occ_commit_group(
             gdir,
             lambda _state: {
                 n: table_state(gdir, n) for n in ("fact", "view", "agg")
             },
-        )
+        ),
+    )
 
 
 def run_ingest_agg_view_txn(
@@ -714,6 +703,7 @@ def streaming_cascade_group_commit(spark: SparkSession, sf_dir: str) -> DataFram
 
 # read_current is imported for tests (post-stream fact state assertions)
 __all__ = [
+    "apply_cdc_batches",
     "fold_view_batch",
     "fold_agg_view_batch",
     "fold_agg_view_batch_txn",
