@@ -28,13 +28,24 @@ phone has two separators and a 4-digit tail), so their relative order is
 free. NULL text stays NULL through both the redaction and the counts
 (ANSI), and zero-match text round-trips unchanged.
 
-Recall tiers (round 12 broadened the round-11 precision-first set): the
-added paren / space-separated / E.164 phone shapes and the
-``user at example dot com`` obfuscated-email tier trade some precision
-for recall — word salad can legitimately contain " at X dot yz" — the
-standard corpus-scrub trade (a false positive deletes a little training
-signal; a false negative leaks PII). All patterns stay inside the
-Java∩RE2 replayable subset.
+Recall tiers (round 12 broadened the round-11 precision-first set; round
+13 added tier 3 — financial/international): the paren / space-separated
+/ E.164 phone shapes and the ``user at example dot com`` obfuscated-
+email tier trade some precision for recall — word salad can legitimately
+contain " at X dot yz" — the standard corpus-scrub trade (a false
+positive deletes a little training signal; a false negative leaks PII).
+Tier 3 covers grouped payment-card numbers (16-19 in 4-4-4-(1..4) and
+amex 4-6-5 — shape only, Luhn is not a regular language), compact IBANs,
+and the UK 0xxxx-xxxxxx national phone family; the tier-3 shapes were
+checked pairwise disjoint from every phone rule (card digit groups are
+4/6/5 wide, a phone match needs a 3-digit group at a word boundary —
+pinned in tests), so only the r12 e164-before-phone order pin remains
+load-bearing. The compact-E.164 rule was simultaneously TIGHTENED
+(round 13): left context restricted to start-of-string/whitespace via a
+consumed-and-restored group (RE2 has no lookbehind) and the digit floor
+raised 7→10, so '+'-prefixed dates/IDs like "+20250101" are no longer
+deleted from the corpus. All patterns stay inside the Java∩RE2
+replayable subset.
 
 Scale: row-local string work — embarrassingly parallel, no shuffle, no
 UDF. Public-method anchor: the C4/Gopher-style cleanup passes describe
@@ -73,12 +84,38 @@ PII_RULES: list[tuple[str, str, str]] = [
     # rule's exactly, else a dot-separated E.164 slips past this rule
     # and half-redacts to "+1.<PHONE>" (the hole the review found)
     ("phone_e164", r"\+\d{1,3}[-. ]\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
-    # E.164, compact ("+15551234567"); no \b before + — + is non-word
-    ("phone_e164c", r"\+\d{7,15}\b", "<PHONE>"),
+    # E.164, compact ("+15551234567"). RE2 has no lookbehind, so the
+    # start-of-string/whitespace left context is a CONSUMED group kept
+    # through the replacement ($1 — Java syntax; _sql_redact rewrites it
+    # to RE2's \1). Floor raised 7→10 digits (round 13): \+\d{7,15}
+    # redacted any '+'-prefixed integer ('+20250101', a signed date/ID),
+    # deleting non-PII numeric signal — real compact E.164 numbers carry
+    # a country code + subscriber number and run 10+ digits.
+    ("phone_e164c", r"(^|\s)\+\d{10,15}\b", "$1<PHONE>"),
     # US paren shape "(555) 123-4567"
     ("phone_paren", r"\(\d{3}\) ?\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    # payment-card shapes (round 13, tier 3): 16-19 digits grouped
+    # 4-4-4-(1..4) and the amex 4-6-5 grouping, space or dash separated.
+    # Shape-only (no Luhn — a checksum is not expressible as a regular
+    # language); grouped-only for precision: a bare 13-19 digit run is
+    # usually an ID, not a card. Checked disjoint from every phone rule:
+    # a phone match needs a 3-digit group at a word boundary followed by
+    # a separator, and card digit groups are 4/6/5 wide, so neither can
+    # match inside the other (pinned in tests/test_pii.py).
+    (
+        "ccard",
+        r"\b(?:\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{1,4}|\d{4}[- ]\d{6}[- ]\d{5})\b",
+        "<CC>",
+    ),
     # bare 3-3-4 with -, ., or space separators
     ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    # one non-NANP national family (round 13, tier 3): UK 0xxxx xxxxxx
+    # (leading trunk 0 + 4 digits, separator, 6 digits) — disjoint from
+    # the NANP shapes (5-digit first group) and from ccard (4/6/5 groups)
+    ("phone_uk", r"\b0\d{4}[ -]\d{6}\b", "<PHONE>"),
+    # IBAN, compact form: country code + 2 check digits + 11-30
+    # alphanumerics (ISO 13616 length bounds across registries)
+    ("iban", r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b", "<IBAN>"),
     ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
 ]
 
@@ -104,7 +141,10 @@ def pii_counts(col: Column | str) -> list[Column]:
 
 def _sql_redact(expr: str) -> str:
     for _, pat, repl in PII_RULES:
-        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+        # replacement backreference syntax differs per engine: Java
+        # (Spark) writes $1, RE2 (DuckDB) writes \1 — same semantics
+        duck_repl = repl.replace("$1", "\\1")
+        expr = f"regexp_replace({expr}, '{pat}', '{duck_repl}', 'g')"
     return expr
 
 
@@ -135,6 +175,13 @@ _INJECT_SQL = (
     " || CASE WHEN doc_id % 29 = 0 THEN ' cell +447911123456 end' ELSE '' END"
     " || CASE WHEN doc_id % 31 = 0 THEN ' mail bob"
     " at example dot com soon' ELSE '' END"
+    " || CASE WHEN doc_id % 37 = 0 THEN ' card 4111 1111 1111 1111 on file'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 41 = 0 THEN ' amex 3714-496353-98431 backup'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 43 = 0 THEN ' iban DE89370400440532013000 ref'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 47 = 0 THEN ' ring 07911 123456 today' ELSE '' END"
 )
 
 
@@ -163,6 +210,10 @@ def _injected(d: DataFrame) -> DataFrame:
             when_mod(23, F.lit(" intl +1 555 123 4567 line")),
             when_mod(29, F.lit(" cell +447911123456 end")),
             when_mod(31, F.lit(" mail bob at example dot com soon")),
+            when_mod(37, F.lit(" card 4111 1111 1111 1111 on file")),
+            when_mod(41, F.lit(" amex 3714-496353-98431 backup")),
+            when_mod(43, F.lit(" iban DE89370400440532013000 ref")),
+            when_mod(47, F.lit(" ring 07911 123456 today")),
         ).alias("t"),
     )
 

@@ -340,6 +340,31 @@ def _atomic_write(path: str, content: str) -> None:
     os.replace(tmp, path)
 
 
+def _append_log_line(path: str, line: str) -> None:
+    """Append one record to a newline-delimited sidecar log, healing a
+    torn tail first. A crash mid-append can leave the file ending in a
+    partial record with NO trailing newline; a naive ``open(path, 'a')``
+    would concatenate the next record onto that fragment — and if the
+    fragment happens to end in digits, the merged line can still PARSE
+    (e.g. a ``_MANIFEST_LOG`` fragment ending ``169999.1`` glued to the
+    next timestamp yields a valid-looking (ts, json) pair with a garbage
+    timestamp), silently corrupting as-of resolution instead of being
+    skipped as torn. So: stat the last byte under the caller's lock and
+    lead with a '\\n' when the file doesn't end in one — the torn
+    fragment becomes its OWN (unparseable, skipped) line and the new
+    record stays intact. ``line`` must not contain '\\n'."""
+    lead = ""
+    try:
+        with open(path, "rb") as f:
+            f.seek(-1, os.SEEK_END)
+            if f.read(1) != b"\n":
+                lead = "\n"
+    except (OSError, ValueError):
+        pass  # missing or empty file — nothing torn to heal
+    with open(path, "a") as f:
+        f.write(f"{lead}{line}\n")
+
+
 def write_snapshot(
     df: DataFrame,
     table_dir: str,
@@ -439,8 +464,8 @@ def write_snapshot(
         _atomic_write(_log_path(table_dir), "\n".join(committed) + "\n")
         # commit-time sidecar for AS-OF-timestamp time travel: appended
         # under the commit lock, so commit order == timestamp order
-        with open(_commits_path(table_dir), "a") as cf:
-            cf.write(f"{snap}\t{time.time():.6f}\n")
+        # (torn-tail-healing append — _append_log_line docstring)
+        _append_log_line(_commits_path(table_dir), f"{snap}\t{time.time():.6f}")
 
         kept = set(committed[-max(1, keep):])
         # commit-time GC DECISION under the lock (it reads the committed

@@ -50,6 +50,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 from pgcp_spark.sources.lake import (
+    _append_log_line,
     _atomic_write,
     _commit_lock,
     current_snapshot,
@@ -145,9 +146,14 @@ def commit_group(
         new[TXN] = int(new.get(TXN, 0)) + 1
         _atomic_write(_manifest_path(group_dir), json.dumps(new, sort_keys=True))
         # history sidecar: appended under the same lock, so log order ==
-        # commit order == timestamp order (the _COMMITS discipline)
-        with open(os.path.join(group_dir, MANIFEST_LOG), "a") as lf:
-            lf.write(f"{time.time():.6f}\t{json.dumps(new, sort_keys=True)}\n")
+        # commit order == timestamp order (the _COMMITS discipline);
+        # torn-tail-healing append so a crash mid-append can't glue the
+        # next record onto a digit-ending fragment and forge a parseable
+        # line with a garbage timestamp (_append_log_line docstring)
+        _append_log_line(
+            os.path.join(group_dir, MANIFEST_LOG),
+            f"{time.time():.6f}\t{json.dumps(new, sort_keys=True)}",
+        )
         return new
 
 
@@ -181,8 +187,19 @@ def manifest_history(group_dir: str) -> list[tuple[float, dict]]:
             try:
                 ts = os.path.getmtime(_manifest_path(group_dir))
             except OSError:
-                ts = out[-1][0] if out else 0.0
-            out.append((ts, current))
+                ts = None
+            # the reconciled entry is the NEWEST commit, so its timestamp
+            # must respect the log's time-ordering invariant that
+            # read_group_as_of relies on: clamp to at least the log tail
+            # (an mtime can lag the tail when the log append raced the
+            # replace), and when NO plausible timestamp exists (empty log
+            # + unreadable mtime) skip the entry rather than invent 0.0 —
+            # a 0.0 tail would serve the newest state for an as_of BEFORE
+            # the group's first commit instead of raising.
+            if out:
+                ts = max(ts if ts is not None else 0.0, out[-1][0])
+            if ts is not None:
+                out.append((ts, current))
     return out
 
 

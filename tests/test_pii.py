@@ -91,6 +91,67 @@ def test_broadened_shapes_redact(spark):
         assert got[i] == want, (i, got[i])
 
 
+def test_tier3_shapes_redact(spark):
+    """Round-13 tier 3: grouped payment cards (4-4-4-4 and amex 4-6-5),
+    compact IBAN, UK national phone — each redacts fully; shape
+    near-misses (bare 16-digit run, too-short IBAN tail, UK number with
+    a 4-digit trunk group) stay untouched."""
+    cases = {
+        1: ("card 4111 1111 1111 1111 on file", "card <CC> on file"),
+        2: ("amex 3714-496353-98431 backup", "amex <CC> backup"),
+        3: ("iban DE89370400440532013000 ref", "iban <IBAN> ref"),
+        4: ("ring 07911 123456 today", "ring <PHONE> today"),
+        # near-misses: bare digit runs are IDs, not cards (grouped-only
+        # precision rule); IBAN needs >= 11 alnum after the check digits;
+        # UK trunk group is exactly 0+4 digits
+        5: ("id 4111111111111111 raw", "id 4111111111111111 raw"),
+        6: ("ref DE8912345 short", "ref DE8912345 short"),
+        7: ("num 0791 123456 odd", "num 0791 123456 odd"),
+    }
+    df = spark.createDataFrame([(t, i) for i, (t, _) in cases.items()], ["t", "i"])
+    got = {r.i: r.red for r in df.select("i", redact_text("t").alias("red")).collect()}
+    for i, (_, want) in cases.items():
+        assert got[i] == want, (i, got[i])
+
+
+def test_e164_compact_tightened_left_context_and_floor(spark):
+    """Round-13 ADVICE fix: the compact rule no longer fires on
+    '+'-prefixed short integers or on '+' glued to a preceding word, and
+    the consumed whitespace left-context is restored by the replacement
+    (no character deleted around the placeholder)."""
+    cases = {
+        1: ("on +20250101 we", "on +20250101 we"),  # 8 digits: signed date
+        2: ("sum +123456789 t", "sum +123456789 t"),  # 9 digits: below floor
+        3: ("id x+12345678901 t", "id x+12345678901 t"),  # glued to a word
+        4: ("cell +12345678901 t", "cell <PHONE> t"),  # space restored
+        5: ("+12345678901 leads", "<PHONE> leads"),  # start-of-string
+    }
+    df = spark.createDataFrame([(t, i) for i, (t, _) in cases.items()], ["t", "i"])
+    got = {r.i: r.red for r in df.select("i", redact_text("t").alias("red")).collect()}
+    for i, (_, want) in cases.items():
+        assert got[i] == want, (i, got[i])
+
+
+def test_card_and_phone_rules_are_mutually_disjoint(spark):
+    """The load-bearing check for the tier-3 order: card digit groups
+    are 4/6/5 wide and a phone match needs a 3-digit group at a word
+    boundary, so neither family can match INSIDE the other's shape —
+    the ccard-before-phone order in PII_RULES is free, and this pin
+    proves it by applying each family alone."""
+    card_texts = ["4111 1111 1111 1111", "3714-496353-98431", "1234 5678 9012 345"]
+    phone_texts = ["555 123 4567", "555.123.4567", "07911 123456"]
+    rules = {name: (pat, repl) for name, pat, repl in PII_RULES}
+    phone_pats = [
+        re.compile(rules[n][0]) for n in ("phone", "phone_paren", "phone_uk")
+    ]
+    card_pat = re.compile(rules["ccard"][0])
+    for t in card_texts:
+        for p in phone_pats:
+            assert not p.search(t), (t, p.pattern)
+    for t in phone_texts:
+        assert not card_pat.search(t), t
+
+
 def test_counts_on_raw_text_and_null_safety(spark):
     df = spark.createDataFrame(
         [

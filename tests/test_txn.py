@@ -483,3 +483,87 @@ def test_manifest_history_reconciles_lost_log_tail(spark, group):
     assert read_group_as_of(spark, group, KEYS, time.time())[
         "fact"
     ].count() == 4  # the current transaction's state, not the initial 3
+
+
+def test_manifest_log_append_heals_torn_tail(spark, group):
+    """Round-13 ADVICE fix: a crash mid-append can leave a torn tail with
+    NO trailing newline; the next commit's append must not concatenate
+    onto it. The nasty case is a fragment ending in DIGITS — naively
+    glued to the next record it still parses as a (ts, json) pair with a
+    garbage timestamp and silently corrupts as-of resolution. The healing
+    append isolates the fragment on its own (skipped) line."""
+    import os
+
+    from pgcp_spark.sources.txn import MANIFEST_LOG, manifest_history
+
+    before = manifest_history(group)
+    path = os.path.join(group, MANIFEST_LOG)
+    with open(path, "a") as f:
+        f.write("169999.1")  # torn fragment, digit tail, no newline
+    _txn_cycle(spark, group, 0)
+    hist = manifest_history(group)
+    assert len(hist) == len(before) + 1  # fragment skipped, new line intact
+    assert [t for t, _ in hist] == sorted(t for t, _ in hist)
+    # no forged entry: every timestamp is a real commit epoch, none is
+    # the glued fragment's 169999.x
+    assert all(t > 1e9 for t, _ in hist)
+
+
+def test_commits_sidecar_append_heals_torn_tail(spark, tmp_path):
+    """Same hazard, lake side: the _COMMITS sidecar append heals a torn
+    digit-ending tail so read_as_of keeps resolving every commit."""
+    from pgcp_spark.sources.lake import (
+        _commits_path,
+        commit_times,
+        write_snapshot,
+    )
+
+    tdir = str(tmp_path / "t")
+    write_snapshot(spark.createDataFrame([(1,)], ["k"]), tdir, keep=6)
+    assert len(commit_times(tdir)) == 1
+    with open(_commits_path(tdir), "a") as f:
+        f.write("snap-000001\t169999.1")  # torn: parseable-looking, no \n
+    write_snapshot(spark.createDataFrame([(2,)], ["k"]), tdir, keep=6)
+    times = commit_times(tdir)
+    # the torn fragment stays its own line (it parses, with a garbage
+    # timestamp — acceptable: it references a never-committed snapshot)
+    # but the REAL second commit's record is intact and newest
+    assert times[-1][1] > 1e9
+    assert len([1 for n, t in times if t > 1e9]) == 2
+
+
+def test_manifest_history_reconcile_timestamp_clamped(spark, group, monkeypatch):
+    """Round-13 ADVICE fix: the reconciled current-manifest entry must
+    respect the log's time ordering. With the newest log line lost AND
+    the manifest mtime lagging the log tail (clock skew / copied files),
+    the reconciled timestamp clamps to the tail; and when NO plausible
+    timestamp exists (empty log + unreadable mtime) the entry is skipped
+    so an as_of BEFORE the first commit raises instead of serving the
+    newest state at a forged ts=0.0."""
+    import os
+    import time
+
+    from pgcp_spark.sources import txn as txn_mod
+    from pgcp_spark.sources.txn import (
+        MANIFEST_LOG,
+        manifest_history,
+        read_group_as_of,
+    )
+
+    _txn_cycle(spark, group, 0)
+    path = os.path.join(group, MANIFEST_LOG)
+    lines = open(path).read().splitlines()
+    open(path, "w").write("\n".join(lines[:-1]) + "\n")
+    # make the manifest mtime PREDATE the log tail
+    os.utime(os.path.join(group, "_MANIFEST"), (1.0, 1.0))
+    hist = manifest_history(group)
+    assert [t for t, _ in hist] == sorted(t for t, _ in hist)
+    assert hist[-1][0] >= hist[-2][0]  # clamped to the tail, not 1.0
+    # no-plausible-timestamp branch: empty log, unreadable mtime
+    open(path, "w").write("")
+    monkeypatch.setattr(
+        txn_mod.os.path, "getmtime", lambda p: (_ for _ in ()).throw(OSError())
+    )
+    assert manifest_history(group) == []
+    with pytest.raises(FileNotFoundError, match="no group commit"):
+        read_group_as_of(spark, group, KEYS, time.time())
