@@ -6,9 +6,11 @@ injectable ``reader``/``writer`` callables for ``Transport`` (transport.py),
 used when no PostgreSQL JDBC driver jar is available. Differences from the
 reference pipe:
 
-  - PARALLEL: with a numeric PK the export fans out into N range-predicated
-    ``COPY (SELECT ...)`` streams (the same split the JDBC reader computes),
-    and the import runs one ``COPY FROM`` per Spark output part file — both
+  - PARALLEL: with ANY btree-orderable PK the export fans out into N
+    range-predicated ``COPY (SELECT ...)`` streams — numeric min/max
+    strides, or sampled percentile boundaries for text/uuid keys
+    (pg/partition.py; the same split the JDBC reader computes) — and the
+    import runs one ``COPY FROM`` per Spark output part file, both
     through a thread pool. PG happily runs concurrent COPY in both
     directions; the reference moved every row through one pipe.
   - TYPED: the Spark read schema comes from the source catalog
@@ -32,6 +34,7 @@ from concurrent.futures import ThreadPoolExecutor
 from glob import glob
 
 from pgcp_spark.pg import catalog as cat
+from pgcp_spark.pg import partition
 from pgcp_spark.pg.psql_client import NULL_MARKER, PsqlCliClient
 from pgcp_spark.qualified_name import QualifiedName, quote_ident
 
@@ -91,26 +94,7 @@ def make_copy_reader(spark, client: PsqlCliClient):
         schema = ", ".join(f"`{c.name}` {spark_type_for(c.type)}" for c in columns)
         out_dir = tempfile.mkdtemp(prefix="pgcp_copy_out_")
 
-        where = f"({options.where})" if options.where else "TRUE"
-        part_col = _numeric_pk(client, src, columns)
-        selects = []
-        if part_col:
-            qcol = quote_ident(part_col)
-            bounds = client.fetch(
-                f"SELECT MIN({qcol}), MAX({qcol}) FROM {src.quoted} WHERE {where}"
-            )[0]
-            lo, hi = bounds if bounds else (None, None)
-            if lo is not None and hi is not None and hi > lo:
-                n = min(options.num_partitions, hi - lo + 1)
-                stride = (hi - lo + 1 + n - 1) // n
-                for i in range(n):
-                    a, b = lo + i * stride, lo + (i + 1) * stride
-                    selects.append(
-                        f"SELECT * FROM {src.quoted} WHERE {where}"
-                        f" AND {qcol} >= {a} AND {qcol} < {b}"
-                    )
-        if not selects:
-            selects = [f"SELECT * FROM {src.quoted} WHERE {where}"]
+        selects = _partitioned_selects(client, src, columns, options)
 
         def export(i_sql):
             i, sql = i_sql
@@ -163,18 +147,30 @@ def make_copy_writer(client: PsqlCliClient):
     return writer
 
 
-def _numeric_pk(client, src: QualifiedName, columns) -> str | None:
-    pk = next(
-        (ix.columns for ix in cat.get_indexes(client, src.schema_name, src.table_name) if ix.primary),
-        (),
+def _partitioned_selects(client, src: QualifiedName, columns, options) -> list[str]:
+    """The N per-stream COPY subqueries: one PK-range predicate each
+    (numeric stride or sampled percentile boundaries — pg/partition.py),
+    or the single full select for no-PK / small / degenerate tables.
+    Shared by the staged-CSV and executor-pipe readers so both scale past
+    the reference's single COPY stream on ANY PK type (round 13)."""
+    where = f"({options.where})" if options.where else "TRUE"
+    part = partition.pk_leading_column(
+        cat.get_indexes(client, src.schema_name, src.table_name), columns
     )
-    if not pk:
-        return None
-    col_types = {c.name: c.type for c in columns}
-    t = col_types.get(pk[0], "").lower()
-    if t.startswith(("smallint", "integer", "bigint", "int", "serial", "bigserial")):
-        return pk[0]
-    return None
+    preds = None
+    if part:
+        preds = partition.partition_predicates(
+            client.fetch,
+            src.quoted,
+            quote_ident(part[0]),
+            part[1],
+            options.num_partitions,
+            options.where,
+            options.small_table_rows,
+        )
+    if not preds:
+        return [f"SELECT * FROM {src.quoted} WHERE {where}"]
+    return [f"SELECT * FROM {src.quoted} WHERE {where} AND ({p})" for p in preds]
 
 
 def make_pipe_writer(cfg):
@@ -266,26 +262,7 @@ def make_pipe_reader(spark, client: PsqlCliClient, cfg):
         if not columns:
             raise RuntimeError(f"source table {src} has no columns (missing?)")
 
-        where = f"({options.where})" if options.where else "TRUE"
-        part_col = _numeric_pk(client, src, columns)
-        selects = []
-        if part_col:
-            qcol = quote_ident(part_col)
-            bounds = client.fetch(
-                f"SELECT MIN({qcol}), MAX({qcol}) FROM {src.quoted} WHERE {where}"
-            )[0]
-            lo, hi = bounds if bounds else (None, None)
-            if lo is not None and hi is not None and hi > lo:
-                n = min(options.num_partitions, hi - lo + 1)
-                stride = (hi - lo + 1 + n - 1) // n
-                for i in range(n):
-                    a, b = lo + i * stride, lo + (i + 1) * stride
-                    selects.append(
-                        f"SELECT * FROM {src.quoted} WHERE {where}"
-                        f" AND {qcol} >= {a} AND {qcol} < {b}"
-                    )
-        if not selects:
-            selects = [f"SELECT * FROM {src.quoted} WHERE {where}"]
+        selects = _partitioned_selects(client, src, columns, options)
 
         base_args = PsqlCliClient(cfg).base_args()
         password = cfg.password

@@ -20,10 +20,13 @@ Reference bugs fixed (SURVEY.md §3 quirks):
   Q4 transfer failures were silently swallowed — exceptions propagate.
   Q5 composite PKs truncated to the first column — kept whole (ddl.py).
 
-Scale: per-table parallelism = numPartitions range-partitioned on the
-introspected PK (catalog.primary_key_columns); multi-table glob fan-out
-runs copies in a thread pool (each Spark job is independent; the scheduler
-interleaves them).
+Scale: per-table parallelism = numPartitions mutually-exclusive PK-range
+predicates on the introspected leading PK column — numeric min/max
+strides, or sampled percentile boundaries for text/uuid/any-orderable
+keys (pg/partition.py, round 13; previously a non-numeric PK degraded to
+one connection). Genuinely small tables keep the single stream (bounded
+LIMIT probe). Multi-table glob fan-out runs copies in a thread pool
+(each Spark job is independent; the scheduler interleaves them).
 """
 
 from __future__ import annotations
@@ -40,12 +43,13 @@ from typing import Any
 from pgcp_spark.config import DbConfig
 from pgcp_spark.pg import catalog as cat
 from pgcp_spark.pg import ddl
+from pgcp_spark.pg import partition
 from pgcp_spark.pg.client import PgClient
+from pgcp_spark.pg.partition import NUMERIC_PG_TYPES  # noqa: F401 (re-export)
 from pgcp_spark.qualified_name import QualifiedName, quote_ident
 
 logger = logging.getLogger("pgcp_spark")
 
-NUMERIC_PG_TYPES = ("smallint", "integer", "bigint", "int2", "int4", "int8", "serial", "bigserial")
 DEFAULT_NUM_PARTITIONS = 16
 DEFAULT_FETCH_SIZE = 10_000
 DEFAULT_BATCH_SIZE = 10_000
@@ -62,6 +66,11 @@ class CopyOptions:
     # optional SQL predicate for incremental / partial copies; Catalyst
     # pushes it into the JDBC scan (WHERE reaches the source Postgres)
     where: str | None = None
+    # below this many (filtered) rows the table reads single-stream —
+    # partition setup (probe + boundary sample + N connections) would
+    # dominate. Probed with a bounded LIMIT, never a full COUNT. 0
+    # disables the probe (always partition when a PK allows it).
+    small_table_rows: int = partition.SMALL_TABLE_ROWS
 
 
 class Transport:
@@ -282,34 +291,29 @@ class Transport:
             self.dest_client.execute(f"DROP TABLE IF EXISTS {staging.quoted}")
 
     def _default_reader(self, src: QualifiedName, options: CopyOptions):
-        """Partitioned JDBC scan (O1): range-partition on a numeric PK when
-        one exists — N parallel COPY streams vs the reference's single pipe."""
-        reader = (
-            self.spark.read.format("jdbc")
-            .option("url", self.src_cfg.jdbc_url)
-            .option("dbtable", src.quoted)
-            .option("fetchsize", str(options.fetch_size))
-        )
-        for k, v in self.src_cfg.jdbc_properties.items():
-            reader = reader.option(k, v)
-        part_col = self._numeric_pk_column(src)
-        if part_col:
-            bounds_sql = (
-                f"SELECT MIN({quote_ident(part_col)}), MAX({quote_ident(part_col)}) FROM {src.quoted}"
+        """Partitioned JDBC scan (O1): N mutually-exclusive PK-range
+        predicates — numeric min/max strides, or sampled percentile
+        boundaries for text/uuid/any-orderable PKs (round 13: a uuid-PK
+        table used to degrade to ONE connection, the reference's
+        single-pipe bottleneck, transport.rb:89-110). Genuinely small
+        tables (bounded LIMIT probe) keep the single stream."""
+        preds = self._partition_predicates(src, options)
+        if preds and len(preds) > 1:
+            props = dict(self.src_cfg.jdbc_properties)
+            props["fetchsize"] = str(options.fetch_size)
+            df = self.spark.read.jdbc(
+                self.src_cfg.jdbc_url, src.quoted, predicates=preds, properties=props
             )
-            if options.where:
-                # bound the partition range to the filtered rows so the N
-                # range partitions stay balanced over what's actually read
-                bounds_sql += f" WHERE {options.where}"
-            lo, hi = self.src_client.fetch(bounds_sql)[0]
-            if lo is not None and hi is not None and hi > lo:
-                reader = (
-                    reader.option("partitionColumn", part_col)
-                    .option("lowerBound", str(lo))
-                    .option("upperBound", str(hi))
-                    .option("numPartitions", str(options.num_partitions))
-                )
-        df = reader.load()
+        else:
+            reader = (
+                self.spark.read.format("jdbc")
+                .option("url", self.src_cfg.jdbc_url)
+                .option("dbtable", src.quoted)
+                .option("fetchsize", str(options.fetch_size))
+            )
+            for k, v in self.src_cfg.jdbc_properties.items():
+                reader = reader.option(k, v)
+            df = reader.load()
         if options.where:
             # filter() on a JDBC relation pushes down (pushDownPredicate
             # defaults true), so the predicate executes source-side
@@ -331,15 +335,24 @@ class Transport:
             writer = writer.option(k, v)
         writer.save()
 
-    def _numeric_pk_column(self, src: QualifiedName) -> str | None:
-        pk = next((ix.columns for ix in self._src_indexes(src) if ix.primary), ())
-        if not pk:
+    def _partition_predicates(self, src: QualifiedName, options: CopyOptions) -> list[str] | None:
+        """N parallel-read predicates over the leading PK column, or None
+        for single-stream (no PK / small table / degenerate key). The
+        boundary queries run against the SOURCE, and the predicates are
+        evaluated there too — same server, same collation."""
+        part = partition.pk_leading_column(self._src_indexes(src), self._src_columns(src))
+        if part is None:
             return None
-        col_types = {c.name: c.type for c in self._src_columns(src)}
-        first = pk[0]
-        if col_types.get(first, "").lower().startswith(NUMERIC_PG_TYPES):
-            return first
-        return None
+        col, is_numeric = part
+        return partition.partition_predicates(
+            self.src_client.fetch,
+            src.quoted,
+            quote_ident(col),
+            is_numeric,
+            options.num_partitions,
+            options.where,
+            options.small_table_rows,
+        )
 
 
 def _spark_schema_ddl(df: Any, dest: QualifiedName) -> str:

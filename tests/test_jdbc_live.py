@@ -84,6 +84,19 @@ assert df.rdd.getNumPartitions() == 4, df.rdd.getNumPartitions()
 rows = df.collect()
 assert len(rows) == 100 and {r.id for r in rows} == set(range(1, 101))
 
+# O1 round 13: the predicates= seam _default_reader uses for
+# text/uuid-PK splits — N mutually-exclusive WHERE clauses, one JDBC
+# partition each, disjoint + exhaustive
+pdf = spark.read.jdbc(
+    url,
+    "src",
+    predicates=["val < 'row-5'", "val >= 'row-5'"],
+    properties={"driver": "org.duckdb.DuckDBDriver"},
+)
+assert pdf.rdd.getNumPartitions() == 2, pdf.rdd.getNumPartitions()
+prows = pdf.collect()
+assert len(prows) == 100 and {r.id for r in prows} == set(range(1, 101))
+
 # O2: batched append into a PRE-CREATED table (exact types preserved --
 # the transport never lets Spark create the destination)
 client.execute("CREATE TABLE dst (id BIGINT, val VARCHAR)")

@@ -303,3 +303,85 @@ def test_live_pipe_reader_executors_run_copy_streams(spark, pg_server, client):
     row = df.filter("id = 42").collect()[0]
     assert row.name == "name_42" and row.active == (42 % 3 == 0)
     assert str(df.schema["bal"].dataType) == "DecimalType(12,2)"
+
+
+def test_live_uuid_pk_parallel_copy(spark, pg_server, transport, client):
+    """Round-13 gap #1 closed: a uuid-PK table (no numeric PK) splits into
+    N>1 sampled-boundary COPY streams — server-side disjoint+exhaustive —
+    with full content parity, instead of the reference's single pipe."""
+    from pgcp_spark.pg.copy_csv import _partitioned_selects
+    from pgcp_spark.qualified_name import QualifiedName
+
+    client.execute("DROP TABLE IF EXISTS src.uu")
+    client.execute("CREATE TABLE src.uu (id UUID PRIMARY KEY, v TEXT)")
+    client.execute(
+        "INSERT INTO src.uu SELECT md5(i::text)::uuid, 'v' || i"
+        " FROM generate_series(1, 2000) g(i)"
+    )
+    opts = CopyOptions(force_schema="dst_uu", num_partitions=4, small_table_rows=0)
+    cols = cat.column_definitions(client, "src", "uu")
+    selects = _partitioned_selects(client, QualifiedName("src", "uu"), cols, opts)
+    assert len(selects) > 1, "uuid PK must not degrade to one stream"
+    # the ranges are disjoint + exhaustive ON THE SERVER: per-stream
+    # counts sum to the table, and md5-uniform keys split evenly
+    counts = [int(client.fetch(f"SELECT COUNT(*) FROM ({s}) q")[0][0]) for s in selects]
+    assert sum(counts) == 2000, counts
+    assert max(counts) <= 2 * (2000 // len(counts)), counts
+    client.execute("DROP SCHEMA IF EXISTS dst_uu CASCADE")
+    transport.copy_table("src.uu", options=opts)
+    checksum = (
+        "SELECT COUNT(*), MIN(id::text), MAX(id::text),"
+        " SUM(length(v)) FROM {}.uu"
+    )
+    assert client.fetch(checksum.format("src")) == client.fetch(checksum.format("dst_uu"))
+
+
+def test_live_skewed_text_pk_balanced_partitions(client):
+    """Equal-frequency percentile boundaries balance a SKEWED text PK:
+    90% of keys share one prefix, yet no stream carries more than ~2x its
+    fair share (a naive lexicographic min/max split would put 90% in one
+    stream)."""
+    from pgcp_spark.pg.copy_csv import _partitioned_selects
+    from pgcp_spark.qualified_name import QualifiedName
+
+    client.execute("DROP TABLE IF EXISTS src.sk")
+    client.execute("CREATE TABLE src.sk (k TEXT PRIMARY KEY, v INT)")
+    client.execute(
+        "INSERT INTO src.sk SELECT CASE WHEN i % 10 < 9"
+        " THEN 'aaa_' || lpad(i::text, 8, '0')"
+        " ELSE 'z_' || lpad(i::text, 8, '0') END, i"
+        " FROM generate_series(1, 5000) g(i)"
+    )
+    opts = CopyOptions(num_partitions=4, small_table_rows=0)
+    cols = cat.column_definitions(client, "src", "sk")
+    selects = _partitioned_selects(client, QualifiedName("src", "sk"), cols, opts)
+    assert len(selects) > 1
+    counts = [int(client.fetch(f"SELECT COUNT(*) FROM ({s}) q")[0][0]) for s in selects]
+    assert sum(counts) == 5000, counts
+    assert max(counts) <= 2 * (5000 // len(counts)), counts
+
+
+def test_live_small_table_keeps_single_stream_and_quoting_safe(client):
+    """The bounded LIMIT probe keeps a genuinely small table on one
+    stream (default threshold); and boundary literals containing quotes
+    round-trip safely because POSTGRES renders them (quote_literal)."""
+    from pgcp_spark.pg.copy_csv import _partitioned_selects
+    from pgcp_spark.qualified_name import QualifiedName
+
+    # default small_table_rows: 1000-row people stays single-stream
+    cols = cat.column_definitions(client, "src", "people")
+    selects = _partitioned_selects(client, QualifiedName("src", "people"), cols, CopyOptions())
+    assert len(selects) == 1
+    # quote-bearing text PK: literals escaped server-side
+    client.execute("DROP TABLE IF EXISTS src.qt")
+    client.execute("CREATE TABLE src.qt (k TEXT PRIMARY KEY, v INT)")
+    client.execute(
+        "INSERT INTO src.qt SELECT 'it''s_' || lpad(i::text, 6, '0'), i"
+        " FROM generate_series(1, 600) g(i)"
+    )
+    opts = CopyOptions(num_partitions=3, small_table_rows=0)
+    cols = cat.column_definitions(client, "src", "qt")
+    selects = _partitioned_selects(client, QualifiedName("src", "qt"), cols, opts)
+    assert len(selects) > 1
+    counts = [int(client.fetch(f"SELECT COUNT(*) FROM ({s}) q")[0][0]) for s in selects]
+    assert sum(counts) == 600, counts
