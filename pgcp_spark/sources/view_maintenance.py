@@ -533,21 +533,26 @@ def build_minmax_over(df: DataFrame, group_col: str, value_col: str) -> DataFram
     )
 
 
-def read_minmax_agg(spark: SparkSession, agg_dir: str, group_col: str) -> DataFrame:
-    """Serve the stored MIN/MAX aggregate: groups folded down to zero
-    rows drop out; a group whose every value is NULL serves NULL bounds
-    (ANSI min/max-over-nothing, carried naturally — both the fold's
-    least/greatest and the rescan's min/max skip NULLs)."""
-    return (
-        read_current(spark, agg_dir)
-        .filter(F.col("order_cnt") > 0)
-        .select(
-            group_col,
-            F.col("min_dec").cast("double").alias("min_total"),
-            F.col("max_dec").cast("double").alias("max_total"),
-            "order_cnt",
-        )
+def serve_minmax(stored: DataFrame, group_col: str) -> DataFrame:
+    """The serving projection over any stored MIN/MAX frame: groups
+    folded down to zero rows drop out; a group whose every value is NULL
+    serves NULL bounds (ANSI min/max-over-nothing, carried naturally —
+    both the fold's least/greatest and the rescan's min/max skip NULLs).
+    Factored from ``read_minmax_agg`` (round 13) so manifest-pinned group
+    reads (``txn.read_group``) serve the identical shape — the
+    ``serve_agg`` discipline applied to the MIN/MAX twin."""
+    return stored.filter(F.col("order_cnt") > 0).select(
+        group_col,
+        F.col("min_dec").cast("double").alias("min_total"),
+        F.col("max_dec").cast("double").alias("max_total"),
+        "order_cnt",
     )
+
+
+def read_minmax_agg(spark: SparkSession, agg_dir: str, group_col: str) -> DataFrame:
+    """Serve the stored MIN/MAX aggregate from its lake table
+    (``serve_minmax``)."""
+    return serve_minmax(read_current(spark, agg_dir), group_col)
 
 
 def minmax_rescan_groups(stored: DataFrame, deltas: DataFrame, group_col: str):

@@ -701,17 +701,157 @@ def streaming_cascade_group_commit(spark: SparkSession, sf_dir: str) -> DataFram
     return result
 
 
+def fold_minmax_view_batch_txn(
+    spark: SparkSession,
+    micro_batch: DataFrame,
+    gdir: str,
+    dim: DataFrame,
+) -> None:
+    """The MIN/MAX cascade through the group commit — PURE COMPOSITION
+    (round 13): ``fold_minmax_view_batch``'s after_fold/on_flatten hooks
+    with ``fold_agg_view_batch_txn``'s after_batch publish, through the
+    one shared ``apply_cdc_batches`` loop. Nothing minmax-specific
+    touches the transactional plumbing and nothing transactional touches
+    the fold — proving the group commit is fold-agnostic is exactly this
+    function being hook-wiring only."""
+    import os
+
+    from pgcp_spark.sources.txn import occ_commit_group, table_state
+    from pgcp_spark.sources.view_maintenance import (
+        fold_minmax_join_view,
+        stamp_applied_state,
+    )
+
+    fact_dir = os.path.join(gdir, "fact")
+    view_dir = os.path.join(gdir, "view")
+    agg_dir = os.path.join(gdir, "agg")
+    apply_cdc_batches(
+        spark,
+        micro_batch,
+        fact_dir,
+        view_dir,
+        dim,
+        after_fold=lambda: fold_minmax_join_view(
+            spark, agg_dir, view_dir, ["o_orderkey"], "c_mktsegment",
+            "o_totalprice",
+        ),
+        on_flatten=lambda: stamp_applied_state(spark, agg_dir, view_dir),
+        # the publish runs LAST so the manifest pins post-flatten states
+        after_batch=lambda: occ_commit_group(
+            gdir,
+            lambda _state: {
+                n: table_state(gdir, n) for n in ("fact", "view", "agg")
+            },
+        ),
+    )
+
+
+def run_ingest_minmax_view_txn(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
+) -> str:
+    """Build the {fact, view, minmax-agg} group (initial states
+    group-committed), stream the CDC batches through the transactional
+    MIN/MAX cascade, return the group dir (caller owns it)."""
+    import os
+
+    from pgcp_spark.sources.lake import pending_state
+    from pgcp_spark.sources.txn import commit_group, table_state
+    from pgcp_spark.sources.view_maintenance import build_minmax_over
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    gdir = tempfile.mkdtemp(prefix="pgcp_ingest_txn_mm_")
+    staging = None
+    try:
+        write_snapshot(base, os.path.join(gdir, "fact"), keep=2)
+        view0 = base.join(
+            dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+        ).select(*VIEW_COLS)
+        write_snapshot(
+            view0, os.path.join(gdir, "view"), cluster_by=["o_custkey"], keep=2
+        )
+        write_snapshot(
+            build_minmax_over(view0, "c_mktsegment", "o_totalprice"),
+            os.path.join(gdir, "agg"),
+            keep=2,
+            meta={"applied_view_state": pending_state(os.path.join(gdir, "view"))},
+        )
+        commit_group(
+            gdir, {n: table_state(gdir, n) for n in ("fact", "view", "agg")}
+        )
+        batches = _cdc_batches(orders)
+        staging = loop.stage_group_files(
+            batches, F.col("seq"), range(3), "pgcp_ingest_txn_mm_stream_"
+        )
+        loop.run_availablenow_stream(
+            spark,
+            staging,
+            batches.schema,
+            lambda mb, _bid: fold_minmax_view_batch_txn(spark, mb, gdir, dim),
+            max_files_per_trigger,
+        )
+    except BaseException:
+        shutil.rmtree(gdir, ignore_errors=True)
+        raise
+    finally:
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
+    return gdir
+
+
+@register(
+    "streaming_minmax_cascade_group_commit",
+    oracle=_STREAM_MINMAX_VIEW_ORACLE,
+    doc=(
+        "streaming MIN/MAX cascade through the cross-table atomic commit: each "
+        "CDC batch lands fact delta + view fold + min/max fold (bound-tying "
+        "removals rescan only their groups), then publishes the trio as ONE "
+        "group-manifest transaction; same oracle as the per-table MIN/MAX "
+        "stream, so a hash match proves the atomic routing is fold-agnostic"
+    ),
+)
+def streaming_minmax_cascade_group_commit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The fourth streaming variant (round 13): the non-distributive
+    MIN/MAX fold composed with the group publish, served through the
+    manifest-pinned group read — end state must be hash-identical to
+    ``streaming_minmax_join_view_maintenance``."""
+    from pgcp_spark.sources.txn import read_group
+    from pgcp_spark.sources.view_maintenance import serve_minmax
+
+    gdir = run_ingest_minmax_view_txn(spark, sf_dir)
+    try:
+        pinned = read_group(spark, gdir, {"agg": ["c_mktsegment"]})
+        result = materialize(
+            serve_minmax(pinned["agg"], "c_mktsegment").orderBy("c_mktsegment")
+        )
+    except BaseException:
+        shutil.rmtree(gdir, ignore_errors=True)
+        raise
+    loop.reclaim_by_mode(gdir)
+    return result
+
+
 # read_current is imported for tests (post-stream fact state assertions)
 __all__ = [
     "apply_cdc_batches",
     "fold_view_batch",
     "fold_agg_view_batch",
     "fold_agg_view_batch_txn",
+    "fold_minmax_view_batch_txn",
     "run_ingest_view",
     "run_ingest_agg_view",
     "run_ingest_agg_view_txn",
+    "run_ingest_minmax_view_txn",
     "streaming_join_view_maintenance",
     "streaming_agg_join_view_maintenance",
     "streaming_cascade_group_commit",
+    "streaming_minmax_cascade_group_commit",
     "read_current",
 ]

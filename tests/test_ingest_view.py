@@ -264,3 +264,123 @@ def test_minmax_cascade_boundary_invariance(spark):
     finally:
         for d in dirs_a + dirs_b:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_txn_minmax_stream_reader_sees_only_batch_consistent_trios(spark):
+    """Round 13: the racing-reader pin extended to the MIN/MAX trio — the
+    group commit is fold-agnostic, so a read_group reader racing the
+    transactional MIN/MAX cascade must find view == fact ⋈ dim AND
+    minmax-agg == min/max(groupBy(view)) on EVERY observation, and the
+    end state must equal the recompute from the pinned view."""
+    import threading
+
+    from pgcp_spark.sources import load_table
+    from pgcp_spark.sources.txn import read_group
+    from pgcp_spark.sources.view_maintenance import build_minmax_over, serve_minmax
+    from pgcp_spark.streaming.ingest_view import run_ingest_minmax_view_txn
+
+    dim = load_table(spark, SF, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    keys = {"fact": ["o_orderkey"], "view": ["o_orderkey"], "agg": ["c_mktsegment"]}
+    torn: list[str] = []
+    stop = threading.Event()
+    gdir_holder: list[str] = []
+    started = threading.Event()
+
+    def reader():
+        started.wait(timeout=30)
+        while not stop.is_set():
+            if not gdir_holder:
+                continue
+            dfs = read_group(spark, gdir_holder[0], keys)
+            want_view = sorted(
+                tuple(r)
+                for r in dfs["fact"]
+                .join(dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey")
+                .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+                .collect()
+            )
+            got_view = sorted(tuple(r) for r in dfs["view"].collect())
+            if got_view != want_view:
+                torn.append("view != fact join dim under the manifest")
+                return
+            want_agg = sorted(
+                tuple(r)
+                for r in build_minmax_over(dfs["view"], "c_mktsegment", "o_totalprice")
+                .filter(F.col("order_cnt") > 0)
+                .collect()
+            )
+            got_agg = sorted(
+                tuple(r) for r in dfs["agg"].filter(F.col("order_cnt") > 0).collect()
+            )
+            if got_agg != want_agg:
+                torn.append("minmax agg != min/max(groupBy(view)) under the manifest")
+                return
+
+    import pgcp_spark.streaming.ingest_view as iv
+
+    orig = iv.fold_minmax_view_batch_txn
+
+    def hooked(spark_, mb, gdir, dim_):
+        if not gdir_holder:
+            gdir_holder.append(gdir)
+            started.set()
+        return orig(spark_, mb, gdir, dim_)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    iv.fold_minmax_view_batch_txn = hooked
+    gdir = None
+    try:
+        gdir = run_ingest_minmax_view_txn(spark, SF)
+    finally:
+        iv.fold_minmax_view_batch_txn = orig
+        stop.set()
+        t.join()
+    try:
+        assert not torn, torn[0]
+        pinned = read_group(spark, gdir, keys)
+        got = sorted(
+            tuple(r) for r in serve_minmax(pinned["agg"], "c_mktsegment").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in serve_minmax(
+                build_minmax_over(pinned["view"], "c_mktsegment", "o_totalprice"),
+                "c_mktsegment",
+            ).collect()
+        )
+        assert got == want and got
+    finally:
+        if gdir:
+            shutil.rmtree(gdir, ignore_errors=True)
+
+
+def test_txn_minmax_end_state_matches_per_table_stream(spark):
+    """The composition proof the shared oracle relies on, pinned locally
+    too: the transactional MIN/MAX stream's served bounds equal the
+    per-table MIN/MAX stream's, bit for bit."""
+    import os
+
+    from pgcp_spark.sources.txn import read_group
+    from pgcp_spark.sources.view_maintenance import read_minmax_agg, serve_minmax
+    from pgcp_spark.streaming.ingest_view import (
+        run_ingest_minmax_view,
+        run_ingest_minmax_view_txn,
+    )
+
+    dirs = run_ingest_minmax_view(spark, SF)
+    gdir = run_ingest_minmax_view_txn(spark, SF)
+    try:
+        per_table = sorted(
+            tuple(r)
+            for r in read_minmax_agg(spark, dirs[2], "c_mktsegment").collect()
+        )
+        pinned = read_group(spark, gdir, {"agg": ["c_mktsegment"]})
+        txn = sorted(
+            tuple(r) for r in serve_minmax(pinned["agg"], "c_mktsegment").collect()
+        )
+        assert per_table == txn and txn
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(gdir, ignore_errors=True)
