@@ -376,25 +376,40 @@ def bm25_from_index(
     query_terms=BM25_QUERY,
     top_k: int = BM25_TOP,
 ) -> DataFrame:
-    """Top-k BM25 over the STORED index: read only the query terms'
+    """Top-k BM25 over the STORED index (``bm25_over_frames`` on the
+    current postings + stats reads)."""
+    return bm25_over_frames(
+        spark,
+        stored_postings(spark, index_dir),
+        read_current(spark, os.path.join(index_dir, "stats")),
+        query_terms,
+        top_k,
+    )
+
+
+def bm25_over_frames(
+    spark: SparkSession,
+    postings: DataFrame,
+    stats_df: DataFrame,
+    query_terms=BM25_QUERY,
+    top_k: int = BM25_TOP,
+) -> DataFrame:
+    """Top-k BM25 over POSTINGS/STATS FRAMES: read only the query terms'
     postings files, score with the one-shot query's exact expression
     shapes (same idf/tf association order, same 1e-6 rounding, same
     DECIMAL(18,6) order-independent sum, same doc_id tie-break), so the
     result is bit-identical to re-ranking from scratch — and hash-exact
-    against the same DuckDB oracle. An empty term list returns an empty
-    result (no ``isin()`` with zero arguments — the same graceful
-    degradation as the empty-corpus path)."""
+    against the same DuckDB oracle. Frame-parameterized (round 13, the
+    ``serve_agg`` discipline) so manifest-pinned group reads
+    (``txn.read_group``) serve the identical shape. An empty term list
+    returns an empty result (no ``isin()`` with zero arguments — the
+    same graceful degradation as the empty-corpus path)."""
     if not query_terms:
         return spark.createDataFrame([], "doc_id long, score double, rnk int")
-    stats_rows = {
-        r.metric: r.value
-        for r in read_current(spark, os.path.join(index_dir, "stats")).collect()
-    }
+    stats_rows = {r.metric: r.value for r in stats_df.collect()}
     n_docs = int(stats_rows["n_docs"])
     total = int(stats_rows["total_tokens"])
-    qterms = stored_postings(spark, index_dir).filter(
-        F.col("tok").isin(*query_terms)
-    )
+    qterms = postings.filter(F.col("tok").isin(*query_terms))
     qdf = qterms.groupBy("tok").agg(F.count("*").alias("df"))
     # the one-row stats frame rides a broadcast nested-loop like the
     # one-shot query's (no driver-side float math: the division happens
@@ -866,4 +881,110 @@ def text_bm25_from_docs_change_feed(spark: SparkSession, sf_dir: str) -> DataFra
         shutil.rmtree(index_dir, ignore_errors=True)
         raise
     loop.reclaim_by_mode(docs_dir, index_dir)
+    return result
+
+
+# --- corpus + index through ONE group commit (round 13) --------------------
+# The CDC fold above keeps the index correct, but its commits are
+# per-table: a retrieval reader between the docs lake's CDC commit and
+# the index's fold commits can score against an index behind (or, mid-
+# fold, ahead of) its corpus. Routing the docs commit AND the fold's
+# three index commits through one ``occ_commit_group`` manifest retires
+# that window the same way the fact/view/agg cascade's was: per-table
+# writes land first (invisible to manifest-resolved readers), then ONE
+# metadata-only publish pins the (docs, postings, doclen, stats) quartet
+# — a ``read_group`` reader always scores a corpus-consistent index.
+
+INDEX_GROUP_KEYS = {
+    "docs": ["doc_id"],
+    "postings": ["doc_id"],
+    "doclen": ["doc_id"],
+    "stats": ["metric"],
+}
+
+
+@register(
+    "text_bm25_group_commit_with_corpus",
+    # same oracle as the per-table CDC fold: a hash match proves the
+    # atomic routing changes nothing about the served ranking
+    oracle=_CDC_ORACLE,
+    doc=(
+        "BM25 CDC fold through the cross-table atomic commit: the documents "
+        "lake's CDC batch and the index fold it drives publish as ONE group "
+        "manifest, so retrieval never serves an index ahead of or behind its "
+        "corpus (racing-reader pin in tests); same oracle as the per-table "
+        "CDC fold — the hash proves the atomic routing changes nothing"
+    ),
+)
+def text_bm25_group_commit_with_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CDC-composed index loop with corpus/index atomicity: same
+    slices as ``text_bm25_from_docs_change_feed`` (base %3≠0, re-text
+    %5, delete non-%5 %7), but the group dir holds docs + the three
+    index tables as members, the initial build group-commits, the CDC
+    batch's apply is per-table writes + ONE occ_commit_group, and the
+    served ranking reads the manifest-pinned quartet."""
+    import shutil
+    import tempfile
+
+    from pgcp_spark.sources.lake import merge_cdc_delta, pending_state
+    from pgcp_spark.sources.txn import (
+        commit_group,
+        occ_commit_group,
+        read_group,
+        table_state,
+    )
+
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    gdir = tempfile.mkdtemp(prefix="pgcp_bm25_grp_")
+    docs_dir = os.path.join(gdir, "docs")
+    members = ("docs", "postings", "doclen", "stats")
+    try:
+        write_snapshot(docs.filter(F.col("doc_id") % 3 != 0), docs_dir, keep=2)
+        lake_docs = read_current(spark, docs_dir)
+        build_text_index_from(spark, lake_docs, gdir)
+        _write_stats_from_doclen(
+            spark, gdir, meta={"applied_docs_state": pending_state(docs_dir)}
+        )
+        commit_group(gdir, {n: table_state(gdir, n) for n in members})
+        ups = (
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" reindexed")).alias("text"),
+            )
+            .withColumn("_op", F.lit("upsert"))
+        )
+        dels = (
+            docs.filter(
+                (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0)
+            )
+            .select("doc_id", F.lit(None).cast("string").alias("text"))
+            .withColumn("_op", F.lit("delete"))
+        )
+        merge_cdc_delta(spark, docs_dir, ups.unionByName(dels), key=["doc_id"])
+        # RETENTION LADDER: a fold lands up to TWO commits per
+        # copy-on-write member (doclen, stats — the update fold's and
+        # the removal fold's), and a reader holding the PREVIOUS group
+        # manifest must still resolve its pins until the next publish —
+        # so keep must exceed commits-per-publish: keep=3, not the
+        # per-table default of 2 (which GC'd the pinned pre-fold
+        # snapshot under a racing reader; pinned in tests)
+        fold_text_index_from_docs_state(spark, docs_dir, gdir, keep=3)
+        # the publish: one metadata-only manifest replace pins the
+        # corpus AND the index it drove, atomically
+        occ_commit_group(
+            gdir, lambda _state: {n: table_state(gdir, n) for n in members}
+        )
+        pinned = read_group(spark, gdir, INDEX_GROUP_KEYS)
+        result = materialize(
+            bm25_over_frames(spark, pinned["postings"], pinned["stats"])
+        )
+    except BaseException:
+        shutil.rmtree(gdir, ignore_errors=True)
+        raise
+    loop.reclaim_by_mode(gdir)
     return result

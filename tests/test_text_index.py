@@ -731,3 +731,120 @@ def test_cdc_fold_crash_between_folds_keeps_watermark(spark, tmp_path, monkeypat
     assert _rows(bm25_from_index(spark, index_dir, ("beta",), 10), "rnk") == _rows(
         bm25_from_index(spark, rebuild_dir, ("beta",), 10), "rnk"
     )
+
+
+def test_group_commit_reader_never_sees_index_corpus_skew(spark, tmp_path):
+    """Round 13: the corpus/index atomicity pin. A read_group reader
+    racing the CDC apply + index fold resolves the group manifest once
+    per observation and must find the pinned index EXACTLY the pure
+    function of the pinned corpus — postings == doc_terms(docs) and
+    stats == (n_docs, total_tokens) recomputed — on EVERY observation:
+    retrieval can never serve an index ahead of or behind its corpus."""
+    import threading
+
+    from pgcp_spark.functions.text_index import (
+        INDEX_GROUP_KEYS,
+        _write_stats_from_doclen,
+        doc_terms,
+        fold_text_index_from_docs_state,
+    )
+    from pgcp_spark.sources import load_table
+    from pgcp_spark.sources.lake import (
+        merge_cdc_delta,
+        pending_state,
+        write_snapshot,
+    )
+    from pgcp_spark.sources.txn import (
+        commit_group,
+        occ_commit_group,
+        read_group,
+        table_state,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    gdir = str(tmp_path / "grp")
+    os.makedirs(gdir)
+    docs_dir = os.path.join(gdir, "docs")
+    members = ("docs", "postings", "doclen", "stats")
+    write_snapshot(docs.filter(F.col("doc_id") % 3 != 0), docs_dir, keep=2)
+    build_text_index_from(spark, read_current(spark, docs_dir), gdir)
+    _write_stats_from_doclen(
+        spark, gdir, meta={"applied_docs_state": pending_state(docs_dir)}
+    )
+    commit_group(gdir, {n: table_state(gdir, n) for n in members})
+
+    torn: list[str] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                _observe()
+            except Exception as exc:  # noqa: BLE001 — a died reader must
+                # FAIL the test (a GC'd pin under keep=2 killed the
+                # thread silently and passed this test vacuously)
+                torn.append(f"reader died: {exc}")
+                return
+            if torn:
+                return
+
+    def _observe():
+        dfs = read_group(spark, gdir, INDEX_GROUP_KEYS)
+        want_p = sorted(
+            tuple(r)
+            for r in doc_terms(dfs["docs"])
+            .select("tok", "doc_id", "n", "dl")
+            .collect()
+        )
+        got_p = sorted(
+            tuple(r)
+            for r in dfs["postings"].select("tok", "doc_id", "n", "dl").collect()
+        )
+        if got_p != want_p:
+            torn.append("pinned postings != doc_terms(pinned corpus)")
+            return
+        got_s = {r.metric: r.value for r in dfs["stats"].collect()}
+        dl = {d for _, d, _, _ in want_p}
+        want_n = len(dl)
+        want_tot = sum(n for _, _, n, _ in want_p)
+        if (got_s["n_docs"], got_s["total_tokens"]) != (want_n, want_tot):
+            torn.append(f"pinned stats {got_s} != corpus recompute")
+            return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        ups = (
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" reindexed")).alias("text"),
+            )
+            .withColumn("_op", F.lit("upsert"))
+        )
+        dels = (
+            docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0))
+            .select("doc_id", F.lit(None).cast("string").alias("text"))
+            .withColumn("_op", F.lit("delete"))
+        )
+        merge_cdc_delta(spark, docs_dir, ups.unionByName(dels), key=["doc_id"])
+        # keep=3: the retention ladder — a fold lands TWO commits per
+        # copy-on-write member, and the racing reader's pinned manifest
+        # must stay resolvable until the publish (keep=2 GC'd its pin
+        # and killed the reader — the exact hazard this pin guards)
+        fold_text_index_from_docs_state(spark, docs_dir, gdir, keep=3)
+        occ_commit_group(
+            gdir, lambda _s: {n: table_state(gdir, n) for n in members}
+        )
+    finally:
+        stop.set()
+        t.join()
+    assert not torn, torn[0]
+    # end state: the pinned quartet reflects the post-CDC corpus
+    pinned = read_group(spark, gdir, INDEX_GROUP_KEYS)
+    assert pinned["docs"].filter(
+        (F.col("doc_id") % 7 == 0)
+        & (F.col("doc_id") % 5 != 0)
+        & (F.col("doc_id") % 3 != 0)
+    ).count() == 0
+    assert pinned["postings"].filter(F.col("tok") == "reindexed").count() > 0
