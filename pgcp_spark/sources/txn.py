@@ -271,6 +271,22 @@ ORDER BY f.o_orderkey
 """
 
 
+_ASOF_HISTORY_ORACLE = """
+SELECT
+    o.o_orderkey,
+    o.o_custkey,
+    CAST(o.o_orderkey % 3 + 1 AS INTEGER) AS epoch,
+    c.c_name,
+    CASE
+        WHEN o.o_orderkey % 3 + 1 >= 3 AND c.c_custkey % 3 = 0 THEN 'SEG3'
+        WHEN o.o_orderkey % 3 + 1 >= 2 AND c.c_custkey % 2 = 0 THEN 'SEG2'
+        ELSE c.c_mktsegment
+    END AS seg_asof
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_orderkey
+"""
+
+
 def _register_group_query() -> None:
     """Deferred: registry + the lake writers import at call time to keep
     this module's import graph one-directional."""
@@ -359,6 +375,93 @@ def _register_group_query() -> None:
                 spark, gdir, {"view": ["o_orderkey"], "fact": ["o_orderkey"]}
             )
             result = materialize(pinned["view"].orderBy("o_orderkey"))
+        except BaseException:
+            shutil.rmtree(gdir, ignore_errors=True)
+            raise
+        reclaim_by_mode(gdir)
+        return result
+
+    @register(
+        "lake_asof_join_manifest_history",
+        oracle=_ASOF_HISTORY_ORACLE,
+        doc=(
+            "SCD2-style as-of join over the group-manifest history: three dim "
+            "versions land as three group commits, each fact row resolves the "
+            "dimension AS OF its epoch's commit via manifest_history timestamps "
+            "+ read_group_as_of — the lakehouse twin of "
+            "scd2_point_in_time_lookup; oracle recomputes the per-epoch dim "
+            "state with a CASE ladder"
+        ),
+    )
+    def lake_asof_join_manifest_history(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Time travel for TRANSACTIONS as an operator (round 13): the
+        dim lake takes three committed versions (v1 = customer as
+        loaded; v2 upserts %2==0 to segment 'SEG2'; v3 upserts %3==0 to
+        'SEG3' — MOR deltas, one group commit each, strictly increasing
+        log timestamps), and each fact row joins the dim AS OF its
+        epoch's commit: epoch i = ``manifest_history``'s i-th entry,
+        resolved through ``read_group_as_of`` so the served dim is the
+        manifest-pinned historical state, not a reconstruction. The
+        union of the three epoch joins is one plan — three broadcast-
+        able dim versions against disjoint fact slices — and the driver
+        hash proves the historical manifests serve EXACTLY the per-
+        commit states the CASE-ladder oracle recomputes."""
+        import time
+
+        from pgcp_spark.sources.lake import merge_cdc_delta
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        dim = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+        gdir = tempfile.mkdtemp(prefix="pgcp_txn_asof_")
+        try:
+            write_snapshot(dim, gdir + "/dim", keep=2)
+            snap = commit_group(gdir, {"dim": table_state(gdir, "dim")})
+            for mod, seg in ((2, "SEG2"), (3, "SEG3")):
+                # the log's time-ordering invariant is float-timestamp
+                # granular; a pause keeps the three commits' as-of
+                # boundaries unambiguous
+                time.sleep(0.02)
+                ups = (
+                    dim.filter(F.col("c_custkey") % mod == 0)
+                    .withColumn("c_mktsegment", F.lit(seg))
+                    .withColumn("_op", F.lit("upsert"))
+                )
+                merge_cdc_delta(spark, gdir + "/dim", ups, key=["c_custkey"])
+                snap = commit_group(
+                    gdir, {"dim": table_state(gdir, "dim")}, expect=snap
+                )
+            hist = manifest_history(gdir)
+            assert len(hist) == 3, hist
+            legs = []
+            for epoch, (ts, _manifest) in enumerate(hist, start=1):
+                dim_asof = read_group_as_of(
+                    spark, gdir, {"dim": ["c_custkey"]}, ts
+                )["dim"]
+                legs.append(
+                    orders.filter(F.col("o_orderkey") % 3 == epoch - 1)
+                    .withColumn("epoch", F.lit(epoch).cast("int"))
+                    .join(
+                        dim_asof.withColumnRenamed("c_custkey", "o_custkey"),
+                        on="o_custkey",
+                    )
+                    .select(
+                        "o_orderkey",
+                        "o_custkey",
+                        "epoch",
+                        "c_name",
+                        F.col("c_mktsegment").alias("seg_asof"),
+                    )
+                )
+            out = legs[0]
+            for leg in legs[1:]:
+                out = out.unionByName(leg)
+            result = materialize(out.orderBy("o_orderkey"))
         except BaseException:
             shutil.rmtree(gdir, ignore_errors=True)
             raise

@@ -677,3 +677,52 @@ def test_zlr_3key_layout_beats_2key_for_single_label_probe(spark):
         f"3-key layout hit {zlr_hit}/{len(zlr_stats)} for a single-label "
         f"12% stripe"
     )
+
+
+def test_conj_wide_window_recall_and_all_lists_exactness(spark):
+    """Round 13: the second selectivity point. CONJ_NPROBE was tuned at
+    the registered query's ~17x thinning (|labels| x the 60% window);
+    with a WIDE window (full ts range — thinning = |labels| only) the
+    tuned nprobe must still clear the family floor, and the all-lists
+    escape hatch must stay bit-exact — the ANN_LEG_EXACT_BELOW cost-rule
+    discipline applied to the conjunctive family. Measured curve in
+    tools/conj_curve.py (recall at nprobe 4/8/12/16, both windows, both
+    sf points) recorded in SCALE.md round 13."""
+    from pgcp_spark.functions.ann_filtered import (
+        CONJ_NPROBE,
+        TS_MODULUS,
+        label_range_filtered_batch_vs_ann_index,
+        label_range_filtered_topk,
+    )
+
+    e, batch, split, payload = _conj_frames(spark)
+    idx = ensure_ann_index(spark, SF_DIR)
+    lo, hi = 0, TS_MODULUS - 1  # selectivity 1.0: the window prunes nothing
+    want = [
+        tuple(r)
+        for r in label_range_filtered_topk(
+            batch, split, payload, lo, hi
+        ).collect()
+    ]
+    assert want
+    # all-lists escape hatch: exactness holds at the wide window too
+    got_all = [
+        tuple(r)
+        for r in label_range_filtered_batch_vs_ann_index(
+            spark, batch, idx, e.select("vec_id", "label"), payload,
+            lo, hi, nprobe=IVF_LISTS,
+        ).collect()
+    ]
+    assert got_all == want
+    # tuned-nprobe recall: LESS thinning can only leave equal-or-more
+    # true candidates in the probed lists, so the wide window clears the
+    # same 0.55 floor the narrow window is pinned at
+    exact = {(v, n) for (v, n, *_rest) in want}
+    got = {
+        (r.vec_id, r.neighbor_id)
+        for r in label_range_filtered_batch_vs_ann_index(
+            spark, batch, idx, e.select("vec_id", "label"), payload,
+            lo, hi, nprobe=CONJ_NPROBE,
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.55

@@ -567,3 +567,36 @@ def test_manifest_history_reconcile_timestamp_clamped(spark, group, monkeypatch)
     assert manifest_history(group) == []
     with pytest.raises(FileNotFoundError, match="no group commit"):
         read_group_as_of(spark, group, KEYS, time.time())
+
+
+def test_asof_history_query_serves_distinct_epoch_states(spark):
+    """Round 13: the registered as-of-history join's load-bearing
+    contract, pinned locally — the three epochs serve THREE distinct
+    dim states (v1 original, v2 = SEG2 on %2, v3 = SEG3 on %3 layered
+    over SEG2), i.e. the historical manifests really pin per-commit
+    states rather than all resolving to the newest."""
+    from pgcp_spark.registry import all_queries
+
+    df = all_queries()["lake_asof_join_manifest_history"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert rows
+    by_epoch = {e: {} for e in (1, 2, 3)}
+    for r in rows:
+        by_epoch[r.epoch][r.o_custkey] = r.seg_asof
+    # epoch 1: nothing rewritten — no synthetic segment anywhere
+    assert not any(s in ("SEG2", "SEG3") for s in by_epoch[1].values())
+    # epoch 2: %2 keys rewritten to SEG2; %3-only keys untouched; SEG3
+    # (the NEXT commit) must not leak backwards
+    assert any(s == "SEG2" for k, s in by_epoch[2].items() if k % 2 == 0)
+    assert not any(s == "SEG3" for s in by_epoch[2].values())
+    assert not any(
+        s.startswith("SEG") for k, s in by_epoch[2].items()
+        if k % 2 != 0
+    )
+    # epoch 3: %3 keys serve SEG3 (layered over the SEG2 rewrite on %6)
+    assert any(s == "SEG3" for k, s in by_epoch[3].items() if k % 3 == 0)
+    assert all(
+        s == "SEG3" for k, s in by_epoch[3].items() if k % 3 == 0
+    )
