@@ -64,6 +64,9 @@ HEADLINE_NEW = [
     "lake_incremental_minmax_join_view_orders",  # MIN/MAX cascade fold + rescan (r12)
     "streaming_cascade_group_commit",  # streaming cascade through group txn (r12)
     "sim_label_range_filtered_zorder_ann_topk",  # conjunctive 3-key z-probe (r12)
+    "streaming_minmax_cascade_group_commit",  # MIN/MAX stream through group txn (r13)
+    "text_bm25_group_commit_with_corpus",  # corpus+index one-transaction fold (r13)
+    "lake_asof_join_manifest_history",  # as-of join over manifest history (r13)
 ]
 
 

@@ -50,88 +50,40 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # come first; entries already re-proven in a recent round's
 # CORRECTNESS_r{N}.json rotate to the back.
 #
-# Round-12 window. The staleness invariant (no entry's driver row
+# Round-13 window. The staleness invariant (no entry's driver row
 # predates its current implementation) has priority. Head of window:
-#   * 7 queries ADDED in round 12 — the MIN/MAX cascade fold
-#     (hash-capable: the oracle recomputes min/max from the post
-#     states), its direct change-feed twin (hash-capable — same split,
-#     rescan through the CLUSTER BY fact), its streaming-loop twin
-#     (hash-capable), the streaming cascade routed
-#     through the group commit
-#     (hash-capable: same oracle as the per-table cascade — the atomic
-#     routing must change nothing), the conjunctive label-AND-range
-#     exact tier (hash-capable), its 3-key z-ordered probe (rows-only
-#     BY DESIGN: bit-identical to the composed lookup-join probe, which
-#     carries all-lists == exact; floors + file skipping measured in
-#     tests/test_ann_filtered.py), and the CDC-driven BM25 index fold
-#     (hash-capable vs the one-shot oracle on the post-CDC corpus);
-#   * 6 queries whose implementation CHANGED in round 12 — the PII pass
-#     (recall tiers broadened: paren/space/E.164 phones, obfuscated
-#     emails), the cascade agg fold + its streaming twin (the missing-
-#     watermark path now REFUSES instead of the legacy full-feed
-#     bootstrap; serve_agg factored), the group commit (capture moved
-#     inside the lock; manifest history appended per commit), and the
-#     two pending-feed consumers (pending_state now raises on an empty
-#     table).
-# Next: the 19-query r7 remainder (the oldest standing rows), then the
-# r8 cohort alphabetically. The 50-slot cut lands 18 of the 40 r8 rows;
-# the remaining 22 (positions 51+ below) lead the r13 backlog. Still
-# excluded: agg_approx_distinct_customers (rows-only AND unchanged
-# since its r1 row — a new row adds nothing, rationale standing since
-# r5) and dedup_ngram_jaccard_pairs (dead ledger — quarantined out of
-# the registry in r5).
+#   * 3 queries ADDED in round 13 — the MIN/MAX streaming cascade
+#     through the group commit (hash-capable: same oracle as the
+#     per-table MIN/MAX stream, so the hash proves the atomic routing
+#     is fold-agnostic), the corpus+index group commit (hash-capable:
+#     same oracle as the per-table CDC-BM25 fold), and the as-of join
+#     over the group-manifest history (hash-capable: CASE-ladder
+#     oracle recomputes each epoch's dim state);
+#   * 7 queries whose implementation CHANGED in round 13 — the PII
+#     pass (tier-3 rules: grouped payment cards, compact IBAN, UK
+#     national phones; compact E.164 left-context tightened), the two
+#     group-commit cycles (the commit/log path now heals torn log
+#     tails on append and clamps reconcile timestamps), the CDC-BM25
+#     fold (scoring factored through bm25_over_frames), and the three
+#     MIN/MAX folds (serving factored through serve_minmax).
+# Then the full 22-query r8 remainder (the oldest standing rows) and
+# 18 of the 37-query r9 cohort alphabetically; the remaining 19 r9
+# rows (positions 51+ below) lead the r14 backlog. Still excluded:
+# agg_approx_distinct_customers (rows-only AND unchanged since its r1
+# row — a new row adds nothing, rationale standing since r5) and
+# dedup_ngram_jaccard_pairs (dead ledger — quarantined out of the
+# registry in r5).
 _AUDIT_PRIORITY: list[str] = [
+    "streaming_minmax_cascade_group_commit",
+    "text_bm25_group_commit_with_corpus",
+    "lake_asof_join_manifest_history",
+    "text_pii_redaction",
+    "lake_atomic_group_commit_orders",
+    "streaming_cascade_group_commit",
+    "text_bm25_from_docs_change_feed",
     "lake_incremental_minmax_join_view_orders",
     "lake_incremental_minmax_orders",
     "streaming_minmax_join_view_maintenance",
-    "streaming_cascade_group_commit",
-    "sim_label_range_filtered_cosine_topk",
-    "sim_label_range_filtered_zorder_ann_topk",
-    "text_bm25_from_docs_change_feed",
-    "text_pii_redaction",
-    "lake_incremental_agg_join_view_orders",
-    "streaming_agg_join_view_maintenance",
-    "lake_atomic_group_commit_orders",
-    "lake_join_view_from_pending_feeds",
-    "lake_cdc_pending_changes_orders",
-    "scalar_json_extract_events",
-    "scalar_map_functions",
-    "scalar_math_functions",
-    "scalar_regexp_extract_order_priority",
-    "setop_distinct_ship_modes",
-    "setop_except_inactive_customers",
-    "setop_exceptall_priority_bags",
-    "setop_intersect_both_segments",
-    "setop_intersectall_segment_nations",
-    "setop_union_active_parties",
-    "setop_union_by_name_mixed_schemas",
-    "sim_cosine_ivf_topk",
-    "sort_global_top_orders",
-    "timeseries_gapfill_locf",
-    "udf_map_in_arrow_doc_stats",
-    "udf_sql_registered_priority_class",
-    "window_ntile_customer_value",
-    "window_rank_dense_rank_suppliers",
-    "window_top3_orders_per_customer",
-    "agg_avg_order_gap_days",
-    "agg_collect_sorted_priorities",
-    "agg_cube_returnflag_linestatus",
-    "agg_distinct_parts_per_supplier",
-    "agg_grouping_id_rollup",
-    "agg_grouping_sets",
-    "agg_having_big_customers",
-    "agg_histogram_order_value",
-    "agg_hll_daily_distinct_rollup",
-    "agg_regression_price_on_qty",
-    "agg_rollup_region_nation",
-    "agg_stats_correlation",
-    "analytics_conversion_ztest",
-    "corpus_contrastive_negatives",
-    "corpus_decontaminate_eval_overlap",
-    "join_asof_click_attribution",
-    "join_asof_forward_next_view",
-    "lake_change_feed_orders",
-    # --- positions 51+: the r13 backlog (r8 cohort remainder) ---
     "lake_delete_change_feed_orders",
     "lake_incremental_agg_orders",
     "lake_incremental_agg_orders_cdc",
@@ -154,7 +106,46 @@ _AUDIT_PRIORITY: list[str] = [
     "window_running_distinct_priorities",
     "window_running_total_per_customer",
     "window_sessionize_events",
+    "agg_orders_by_status_priority",
+    "analytics_chisq_segment_event_type",
+    "anomaly_hourly_event_zscore",
+    "cohort_weekly_retention",
+    "corpus_mix_rebalance",
+    "dedup_cluster_canonical",
+    "dedup_exact_documents",
+    "dedup_jaccard_hot_shingle_capped",
+    "dedup_minhash_lsh_candidates",
+    "dedup_simhash_pairs",
+    "funnel_view_click_purchase",
+    "graph_connected_dup_clusters",
+    "hybrid_bm25_cosine_rrf",
+    "join_anti_parts_never_shipped",
+    "join_band_time_bucketed",
+    "join_cross_grid_nation_priority",
+    "join_customer_nation_region",
+    "join_full_outer_supplier_part_usage",
+    # --- positions 51+: the r14 backlog (r9 cohort remainder) ---
+    "join_left_outer_order_counts",
+    "join_partsupp_revenue",
+    "join_range_events_near_order",
+    "join_semi_customers_with_urgent_orders",
+    "multimodal_format_detect",
+    "multimodal_frame_sample",
+    "multimodal_payload_stats",
+    "rollup_cascade_events_daily",
+    "sample_hash_threshold_events",
+    "sample_stratified_documents",
+    "scalar_posexplode_tokens",
+    "sim_cosine_bruteforce_topk",
+    "sim_label_profile",
+    "sql_api_yearly_revenue",
+    "text_fingerprint_groups",
+    "text_langid_markers",
+    "text_quality_score",
+    "text_source_lang_profile",
+    "text_token_stats",
 ]
+
 
 
 _MODULE_AUDIT_ORDER: list[str] = [
