@@ -109,6 +109,41 @@ FROM generate_series(1, {n_rows}) g(i)"""
             results[name] = time.perf_counter() - t0
             assert client.fetch(f"SELECT COUNT(*) FROM src.{dest}")[0][0] == n_rows
 
+        # --- round 13: the non-numeric-PK A/B ---------------------------
+        # Before the sampled-percentile predicate split, a TEXT/uuid PK
+        # degraded every transport to ONE stream (the reference's
+        # single-pipe bottleneck reproduced). Same table, same writer:
+        # num_partitions=1 replays the old behavior; the default path
+        # splits on percentile_disc boundaries over a TABLESAMPLE page
+        # sample. The delta is the gap the split closed.
+        client.execute(
+            "CREATE TABLE src.big_text (id TEXT PRIMARY KEY, name TEXT,"
+            " bal NUMERIC(12,2), flag BOOLEAN, ts TIMESTAMP)"
+        )
+        client.execute(
+            f"""INSERT INTO src.big_text
+SELECT md5(i::text) || '-' || i, 'name_' || i, (i * 37 % 1000000) / 100.0,
+       i % 3 = 0, TIMESTAMP '2024-01-01' + (i || ' seconds')::interval
+FROM generate_series(1, {n_rows}) g(i)"""
+        )
+        for name, (reader, writer) in variants.items():
+            tr = Transport(
+                spark, cfg, cfg, src_client=client, dest_client=client,
+                reader=reader, writer=writer,
+            )
+            for label, opts in (
+                (f"text-pk-{name}-1stream", CopyOptions(num_partitions=1)),
+                (f"text-pk-{name}-split", CopyOptions()),
+            ):
+                dest = label.replace("-", "_")
+                t0 = time.perf_counter()
+                tr.copy_table("src.big_text", f"src.{dest}", options=opts)
+                results[label] = time.perf_counter() - t0
+                assert (
+                    client.fetch(f"SELECT COUNT(*) FROM src.{dest}")[0][0]
+                    == n_rows
+                )
+
         print(f"rows={n_rows}")
         for name, sec in results.items():
             print(f"{name}: {sec:.2f}s  ({n_rows / sec / 1e6:.2f}M rows/s)")
