@@ -622,3 +622,96 @@ def lake_incremental_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFram
         raise
     reclaim_by_mode(fact_dir, agg_dir)
     return result
+
+
+# --- exact COUNT DISTINCT from the change feed, no view in between (r13) ----
+
+_DISTINCT_AGG_ORACLE = """
+WITH post AS (
+    SELECT o_custkey, o_orderpriority FROM orders
+    WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_custkey, 'X-RECLASS' FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS distinct_cnt
+FROM post
+WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "lake_incremental_distinct_orders",
+    oracle=_DISTINCT_AGG_ORACLE,
+    doc=(
+        "exact COUNT DISTINCT maintained directly from a fact table's change "
+        "feed (no view in between): per-priority distinct customers via the "
+        "per-(group, value) multiplicity support table — the support folds "
+        "with the signed rule and the count changes only on 0-to-present / "
+        "present-to-0 transitions, so deletes are exact from the support's "
+        "own evidence (no rescan, the fact is never re-read); oracle "
+        "recomputes the distinct counts from the post state"
+    ),
+)
+def lake_incremental_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COUNT DISTINCT split on the simplest consumer shape: distinct
+    customers per order priority maintained straight from the fact's
+    snapshot-diff feed through ``apply_distinct_feed``. The CDC
+    reclassifies every 5th key's priority to 'X-RECLASS' (its customer
+    gains multiplicity in the new group and loses it in the old — both
+    transition kinds fire when a customer's LAST order in a priority
+    moves) and deletes every non-5th 7th."""
+    from pgcp_spark.sources.view_maintenance import (
+        apply_distinct_feed,
+        build_distinct_over,
+        build_distinct_support,
+        read_distinct_agg,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    fact_dir = tempfile.mkdtemp(prefix="pgcp_inc_dst_fact_")
+    sup_dir = tempfile.mkdtemp(prefix="pgcp_inc_dst_sup_")
+    agg_dir = tempfile.mkdtemp(prefix="pgcp_inc_dst_agg_")
+
+    def _cleanup() -> None:
+        for d in (fact_dir, sup_dir, agg_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+    try:
+        snap_a = write_snapshot(base, fact_dir, keep=3)
+        write_snapshot(
+            build_distinct_support(base, "o_orderpriority", "o_custkey"),
+            sup_dir,
+            cluster_by=["o_orderpriority"],
+        )
+        write_snapshot(
+            build_distinct_over(base, "o_orderpriority", "o_custkey"), agg_dir
+        )
+        ups = (
+            orders.filter(F.col("o_orderkey") % 5 == 0)
+            .withColumn("o_orderpriority", F.lit("X-RECLASS"))
+            .withColumn("_op", F.lit("upsert"))
+        )
+        dels = orders.filter(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
+        ).withColumn("_op", F.lit("delete"))
+        merge_cdc(
+            spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"], keep=3
+        )
+        feed = table_changes(spark, fact_dir, snap_a, key=["o_orderkey"])
+        apply_distinct_feed(
+            spark, sup_dir, agg_dir, feed, "o_orderpriority", "o_custkey"
+        )
+        result = materialize(
+            read_distinct_agg(spark, agg_dir, "o_orderpriority").orderBy(
+                "o_orderpriority"
+            )
+        )
+    except BaseException:
+        _cleanup()
+        raise
+    reclaim_by_mode(fact_dir, sup_dir, agg_dir)
+    return result

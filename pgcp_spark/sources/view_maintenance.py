@@ -1052,3 +1052,402 @@ def lake_join_view_from_pending_feeds(spark: SparkSession, sf_dir: str) -> DataF
         raise
     reclaim_by_mode(fact_dir, dim_dir, view_dir)
     return result
+
+
+# --- exact COUNT DISTINCT in the cascade fold (round 13) --------------------
+# The third classic aggregate shape. The signed fold covers sum/count/avg
+# (distributive); MIN/MAX folds inserts and selectively rescans deletes;
+# COUNT(DISTINCT v) is different again — neither an insert NOR a delete
+# can fold against the count alone (did the inserted value already exist?
+# did the delete remove the LAST holder?). The standard IVM treatment
+# (Gupta & Mumick's summary-delta method; Palpanas et al. VLDB'02 keep
+# exactly this auxiliary for duplicate-sensitive aggregates) maintains a
+# SUPPORT table of per-(group, value) multiplicities: the support folds
+# with the plain signed rule (distributive again — the non-distributive
+# aggregate is a distributive one over richer state), and the distinct
+# count changes ONLY on multiplicity transitions 0→present (+1) and
+# present→0 (−1), which the fold observes for free in the old-vs-new
+# support join. No rescan arm at all — deletes are exact from evidence
+# the support already carries, unlike MIN/MAX. Cost: support storage is
+# O(distinct (group, value) pairs) — cheap for dashboard-shaped values
+# (statuses, priorities, user ids per day), and stated honestly: for a
+# near-unique value column the support approaches the view size and a
+# sketch (the HLL rollup in functions/sketches.py) is the right tool.
+#
+# Crash protocol (two stored tables, two commits per fold): the SUPPORT
+# commit carries the watermark first, the AGG rollup commits second. A
+# crash between them leaves support-at-state / agg-behind — detected on
+# the next fold and repaired by REBUILDING the agg from the support
+# (O(support), convergent: the support alone is complete evidence), the
+# same "converge, don't refuse" shape as the CDC-BM25 fold's crash
+# window. Both-behind replays skip; a missing watermark on either table
+# REFUSES exactly like the signed fold (the support fold is signed too,
+# and double-counting multiplicities corrupts transitions silently).
+
+
+def build_distinct_support(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """The support table's schema over any view-shaped frame: per-(group,
+    value) multiplicity, NULL groups and NULL values excluded (COUNT
+    DISTINCT ignores NULL values; NULL keys can't ride the keyed upsert).
+    Shared by the initial build, the crash-repair rebuild, and the tests'
+    recompute oracle."""
+    return (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def build_distinct_over(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """The stored aggregate's schema over any view-shaped frame:
+    (group, exact distinct count of non-NULL values). Groups whose every
+    value is NULL have no support rows and no aggregate row — the serving
+    contract drops them (see ``serve_distinct``)."""
+    return (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count_distinct(F.col(value_col)).alias("distinct_cnt"))
+    )
+
+
+def distinct_agg_from_support(support: DataFrame, group_col: str) -> DataFrame:
+    """The aggregate as a pure function of the support — the rebuild path
+    (crash repair) and the tests' support-vs-agg consistency pin. A
+    support row with cnt ≤ 0 is retained evidence of a vanished pair and
+    counts nothing."""
+    return (
+        support.filter(F.col("cnt") > 0)
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("distinct_cnt"))
+    )
+
+
+def serve_distinct(stored: DataFrame, group_col: str) -> DataFrame:
+    """The serving projection over any stored distinct-count frame:
+    groups folded down to zero distinct values drop out (their row is
+    retained evidence, like the signed fold's order_cnt=0 groups).
+    Factored for manifest-pinned group reads (the ``serve_agg``
+    discipline)."""
+    return stored.filter(F.col("distinct_cnt") > 0).select(
+        group_col, "distinct_cnt"
+    )
+
+
+def read_distinct_agg(
+    spark: SparkSession, agg_dir: str, group_col: str
+) -> DataFrame:
+    """Serve the stored distinct-count aggregate from its lake table."""
+    return serve_distinct(read_current(spark, agg_dir), group_col)
+
+
+def fold_distinct_join_view(
+    spark: SparkSession,
+    support_dir: str,
+    agg_dir: str,
+    view_dir: str,
+    view_key: list[str],
+    group_col: str,
+    value_col: str,
+) -> bool:
+    """Fold the view's changes since the last fold into the stored
+    support table and distinct-count aggregate. Watermark discipline is
+    the signed fold's (same ``applied_view_state`` commit meta, same
+    replay skip / missing-watermark refuse / GC'd-state refuse), held on
+    BOTH stored tables with support leading — see the section comment
+    for the crash protocol.
+
+    Scale: the feed is batch-sized on the prefix path; one feed-sized
+    shuffle computes the per-(group, value) signed multiplicity deltas;
+    the support join touches only changed pairs (right-outer, AQE
+    broadcasts the delta side) with the batch's groups pushed IN to the
+    support scan (CLUSTER BY ``group_col`` lays support out for it); the
+    transition sum is one delta-sized shuffle; the agg upsert carries
+    untouched groups over. The view and base tables are NEVER read —
+    deletes are exact from the support's own evidence (no rescan arm,
+    unlike MIN/MAX)."""
+    from pgcp_spark.sources.lake import (
+        pending_state,
+        snapshot_meta,
+        state_changes,
+    )
+
+    state = pending_state(view_dir)
+    sup_applied = snapshot_meta(support_dir).get("applied_view_state")
+    agg_applied = snapshot_meta(agg_dir).get("applied_view_state")
+    if sup_applied is None or agg_applied is None:
+        raise RuntimeError(
+            f"{support_dir if sup_applied is None else agg_dir}: no "
+            "applied_view_state watermark (never stamped, or cleared by a "
+            "metaless commit) — refusing to fold; rebuild from the view "
+            "(build_distinct_support/build_distinct_over + stamped "
+            "write_snapshot). The support fold is signed and double-"
+            "counting multiplicities corrupts transitions silently."
+        )
+    if sup_applied == state and agg_applied == state:
+        return False  # at-least-once replay of an already-folded state
+    if sup_applied == state and agg_applied != state:
+        # crash between the support commit and the agg commit: the
+        # support alone is complete evidence — rebuild the aggregate
+        # from it (O(support), convergent) and re-stamp
+        write_snapshot(
+            distinct_agg_from_support(
+                read_current_with_deltas(
+                    spark, support_dir, key=[group_col, value_col]
+                ),
+                group_col,
+            ),
+            agg_dir,
+            meta={"applied_view_state": state},
+        )
+        return True
+    if sup_applied != agg_applied:
+        raise RuntimeError(
+            f"support watermark {sup_applied!r} is neither the aggregate's "
+            f"{agg_applied!r} nor the view's current state — the pair was "
+            "maintained by something other than this fold; rebuild both "
+            "from the view."
+        )
+    try:
+        feed = state_changes(spark, view_dir, sup_applied, state, key=view_key)
+    except FileNotFoundError as exc:
+        raise RuntimeError(
+            "the applied view state is no longer readable (a flatten/"
+            "vacuum GC'd it); re-anchor BOTH stored tables' "
+            "applied_view_state after each flatten (stamp_applied_state "
+            "on each dir), or rebuild from the view. Refusing to guess — "
+            "a blind re-fold double-counts."
+        ) from exc
+    feed = materialize(feed)
+    if feed.isEmpty():
+        return False
+    apply_distinct_feed(
+        spark, support_dir, agg_dir, feed, group_col, value_col,
+        meta={"applied_view_state": state},
+    )
+    return True
+
+
+def apply_distinct_feed(
+    spark: SparkSession,
+    support_dir: str,
+    agg_dir: str,
+    feed: DataFrame,
+    group_col: str,
+    value_col: str,
+    meta: dict | None = None,
+) -> None:
+    """The COUNT DISTINCT fold's core, independent of where the change
+    feed came from — the cascade fold above drives it from a maintained
+    view's ``state_changes``; the direct twin
+    (``lake_incremental_distinct_orders``) from the fact's snapshot
+    diff; a streaming loop from its per-batch CDC apply. ``meta`` lands
+    on BOTH commits (support first — see the crash protocol in the
+    section comment)."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    deltas = (
+        feed.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(group_col, value_col)
+        .agg(F.sum(sign).alias("d_cnt"))
+        .filter(F.col("d_cnt") != 0)
+    )
+    deltas = materialize(deltas)
+    if deltas.isEmpty():
+        # the batch touched only NULLs or netted to zero per pair —
+        # nothing can transition; advance both watermarks with a
+        # no-row-change commit each (cheap: both tables are small)
+        upsert(
+            spark, support_dir,
+            read_current_with_deltas(
+                spark, support_dir, key=[group_col, value_col]
+            ).limit(0),
+            key=[group_col, value_col],
+            meta=meta,
+        )
+        upsert(
+            spark, agg_dir,
+            read_current(spark, agg_dir).limit(0),
+            key=[group_col],
+            meta=meta,
+        )
+        return
+    support = _pruned_by_keys(
+        read_current_with_deltas(spark, support_dir, key=[group_col, value_col]),
+        group_col,
+        deltas.select(group_col).distinct(),
+    )
+    touched = support.join(deltas, [group_col, value_col], "right_outer").select(
+        group_col,
+        value_col,
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("old_cnt"),
+        (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("d_cnt")).alias("cnt"),
+    )
+    touched = materialize(touched)  # old-vs-new read once, consumed twice
+    appeared = (F.col("old_cnt") <= 0) & (F.col("cnt") > 0)
+    vanished = (F.col("old_cnt") > 0) & (F.col("cnt") <= 0)
+    d_distinct = (
+        touched.groupBy(group_col)
+        .agg(
+            F.sum(
+                F.when(appeared, 1).when(vanished, -1).otherwise(0)
+            ).alias("d_distinct")
+        )
+        .filter(F.col("d_distinct") != 0)
+    )
+    d_distinct = materialize(d_distinct)
+    # commit 1: the support leads with the watermark (crash after this
+    # point repairs by rebuilding the agg from it)
+    upsert(
+        spark,
+        support_dir,
+        touched.drop("old_cnt"),
+        key=[group_col, value_col],
+        cluster_by=[group_col],
+        meta=meta,
+    )
+    # commit 2: the aggregate rollup, touched groups only
+    stored_agg = read_current(spark, agg_dir)
+    folded = stored_agg.join(d_distinct, group_col, "right_outer").select(
+        group_col,
+        (F.coalesce(F.col("distinct_cnt"), F.lit(0)) + F.col("d_distinct")).alias(
+            "distinct_cnt"
+        ),
+    )
+    upsert(
+        spark,
+        agg_dir,
+        folded,
+        key=[group_col],
+        meta=meta,
+    )
+
+
+_DISTINCT_JOIN_VIEW_ORACLE = """
+WITH postfact AS (
+    SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+    WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'X-RECLASS' FROM orders WHERE o_orderkey % 5 = 0
+),
+postdim AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment || '_R'
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+)
+SELECT d.c_mktsegment, COUNT(DISTINCT f.o_orderpriority) AS distinct_cnt
+FROM postfact f JOIN postdim d ON f.o_custkey = d.c_custkey
+WHERE d.c_mktsegment IS NOT NULL AND f.o_orderpriority IS NOT NULL
+GROUP BY d.c_mktsegment
+ORDER BY d.c_mktsegment
+"""
+
+
+@register(
+    "lake_incremental_distinct_join_view_orders",
+    oracle=_DISTINCT_JOIN_VIEW_ORACLE,
+    doc=(
+        "cascade IVM for exact COUNT DISTINCT — the third classic aggregate "
+        "shape: per-segment distinct order priorities maintained OVER the "
+        "maintained orders JOIN customer view via a per-(group, value) "
+        "multiplicity SUPPORT table; the support folds with the signed rule "
+        "and the count changes only on 0-to-present / present-to-0 "
+        "transitions — deletes are exact from the support's own evidence, no "
+        "rescan arm, view and bases never read; exactly-once via the same "
+        "stamped view-state watermark on both stored tables; oracle "
+        "recomputes the distinct counts from both post states"
+    ),
+)
+def lake_incremental_distinct_join_view_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end COUNT DISTINCT cascade cycle on driver-checkable data:
+    the standard fact/dim/view scenario with the CDC reclassifying every
+    5th order's priority to 'X-RECLASS' (a NEW distinct value appears in
+    every touched segment, and the preimage priorities lose multiplicity
+    — some pairs transition to zero), deleting every non-5th 7th, and
+    renaming every 10th customer's segment (whole groups appear and lose
+    members). The aggregate is maintained purely from the cascade; the
+    driver hash proves fold == recompute."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base_fact = orders.filter(F.col("o_orderkey") % 3 != 0)
+    fact_dir = tempfile.mkdtemp(prefix="pgcp_dst_fact_")
+    dim_dir = tempfile.mkdtemp(prefix="pgcp_dst_dim_")
+    view_dir = tempfile.mkdtemp(prefix="pgcp_dst_view_")
+    sup_dir = tempfile.mkdtemp(prefix="pgcp_dst_sup_")
+    agg_dir = tempfile.mkdtemp(prefix="pgcp_dst_agg_")
+
+    def _cleanup() -> None:
+        for d in (fact_dir, dim_dir, view_dir, sup_dir, agg_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+    try:
+        fact_snap = write_snapshot(base_fact, fact_dir, keep=2)
+        dim_snap = write_snapshot(dim, dim_dir, keep=2)
+        view0 = base_fact.join(
+            dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+        ).select("o_orderkey", "o_custkey", "o_orderpriority", "c_mktsegment")
+        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+        from pgcp_spark.sources.lake import pending_state
+
+        state0 = pending_state(view_dir)
+        write_snapshot(
+            build_distinct_support(view0, "c_mktsegment", "o_orderpriority"),
+            sup_dir,
+            cluster_by=["c_mktsegment"],
+            meta={"applied_view_state": state0},
+        )
+        write_snapshot(
+            build_distinct_over(view0, "c_mktsegment", "o_orderpriority"),
+            agg_dir,
+            meta={"applied_view_state": state0},
+        )
+
+        dim_updates = dim.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "c_mktsegment", F.concat(F.col("c_mktsegment"), F.lit("_R"))
+        )
+        upsert(spark, dim_dir, dim_updates, key=["c_custkey"], keep=2)
+        ups = (
+            orders.filter(F.col("o_orderkey") % 5 == 0)
+            .withColumn("o_orderpriority", F.lit("X-RECLASS"))
+            .withColumn("_op", F.lit("upsert"))
+        )
+        dels = orders.filter(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
+        ).withColumn("_op", F.lit("delete"))
+        merge_cdc(spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"], keep=2)
+
+        fold_join_view(
+            spark,
+            view_dir,
+            view_key=["o_orderkey"],
+            fact_feed=table_changes(spark, fact_dir, fact_snap, key=["o_orderkey"]),
+            dim_feed=table_changes(spark, dim_dir, dim_snap, key=["c_custkey"]),
+            dim_current=read_current(spark, dim_dir),
+            fact_join_col="o_custkey",
+            dim_join_col="c_custkey",
+        )
+        fold_distinct_join_view(
+            spark, sup_dir, agg_dir, view_dir, ["o_orderkey"],
+            "c_mktsegment", "o_orderpriority",
+        )
+        result = materialize(
+            read_distinct_agg(spark, agg_dir, "c_mktsegment").orderBy(
+                "c_mktsegment"
+            )
+        )
+    except BaseException:
+        _cleanup()
+        raise
+    reclaim_by_mode(fact_dir, dim_dir, view_dir, sup_dir, agg_dir)
+    return result

@@ -838,6 +838,166 @@ def streaming_minmax_cascade_group_commit(
     return result
 
 
+# --- streaming COUNT DISTINCT cascade (round 13) ---------------------------
+
+
+def fold_distinct_view_batch(
+    spark: SparkSession,
+    micro_batch: DataFrame,
+    fact_dir: str,
+    view_dir: str,
+    sup_dir: str,
+    agg_dir: str,
+    dim: DataFrame,
+) -> None:
+    """``fold_agg_view_batch`` with the exact-COUNT-DISTINCT fold as the
+    downstream consumer: after each complete CDC batch folds the view,
+    the support table folds the view's multiplicity deltas and the
+    distinct count folds the 0-to-present / present-to-0 transitions
+    (``fold_distinct_join_view``) — deletes exact from the support's own
+    evidence, no rescan, the view never re-read. The self-healing
+    flatten re-anchors BOTH stored tables' watermarks."""
+    from pgcp_spark.sources.view_maintenance import (
+        fold_distinct_join_view,
+        stamp_applied_state,
+    )
+
+    def _restamp() -> None:
+        stamp_applied_state(spark, sup_dir, view_dir)
+        stamp_applied_state(spark, agg_dir, view_dir)
+
+    apply_cdc_batches(
+        spark,
+        micro_batch,
+        fact_dir,
+        view_dir,
+        dim,
+        after_fold=lambda: fold_distinct_join_view(
+            spark, sup_dir, agg_dir, view_dir, ["o_orderkey"],
+            "c_mktsegment", "c_name",
+        ),
+        on_flatten=_restamp,
+    )
+
+
+def run_ingest_distinct_view(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
+) -> tuple[str, str, str, str]:
+    """Build fact + view + the stamped support/distinct-agg pair, stream
+    the CDC batches through the fold, return (fact, view, support, agg)
+    dirs."""
+    from pgcp_spark.sources.lake import pending_state
+    from pgcp_spark.sources.view_maintenance import (
+        build_distinct_over,
+        build_distinct_support,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    fact_dir = tempfile.mkdtemp(prefix="pgcp_ingest_dst_fact_")
+    view_dir = tempfile.mkdtemp(prefix="pgcp_ingest_dst_view_")
+    sup_dir = tempfile.mkdtemp(prefix="pgcp_ingest_dst_sup_")
+    agg_dir = tempfile.mkdtemp(prefix="pgcp_ingest_dst_agg_")
+    staging = None
+    try:
+        write_snapshot(base, fact_dir)
+        view0 = base.join(
+            dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+        ).select(*VIEW_COLS)
+        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+        state0 = pending_state(view_dir)
+        write_snapshot(
+            build_distinct_support(view0, "c_mktsegment", "c_name"),
+            sup_dir,
+            cluster_by=["c_mktsegment"],
+            meta={"applied_view_state": state0},
+        )
+        write_snapshot(
+            build_distinct_over(view0, "c_mktsegment", "c_name"),
+            agg_dir,
+            meta={"applied_view_state": state0},
+        )
+        batches = _cdc_batches(orders)
+        staging = loop.stage_group_files(
+            batches, F.col("seq"), range(3), "pgcp_ingest_dst_stream_"
+        )
+        loop.run_availablenow_stream(
+            spark,
+            staging,
+            batches.schema,
+            lambda mb, _bid: fold_distinct_view_batch(
+                spark, mb, fact_dir, view_dir, sup_dir, agg_dir, dim
+            ),
+            max_files_per_trigger,
+        )
+    except BaseException:
+        for d in (fact_dir, view_dir, sup_dir, agg_dir):
+            shutil.rmtree(d, ignore_errors=True)
+        raise
+    finally:
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
+    return fact_dir, view_dir, sup_dir, agg_dir
+
+
+_STREAM_DISTINCT_VIEW_ORACLE = """
+WITH postfact AS (
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_orderkey % 11 = 0
+       OR o_orderkey % 5 = 0
+       OR (o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0)
+)
+SELECT d.c_mktsegment, COUNT(DISTINCT d.c_name) AS distinct_cnt
+FROM postfact f JOIN customer d ON f.o_custkey = d.c_custkey
+WHERE d.c_mktsegment IS NOT NULL AND d.c_name IS NOT NULL
+GROUP BY d.c_mktsegment
+ORDER BY d.c_mktsegment
+"""
+
+
+@register(
+    "streaming_distinct_join_view_maintenance",
+    oracle=_STREAM_DISTINCT_VIEW_ORACLE,
+    doc=(
+        "streaming exact-COUNT-DISTINCT cascade: CDC batches stream in, each "
+        "micro-batch lands merge-on-read on the fact, folds the join view, "
+        "AND folds per-segment distinct active customers via the multiplicity "
+        "support table — a delete that removes a customer's last order in a "
+        "segment decrements the count exactly, from the support's own "
+        "evidence; final aggregate hash-exact vs COUNT(DISTINCT) recomputed "
+        "from the post-CDC join"
+    ),
+)
+def streaming_distinct_join_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COUNT DISTINCT cascade as a streaming loop — the delete-then-
+    resurrect arc (%77 keys deleted in seq 1, re-priced back in seq 2)
+    drives the same (segment, customer) pair through present-to-0 and
+    back to 0-to-present across micro-batches, and the served counts
+    are the STREAM's fold, never a recompute."""
+    from pgcp_spark.sources.view_maintenance import read_distinct_agg
+
+    dirs = run_ingest_distinct_view(spark, sf_dir)
+    try:
+        result = materialize(
+            read_distinct_agg(spark, dirs[3], "c_mktsegment").orderBy(
+                "c_mktsegment"
+            )
+        )
+    except BaseException:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        raise
+    loop.reclaim_by_mode(*dirs)
+    return result
+
+
 # read_current is imported for tests (post-stream fact state assertions)
 __all__ = [
     "apply_cdc_batches",
@@ -845,10 +1005,12 @@ __all__ = [
     "fold_agg_view_batch",
     "fold_agg_view_batch_txn",
     "fold_minmax_view_batch_txn",
+    "fold_distinct_view_batch",
     "run_ingest_view",
     "run_ingest_agg_view",
     "run_ingest_agg_view_txn",
     "run_ingest_minmax_view_txn",
+    "run_ingest_distinct_view",
     "streaming_join_view_maintenance",
     "streaming_agg_join_view_maintenance",
     "streaming_cascade_group_commit",

@@ -384,3 +384,46 @@ def test_txn_minmax_end_state_matches_per_table_stream(spark):
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(gdir, ignore_errors=True)
+
+
+def test_distinct_cascade_boundary_invariance_and_support_identity(spark):
+    """Round 13: the COUNT DISTINCT streaming cascade — coalesced
+    delivery must leave the served counts bit-identical to
+    batch-at-a-time (the watermarked state-diff makes batching
+    invisible), and after the stream the agg must equal its own
+    support rollup AND the recompute from the maintained view (the
+    crash-repair identity holding live)."""
+    from pgcp_spark.sources.lake import read_current
+    from pgcp_spark.sources.view_maintenance import (
+        build_distinct_over,
+        distinct_agg_from_support,
+        read_distinct_agg,
+    )
+    from pgcp_spark.streaming.ingest_view import run_ingest_distinct_view
+
+    def dst_rows(agg_dir):
+        return sorted(
+            tuple(r)
+            for r in read_distinct_agg(spark, agg_dir, "c_mktsegment").collect()
+        )
+
+    dirs_a = run_ingest_distinct_view(spark, SF, max_files_per_trigger=1)
+    dirs_b = run_ingest_distinct_view(spark, SF, max_files_per_trigger=None)
+    try:
+        got = dst_rows(dirs_a[3])
+        assert got == dst_rows(dirs_b[3]) and got
+        sup = read_current(spark, dirs_a[2])
+        assert got == sorted(
+            tuple(r)
+            for r in distinct_agg_from_support(sup, "c_mktsegment").collect()
+        )
+        view = read_current_with_deltas(spark, dirs_a[1], key=["o_orderkey"])
+        assert got == sorted(
+            tuple(r)
+            for r in build_distinct_over(view, "c_mktsegment", "c_name")
+            .filter(F.col("distinct_cnt") > 0)
+            .collect()
+        )
+    finally:
+        for d in dirs_a + dirs_b:
+            shutil.rmtree(d, ignore_errors=True)

@@ -629,3 +629,202 @@ def test_minmax_replay_and_group_to_zero_and_nulls(spark):
     finally:
         shutil.rmtree(view_dir, ignore_errors=True)
         shutil.rmtree(agg_dir, ignore_errors=True)
+
+
+# --- exact COUNT DISTINCT fold (round 13) ----------------------------------
+
+
+def _dst_lake(spark, rows):
+    """A tiny view lake + stamped support/distinct-agg pair over it.
+    ``rows`` are (o_orderkey, o_custkey, o_orderpriority, c_mktsegment):
+    group = c_mktsegment, value = o_orderpriority."""
+    from pgcp_spark.sources.lake import pending_state
+    from pgcp_spark.sources.view_maintenance import (
+        build_distinct_over,
+        build_distinct_support,
+    )
+
+    view_dir = tempfile.mkdtemp(prefix="dst_view_")
+    sup_dir = tempfile.mkdtemp(prefix="dst_sup_")
+    agg_dir = tempfile.mkdtemp(prefix="dst_agg_")
+    view0 = spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_orderpriority", "c_mktsegment"]
+    )
+    write_snapshot(view0, view_dir, cluster_by=["c_mktsegment"])
+    state0 = pending_state(view_dir)
+    write_snapshot(
+        build_distinct_support(view0, "c_mktsegment", "o_orderpriority"),
+        sup_dir,
+        meta={"applied_view_state": state0},
+    )
+    write_snapshot(
+        build_distinct_over(view0, "c_mktsegment", "o_orderpriority"),
+        agg_dir,
+        meta={"applied_view_state": state0},
+    )
+    return view_dir, sup_dir, agg_dir
+
+
+def _dst_fold(spark, sup_dir, agg_dir, view_dir):
+    from pgcp_spark.sources.view_maintenance import fold_distinct_join_view
+
+    return fold_distinct_join_view(
+        spark, sup_dir, agg_dir, view_dir, ["o_orderkey"],
+        "c_mktsegment", "o_orderpriority",
+    )
+
+
+def _dst_serve(spark, agg_dir):
+    from pgcp_spark.sources.view_maintenance import read_distinct_agg
+
+    return _rows(read_distinct_agg(spark, agg_dir, "c_mktsegment"))
+
+
+def _dst_recompute(spark, view_dir):
+    from pgcp_spark.sources.view_maintenance import build_distinct_over
+
+    v = read_current_with_deltas(spark, view_dir, key=["o_orderkey"])
+    return _rows(
+        build_distinct_over(v, "c_mktsegment", "o_orderpriority").filter(
+            F.col("distinct_cnt") > 0
+        )
+    )
+
+
+_DST_ROWS = [
+    (1, 10, "P1", "a"), (2, 11, "P1", "a"), (3, 12, "P2", "a"),
+    (4, 20, "P1", "b"), (5, 21, None, "b"),
+]
+
+
+def test_distinct_transitions_fold_exactly(spark):
+    """The four transition cases in one feed: deleting ONE of two P1
+    holders in group a changes nothing; deleting the LAST P2 holder
+    decrements; inserting an existing value changes nothing; inserting a
+    new value increments — fold == recompute, and the support stays the
+    pure per-pair multiplicity."""
+    from pgcp_spark.sources.lake import append_delta, delete_delta
+    from pgcp_spark.sources.view_maintenance import distinct_agg_from_support
+
+    view_dir, sup_dir, agg_dir = _dst_lake(spark, _DST_ROWS)
+    try:
+        delete_delta(
+            spark.createDataFrame([(1,), (3,)], ["o_orderkey"]), view_dir,
+            key=["o_orderkey"],
+        )  # drop one P1 (no-op) and the last P2 (−1) in group a
+        append_delta(
+            spark.createDataFrame(
+                [(6, 22, "P1", "b"), (7, 23, "P9", "b")],
+                ["o_orderkey", "o_custkey", "o_orderpriority", "c_mktsegment"],
+            ),
+            view_dir,
+        )  # b: P1 again (no-op) + brand-new P9 (+1)
+        assert _dst_fold(spark, sup_dir, agg_dir, view_dir) is True
+        got = _dst_serve(spark, agg_dir)
+        assert got == [("a", 1), ("b", 2)]
+        assert got == _dst_recompute(spark, view_dir)
+        # the agg must also equal its own support rollup (the crash-
+        # repair identity)
+        sup = read_current_with_deltas(
+            spark, sup_dir, key=["c_mktsegment", "o_orderpriority"]
+        )
+        assert got == _rows(distinct_agg_from_support(sup, "c_mktsegment"))
+    finally:
+        for d in (view_dir, sup_dir, agg_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_distinct_replay_skips_and_group_to_zero_drops(spark):
+    """An already-folded state replays as a no-op (False), and a group
+    whose every value-holder is deleted serves no row while its support
+    rows remain as retained evidence."""
+    from pgcp_spark.sources.lake import delete_delta
+
+    view_dir, sup_dir, agg_dir = _dst_lake(spark, _DST_ROWS)
+    try:
+        delete_delta(
+            spark.createDataFrame([(4,), (5,)], ["o_orderkey"]), view_dir,
+            key=["o_orderkey"],
+        )  # group b loses its only non-NULL holder (and a NULL row)
+        assert _dst_fold(spark, sup_dir, agg_dir, view_dir) is True
+        assert _dst_fold(spark, sup_dir, agg_dir, view_dir) is False
+        got = _dst_serve(spark, agg_dir)
+        assert got == [("a", 2)]
+        assert got == _dst_recompute(spark, view_dir)
+        sup = read_current_with_deltas(
+            spark, sup_dir, key=["c_mktsegment", "o_orderpriority"]
+        )
+        b_rows = _rows(sup.filter(F.col("c_mktsegment") == "b"))
+        assert b_rows == [("b", "P1", 0)]  # evidence retained at cnt 0
+    finally:
+        for d in (view_dir, sup_dir, agg_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_distinct_crash_between_commits_repairs_from_support(spark, monkeypatch):
+    """The crash protocol: support committed, agg commit lost — the next
+    fold detects support-at-state/agg-behind and REBUILDS the agg from
+    the support (convergent), without re-applying the feed."""
+    from pgcp_spark.sources import view_maintenance as vm
+    from pgcp_spark.sources.lake import delete_delta, snapshot_meta
+
+    view_dir, sup_dir, agg_dir = _dst_lake(spark, _DST_ROWS)
+    try:
+        delete_delta(
+            spark.createDataFrame([(3,)], ["o_orderkey"]), view_dir,
+            key=["o_orderkey"],
+        )  # last P2 holder in a: a real transition
+        real_upsert = vm.upsert
+        calls = {"n": 0}
+
+        def crashing_upsert(spark_, table_dir, *a, **kw):
+            if table_dir == agg_dir:
+                calls["n"] += 1
+                raise RuntimeError("simulated crash before the agg commit")
+            return real_upsert(spark_, table_dir, *a, **kw)
+
+        monkeypatch.setattr(vm, "upsert", crashing_upsert)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            _dst_fold(spark, sup_dir, agg_dir, view_dir)
+        monkeypatch.setattr(vm, "upsert", real_upsert)
+        assert calls["n"] == 1
+        from pgcp_spark.sources.lake import pending_state
+
+        assert snapshot_meta(sup_dir)["applied_view_state"] == pending_state(
+            view_dir
+        )
+        assert snapshot_meta(agg_dir)["applied_view_state"] != pending_state(
+            view_dir
+        )
+        # recovery fold: repairs the agg from the support, no feed re-read
+        assert _dst_fold(spark, sup_dir, agg_dir, view_dir) is True
+        got = _dst_serve(spark, agg_dir)
+        assert got == [("a", 1), ("b", 1)]
+        assert got == _dst_recompute(spark, view_dir)
+        assert _dst_fold(spark, sup_dir, agg_dir, view_dir) is False
+    finally:
+        for d in (view_dir, sup_dir, agg_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_distinct_missing_watermark_refuses(spark):
+    """A metaless commit on either stored table clears the watermark —
+    the fold must refuse (the signed support fold double-counts on a
+    blind re-fold)."""
+    from pgcp_spark.sources.lake import append_delta, read_current
+
+    view_dir, sup_dir, agg_dir = _dst_lake(spark, _DST_ROWS)
+    try:
+        append_delta(
+            spark.createDataFrame(
+                [(8, 30, "P5", "a")],
+                ["o_orderkey", "o_custkey", "o_orderpriority", "c_mktsegment"],
+            ),
+            view_dir,
+        )
+        write_snapshot(read_current(spark, sup_dir), sup_dir)  # metaless
+        with pytest.raises(RuntimeError, match="no\\s+applied_view_state"):
+            _dst_fold(spark, sup_dir, agg_dir, view_dir)
+    finally:
+        for d in (view_dir, sup_dir, agg_dir):
+            shutil.rmtree(d, ignore_errors=True)
