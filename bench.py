@@ -67,6 +67,8 @@ HEADLINE_NEW = [
     "streaming_minmax_cascade_group_commit",  # MIN/MAX stream through group txn (r13)
     "text_bm25_group_commit_with_corpus",  # corpus+index one-transaction fold (r13)
     "lake_asof_join_manifest_history",  # as-of join over manifest history (r13)
+    "lake_incremental_distinct_join_view_orders",  # COUNT DISTINCT support fold (r13)
+    "streaming_distinct_join_view_maintenance",  # streaming distinct cascade (r13)
 ]
 
 
