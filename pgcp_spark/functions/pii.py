@@ -85,26 +85,38 @@ PII_RULES: list[tuple[str, str, str]] = [
     # and half-redacts to "+1.<PHONE>" (the hole the review found)
     ("phone_e164", r"\+\d{1,3}[-. ]\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
     # E.164, compact ("+15551234567"). RE2 has no lookbehind, so the
-    # start-of-string/whitespace left context is a CONSUMED group kept
-    # through the replacement ($1 — Java syntax; _sql_redact rewrites it
-    # to RE2's \1). Floor raised 7→10 digits (round 13): \+\d{7,15}
-    # redacted any '+'-prefixed integer ('+20250101', a signed date/ID),
-    # deleting non-PII numeric signal — real compact E.164 numbers carry
-    # a country code + subscriber number and run 10+ digits.
-    ("phone_e164c", r"(^|\s)\+\d{10,15}\b", "$1<PHONE>"),
+    # left context is a CONSUMED group kept through the replacement ($1 —
+    # Java syntax; _sql_redact rewrites it to RE2's \1). Floor raised
+    # 7→10 digits (round 13): \+\d{7,15} redacted any '+'-prefixed
+    # integer ('+20250101', a signed date/ID), deleting non-PII numeric
+    # signal — real compact E.164 numbers carry a country code +
+    # subscriber number and run 10+ digits. The context excludes ONLY a
+    # preceding word character (an identifier-glued '+digits' is a
+    # literal, not a number someone wrote down) — 'tel:+15551234567',
+    # '(+447911123456)' and quoted forms still redact; a whitespace-only
+    # context silently leaked every punctuation-adjacent number, and a
+    # false negative is the costly direction here.
+    ("phone_e164c", r"(^|[^\w])\+\d{10,15}\b", "$1<PHONE>"),
     # US paren shape "(555) 123-4567"
     ("phone_paren", r"\(\d{3}\) ?\d{3}[-. ]\d{4}\b", "<PHONE>"),
-    # payment-card shapes (round 13, tier 3): 16-19 digits grouped
-    # 4-4-4-(1..4) and the amex 4-6-5 grouping, space or dash separated.
-    # Shape-only (no Luhn — a checksum is not expressible as a regular
-    # language); grouped-only for precision: a bare 13-19 digit run is
-    # usually an ID, not a card. Checked disjoint from every phone rule:
-    # a phone match needs a 3-digit group at a word boundary followed by
-    # a separator, and card digit groups are 4/6/5 wide, so neither can
-    # match inside the other (pinned in tests/test_pii.py).
+    # payment-card shapes (round 13, tier 3): 13-19 digits grouped
+    # 4-4-4-(1..4), the long 4-4-4-4-(1..3) grouping (17-19 digit
+    # Visa/UnionPay), and the amex 4-6-5 grouping, space or dash
+    # separated. The LONG alternative comes first — Java and RE2
+    # alternation are both leftmost-FIRST, so a 19-digit card must not
+    # half-match as its 16-digit prefix and strand ' 567'. Shape-only
+    # (no Luhn — a checksum is not expressible as a regular language);
+    # grouped-only for precision: a bare 13-19 digit run is usually an
+    # ID, not a card. Checked disjoint from every phone rule: a phone
+    # match needs a 3-digit group at a word boundary followed by a
+    # separator, and card digit groups are 4/6/5 wide (the 1-3 tail is
+    # separator-bound to a 4-wide group), so neither can match inside
+    # the other (pinned in tests/test_pii.py).
     (
         "ccard",
-        r"\b(?:\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{1,4}|\d{4}[- ]\d{6}[- ]\d{5})\b",
+        r"\b(?:\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{1,3}"
+        r"|\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{1,4}"
+        r"|\d{4}[- ]\d{6}[- ]\d{5})\b",
         "<CC>",
     ),
     # bare 3-3-4 with -, ., or space separators
@@ -182,6 +194,9 @@ _INJECT_SQL = (
     " || CASE WHEN doc_id % 43 = 0 THEN ' iban DE89370400440532013000 ref'"
     " ELSE '' END"
     " || CASE WHEN doc_id % 47 = 0 THEN ' ring 07911 123456 today' ELSE '' END"
+    " || CASE WHEN doc_id % 53 = 0 THEN ' tel:+15551234567 now' ELSE '' END"
+    " || CASE WHEN doc_id % 59 = 0 THEN ' card 6212 3456 7890 1234 567 ok'"
+    " ELSE '' END"
 )
 
 
@@ -214,6 +229,8 @@ def _injected(d: DataFrame) -> DataFrame:
             when_mod(41, F.lit(" amex 3714-496353-98431 backup")),
             when_mod(43, F.lit(" iban DE89370400440532013000 ref")),
             when_mod(47, F.lit(" ring 07911 123456 today")),
+            when_mod(53, F.lit(" tel:+15551234567 now")),
+            when_mod(59, F.lit(" card 6212 3456 7890 1234 567 ok")),
         ).alias("t"),
     )
 

@@ -377,7 +377,12 @@ def bm25_from_index(
     top_k: int = BM25_TOP,
 ) -> DataFrame:
     """Top-k BM25 over the STORED index (``bm25_over_frames`` on the
-    current postings + stats reads)."""
+    current postings + stats reads). The empty-term guard stays BEFORE
+    the storage reads (review fix): an empty query on a missing or
+    GC'd index must return the empty frame, not raise from snapshot
+    resolution — the documented graceful degradation."""
+    if not query_terms:
+        return spark.createDataFrame([], "doc_id long, score double, rnk int")
     return bm25_over_frames(
         spark,
         stored_postings(spark, index_dir),

@@ -47,6 +47,18 @@ from collections.abc import Callable
 
 Fetch = Callable[[str], list]
 
+# every code point Python's str.splitlines() treats as a line break
+# (the fetch parser's discipline), plus the \x1f field separator —
+# a boundary literal containing any of these cannot ride the
+# line-oriented psql fetch intact
+_LINEBREAK_CODEPOINTS = (10, 11, 12, 13, 28, 29, 30, 31, 133, 8232, 8233)
+
+
+def _no_linebreak_sql(col: str) -> str:
+    return " AND ".join(
+        f"strpos({col}, chr({cp})) = 0" for cp in _LINEBREAK_CODEPOINTS
+    )
+
 NUMERIC_PG_TYPES = (
     "smallint",
     "integer",
@@ -148,14 +160,24 @@ def sampled_range_predicates(
             f" b AS (SELECT percentile_disc(ARRAY[{fracs}])"
             f"  WITHIN GROUP (ORDER BY v) AS bs, COUNT(*) AS n FROM s)"
             # drop boundaries whose literal can't ride a line-oriented
-            # fetch (newline / CR / unit separator) — merging two ranges
-            # is safe, a mangled literal is not
+            # fetch — merging two ranges is safe, a mangled literal is
+            # not. The fetch parses with Python str.splitlines(), which
+            # splits on MORE than \n/\r: \x0b \x0c \x1c-\x1e NEL
+            # U+2028 U+2029 all break a row too (review fix — the
+            # original three-char filter left form-feed-bearing keys
+            # able to mangle the predicate), plus the \x1f field sep
             f" SELECT lit, n FROM (SELECT quote_literal(x) AS lit, n"
             f"  FROM b, unnest(b.bs) AS x) q"
-            f" WHERE strpos(lit, chr(10)) = 0 AND strpos(lit, chr(13)) = 0"
-            f"  AND strpos(lit, chr(31)) = 0"
+            f" WHERE {_no_linebreak_sql('lit')}"
         )
-        lits = [str(r[0]) for r in rows if r[0] is not None]
+        # belt and braces: re-check with the EXACT Python line discipline
+        # the fetch parser uses — anything that would split a fetched row
+        # merges two ranges instead of mangling a literal
+        lits = [
+            str(r[0])
+            for r in rows
+            if r[0] is not None and len((str(r[0]) + "x").splitlines()) == 1
+        ]
         count = int(rows[0][1]) if rows else 0
         return lits, count
 

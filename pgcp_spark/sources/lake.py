@@ -303,9 +303,21 @@ def commit_times(table_dir: str) -> list[tuple[str, float]]:
         # raising here would permanently brick read_as_of for the table.
         try:
             name, ts = line.rsplit("\t", 1)
-            out.append((name, float(ts)))
+            ts = float(ts)
         except ValueError:
             continue
+        # a torn line whose FLOAT merely lost trailing digits still
+        # parses — as (real snapshot, absurdly small timestamp), which
+        # would let read_as_of serve that snapshot for times PREDATING
+        # its commit. Commit order == timestamp order by construction,
+        # so clamp any backward timestamp to its predecessor's (the
+        # same monotonicity adjustment Delta applies to its commit
+        # timestamps) — a truncated float can only SHRINK, so clamping
+        # up restores a consistent ordering; genuine sub-second clock
+        # backsteps get the same harmless treatment.
+        if out and ts < out[-1][1]:
+            ts = out[-1][1]
+        out.append((name, ts))
     return out
 
 

@@ -377,6 +377,7 @@ def fold_agg_join_view(
     view_key: list[str],
     group_col: str,
     value_col: str,
+    keep: int = 1,
 ) -> bool:
     """Fold the view's changes SINCE THE LAST FOLD into the stored
     aggregate at ``agg_dir``. The aggregate's commit metadata carries the
@@ -476,13 +477,14 @@ def fold_agg_join_view(
         agg_dir,
         touched,
         key=[group_col],
+        keep=keep,
         meta={"applied_view_state": state},
     )
     return True
 
 
 def stamp_applied_state(
-    spark: SparkSession, agg_dir: str, view_dir: str
+    spark: SparkSession, agg_dir: str, view_dir: str, keep: int = 1
 ) -> None:
     """Re-anchor the aggregate's watermark to the view's CURRENT state id
     without changing a row — called after a view flatten (which preserves
@@ -495,6 +497,7 @@ def stamp_applied_state(
     _ws(
         read_current(spark, agg_dir),
         agg_dir,
+        keep=keep,
         meta={"applied_view_state": pending_state(view_dir)},
     )
 
@@ -588,6 +591,7 @@ def fold_minmax_join_view(
     view_key: list[str],
     group_col: str,
     value_col: str,
+    keep: int = 1,
 ) -> bool:
     """Fold the view's changes since the last fold into the stored
     per-group MIN/MAX aggregate at ``agg_dir`` — the cascade fold for the
@@ -701,6 +705,7 @@ def fold_minmax_join_view(
         agg_dir,
         out,
         key=[group_col],
+        keep=keep,
         meta={"applied_view_state": state},
     )
     return True
@@ -1152,6 +1157,7 @@ def fold_distinct_join_view(
     view_key: list[str],
     group_col: str,
     value_col: str,
+    keep: int = 1,
 ) -> bool:
     """Fold the view's changes since the last fold into the stored
     support table and distinct-count aggregate. Watermark discipline is
@@ -1201,15 +1207,31 @@ def fold_distinct_join_view(
                 group_col,
             ),
             agg_dir,
+            keep=keep,
             meta={"applied_view_state": state},
         )
         return True
     if sup_applied != agg_applied:
-        raise RuntimeError(
-            f"support watermark {sup_applied!r} is neither the aggregate's "
-            f"{agg_applied!r} nor the view's current state — the pair was "
-            "maintained by something other than this fold; rebuild both "
-            "from the view."
+        # crash between the two commits FOLLOWED by more view commits
+        # before the retry (the at-least-once restart redelivers the
+        # batch, whose merge lands shadow deltas and advances the view's
+        # state id — so neither watermark matches `state` anymore). The
+        # support commits first by construction, so on any mismatch the
+        # support is authoritative: rebuild the agg from it AT THE
+        # SUPPORT'S watermark, then fall through and fold the remaining
+        # view diff normally. If the support's watermark is not a real
+        # historical view state (external corruption), the state_changes
+        # below raises and the refuse message applies.
+        write_snapshot(
+            distinct_agg_from_support(
+                read_current_with_deltas(
+                    spark, support_dir, key=[group_col, value_col]
+                ),
+                group_col,
+            ),
+            agg_dir,
+            keep=keep,
+            meta={"applied_view_state": sup_applied},
         )
     try:
         feed = state_changes(spark, view_dir, sup_applied, state, key=view_key)
@@ -1226,7 +1248,7 @@ def fold_distinct_join_view(
         return False
     apply_distinct_feed(
         spark, support_dir, agg_dir, feed, group_col, value_col,
-        meta={"applied_view_state": state},
+        meta={"applied_view_state": state}, keep=keep,
     )
     return True
 
@@ -1239,6 +1261,7 @@ def apply_distinct_feed(
     group_col: str,
     value_col: str,
     meta: dict | None = None,
+    keep: int = 1,
 ) -> None:
     """The COUNT DISTINCT fold's core, independent of where the change
     feed came from — the cascade fold above drives it from a maintained
@@ -1269,12 +1292,14 @@ def apply_distinct_feed(
                 spark, support_dir, key=[group_col, value_col]
             ).limit(0),
             key=[group_col, value_col],
+            keep=keep,
             meta=meta,
         )
         upsert(
             spark, agg_dir,
             read_current(spark, agg_dir).limit(0),
             key=[group_col],
+            keep=keep,
             meta=meta,
         )
         return
@@ -1310,6 +1335,7 @@ def apply_distinct_feed(
         touched.drop("old_cnt"),
         key=[group_col, value_col],
         cluster_by=[group_col],
+        keep=keep,
         meta=meta,
     )
     # commit 2: the aggregate rollup, touched groups only
@@ -1325,6 +1351,7 @@ def apply_distinct_feed(
         agg_dir,
         folded,
         key=[group_col],
+        keep=keep,
         meta=meta,
     )
 

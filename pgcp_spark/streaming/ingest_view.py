@@ -286,11 +286,19 @@ def fold_agg_view_batch(
         fact_dir,
         view_dir,
         dim,
+        # RETENTION: the group-manifest reader pins the PREVIOUS
+        # publish's agg snapshot, and one publish window can land TWO
+        # agg snapshot commits (the fold's upsert + the flatten's
+        # re-stamp) — keep must exceed commits-per-publish (the BM25
+        # group fold's rule), so keep=3, not the per-table default of 1
+        # (which GC'd the pinned snapshot under a racing reader)
         after_fold=lambda: fold_agg_join_view(
             spark, agg_dir, view_dir, ["o_orderkey"], "c_mktsegment",
-            "o_totalprice",
+            "o_totalprice", keep=3,
         ),
-        on_flatten=lambda: stamp_applied_state(spark, agg_dir, view_dir),
+        on_flatten=lambda: stamp_applied_state(
+            spark, agg_dir, view_dir, keep=3
+        ),
     )
 
 
@@ -434,11 +442,15 @@ def fold_minmax_view_batch(
         fact_dir,
         view_dir,
         dim,
+        # RETENTION: same keep-exceeds-commits-per-publish rule as the
+        # signed transactional variant above
         after_fold=lambda: fold_minmax_join_view(
             spark, agg_dir, view_dir, ["o_orderkey"], "c_mktsegment",
-            "o_totalprice",
+            "o_totalprice", keep=3,
         ),
-        on_flatten=lambda: stamp_applied_state(spark, agg_dir, view_dir),
+        on_flatten=lambda: stamp_applied_state(
+            spark, agg_dir, view_dir, keep=3
+        ),
     )
 
 
@@ -594,11 +606,19 @@ def fold_agg_view_batch_txn(
         fact_dir,
         view_dir,
         dim,
+        # RETENTION: the group-manifest reader pins the PREVIOUS
+        # publish's agg snapshot, and one publish window can land TWO
+        # agg snapshot commits (the fold's upsert + the flatten's
+        # re-stamp) — keep must exceed commits-per-publish (the BM25
+        # group fold's rule), so keep=3, not the per-table default of 1
+        # (which GC'd the pinned snapshot under a racing reader)
         after_fold=lambda: fold_agg_join_view(
             spark, agg_dir, view_dir, ["o_orderkey"], "c_mktsegment",
-            "o_totalprice",
+            "o_totalprice", keep=3,
         ),
-        on_flatten=lambda: stamp_applied_state(spark, agg_dir, view_dir),
+        on_flatten=lambda: stamp_applied_state(
+            spark, agg_dir, view_dir, keep=3
+        ),
         # the publish runs LAST so the manifest pins post-flatten states
         after_batch=lambda: occ_commit_group(
             gdir,
@@ -731,11 +751,15 @@ def fold_minmax_view_batch_txn(
         fact_dir,
         view_dir,
         dim,
+        # RETENTION: same keep-exceeds-commits-per-publish rule as the
+        # signed transactional variant above
         after_fold=lambda: fold_minmax_join_view(
             spark, agg_dir, view_dir, ["o_orderkey"], "c_mktsegment",
-            "o_totalprice",
+            "o_totalprice", keep=3,
         ),
-        on_flatten=lambda: stamp_applied_state(spark, agg_dir, view_dir),
+        on_flatten=lambda: stamp_applied_state(
+            spark, agg_dir, view_dir, keep=3
+        ),
         # the publish runs LAST so the manifest pins post-flatten states
         after_batch=lambda: occ_commit_group(
             gdir,

@@ -172,6 +172,18 @@ def test_txn_stream_reader_sees_only_batch_consistent_trios(spark):
         while not stop.is_set():
             if not gdir_holder:
                 continue
+            try:
+                _observe()
+            except Exception as exc:  # noqa: BLE001 — a died reader must
+                # FAIL the test (a GC'd pin under keep=1 killed the
+                # thread silently and passed it vacuously — the exact
+                # hazard the keep-exceeds-commits-per-publish rule fixes)
+                torn.append(f"reader died: {exc}")
+                return
+            if torn:
+                return
+
+    def _observe():
             dfs = read_group(spark, gdir_holder[0], keys)
             want_view = sorted(
                 tuple(r)
@@ -291,6 +303,18 @@ def test_txn_minmax_stream_reader_sees_only_batch_consistent_trios(spark):
         while not stop.is_set():
             if not gdir_holder:
                 continue
+            try:
+                _observe()
+            except Exception as exc:  # noqa: BLE001 — a died reader must
+                # FAIL the test (a GC'd pin under keep=1 killed the
+                # thread silently and passed it vacuously — the exact
+                # hazard the keep-exceeds-commits-per-publish rule fixes)
+                torn.append(f"reader died: {exc}")
+                return
+            if torn:
+                return
+
+    def _observe():
             dfs = read_group(spark, gdir_holder[0], keys)
             want_view = sorted(
                 tuple(r)

@@ -125,6 +125,12 @@ def test_e164_compact_tightened_left_context_and_floor(spark):
         3: ("id x+12345678901 t", "id x+12345678901 t"),  # glued to a word
         4: ("cell +12345678901 t", "cell <PHONE> t"),  # space restored
         5: ("+12345678901 leads", "<PHONE> leads"),  # start-of-string
+        # review fix: the context excludes only WORD chars — punctuation-
+        # adjacent compact numbers must still redact (a whitespace-only
+        # context silently leaked all of these)
+        6: ("tel:+15551234567 now", "tel:<PHONE> now"),
+        7: ("(+447911123456) t", "(<PHONE>) t"),
+        8: ('she said "+15551234567"', 'she said "<PHONE>"'),
     }
     df = spark.createDataFrame([(t, i) for i, (t, _) in cases.items()], ["t", "i"])
     got = {r.i: r.red for r in df.select("i", redact_text("t").alias("red")).collect()}
@@ -176,3 +182,19 @@ def test_counts_on_raw_text_and_null_safety(spark):
     assert out[3] == (None, None, None, None)  # ANSI: NULL stays NULL
     assert out[4] == ("no pii here", 0, 0, 0)
     assert out[5] == ("intl <PHONE> line", 0, 1, 1)
+
+
+def test_long_card_groupings_redact_whole(spark):
+    """Review fix: 17-19 digit grouped cards (4-4-4-4-(1..3)) redact as
+    ONE token — the 16-digit prefix must not half-match and strand the
+    tail group (leftmost-first alternation, long form first)."""
+    cases = {
+        1: ("c 6212 3456 7890 1234 567 ok", "c <CC> ok"),  # 19-digit
+        2: ("c 5019-7170-1010-3742-00 ok", "c <CC> ok"),  # 18-digit dashes
+        3: ("c 4111 1111 1111 1111 ok", "c <CC> ok"),  # 16 still whole
+        4: ("c 4111 1111 1111 1 ok", "c <CC> ok"),  # 13-digit 4-4-4-1
+    }
+    df = spark.createDataFrame([(t, i) for i, (t, _) in cases.items()], ["t", "i"])
+    got = {r.i: r.red for r in df.select("i", redact_text("t").alias("red")).collect()}
+    for i, (_, want) in cases.items():
+        assert got[i] == want, (i, got[i])

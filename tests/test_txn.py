@@ -525,11 +525,14 @@ def test_commits_sidecar_append_heals_torn_tail(spark, tmp_path):
         f.write("snap-000001\t169999.1")  # torn: parseable-looking, no \n
     write_snapshot(spark.createDataFrame([(2,)], ["k"]), tdir, keep=6)
     times = commit_times(tdir)
-    # the torn fragment stays its own line (it parses, with a garbage
-    # timestamp — acceptable: it references a never-committed snapshot)
-    # but the REAL second commit's record is intact and newest
+    # the torn fragment stays its own line, and because its truncated
+    # float parses as an absurdly-early timestamp, commit_times CLAMPS
+    # it to its predecessor's (commit order == timestamp order — the
+    # Delta monotonicity adjustment): no entry can make read_as_of
+    # serve a snapshot for times predating its commit
+    assert all(b[1] >= a[1] for a, b in zip(times, times[1:]))
     assert times[-1][1] > 1e9
-    assert len([1 for n, t in times if t > 1e9]) == 2
+    assert len([1 for n, t in times if t > 1e9]) == 3  # torn one clamped up
 
 
 def test_manifest_history_reconcile_timestamp_clamped(spark, group, monkeypatch):

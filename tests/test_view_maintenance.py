@@ -807,6 +807,52 @@ def test_distinct_crash_between_commits_repairs_from_support(spark, monkeypatch)
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_distinct_crash_then_redelivery_repairs_and_continues(spark, monkeypatch):
+    """The at-least-once restart arc the pure agg-behind branch misses:
+    after the crash, the redelivered batch lands MORE view commits
+    before the retry, so NEITHER watermark matches the current state.
+    The support still leads — the fold must rebuild the agg from it at
+    the SUPPORT'S watermark, then continue folding the remaining view
+    diff, converging to the recompute (not refuse forever)."""
+    from pgcp_spark.sources import view_maintenance as vm
+    from pgcp_spark.sources.lake import append_delta, delete_delta
+
+    view_dir, sup_dir, agg_dir = _dst_lake(spark, _DST_ROWS)
+    try:
+        delete_delta(
+            spark.createDataFrame([(3,)], ["o_orderkey"]), view_dir,
+            key=["o_orderkey"],
+        )
+        real_upsert = vm.upsert
+
+        def crashing_upsert(spark_, table_dir, *a, **kw):
+            if table_dir == agg_dir:
+                raise RuntimeError("simulated crash before the agg commit")
+            return real_upsert(spark_, table_dir, *a, **kw)
+
+        monkeypatch.setattr(vm, "upsert", crashing_upsert)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            _dst_fold(spark, sup_dir, agg_dir, view_dir)
+        monkeypatch.setattr(vm, "upsert", real_upsert)
+        # the redelivery: a further view commit BEFORE the retry — a new
+        # value lands in group b
+        append_delta(
+            spark.createDataFrame(
+                [(10, 31, "P3", "b")],
+                ["o_orderkey", "o_custkey", "o_orderpriority", "c_mktsegment"],
+            ),
+            view_dir,
+        )
+        assert _dst_fold(spark, sup_dir, agg_dir, view_dir) is True
+        got = _dst_serve(spark, agg_dir)
+        assert got == [("a", 1), ("b", 2)]
+        assert got == _dst_recompute(spark, view_dir)
+        assert _dst_fold(spark, sup_dir, agg_dir, view_dir) is False
+    finally:
+        for d in (view_dir, sup_dir, agg_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_distinct_missing_watermark_refuses(spark):
     """A metaless commit on either stored table clears the watermark —
     the fold must refuse (the signed support fold double-counts on a
@@ -828,3 +874,40 @@ def test_distinct_missing_watermark_refuses(spark):
     finally:
         for d in (view_dir, sup_dir, agg_dir):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_fold_keep_preserves_pinned_snapshots(spark):
+    """The retention rule the transactional streams rely on, pinned
+    deterministically (the racing-reader tests exercise it under real
+    timing, but a race can pass by luck): a fold with keep=3 leaves the
+    previous agg snapshot resolvable — a group-manifest reader pinned to
+    it survives — while the per-table default keep=1 GC's it."""
+    import os
+
+    from pgcp_spark.sources.lake import append_delta, current_snapshot
+
+    for keep, survives in ((3, True), (1, False)):
+        view_dir, sup_dir, agg_dir = _dst_lake(spark, _DST_ROWS)
+        try:
+            pinned = current_snapshot(agg_dir)
+            append_delta(
+                spark.createDataFrame(
+                    [(9, 30, "P7", "a")],
+                    ["o_orderkey", "o_custkey", "o_orderpriority",
+                     "c_mktsegment"],
+                ),
+                view_dir,
+            )
+            from pgcp_spark.sources.view_maintenance import (
+                fold_distinct_join_view,
+            )
+
+            assert fold_distinct_join_view(
+                spark, sup_dir, agg_dir, view_dir, ["o_orderkey"],
+                "c_mktsegment", "o_orderpriority", keep=keep,
+            ) is True
+            exists = os.path.isdir(os.path.join(agg_dir, pinned))
+            assert exists is survives, (keep, pinned)
+        finally:
+            for d in (view_dir, sup_dir, agg_dir):
+                shutil.rmtree(d, ignore_errors=True)
