@@ -1328,14 +1328,19 @@ def apply_distinct_feed(
     )
     d_distinct = materialize(d_distinct)
     # commit 1: the support leads with the watermark (crash after this
-    # point repairs by rebuilding the agg from it)
+    # point repairs by rebuilding the agg from it). One commit of grace
+    # (keep >= 2) regardless of the caller's keep: the agg rollup below
+    # derives from the PRE-upsert support, and under a non-checkpointing
+    # materialization mode (plans.materialize.plan_only — the width
+    # audit; mode 'none') or a task retry spanning this commit, its
+    # lineage re-reads the old snapshot this commit would otherwise GC
     upsert(
         spark,
         support_dir,
         touched.drop("old_cnt"),
         key=[group_col, value_col],
         cluster_by=[group_col],
-        keep=keep,
+        keep=max(keep, 2),
         meta=meta,
     )
     # commit 2: the aggregate rollup, touched groups only
