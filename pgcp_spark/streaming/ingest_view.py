@@ -1022,6 +1022,173 @@ def streaming_distinct_join_view_maintenance(
     return result
 
 
+# --- distinct cascade THROUGH the group commit (round 13) ------------------
+# The first transactional fold whose downstream state is TWO tables: the
+# group is {fact, view, support, agg} — a FOUR-member manifest — and one
+# publish pins the quartet. Proves the group commit is arity-agnostic as
+# well as fold-agnostic: the support/agg pair's own two-commit crash
+# protocol stays intact per table, while the manifest makes the pair
+# (and the view and fact) mutually consistent for readers.
+
+
+def fold_distinct_view_batch_txn(
+    spark: SparkSession,
+    micro_batch: DataFrame,
+    gdir: str,
+    dim: DataFrame,
+) -> None:
+    """``fold_distinct_view_batch``'s hooks composed with the group
+    publish through the shared ``apply_cdc_batches`` loop — hook wiring
+    only, like the signed and MIN/MAX transactional variants. keep=3 on
+    every downstream commit: the support takes ONE commit and the agg
+    one-or-two (fold + flatten re-stamp) per publish window, and the
+    pinned previous-publish snapshots must survive all of them."""
+    import os
+
+    from pgcp_spark.sources.txn import occ_commit_group, table_state
+    from pgcp_spark.sources.view_maintenance import (
+        fold_distinct_join_view,
+        stamp_applied_state,
+    )
+
+    fact_dir = os.path.join(gdir, "fact")
+    view_dir = os.path.join(gdir, "view")
+    sup_dir = os.path.join(gdir, "support")
+    agg_dir = os.path.join(gdir, "agg")
+
+    def _restamp() -> None:
+        stamp_applied_state(spark, sup_dir, view_dir, keep=3)
+        stamp_applied_state(spark, agg_dir, view_dir, keep=3)
+
+    apply_cdc_batches(
+        spark,
+        micro_batch,
+        fact_dir,
+        view_dir,
+        dim,
+        after_fold=lambda: fold_distinct_join_view(
+            spark, sup_dir, agg_dir, view_dir, ["o_orderkey"],
+            "c_mktsegment", "c_name", keep=3,
+        ),
+        on_flatten=_restamp,
+        after_batch=lambda: occ_commit_group(
+            gdir,
+            lambda _state: {
+                n: table_state(gdir, n)
+                for n in ("fact", "view", "support", "agg")
+            },
+        ),
+    )
+
+
+def run_ingest_distinct_view_txn(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
+) -> str:
+    """Build the {fact, view, support, agg} group (initial states
+    group-committed), stream the CDC batches through the transactional
+    distinct cascade, return the group dir (caller owns it)."""
+    import os
+
+    from pgcp_spark.sources.lake import pending_state
+    from pgcp_spark.sources.txn import commit_group, table_state
+    from pgcp_spark.sources.view_maintenance import (
+        build_distinct_over,
+        build_distinct_support,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    gdir = tempfile.mkdtemp(prefix="pgcp_ingest_txn_dst_")
+    staging = None
+    try:
+        write_snapshot(base, os.path.join(gdir, "fact"), keep=2)
+        view0 = base.join(
+            dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+        ).select(*VIEW_COLS)
+        write_snapshot(
+            view0, os.path.join(gdir, "view"), cluster_by=["o_custkey"], keep=2
+        )
+        state0 = pending_state(os.path.join(gdir, "view"))
+        write_snapshot(
+            build_distinct_support(view0, "c_mktsegment", "c_name"),
+            os.path.join(gdir, "support"),
+            cluster_by=["c_mktsegment"],
+            keep=2,
+            meta={"applied_view_state": state0},
+        )
+        write_snapshot(
+            build_distinct_over(view0, "c_mktsegment", "c_name"),
+            os.path.join(gdir, "agg"),
+            keep=2,
+            meta={"applied_view_state": state0},
+        )
+        commit_group(
+            gdir,
+            {n: table_state(gdir, n) for n in ("fact", "view", "support", "agg")},
+        )
+        batches = _cdc_batches(orders)
+        staging = loop.stage_group_files(
+            batches, F.col("seq"), range(3), "pgcp_ingest_txn_dst_stream_"
+        )
+        loop.run_availablenow_stream(
+            spark,
+            staging,
+            batches.schema,
+            lambda mb, _bid: fold_distinct_view_batch_txn(spark, mb, gdir, dim),
+            max_files_per_trigger,
+        )
+    except BaseException:
+        shutil.rmtree(gdir, ignore_errors=True)
+        raise
+    finally:
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
+    return gdir
+
+
+@register(
+    "streaming_distinct_cascade_group_commit",
+    oracle=_STREAM_DISTINCT_VIEW_ORACLE,
+    doc=(
+        "streaming exact-COUNT-DISTINCT cascade through the cross-table atomic "
+        "commit: each CDC batch lands fact delta + view fold + support fold + "
+        "distinct-count fold, then publishes the FOUR-member quartet as ONE "
+        "group-manifest transaction — the first fold with two downstream "
+        "tables, proving the group commit arity-agnostic; same oracle as the "
+        "per-table distinct stream, so the hash proves the routing changes "
+        "nothing"
+    ),
+)
+def streaming_distinct_cascade_group_commit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The fifth streaming variant: the support-table fold composed with
+    the group publish, served through the manifest-pinned group read —
+    end state must be hash-identical to
+    ``streaming_distinct_join_view_maintenance``."""
+    from pgcp_spark.sources.txn import read_group
+    from pgcp_spark.sources.view_maintenance import serve_distinct
+
+    gdir = run_ingest_distinct_view_txn(spark, sf_dir)
+    try:
+        pinned = read_group(spark, gdir, {"agg": ["c_mktsegment"]})
+        result = materialize(
+            serve_distinct(pinned["agg"], "c_mktsegment").orderBy(
+                "c_mktsegment"
+            )
+        )
+    except BaseException:
+        shutil.rmtree(gdir, ignore_errors=True)
+        raise
+    loop.reclaim_by_mode(gdir)
+    return result
+
+
 # read_current is imported for tests (post-stream fact state assertions)
 __all__ = [
     "apply_cdc_batches",
@@ -1030,11 +1197,13 @@ __all__ = [
     "fold_agg_view_batch_txn",
     "fold_minmax_view_batch_txn",
     "fold_distinct_view_batch",
+    "fold_distinct_view_batch_txn",
     "run_ingest_view",
     "run_ingest_agg_view",
     "run_ingest_agg_view_txn",
     "run_ingest_minmax_view_txn",
     "run_ingest_distinct_view",
+    "run_ingest_distinct_view_txn",
     "streaming_join_view_maintenance",
     "streaming_agg_join_view_maintenance",
     "streaming_cascade_group_commit",

@@ -451,3 +451,127 @@ def test_distinct_cascade_boundary_invariance_and_support_identity(spark):
     finally:
         for d in dirs_a + dirs_b:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_txn_distinct_stream_reader_sees_consistent_quartet(spark):
+    """Round 13: the racing-reader pin for the FOUR-member group — on
+    every observation a read_group reader must find view == fact ⋈ dim,
+    agg == COUNT DISTINCT over the pinned view, AND agg == the rollup of
+    the pinned support (the two downstream tables are mutually
+    consistent under the manifest even though they commit separately
+    inside the batch)."""
+    import threading
+
+    from pgcp_spark.sources import load_table
+    from pgcp_spark.sources.txn import read_group
+    from pgcp_spark.sources.view_maintenance import (
+        build_distinct_over,
+        distinct_agg_from_support,
+        serve_distinct,
+    )
+    from pgcp_spark.streaming.ingest_view import run_ingest_distinct_view_txn
+
+    dim = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    keys = {
+        "fact": ["o_orderkey"],
+        "view": ["o_orderkey"],
+        "support": ["c_mktsegment", "c_name"],
+        "agg": ["c_mktsegment"],
+    }
+    torn: list[str] = []
+    stop = threading.Event()
+    gdir_holder: list[str] = []
+    started = threading.Event()
+
+    def reader():
+        started.wait(timeout=30)
+        while not stop.is_set():
+            if not gdir_holder:
+                continue
+            try:
+                _observe()
+            except Exception as exc:  # noqa: BLE001 — reader death fails
+                torn.append(f"reader died: {exc}")
+                return
+            if torn:
+                return
+
+    def _observe():
+        dfs = read_group(spark, gdir_holder[0], keys)
+        want_view = sorted(
+            tuple(r)
+            for r in dfs["fact"]
+            .join(dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey")
+            .select(
+                "o_orderkey", "o_custkey", "o_totalprice", "c_name",
+                "c_mktsegment",
+            )
+            .collect()
+        )
+        got_view = sorted(tuple(r) for r in dfs["view"].collect())
+        if got_view != want_view:
+            torn.append("view != fact join dim under the manifest")
+            return
+        want_agg = sorted(
+            tuple(r)
+            for r in build_distinct_over(dfs["view"], "c_mktsegment", "c_name")
+            .filter(F.col("distinct_cnt") > 0)
+            .collect()
+        )
+        got_agg = sorted(
+            tuple(r) for r in serve_distinct(dfs["agg"], "c_mktsegment").collect()
+        )
+        if got_agg != want_agg:
+            torn.append("distinct agg != COUNT DISTINCT over the pinned view")
+            return
+        from_support = sorted(
+            tuple(r)
+            for r in distinct_agg_from_support(
+                dfs["support"], "c_mktsegment"
+            ).collect()
+        )
+        if got_agg != from_support:
+            torn.append("agg != support rollup under the manifest")
+            return
+
+    import pgcp_spark.streaming.ingest_view as iv
+
+    orig = iv.fold_distinct_view_batch_txn
+
+    def hooked(spark_, mb, gdir, dim_):
+        if not gdir_holder:
+            gdir_holder.append(gdir)
+            started.set()
+        return orig(spark_, mb, gdir, dim_)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    iv.fold_distinct_view_batch_txn = hooked
+    gdir = None
+    try:
+        gdir = run_ingest_distinct_view_txn(spark, SF)
+    finally:
+        iv.fold_distinct_view_batch_txn = orig
+        stop.set()
+        t.join()
+    try:
+        assert not torn, torn[0]
+        pinned = read_group(spark, gdir, keys)
+        got = sorted(
+            tuple(r)
+            for r in serve_distinct(pinned["agg"], "c_mktsegment").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in build_distinct_over(
+                pinned["view"], "c_mktsegment", "c_name"
+            )
+            .filter(F.col("distinct_cnt") > 0)
+            .collect()
+        )
+        assert got == want and got
+    finally:
+        if gdir:
+            shutil.rmtree(gdir, ignore_errors=True)
