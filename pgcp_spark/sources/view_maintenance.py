@@ -1483,3 +1483,334 @@ def lake_incremental_distinct_join_view_orders(
         raise
     reclaim_by_mode(fact_dir, dim_dir, view_dir, sup_dir, agg_dir)
     return result
+
+
+# --- per-group TOP-K in the cascade fold (round 13) -------------------------
+# MIN/MAX generalized: k best rows per group (the serving-layer
+# "top sellers per segment" shape; min/max is k=1 over one column). The
+# same insert/delete split applies, with one structural improvement the
+# richer stored state buys: membership is decided BY KEY, so the delete
+# rule is EXACT, not conservative — the stored set is the k best rows,
+# and removing a row that is NOT one of them can never change which k
+# are best; only a removal whose (group, key) IS a stored member (or
+# one against a group the store has no evidence for — drift) forces a
+# rescan, because the successor row is exactly what the store does not
+# carry. Inserts fold by merge-and-rerank: stored ∪ batch-post rows →
+# rank → keep k, a feed+k-sized window over touched groups only.
+# Storage is k rows per group; the keyed upsert on [group] replaces a
+# touched group's whole set in one commit (kept = anti-join on group).
+
+
+def build_topk_over(
+    df: DataFrame, group_col: str, key_col: str, value_col: str, k: int
+) -> DataFrame:
+    """The stored top-k set over any view-shaped frame: the ``k``
+    highest-``value_col`` rows per group, ties broken by ``key_col``
+    ascending (deterministic, and the same ORDER BY the oracle uses).
+    NULL groups/keys are excluded (keyed-upsert contract); NULL values
+    sort last and only appear when a group has fewer than k non-NULL
+    rows. Shared by the initial build, the rescan arm, and the tests'
+    recompute oracle. Stored WITHOUT ranks — a rank is derivable and
+    storing it would force rewrites on every membership change."""
+    from pyspark.sql import Window
+
+    from pgcp_spark.operators._decimal import dec
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_v").desc_nulls_last(), F.col(key_col)
+    )
+    return (
+        df.filter(F.col(group_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(group_col, key_col, dec(value_col, "decimal(18,2)").alias("_v"))
+        .withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= k)
+        .select(group_col, key_col, F.col("_v").alias("topv"))
+    )
+
+
+def serve_topk(stored: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """The serving projection: ranks recomputed over the stored k-row
+    sets (a window over ≤k-row partitions — no wide or single-partition
+    exchange), values cast to double for the driver hash."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("topv").desc_nulls_last(), F.col(key_col)
+    )
+    return stored.select(
+        group_col,
+        key_col,
+        F.col("topv").cast("double").alias("total"),
+        F.row_number().over(w).alias("rnk"),
+    )
+
+
+def topk_rescan_groups(stored: DataFrame, pre_rows: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """The rescan decision, factored for the pin in tests: the groups
+    needing a rescan are EXACTLY those with a removal hitting a stored
+    member (left-semi on (group, key)) plus — defensively — removals
+    against groups the store carries no rows for (the fold cannot prove
+    anything about a group it has no evidence for)."""
+    hits = pre_rows.join(
+        stored.select(group_col, key_col), [group_col, key_col], "left_semi"
+    ).select(group_col)
+    orphans = pre_rows.select(group_col).join(
+        stored.select(group_col).distinct(), [group_col], "left_anti"
+    )
+    return hits.unionByName(orphans).distinct()
+
+
+def fold_topk_join_view(
+    spark: SparkSession,
+    agg_dir: str,
+    view_dir: str,
+    view_key: list[str],
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    k: int,
+    keep: int = 1,
+) -> bool:
+    """Fold the view's changes since the last fold into the stored
+    per-group top-k sets. Watermark discipline is the family's
+    (``applied_view_state`` commit meta; replay skip / missing-watermark
+    refuse / GC'd-state refuse — the merge-and-rerank fold is not
+    idempotent).
+
+    Scale: the feed is batch-sized on the prefix path; the rescan
+    decision is two feed-sized semi/anti joins against the (k x groups)-
+    sized store; non-rescan groups re-rank (stored ∪ batch-post) — a
+    window over (k + batch)-sized partitions of touched groups only; the
+    rescan arm reads ONLY member-hit groups from the maintained view
+    (pushed-IN + CLUSTER BY), never the bases. The delete rule is EXACT
+    (see the section comment) — no conservative-under-duplicates term,
+    unlike MIN/MAX."""
+    from pyspark.sql import Window
+
+    from pgcp_spark.operators._decimal import dec
+    from pgcp_spark.sources.lake import (
+        pending_state,
+        snapshot_meta,
+        state_changes,
+    )
+
+    state = pending_state(view_dir)
+    applied = snapshot_meta(agg_dir).get("applied_view_state")
+    if applied == state:
+        return False
+    if applied is None:
+        raise RuntimeError(
+            f"{agg_dir}: no applied_view_state watermark (never stamped, or "
+            "cleared by a metaless commit) — refusing to fold; rebuild from "
+            "the view (build_topk_over + a stamped write_snapshot) or "
+            "stamp_applied_state if the stored sets are KNOWN current."
+        )
+    try:
+        feed = state_changes(spark, view_dir, applied, state, key=view_key)
+    except FileNotFoundError as exc:
+        raise RuntimeError(
+            "the applied view state is no longer readable (a flatten/vacuum "
+            "GC'd it); re-anchor with stamp_applied_state after each "
+            "flatten, or rebuild from the view."
+        ) from exc
+    feed = materialize(feed)
+    if feed.isEmpty():
+        return False
+    post_rows = (
+        feed.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+            & F.col(group_col).isNotNull()
+            & F.col(key_col).isNotNull()
+        )
+        .select(group_col, key_col, dec(value_col, "decimal(18,2)").alias("topv"))
+    )
+    pre_rows = (
+        feed.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+            & F.col(group_col).isNotNull()
+            & F.col(key_col).isNotNull()
+        )
+        .select(group_col, key_col)
+    )
+    stored = read_current(spark, agg_dir)
+    rescan_keys = materialize(
+        topk_rescan_groups(stored, pre_rows, group_col, key_col)
+    )
+    touched_groups = materialize(
+        post_rows.select(group_col)
+        .distinct()
+        .unionByName(rescan_keys)
+        .distinct()
+    )
+    # non-rescan touched groups: merge-and-rerank, newest-wins on key
+    merge_groups = touched_groups.join(rescan_keys, [group_col], "left_anti")
+    stored_m = stored.join(merge_groups, [group_col], "left_semi")
+    post_m = post_rows.join(merge_groups, [group_col], "left_semi")
+    base_m = stored_m.join(
+        post_m.select(group_col, key_col), [group_col, key_col], "left_anti"
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("topv").desc_nulls_last(), F.col(key_col)
+    )
+    merged = (
+        base_m.unionByName(post_m)
+        .withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= k)
+        .drop("_rnk")
+    )
+    out = merged
+    if not rescan_keys.isEmpty():
+        view_now = _pruned_by_keys(
+            read_current_with_deltas(spark, view_dir, key=view_key),
+            group_col,
+            rescan_keys,
+        ).join(rescan_keys, on=group_col, how="left_semi")
+        rescanned = build_topk_over(view_now, group_col, key_col, value_col, k)
+        out = merged.unionByName(rescanned)
+    # per-group SET replacement as ONE explicit copy-on-write commit:
+    # drop every touched group's old rows, land its new <=k rows (a
+    # group whose replacement set is EMPTY — all members deleted,
+    # nothing re-inserted — simply contributes no rows), carry every
+    # untouched group over. The agg table is (k x groups)-sized, so the
+    # rewrite is the same cost class as the keyed upsert (itself a full
+    # COW merge) while expressing row REMOVAL, which a keyed upsert
+    # cannot. One commit of grace (keep >= 2): the replacement derives
+    # from the pre-commit store (the plan-only/task-retry rule the
+    # distinct fold's support commit established).
+    kept = stored.join(touched_groups, [group_col], "left_anti")
+    write_snapshot(
+        kept.unionByName(out),
+        agg_dir,
+        keep=max(keep, 2),
+        cluster_by=[group_col],
+        meta={"applied_view_state": state},
+    )
+    return True
+
+
+_TOPK_JOIN_VIEW_ORACLE = """
+WITH postfact AS (
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+    FROM orders
+    WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) * 2
+    FROM orders WHERE o_orderkey % 5 = 0
+),
+postdim AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment || '_R'
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+),
+joined AS (
+    SELECT d.c_mktsegment, f.o_orderkey, f.p
+    FROM postfact f JOIN postdim d ON f.o_custkey = d.c_custkey
+    WHERE d.c_mktsegment IS NOT NULL AND f.o_orderkey IS NOT NULL
+)
+SELECT c_mktsegment, o_orderkey, CAST(p AS DOUBLE) AS total,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT c_mktsegment, o_orderkey, p,
+           ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment ORDER BY p DESC, o_orderkey
+           ) AS rnk
+    FROM joined
+)
+WHERE rnk <= 3
+ORDER BY c_mktsegment, rnk
+"""
+
+
+@register(
+    "lake_incremental_topk_join_view_orders",
+    oracle=_TOPK_JOIN_VIEW_ORACLE,
+    doc=(
+        "cascade IVM for per-group TOP-K — MIN/MAX generalized: the 3 "
+        "highest-value orders per segment maintained OVER the maintained "
+        "orders JOIN customer view; inserts fold by merge-and-rerank over "
+        "(stored set ∪ batch rows), and the delete rule is EXACT — only a "
+        "removal whose key IS a stored member rescans, and only its group, "
+        "through the view with pushed-IN pruning; exactly-once via the same "
+        "stamped view-state watermark; oracle recomputes the ranked top-3 "
+        "from both post states"
+    ),
+)
+def lake_incremental_topk_join_view_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end TOP-K cascade cycle on driver-checkable data: the
+    standard fact/dim/view scenario (doubling every 5th key promotes
+    rows INTO segment top-3s through the merge-and-rerank fold; deleting
+    every non-5th 7th evicts stored members — exactly those groups
+    rescan; renaming every 10th customer's segment moves rows between
+    groups, driving both arms at once). The served ranking is the
+    FOLD's, never a recompute; the driver hash proves fold == recompute."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base_fact = orders.filter(F.col("o_orderkey") % 3 != 0)
+    fact_dir = tempfile.mkdtemp(prefix="pgcp_topk_fact_")
+    dim_dir = tempfile.mkdtemp(prefix="pgcp_topk_dim_")
+    view_dir = tempfile.mkdtemp(prefix="pgcp_topk_view_")
+    agg_dir = tempfile.mkdtemp(prefix="pgcp_topk_agg_")
+
+    def _cleanup() -> None:
+        for d in (fact_dir, dim_dir, view_dir, agg_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+    try:
+        fact_snap = write_snapshot(base_fact, fact_dir, keep=2)
+        dim_snap = write_snapshot(dim, dim_dir, keep=2)
+        view0 = base_fact.join(
+            dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+        ).select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+        from pgcp_spark.sources.lake import pending_state
+
+        write_snapshot(
+            build_topk_over(view0, "c_mktsegment", "o_orderkey", "o_totalprice", 3),
+            agg_dir,
+            cluster_by=["c_mktsegment"],
+            meta={"applied_view_state": pending_state(view_dir)},
+        )
+
+        dim_updates = dim.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "c_mktsegment", F.concat(F.col("c_mktsegment"), F.lit("_R"))
+        )
+        upsert(spark, dim_dir, dim_updates, key=["c_custkey"], keep=2)
+        ups = (
+            orders.filter(F.col("o_orderkey") % 5 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn("_op", F.lit("upsert"))
+        )
+        dels = orders.filter(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
+        ).withColumn("_op", F.lit("delete"))
+        merge_cdc(spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"], keep=2)
+
+        fold_join_view(
+            spark,
+            view_dir,
+            view_key=["o_orderkey"],
+            fact_feed=table_changes(spark, fact_dir, fact_snap, key=["o_orderkey"]),
+            dim_feed=table_changes(spark, dim_dir, dim_snap, key=["c_custkey"]),
+            dim_current=read_current(spark, dim_dir),
+            fact_join_col="o_custkey",
+            dim_join_col="c_custkey",
+        )
+        fold_topk_join_view(
+            spark, agg_dir, view_dir, ["o_orderkey"],
+            "c_mktsegment", "o_orderkey", "o_totalprice", 3,
+        )
+        result = materialize(
+            serve_topk(
+                read_current(spark, agg_dir), "c_mktsegment", "o_orderkey"
+            ).orderBy("c_mktsegment", "rnk")
+        )
+    except BaseException:
+        _cleanup()
+        raise
+    reclaim_by_mode(fact_dir, dim_dir, view_dir, agg_dir)
+    return result

@@ -911,3 +911,182 @@ def test_fold_keep_preserves_pinned_snapshots(spark):
         finally:
             for d in (view_dir, sup_dir, agg_dir):
                 shutil.rmtree(d, ignore_errors=True)
+
+
+# --- per-group TOP-K fold (round 13) ---------------------------------------
+
+
+def _tk_lake(spark, rows, k=2):
+    """A tiny view lake + stamped top-k sets over it. ``rows`` are
+    (o_orderkey, o_custkey, o_totalprice, c_mktsegment)."""
+    from pgcp_spark.sources.lake import pending_state
+    from pgcp_spark.sources.view_maintenance import build_topk_over
+
+    view_dir = tempfile.mkdtemp(prefix="tk_view_")
+    agg_dir = tempfile.mkdtemp(prefix="tk_agg_")
+    view0 = spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"]
+    )
+    write_snapshot(view0, view_dir, cluster_by=["c_mktsegment"])
+    write_snapshot(
+        build_topk_over(view0, "c_mktsegment", "o_orderkey", "o_totalprice", k),
+        agg_dir,
+        meta={"applied_view_state": pending_state(view_dir)},
+    )
+    return view_dir, agg_dir
+
+
+def _tk_fold(spark, agg_dir, view_dir, k=2):
+    from pgcp_spark.sources.view_maintenance import fold_topk_join_view
+
+    return fold_topk_join_view(
+        spark, agg_dir, view_dir, ["o_orderkey"],
+        "c_mktsegment", "o_orderkey", "o_totalprice", k,
+    )
+
+
+def _tk_serve(spark, agg_dir):
+    from pgcp_spark.sources.view_maintenance import serve_topk
+
+    return _rows(
+        serve_topk(read_current(spark, agg_dir), "c_mktsegment", "o_orderkey")
+    )
+
+
+def _tk_recompute(spark, view_dir, k=2):
+    from pgcp_spark.sources.view_maintenance import build_topk_over, serve_topk
+
+    v = read_current_with_deltas(spark, view_dir, key=["o_orderkey"])
+    return _rows(
+        serve_topk(
+            build_topk_over(v, "c_mktsegment", "o_orderkey", "o_totalprice", k),
+            "c_mktsegment",
+            "o_orderkey",
+        )
+    )
+
+
+_TK_ROWS = [
+    (1, 10, 50.0, "a"), (2, 11, 40.0, "a"), (3, 12, 30.0, "a"),
+    (4, 20, 9.0, "b"), (5, 21, 8.0, "b"),
+]
+
+
+def test_topk_delete_of_member_promotes_successor(spark):
+    """THE case the stored set cannot answer alone: deleting a stored
+    member (key 2, the rank-2 holder of group a) must promote the
+    successor (key 3) via the selective rescan — fold == recompute."""
+    from pgcp_spark.sources.lake import delete_delta
+
+    view_dir, agg_dir = _tk_lake(spark, _TK_ROWS)
+    try:
+        delete_delta(
+            spark.createDataFrame([(2,)], ["o_orderkey"]), view_dir,
+            key=["o_orderkey"],
+        )
+        assert _tk_fold(spark, agg_dir, view_dir) is True
+        got = _tk_serve(spark, agg_dir)
+        assert got == [("a", 1, 50.0, 1), ("a", 3, 30.0, 2),
+                       ("b", 4, 9.0, 1), ("b", 5, 8.0, 2)]
+        assert got == _tk_recompute(spark, view_dir)
+        assert _tk_fold(spark, agg_dir, view_dir) is False  # replay skip
+    finally:
+        shutil.rmtree(view_dir, ignore_errors=True)
+        shutil.rmtree(agg_dir, ignore_errors=True)
+
+
+def test_topk_rescan_exactly_member_hits(spark):
+    """The decision helper: a removal of a NON-member never rescans (the
+    rule is exact, keyed — unlike MIN/MAX's conservative value tie), a
+    member hit rescans its group only, and a removal against an
+    evidence-free group rescans defensively."""
+    from pgcp_spark.sources.view_maintenance import topk_rescan_groups
+
+    stored = spark.createDataFrame(
+        [("a", 1, 50.0), ("a", 2, 40.0), ("b", 4, 9.0)],
+        ["c_mktsegment", "o_orderkey", "topv"],
+    )
+    pre = spark.createDataFrame(
+        [("a", 3), ("b", 4), ("c", 7)], ["c_mktsegment", "o_orderkey"]
+    )
+    got = sorted(
+        r[0]
+        for r in topk_rescan_groups(
+            stored, pre, "c_mktsegment", "o_orderkey"
+        ).collect()
+    )
+    # a: key 3 is NOT stored — no rescan; b: key 4 IS — rescan;
+    # c: no evidence — defensive rescan
+    assert got == ["b", "c"]
+
+
+def test_topk_insert_promotion_folds_without_view_read(spark, monkeypatch):
+    """An insert that enters the top-k folds by merge-and-rerank — the
+    maintained view must NOT be read (the fold's inputs are the batch
+    and the stored sets)."""
+    import pgcp_spark.sources.view_maintenance as vm
+    from pgcp_spark.sources.lake import append_delta
+
+    view_dir, agg_dir = _tk_lake(spark, _TK_ROWS)
+    try:
+        append_delta(
+            spark.createDataFrame(
+                [(6, 13, 45.0, "a"), (7, 22, 1.0, "b")],
+                ["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"],
+            ),
+            view_dir,
+        )
+        real = vm.read_current_with_deltas
+        reads = []
+
+        def spying(spark_, tdir, *a, **kw):
+            reads.append(tdir)
+            return real(spark_, tdir, *a, **kw)
+
+        monkeypatch.setattr(vm, "read_current_with_deltas", spying)
+        assert _tk_fold(spark, agg_dir, view_dir) is True
+        monkeypatch.setattr(vm, "read_current_with_deltas", real)
+        assert view_dir not in reads, "insert-only fold read the view"
+        got = _tk_serve(spark, agg_dir)
+        # 45.0 displaces 40.0 in a; 1.0 does not enter b
+        assert got == [("a", 1, 50.0, 1), ("a", 6, 45.0, 2),
+                       ("b", 4, 9.0, 1), ("b", 5, 8.0, 2)]
+        assert got == _tk_recompute(spark, view_dir)
+    finally:
+        shutil.rmtree(view_dir, ignore_errors=True)
+        shutil.rmtree(agg_dir, ignore_errors=True)
+
+
+def test_topk_ties_group_to_zero_and_missing_watermark(spark):
+    """Equal values tie-break by key ascending in fold and oracle alike;
+    a group whose every row is deleted drops from serving; a metaless
+    commit refuses."""
+    from pgcp_spark.sources.lake import delete_delta, read_current
+
+    view_dir, agg_dir = _tk_lake(
+        spark,
+        [(9, 1, 5.0, "t"), (8, 2, 5.0, "t"), (7, 3, 5.0, "t"),
+         (4, 20, 9.0, "b"), (5, 21, 8.0, "b")],
+    )
+    try:
+        # ties: keys 7,8 win over 9 (key-ascending at equal value)
+        assert _tk_serve(spark, agg_dir) == [
+            ("b", 4, 9.0, 1), ("b", 5, 8.0, 2),
+            ("t", 7, 5.0, 1), ("t", 8, 5.0, 2),
+        ]
+        delete_delta(
+            spark.createDataFrame([(4,), (5,)], ["o_orderkey"]), view_dir,
+            key=["o_orderkey"],
+        )
+        assert _tk_fold(spark, agg_dir, view_dir) is True
+        got = _tk_serve(spark, agg_dir)
+        assert got == [("t", 7, 5.0, 1), ("t", 8, 5.0, 2)]  # b gone
+        assert got == _tk_recompute(spark, view_dir)
+        write_snapshot(read_current(spark, agg_dir), agg_dir)  # metaless
+        import pytest as _pt
+
+        with _pt.raises(RuntimeError, match="no applied_view_state"):
+            _tk_fold(spark, agg_dir, view_dir)
+    finally:
+        shutil.rmtree(view_dir, ignore_errors=True)
+        shutil.rmtree(agg_dir, ignore_errors=True)
