@@ -69,6 +69,7 @@ HEADLINE_NEW = [
     "lake_asof_join_manifest_history",  # as-of join over manifest history (r13)
     "lake_incremental_distinct_join_view_orders",  # COUNT DISTINCT support fold (r13)
     "streaming_distinct_join_view_maintenance",  # streaming distinct cascade (r13)
+    "lake_incremental_topk_join_view_orders",  # per-group TOP-K fold + rescan (r13)
 ]
 
 

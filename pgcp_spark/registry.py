@@ -52,7 +52,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-13 window. The staleness invariant (no entry's driver row
 # predates its current implementation) has priority. Head of window:
-#   * 6 queries ADDED in round 13 — the MIN/MAX streaming cascade
+#   * 8 queries ADDED in round 13 — the MIN/MAX streaming cascade
 #     through the group commit (hash-capable: same oracle as the
 #     per-table MIN/MAX stream, so the hash proves the atomic routing
 #     is fold-agnostic), the corpus+index group commit (hash-capable:
@@ -61,7 +61,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #     oracle recomputes each epoch's dim state), and the exact
 #     COUNT DISTINCT support-table fold x3 — cascade, direct
 #     change-feed twin, streaming loop (all hash-capable: oracles
-#     recompute the distinct counts from the post states);
+#     recompute the distinct counts from the post states), the distinct
+#     cascade through the group commit (hash-capable: same oracle as
+#     the per-table distinct stream — the FOUR-member manifest must
+#     change nothing), and the per-group TOP-K cascade fold
+#     (hash-capable: oracle recomputes the ranked top-3);
 #   * 7 queries whose implementation CHANGED in round 13 — the PII
 #     pass (tier-3 rules: grouped payment cards, compact IBAN, UK
 #     national phones; compact E.164 left-context tightened), the two
@@ -70,7 +74,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #     fold (scoring factored through bm25_over_frames), and the three
 #     MIN/MAX folds (serving factored through serve_minmax).
 # Then the full 22-query r8 remainder (the oldest standing rows) and
-# 15 of the 37-query r9 cohort alphabetically; the remaining 22 r9
+# 13 of the 37-query r9 cohort alphabetically; the remaining 24 r9
 # rows (positions 51+ below) lead the r14 backlog. Still excluded:
 # agg_approx_distinct_customers (rows-only AND unchanged since its r1
 # row — a new row adds nothing, rationale standing since r5) and
@@ -83,6 +87,8 @@ _AUDIT_PRIORITY: list[str] = [
     "lake_incremental_distinct_join_view_orders",
     "lake_incremental_distinct_orders",
     "streaming_distinct_join_view_maintenance",
+    "streaming_distinct_cascade_group_commit",
+    "lake_incremental_topk_join_view_orders",
     "text_pii_redaction",
     "lake_atomic_group_commit_orders",
     "streaming_cascade_group_commit",
@@ -125,9 +131,9 @@ _AUDIT_PRIORITY: list[str] = [
     "funnel_view_click_purchase",
     "graph_connected_dup_clusters",
     "hybrid_bm25_cosine_rrf",
+    # --- positions 51+: the r14 backlog (r9 cohort remainder) ---
     "join_anti_parts_never_shipped",
     "join_band_time_bucketed",
-    # --- positions 51+: the r14 backlog (r9 cohort remainder) ---
     "join_cross_grid_nation_priority",
     "join_customer_nation_region",
     "join_full_outer_supplier_part_usage",
