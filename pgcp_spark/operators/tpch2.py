@@ -25,11 +25,10 @@ follow operators/_decimal.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgcp_spark.operators._decimal import dec
-from pgcp_spark.plans.materialize import materialize
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table
 
@@ -295,14 +294,22 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Decorrelation: instead of two correlated subqueries (two more passes
     over lineitem), aggregate once per (orderkey, suppkey) — late-line
-    count — then once per orderkey — supplier count + late-supplier count.
-    A (order,supplier) qualifies iff it is late, the order has >1 supplier,
-    and exactly 1 late supplier. This is the classic relational rewrite;
-    the oracle states the EXISTS form to prove equivalence.
+    count — then compute the per-order supplier count + late-supplier
+    count as WINDOW aggregates over the same frame. A (order,supplier)
+    qualifies iff it is late, the order has >1 supplier, and exactly 1
+    late supplier. This is the classic relational rewrite; the oracle
+    states the EXISTS form to prove equivalence.
 
-    Scale: two shuffles over the per-(order,supp) aggregate (orderkey-keyed
-    groupBy, then an orderkey equi-join that AQE plans as a broadcast when
-    the filtered side is small); the raw fact is scanned once.
+    Scale (r13 optimization, guide §2.4 — operations keyed the same way
+    share one exchange): the fact is repartitioned ONCE on l_orderkey;
+    the (orderkey, suppkey) groupBy reuses that partitioning (subset
+    clustering), and the per-order counts are window aggregates over the
+    same orderkey partitioning — so the separate per-order groupBy + the
+    orderkey self-join (one HashAggregate exchange + one SortMergeJoin
+    exchange pair in the r12 plan) collapse into zero additional
+    exchanges. Measured at sf0.1: 3 shuffle exchanges → 1 on the fact
+    path; the checkpoint of the shared self-join input is gone with the
+    self-join itself.
     """
     o = (
         load_table(spark, sf_dir, "orders")
@@ -314,28 +321,36 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # can neither witness "another supplier" nor count as a late supplier.
     # The decorrelated aggregate must therefore exclude NULL-suppkey groups
     # from n_supp/n_late_supp — without this filter an order with suppliers
-    # {5, NULL} wrongly passes the multi-supplier test.
+    # {5, NULL} wrongly passes the multi-supplier test. NULL orderkeys are
+    # excluded for the same reason: the EXISTS forms' `l2.l_orderkey =
+    # l1.l_orderkey` never matches a NULL key (the pre-r13 orderkey
+    # self-join dropped them implicitly; the window form must not resurrect
+    # them).
     l = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
-        .filter(F.col("l_suppkey").isNotNull())
+        .filter(F.col("l_suppkey").isNotNull() & F.col("l_orderkey").isNotNull())
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
 
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 300 DAYS")
     per_supp = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        l.repartition("l_orderkey")
+        .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"))
-    ).transform(materialize)  # feeds both sides of the self-join below
-    per_order = per_supp.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
-        F.count("*").alias("n_supp"),
-        F.sum((F.col("late_lines") > 0).cast("int")).alias("n_late_supp"),
     )
+    w = Window.partitionBy("l_orderkey")
     sole_late = (
-        per_supp.filter(F.col("late_lines") > 0)
-        .join(per_order, F.col("l_orderkey") == F.col("g_orderkey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        per_supp.withColumn("n_supp", F.count("*").over(w))
+        .withColumn(
+            "n_late_supp", F.sum((F.col("late_lines") > 0).cast("int")).over(w)
+        )
+        .filter(
+            (F.col("late_lines") > 0)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
     )
     return (
         sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)

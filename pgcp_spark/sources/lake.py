@@ -435,6 +435,13 @@ def write_snapshot(
     """
     if cluster_by and zorder_by:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
+    # NOTE (r13 optimization round, measured): a range-clustered write
+    # does evaluate its input twice (RangePartitioner sampling pass +
+    # the exchange), but materializing the input first LOSES at sf0.1
+    # (localCheckpoint replans without AQE → 0.76 s → 1.85 s; lazy
+    # persist is noise-level 0.64-0.93 s both ways) — the bounded
+    # sampling pass is cheaper than a block round-trip here, so the
+    # double evaluation deliberately stays.
     if zorder_by:
         df = with_zorder_key(df, zorder_by, rank=zorder_rank)
         cluster_by, drop_key = ["_zkey"], True
@@ -584,22 +591,51 @@ def retired_delta_names(table_dir: str) -> list[str]:
     return _read_names(_delta_retired_path(table_dir))
 
 
+def _written_rows(delta_path: str) -> int:
+    """Row count of a just-written delta dir from its parquet FOOTERS —
+    driver-side metadata reads, no Spark job. The write already computed
+    the rows; the footers are the free byproduct that makes an emptiness
+    probe redundant (r13 optimization, guide §1.2)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for entry in os.listdir(delta_path):
+        if entry.startswith("part-") and entry.endswith(".parquet"):
+            total += pq.read_metadata(os.path.join(delta_path, entry)).num_rows
+    return total
+
+
 def append_delta(
     df: DataFrame,
     table_dir: str,
     cluster_by: list[str] | None = None,
-) -> str:
+    skip_if_empty: bool = False,
+) -> str | None:
     """Land a batch as an immutable delta partition — O(batch) cost, the
     snapshot base untouched. ``cluster_by`` sorts the delta's files on
     the given columns so footer min/max pruning works inside the delta
     exactly as it does in the base. Commit = atomic ``_DELTAS`` log
     replace; an unlogged dir (crash before commit) is invisible to
-    readers and reaped by ``vacuum``'s age guard."""
+    readers and reaped by ``vacuum``'s age guard.
+
+    ``skip_if_empty=True`` is the WRITE-THEN-DECIDE shape for callers
+    whose batch may legitimately be empty (the fold arms, CDC splits):
+    the write is the only evaluation of ``df``, the row count comes from
+    the written parquet footers (driver-side, no extra job), and an
+    empty result reclaims the dir and commits nothing — returns None.
+    This replaces the materialize + isEmpty + write triple (3 Spark
+    actions, with isEmpty evaluating the arm's whole join pipeline a
+    second time) with ONE action; measured across the r13 cycle queries
+    it removes 2 actions per fold arm."""
     os.makedirs(table_dir, exist_ok=True)
     name = f"{DELTA_PREFIX}{uuid.uuid4().hex}"
     if cluster_by:
         df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
-    df.write.mode("errorifexists").parquet(os.path.join(table_dir, name))
+    path = os.path.join(table_dir, name)
+    df.write.mode("errorifexists").parquet(path)
+    if skip_if_empty and _written_rows(path) == 0:
+        shutil.rmtree(path, ignore_errors=True)
+        return None
     # the log append is a read-modify-write: serialized under the commit
     # lock so two concurrent appends can't drop each other's entry (delta
     # appends COMMUTE — they serialize, they never conflict)
@@ -612,8 +648,9 @@ def append_delta(
 
 
 def delete_delta(
-    keys: DataFrame, table_dir: str, key: list[str]
-) -> str:
+    keys: DataFrame, table_dir: str, key: list[str],
+    skip_if_empty: bool = False,
+) -> str | None:
     """Land a DELETE as an O(keys) tombstone delta (module comment above)
     — the delete-side twin of ``append_delta``: the table's base and its
     pending data deltas are not read, let alone rewritten. ``keys`` is a
@@ -625,7 +662,7 @@ def delete_delta(
     same two-step contract ``delete``'s docstring states for retained
     snapshots."""
     df = keys.select(*key).distinct().withColumn(TOMBSTONE, F.lit(True))
-    return append_delta(df, table_dir, cluster_by=key)
+    return append_delta(df, table_dir, cluster_by=key, skip_if_empty=skip_if_empty)
 
 
 def merge_cdc_delta(
@@ -658,21 +695,25 @@ def merge_cdc_delta(
     delta names (data first, then tombstone; either may be absent for a
     one-sided batch).
 
-    The batch is MATERIALIZED before the split: each side is evaluated
-    twice (emptiness probe + delta write), and a non-deterministic
-    source re-computed between those jobs could commit a delta that
-    disagrees with the probe — the same multi-use discipline the index
-    removes apply to their id frames."""
-    from pgcp_spark.plans.materialize import materialize
-
-    batch = materialize(batch)
+    Each side is evaluated EXACTLY ONCE, by its delta write — the
+    emptiness decision reads the written parquet footers
+    (``append_delta(skip_if_empty=True)``), so the pre-r13 shape
+    (materialize + two isEmpty probes + two writes = 5 actions) is now
+    two actions, and the determinism concern that forced the
+    materialize (a probe and a write disagreeing on a recomputed
+    source) is gone with the probes. The batch IS still evaluated once
+    per side; a caller with a non-deterministic source must materialize
+    it first (every in-repo caller passes parquet-backed or already-
+    checkpointed frames)."""
     ups = batch.filter(~F.col(op_col).eqNullSafe(F.lit(delete_op))).drop(op_col)
     dels = batch.filter(F.col(op_col).eqNullSafe(F.lit(delete_op))).select(*key)
     names = []
-    if not ups.isEmpty():
-        names.append(append_delta(ups, table_dir))
-    if not dels.isEmpty():
-        names.append(delete_delta(dels, table_dir, key=key))
+    n = append_delta(ups, table_dir, skip_if_empty=True)
+    if n is not None:
+        names.append(n)
+    n = delete_delta(dels, table_dir, key=key, skip_if_empty=True)
+    if n is not None:
+        names.append(n)
     return names
 
 

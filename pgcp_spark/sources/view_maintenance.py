@@ -41,6 +41,7 @@ reference has no views; this extends its O15 materialize-query seam.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -75,15 +76,24 @@ _POST_TYPES = ("insert", "update_postimage")
 
 def _pruned_by_keys(df: DataFrame, col: str, keys_df: DataFrame) -> DataFrame:
     """Push ``col IN (keys)`` into ``df``'s scans when the key list is
-    small (bounded ``limit(n+1).count()`` probe — never a full count of an
-    arbitrarily large delta), else return ``df`` unfiltered and let the
+    small (bounded ``limit(n+1)`` probe — never a full count or shuffle of
+    an arbitrarily large delta), else return ``df`` unfiltered and let the
     downstream join handle selection. The pushed IN reaches the parquet
     footers of the base AND any pending delta scans (plan-pinned in
     tests/test_view_maintenance.py), so a table laid out CLUSTER BY
-    ``col`` reads only affected files."""
-    if keys_df.limit(VIEW_DIM_PUSHDOWN_MAX + 1).count() > VIEW_DIM_PUSHDOWN_MAX:
+    ``col`` reads only affected files.
+
+    ONE probe job (r13 optimization, guide §1.2 — this runs inside every
+    fold): the bounded ``limit(n+1).collect()`` both sizes the key list
+    and delivers it, replacing the former count-then-distinct-collect
+    pair; the ≤1025 collected single-column rows dedup driver-side. Bail
+    condition unchanged (raw rows beyond the bound decline the pushdown
+    — the same rows the old count saw)."""
+    rows = keys_df.limit(VIEW_DIM_PUSHDOWN_MAX + 1).collect()
+    if len(rows) > VIEW_DIM_PUSHDOWN_MAX:
         return df
-    keys = [r[0] for r in keys_df.distinct().collect()]
+    # NULL never matches an IN list — dropping it here changes nothing
+    keys = sorted({r[0] for r in rows} - {None})
     if not keys:
         return df
     return df.filter(F.col(col).isin(keys))
@@ -131,6 +141,11 @@ def fold_join_view(
             fact_join_col,
             dim_post.select(dim_join_col),
         )
+        # WRITE-THEN-DECIDE on every arm (r13 optimization, guide §1.2):
+        # the delta write is the arm's ONLY evaluation — emptiness comes
+        # free from the written parquet footers (append_delta
+        # skip_if_empty), replacing the isEmpty probe that re-ran the
+        # arm's whole join pipeline before each write
         refreshed = (
             view.drop(*[c for c in dim_post.columns if c != dim_join_col])
             .join(
@@ -139,8 +154,7 @@ def fold_join_view(
             )
             .select(*view_cols)
         )
-        if not refreshed.isEmpty():
-            append_delta(refreshed, view_dir)
+        append_delta(refreshed, view_dir, skip_if_empty=True)
         # inserted dim keys: their matching fact rows are NOT in the view —
         # pruned fact lookup (docstring), pushed-IN when the key list is small
         dim_ins = dim_feed.filter(F.col("_change_type") == "insert").drop(
@@ -159,16 +173,16 @@ def fold_join_view(
                 dim_ins.withColumnRenamed(dim_join_col, fact_join_col),
                 on=fact_join_col,
             ).select(*view_cols)
-            if not matched.isEmpty():
-                append_delta(matched, view_dir)
+            append_delta(matched, view_dir, skip_if_empty=True)
         # dim deletes orphan their fact rows out of an INNER-join view
         dim_dead = dim_feed.filter(F.col("_change_type") == "delete").select(
             F.col(dim_join_col).alias(fact_join_col)
         )
-        if not dim_dead.isEmpty():
-            delete_delta(dim_dead, view_dir, key=[fact_join_col])
+        delete_delta(
+            dim_dead, view_dir, key=[fact_join_col], skip_if_empty=True
+        )
     if fact_feed is not None:
-        fact_feed = materialize(fact_feed)  # consumed by both arms' probes
+        fact_feed = materialize(fact_feed)  # consumed by both arms
         post = fact_feed.filter(F.col("_change_type").isin(*_POST_TYPES)).drop(
             "_change_type"
         )
@@ -176,24 +190,29 @@ def fold_join_view(
             dim_current.withColumnRenamed(dim_join_col, fact_join_col),
             on=fact_join_col,
         ).select(*view_cols)
-        if not rebuilt.isEmpty():
-            append_delta(rebuilt, view_dir)
+        rb_name = append_delta(rebuilt, view_dir, skip_if_empty=True)
         # Rows that must LEAVE the view: fact deletes, plus updates/inserts
         # whose post row found no dim partner (an update can re-point at a
         # missing key). Tombstoning every touched key would also kill the
         # rebuilt rows just appended (tombstones kill all earlier writes),
         # so tombstone exactly the touched keys ABSENT from the rebuilt
-        # arm — one batch-sized anti-join.
-        dead = (
+        # arm — one batch-sized anti-join, read back from the JUST-WRITTEN
+        # rebuilt delta's files (zero recompute of the rebuild join).
+        touched = (
             fact_feed.filter(
                 F.col("_change_type").isin("delete", "update_postimage", "insert")
             )
             .select(*view_key)
             .distinct()
-            .join(rebuilt.select(*view_key), on=view_key, how="left_anti")
         )
-        if not dead.isEmpty():
-            delete_delta(dead, view_dir, key=view_key)
+        if rb_name is not None:
+            rb_written = spark.read.parquet(os.path.join(view_dir, rb_name))
+            dead = touched.join(
+                rb_written.select(*view_key), on=view_key, how="left_anti"
+            )
+        else:
+            dead = touched
+        delete_delta(dead, view_dir, key=view_key, skip_if_empty=True)
 
 
 _JOIN_VIEW_ORACLE = """

@@ -37,6 +37,7 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
+            "spark.eventLog.compress": "false",
         },
     )
     q = all_queries()[name]
@@ -51,14 +52,26 @@ def main() -> None:
     spark.stop()
 
     jobs: dict[int, dict] = {}
+    # Spark 4 writes an eventlog_v2_* DIRECTORY (appstatus_* marker +
+    # events_* files); older versions write one flat file
+    paths = []
     for path in glob.glob(os.path.join(log_dir, "*")):
         if os.path.isdir(path):
-            continue
+            paths.extend(
+                p
+                for p in glob.glob(os.path.join(path, "*"))
+                if os.path.basename(p).startswith("events")
+            )
+        else:
+            paths.append(path)
+    for path in paths:
         with open(path, errors="replace") as f:
             for line in f:
                 try:
                     ev = json.loads(line)
                 except json.JSONDecodeError:
+                    continue
+                if not isinstance(ev, dict):
                     continue
                 et = ev.get("Event")
                 if et == "SparkListenerJobStart":
@@ -82,7 +95,8 @@ def main() -> None:
     by_site: dict[str, list[float]] = defaultdict(list)
     print(f"== {name}: wall {wall:.2f}s, {len(timed)} jobs in timed region ==")
     for j in timed:
-        key = j["desc"] or j["site"]
+        desc = j["desc"]
+        key = j["site"] if (not desc or "runId" in desc) else desc
         by_site[key].append(j["dur"])
     rows = sorted(
         ((sum(v), len(v), k) for k, v in by_site.items()), reverse=True
@@ -93,9 +107,14 @@ def main() -> None:
         print(f"{s:8.2f}s  n={n:<4d} {k}")
     print(f"-- job time total {tot:.2f}s vs wall {wall:.2f}s "
           f"(gap = driver/FS/planning time) --")
-    print("\nsequential job list (first 120):")
-    for j in timed[:120]:
-        print(f"  +{(j['t'] - t0_ms)/1000.0:7.2f}s {j['dur']:6.2f}s  {j['desc'] or j['site']}")
+    print("\nsequential job list with inter-job gaps (first 150):")
+    prev_end = t0_ms
+    for j in timed[:150]:
+        gap = (j["t"] - prev_end) / 1000.0
+        desc = j["desc"]
+        key = j["site"] if (not desc or "runId" in desc) else desc
+        print(f"  +{(j['t'] - t0_ms)/1000.0:7.2f}s gap={gap:5.2f}s dur={j['dur']:5.2f}s  {key}")
+        prev_end = j["t"] + j["dur"] * 1000.0
     shutil.rmtree(log_dir, ignore_errors=True)
 
 
