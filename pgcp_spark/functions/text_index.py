@@ -154,20 +154,26 @@ def _write_tables(
     postings-shaped frame. Stats derive from the COMMITTED doclen (read
     back, one tiny agg — the zero-recompute discipline every family
     uses), so the three tables can never disagree."""
+    from pgcp_spark.plans.overlap import overlap
+
     postings = materialize(postings)
     n_rows = postings.count()
-    write_snapshot(
-        postings.select("tok", "doc_id", "n", "dl"),
-        os.path.join(index_dir, "postings"),
-        keep=keep,
-        cluster_by=["tok"],
-        cluster_files=_postings_files(spark, n_rows),
-    )
-    write_snapshot(
-        postings.select("doc_id", "dl").distinct(),
-        os.path.join(index_dir, "doclen"),
-        keep=keep,
-        cluster_by=["doc_id"],
+    overlap(  # postings and doclen are independent tables over the same
+        # checkpointed frame (§2.6); stats reads the COMMITTED doclen, so
+        # it stays strictly after the join
+        lambda: write_snapshot(
+            postings.select("tok", "doc_id", "n", "dl"),
+            os.path.join(index_dir, "postings"),
+            keep=keep,
+            cluster_by=["tok"],
+            cluster_files=_postings_files(spark, n_rows),
+        ),
+        lambda: write_snapshot(
+            postings.select("doc_id", "dl").distinct(),
+            os.path.join(index_dir, "doclen"),
+            keep=keep,
+            cluster_by=["doc_id"],
+        ),
     )
     _write_stats_from_doclen(spark, index_dir, keep=keep)
 

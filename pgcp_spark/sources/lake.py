@@ -704,17 +704,23 @@ def merge_cdc_delta(
     source) is gone with the probes. The batch IS still evaluated once
     per side; a caller with a non-deterministic source must materialize
     it first (every in-repo caller passes parquet-backed or already-
-    checkpointed frames)."""
+    checkpointed frames).
+
+    The two sides' writes run CONCURRENTLY (guide §2.6): they are
+    independent jobs over the same batch scan, and the key-unique batch
+    contract above already makes their relative delta-log order
+    immaterial (disjoint key sets through newest-wins resolution — the
+    same fact that lets a one-sided batch commit alone). The returned
+    list stays data-first regardless of which commit wins the lock."""
+    from pgcp_spark.plans.overlap import overlap
+
     ups = batch.filter(~F.col(op_col).eqNullSafe(F.lit(delete_op))).drop(op_col)
     dels = batch.filter(F.col(op_col).eqNullSafe(F.lit(delete_op))).select(*key)
-    names = []
-    n = append_delta(ups, table_dir, skip_if_empty=True)
-    if n is not None:
-        names.append(n)
-    n = delete_delta(dels, table_dir, key=key, skip_if_empty=True)
-    if n is not None:
-        names.append(n)
-    return names
+    up_name, del_name = overlap(
+        lambda: append_delta(ups, table_dir, skip_if_empty=True),
+        lambda: delete_delta(dels, table_dir, key=key, skip_if_empty=True),
+    )
+    return [n for n in (up_name, del_name) if n is not None]
 
 
 def read_current_with_deltas(

@@ -332,14 +332,21 @@ def _register_group_query() -> None:
         base_fact = orders.filter(F.col("o_orderkey") % 3 != 0)
         gdir = tempfile.mkdtemp(prefix="pgcp_txn_group_")
         try:
-            write_snapshot(base_fact, gdir + "/fact", keep=2)
-            write_snapshot(dim, gdir + "/dim", keep=2)
+            from pgcp_spark.plans.overlap import overlap
+
             view0 = base_fact.join(
                 dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
             ).select(
                 "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"
             )
-            write_snapshot(view0, gdir + "/view", cluster_by=["o_custkey"], keep=2)
+            overlap(  # three independent member tables (§2.6); the group
+                # manifest commit below needs all three states — after join
+                lambda: write_snapshot(base_fact, gdir + "/fact", keep=2),
+                lambda: write_snapshot(dim, gdir + "/dim", keep=2),
+                lambda: write_snapshot(
+                    view0, gdir + "/view", cluster_by=["o_custkey"], keep=2
+                ),
+            )
             snap0 = commit_group(
                 gdir, {n: table_state(gdir, n) for n in ("fact", "dim", "view")}
             )

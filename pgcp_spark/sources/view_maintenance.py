@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 from pgcp_spark.indexes.loop import reclaim_by_mode
 from pgcp_spark.plans.materialize import materialize
+from pgcp_spark.plans.overlap import overlap
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table
 from pgcp_spark.sources.lake import (
@@ -154,7 +155,9 @@ def fold_join_view(
             )
             .select(*view_cols)
         )
-        append_delta(refreshed, view_dir, skip_if_empty=True)
+        arm_writes = [
+            lambda: append_delta(refreshed, view_dir, skip_if_empty=True)
+        ]
         # inserted dim keys: their matching fact rows are NOT in the view —
         # pruned fact lookup (docstring), pushed-IN when the key list is small
         dim_ins = dim_feed.filter(F.col("_change_type") == "insert").drop(
@@ -173,14 +176,27 @@ def fold_join_view(
                 dim_ins.withColumnRenamed(dim_join_col, fact_join_col),
                 on=fact_join_col,
             ).select(*view_cols)
-            append_delta(matched, view_dir, skip_if_empty=True)
+            arm_writes.append(
+                lambda: append_delta(matched, view_dir, skip_if_empty=True)
+            )
         # dim deletes orphan their fact rows out of an INNER-join view
         dim_dead = dim_feed.filter(F.col("_change_type") == "delete").select(
             F.col(dim_join_col).alias(fact_join_col)
         )
-        delete_delta(
-            dim_dead, view_dir, key=[fact_join_col], skip_if_empty=True
+        arm_writes.append(
+            lambda: delete_delta(
+                dim_dead, view_dir, key=[fact_join_col], skip_if_empty=True
+            )
         )
+        # The three dim-arm writes run CONCURRENTLY (guide §2.6): a change
+        # feed carries each dim key exactly once, so the updated/inserted/
+        # deleted key sets are disjoint and newest-wins MOR resolution is
+        # indifferent to their relative delta-log order; the `view` frame
+        # pinned its delta list at construction, so a concurrent sibling
+        # commit cannot leak into the refresh read. overlap() joins all
+        # three before returning — the fact arm below still commits
+        # strictly after the whole dim arm (its rows must win shared keys).
+        overlap(*arm_writes)
     if fact_feed is not None:
         fact_feed = materialize(fact_feed)  # consumed by both arms
         post = fact_feed.filter(F.col("_change_type").isin(*_POST_TYPES)).drop(
@@ -282,19 +298,21 @@ def lake_incremental_join_view_orders(spark: SparkSession, sf_dir: str) -> DataF
             shutil.rmtree(d, ignore_errors=True)
 
     try:
-        fact_snap = write_snapshot(base_fact, fact_dir, keep=2)
-        dim_snap = write_snapshot(dim, dim_dir, keep=2)
         view0 = base_fact.join(
             dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
         ).select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
-        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+        # setup writes land three INDEPENDENT tables — overlapped (§2.6)
+        fact_snap, dim_snap, _ = overlap(
+            lambda: write_snapshot(base_fact, fact_dir, keep=2),
+            lambda: write_snapshot(dim, dim_dir, keep=2),
+            lambda: write_snapshot(view0, view_dir, cluster_by=["o_custkey"]),
+        )
         view_base = current_snapshot(view_dir)
 
         # --- mutations on the base tables ---
         dim_updates = dim.filter(F.col("c_custkey") % 10 == 0).withColumn(
             "c_mktsegment", F.concat(F.col("c_mktsegment"), F.lit("_R"))
         )
-        upsert(spark, dim_dir, dim_updates, key=["c_custkey"], keep=2)
         ups = (
             orders.filter(F.col("o_orderkey") % 5 == 0)
             .withColumn("o_totalprice", F.col("o_totalprice") * 2)
@@ -305,8 +323,14 @@ def lake_incremental_join_view_orders(spark: SparkSession, sf_dir: str) -> DataF
         ).withColumn("_op", F.lit("delete"))
         # copy-on-write CDC apply with keep=2: the fold consumes the
         # snapshot-diff feed (table_changes); the merge-on-read CDC source
-        # (pending_changes) plugs into the same fold unchanged
-        merge_cdc(spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"], keep=2)
+        # (pending_changes) plugs into the same fold unchanged. The dim
+        # upsert and the fact CDC write disjoint tables — overlapped (§2.6)
+        overlap(
+            lambda: upsert(spark, dim_dir, dim_updates, key=["c_custkey"], keep=2),
+            lambda: merge_cdc(
+                spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"], keep=2
+            ),
+        )
 
         # --- the fold: feeds only, base tables never rescanned ---
         fold_join_view(
@@ -797,24 +821,31 @@ def lake_incremental_minmax_join_view_orders(
             shutil.rmtree(d, ignore_errors=True)
 
     try:
-        fact_snap = write_snapshot(base_fact, fact_dir, keep=2)
-        dim_snap = write_snapshot(dim, dim_dir, keep=2)
+        from pgcp_spark.sources.lake import pending_state
+
         view0 = base_fact.join(
             dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
         ).select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
-        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
-        from pgcp_spark.sources.lake import pending_state
 
-        write_snapshot(
-            build_minmax_over(view0, "c_mktsegment", "o_totalprice"),
-            agg_dir,
-            meta={"applied_view_state": pending_state(view_dir)},
+        def _view_then_agg() -> None:
+            # the agg stamp reads the view's committed state — chained in
+            # one worker while fact/dim land in the others (§2.6)
+            write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+            write_snapshot(
+                build_minmax_over(view0, "c_mktsegment", "o_totalprice"),
+                agg_dir,
+                meta={"applied_view_state": pending_state(view_dir)},
+            )
+
+        fact_snap, dim_snap, _ = overlap(
+            lambda: write_snapshot(base_fact, fact_dir, keep=2),
+            lambda: write_snapshot(dim, dim_dir, keep=2),
+            _view_then_agg,
         )
 
         dim_updates = dim.filter(F.col("c_custkey") % 10 == 0).withColumn(
             "c_mktsegment", F.concat(F.col("c_mktsegment"), F.lit("_R"))
         )
-        upsert(spark, dim_dir, dim_updates, key=["c_custkey"], keep=2)
         ups = (
             orders.filter(F.col("o_orderkey") % 5 == 0)
             .withColumn("o_totalprice", F.col("o_totalprice") * 2)
@@ -823,7 +854,12 @@ def lake_incremental_minmax_join_view_orders(
         dels = orders.filter(
             (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
         ).withColumn("_op", F.lit("delete"))
-        merge_cdc(spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"], keep=2)
+        overlap(  # disjoint tables (§2.6)
+            lambda: upsert(spark, dim_dir, dim_updates, key=["c_custkey"], keep=2),
+            lambda: merge_cdc(
+                spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"], keep=2
+            ),
+        )
 
         fold_join_view(
             spark,
@@ -926,25 +962,31 @@ def lake_incremental_agg_join_view_orders(
             shutil.rmtree(d, ignore_errors=True)
 
     try:
-        fact_snap = write_snapshot(base_fact, fact_dir, keep=2)
-        dim_snap = write_snapshot(dim, dim_dir, keep=2)
+        from pgcp_spark.sources.lake import pending_state
+
         view0 = base_fact.join(
             dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
         ).select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
-        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
-        from pgcp_spark.sources.lake import pending_state
 
-        write_snapshot(
-            build_agg_over(view0, "c_mktsegment", "o_totalprice"),
-            agg_dir,
-            meta={"applied_view_state": pending_state(view_dir)},
+        def _view_then_agg() -> None:
+            # agg stamp reads the committed view state — chained (§2.6)
+            write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+            write_snapshot(
+                build_agg_over(view0, "c_mktsegment", "o_totalprice"),
+                agg_dir,
+                meta={"applied_view_state": pending_state(view_dir)},
+            )
+
+        fact_snap, dim_snap, _ = overlap(
+            lambda: write_snapshot(base_fact, fact_dir, keep=2),
+            lambda: write_snapshot(dim, dim_dir, keep=2),
+            _view_then_agg,
         )
 
         # --- mutations on the base tables (the join-view query's set) ---
         dim_updates = dim.filter(F.col("c_custkey") % 10 == 0).withColumn(
             "c_mktsegment", F.concat(F.col("c_mktsegment"), F.lit("_R"))
         )
-        upsert(spark, dim_dir, dim_updates, key=["c_custkey"], keep=2)
         ups = (
             orders.filter(F.col("o_orderkey") % 5 == 0)
             .withColumn("o_totalprice", F.col("o_totalprice") * 2)
@@ -953,7 +995,12 @@ def lake_incremental_agg_join_view_orders(
         dels = orders.filter(
             (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
         ).withColumn("_op", F.lit("delete"))
-        merge_cdc(spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"], keep=2)
+        overlap(  # disjoint tables (§2.6)
+            lambda: upsert(spark, dim_dir, dim_updates, key=["c_custkey"], keep=2),
+            lambda: merge_cdc(
+                spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"], keep=2
+            ),
+        )
 
         # --- the cascade: base feeds → join fold → view feed → agg fold ---
         fold_join_view(
@@ -1026,19 +1073,20 @@ def lake_join_view_from_pending_feeds(spark: SparkSession, sf_dir: str) -> DataF
             shutil.rmtree(d, ignore_errors=True)
 
     try:
-        write_snapshot(base_fact, fact_dir, keep=2)
-        write_snapshot(dim, dim_dir, keep=2)
         view0 = base_fact.join(
             dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
         ).select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
-        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+        overlap(  # three independent tables (§2.6)
+            lambda: write_snapshot(base_fact, fact_dir, keep=2),
+            lambda: write_snapshot(dim, dim_dir, keep=2),
+            lambda: write_snapshot(view0, view_dir, cluster_by=["o_custkey"]),
+        )
         view_base = current_snapshot(view_dir)
 
         # --- merge-on-read mutations: base snapshots never rewritten ---
         dim_updates = dim.filter(F.col("c_custkey") % 10 == 0).withColumn(
             "c_mktsegment", F.concat(F.col("c_mktsegment"), F.lit("_R"))
         )
-        append_delta(dim_updates, dim_dir)
         ups = (
             orders.filter(F.col("o_orderkey") % 5 == 0)
             .withColumn("o_totalprice", F.col("o_totalprice") * 2)
@@ -1047,8 +1095,11 @@ def lake_join_view_from_pending_feeds(spark: SparkSession, sf_dir: str) -> DataF
         dels = orders.filter(
             (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
         ).withColumn("_op", F.lit("delete"))
-        merge_cdc_delta(
-            spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"]
+        overlap(  # disjoint tables (§2.6)
+            lambda: append_delta(dim_updates, dim_dir),
+            lambda: merge_cdc_delta(
+                spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"]
+            ),
         )
 
         # --- the fold: pending (un-flattened) feeds only ---
@@ -1443,31 +1494,41 @@ def lake_incremental_distinct_join_view_orders(
             shutil.rmtree(d, ignore_errors=True)
 
     try:
-        fact_snap = write_snapshot(base_fact, fact_dir, keep=2)
-        dim_snap = write_snapshot(dim, dim_dir, keep=2)
+        from pgcp_spark.sources.lake import pending_state
+
         view0 = base_fact.join(
             dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
         ).select("o_orderkey", "o_custkey", "o_orderpriority", "c_mktsegment")
-        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
-        from pgcp_spark.sources.lake import pending_state
 
-        state0 = pending_state(view_dir)
-        write_snapshot(
-            build_distinct_support(view0, "c_mktsegment", "o_orderpriority"),
-            sup_dir,
-            cluster_by=["c_mktsegment"],
-            meta={"applied_view_state": state0},
-        )
-        write_snapshot(
-            build_distinct_over(view0, "c_mktsegment", "o_orderpriority"),
-            agg_dir,
-            meta={"applied_view_state": state0},
+        def _view_then_aggs() -> None:
+            # both stamps read the committed view state; the support and
+            # agg tables are themselves independent — chained view first,
+            # then the two downstream writes overlapped (§2.6)
+            write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+            state0 = pending_state(view_dir)
+            overlap(
+                lambda: write_snapshot(
+                    build_distinct_support(view0, "c_mktsegment", "o_orderpriority"),
+                    sup_dir,
+                    cluster_by=["c_mktsegment"],
+                    meta={"applied_view_state": state0},
+                ),
+                lambda: write_snapshot(
+                    build_distinct_over(view0, "c_mktsegment", "o_orderpriority"),
+                    agg_dir,
+                    meta={"applied_view_state": state0},
+                ),
+            )
+
+        fact_snap, dim_snap, _ = overlap(
+            lambda: write_snapshot(base_fact, fact_dir, keep=2),
+            lambda: write_snapshot(dim, dim_dir, keep=2),
+            _view_then_aggs,
         )
 
         dim_updates = dim.filter(F.col("c_custkey") % 10 == 0).withColumn(
             "c_mktsegment", F.concat(F.col("c_mktsegment"), F.lit("_R"))
         )
-        upsert(spark, dim_dir, dim_updates, key=["c_custkey"], keep=2)
         ups = (
             orders.filter(F.col("o_orderkey") % 5 == 0)
             .withColumn("o_orderpriority", F.lit("X-RECLASS"))
@@ -1476,7 +1537,12 @@ def lake_incremental_distinct_join_view_orders(
         dels = orders.filter(
             (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
         ).withColumn("_op", F.lit("delete"))
-        merge_cdc(spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"], keep=2)
+        overlap(  # disjoint tables (§2.6)
+            lambda: upsert(spark, dim_dir, dim_updates, key=["c_custkey"], keep=2),
+            lambda: merge_cdc(
+                spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"], keep=2
+            ),
+        )
 
         fold_join_view(
             spark,
@@ -1780,25 +1846,33 @@ def lake_incremental_topk_join_view_orders(
             shutil.rmtree(d, ignore_errors=True)
 
     try:
-        fact_snap = write_snapshot(base_fact, fact_dir, keep=2)
-        dim_snap = write_snapshot(dim, dim_dir, keep=2)
+        from pgcp_spark.sources.lake import pending_state
+
         view0 = base_fact.join(
             dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
         ).select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
-        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
-        from pgcp_spark.sources.lake import pending_state
 
-        write_snapshot(
-            build_topk_over(view0, "c_mktsegment", "o_orderkey", "o_totalprice", 3),
-            agg_dir,
-            cluster_by=["c_mktsegment"],
-            meta={"applied_view_state": pending_state(view_dir)},
+        def _view_then_agg() -> None:
+            # agg stamp reads the committed view state — chained (§2.6)
+            write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+            write_snapshot(
+                build_topk_over(
+                    view0, "c_mktsegment", "o_orderkey", "o_totalprice", 3
+                ),
+                agg_dir,
+                cluster_by=["c_mktsegment"],
+                meta={"applied_view_state": pending_state(view_dir)},
+            )
+
+        fact_snap, dim_snap, _ = overlap(
+            lambda: write_snapshot(base_fact, fact_dir, keep=2),
+            lambda: write_snapshot(dim, dim_dir, keep=2),
+            _view_then_agg,
         )
 
         dim_updates = dim.filter(F.col("c_custkey") % 10 == 0).withColumn(
             "c_mktsegment", F.concat(F.col("c_mktsegment"), F.lit("_R"))
         )
-        upsert(spark, dim_dir, dim_updates, key=["c_custkey"], keep=2)
         ups = (
             orders.filter(F.col("o_orderkey") % 5 == 0)
             .withColumn("o_totalprice", F.col("o_totalprice") * 2)
@@ -1807,7 +1881,12 @@ def lake_incremental_topk_join_view_orders(
         dels = orders.filter(
             (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
         ).withColumn("_op", F.lit("delete"))
-        merge_cdc(spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"], keep=2)
+        overlap(  # disjoint tables (§2.6)
+            lambda: upsert(spark, dim_dir, dim_updates, key=["c_custkey"], keep=2),
+            lambda: merge_cdc(
+                spark, fact_dir, ups.unionByName(dels), key=["o_orderkey"], keep=2
+            ),
+        )
 
         fold_join_view(
             spark,

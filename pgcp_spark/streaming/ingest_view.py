@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 
 from pgcp_spark.indexes import loop
 from pgcp_spark.plans.materialize import materialize
+from pgcp_spark.plans.overlap import overlap
 from pgcp_spark.registry import register
 from pgcp_spark.sources import load_table
 from pgcp_spark.sources.lake import (
@@ -126,22 +127,29 @@ def apply_cdc_batches(
     seqs = sorted(r[0] for r in micro_batch.select("seq").distinct().collect())
     for s in seqs:
         b = micro_batch.filter(F.col("seq") == s).drop("seq")
-        merge_cdc_delta(spark, fact_dir, b, key=["o_orderkey"])
         feed = b.withColumn(
             "_change_type",
             F.when(F.col("_op") == "delete", F.lit("delete")).otherwise(
                 F.lit("update_postimage")
             ),
         ).drop("_op")
-        fold_join_view(
-            spark,
-            view_dir,
-            view_key=["o_orderkey"],
-            fact_feed=feed,
-            dim_feed=None,
-            dim_current=dim,
-            fact_join_col="o_custkey",
-            dim_join_col="c_custkey",
+        # Fact landing and view fold run CONCURRENTLY (guide §2.6): both
+        # consume the (checkpointed) batch `b`, write DISJOINT tables
+        # (fact_dir / view_dir), and nothing downstream in this iteration
+        # reads the fact table — the fold's feed IS the batch. overlap()
+        # joins both before the next seq, preserving cross-batch order.
+        overlap(
+            lambda: merge_cdc_delta(spark, fact_dir, b, key=["o_orderkey"]),
+            lambda: fold_join_view(
+                spark,
+                view_dir,
+                view_key=["o_orderkey"],
+                fact_feed=feed,
+                dim_feed=None,
+                dim_current=dim,
+                fact_join_col="o_custkey",
+                dim_join_col="c_custkey",
+            ),
         )
         if after_fold is not None:
             after_fold()
@@ -183,14 +191,23 @@ def run_ingest_view(
     view_dir = tempfile.mkdtemp(prefix="pgcp_ingest_view_view_")
     staging = None
     try:
-        write_snapshot(base, fact_dir)
         view0 = base.join(
             dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
         ).select(*VIEW_COLS)
-        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
         batches = _cdc_batches(orders)
-        staging = loop.stage_group_files(
-            batches, F.col("seq"), range(3), "pgcp_ingest_view_stream_"
+
+        def _stage() -> None:
+            # assigns through nonlocal so the finally reclaims a staged
+            # dir even when a sibling setup write fails
+            nonlocal staging
+            staging = loop.stage_group_files(
+                batches, F.col("seq"), range(3), "pgcp_ingest_view_stream_"
+            )
+
+        overlap(  # fact lake, view lake, CDC staging: independent (§2.6)
+            lambda: write_snapshot(base, fact_dir),
+            lambda: write_snapshot(view0, view_dir, cluster_by=["o_custkey"]),
+            _stage,
         )
         loop.run_availablenow_stream(
             spark,
@@ -322,19 +339,30 @@ def run_ingest_agg_view(
     agg_dir = tempfile.mkdtemp(prefix="pgcp_ingest_casc_agg_")
     staging = None
     try:
-        write_snapshot(base, fact_dir)
         view0 = base.join(
             dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
         ).select(*VIEW_COLS)
-        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
-        write_snapshot(
-            build_agg_over(view0, "c_mktsegment", "o_totalprice"),
-            agg_dir,
-            meta={"applied_view_state": pending_state(view_dir)},
-        )
         batches = _cdc_batches(orders)
-        staging = loop.stage_group_files(
-            batches, F.col("seq"), range(3), "pgcp_ingest_casc_stream_"
+
+        def _view_then_agg() -> None:
+            # agg stamp reads the committed view state — chained
+            write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+            write_snapshot(
+                build_agg_over(view0, "c_mktsegment", "o_totalprice"),
+                agg_dir,
+                meta={"applied_view_state": pending_state(view_dir)},
+            )
+
+        def _stage() -> None:
+            nonlocal staging
+            staging = loop.stage_group_files(
+                batches, F.col("seq"), range(3), "pgcp_ingest_casc_stream_"
+            )
+
+        overlap(  # independent setup segments (§2.6)
+            lambda: write_snapshot(base, fact_dir),
+            _view_then_agg,
+            _stage,
         )
         loop.run_availablenow_stream(
             spark,
@@ -474,19 +502,30 @@ def run_ingest_minmax_view(
     agg_dir = tempfile.mkdtemp(prefix="pgcp_ingest_mm_agg_")
     staging = None
     try:
-        write_snapshot(base, fact_dir)
         view0 = base.join(
             dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
         ).select(*VIEW_COLS)
-        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
-        write_snapshot(
-            build_minmax_over(view0, "c_mktsegment", "o_totalprice"),
-            agg_dir,
-            meta={"applied_view_state": pending_state(view_dir)},
-        )
         batches = _cdc_batches(orders)
-        staging = loop.stage_group_files(
-            batches, F.col("seq"), range(3), "pgcp_ingest_mm_stream_"
+
+        def _view_then_agg() -> None:
+            # agg stamp reads the committed view state — chained
+            write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+            write_snapshot(
+                build_minmax_over(view0, "c_mktsegment", "o_totalprice"),
+                agg_dir,
+                meta={"applied_view_state": pending_state(view_dir)},
+            )
+
+        def _stage() -> None:
+            nonlocal staging
+            staging = loop.stage_group_files(
+                batches, F.col("seq"), range(3), "pgcp_ingest_mm_stream_"
+            )
+
+        overlap(  # independent setup segments (§2.6)
+            lambda: write_snapshot(base, fact_dir),
+            _view_then_agg,
+            _stage,
         )
         loop.run_availablenow_stream(
             spark,
@@ -651,25 +690,37 @@ def run_ingest_agg_view_txn(
     gdir = tempfile.mkdtemp(prefix="pgcp_ingest_txn_casc_")
     staging = None
     try:
-        write_snapshot(base, os.path.join(gdir, "fact"), keep=2)
         view0 = base.join(
             dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
         ).select(*VIEW_COLS)
-        write_snapshot(
-            view0, os.path.join(gdir, "view"), cluster_by=["o_custkey"], keep=2
+        batches = _cdc_batches(orders)
+
+        def _view_then_agg() -> None:
+            # agg stamp reads the committed view state — chained
+            write_snapshot(
+                view0, os.path.join(gdir, "view"), cluster_by=["o_custkey"], keep=2
+            )
+            write_snapshot(
+                build_agg_over(view0, "c_mktsegment", "o_totalprice"),
+                os.path.join(gdir, "agg"),
+                keep=2,
+                meta={"applied_view_state": pending_state(os.path.join(gdir, "view"))},
+            )
+
+        def _stage() -> None:
+            nonlocal staging
+            staging = loop.stage_group_files(
+                batches, F.col("seq"), range(3), "pgcp_ingest_txn_casc_stream_"
+            )
+
+        overlap(  # independent setup segments (§2.6)
+            lambda: write_snapshot(base, os.path.join(gdir, "fact"), keep=2),
+            _view_then_agg,
+            _stage,
         )
-        write_snapshot(
-            build_agg_over(view0, "c_mktsegment", "o_totalprice"),
-            os.path.join(gdir, "agg"),
-            keep=2,
-            meta={"applied_view_state": pending_state(os.path.join(gdir, "view"))},
-        )
+        # the group manifest needs all three member states — after the join
         commit_group(
             gdir, {n: table_state(gdir, n) for n in ("fact", "view", "agg")}
-        )
-        batches = _cdc_batches(orders)
-        staging = loop.stage_group_files(
-            batches, F.col("seq"), range(3), "pgcp_ingest_txn_casc_stream_"
         )
         loop.run_availablenow_stream(
             spark,
@@ -792,25 +843,37 @@ def run_ingest_minmax_view_txn(
     gdir = tempfile.mkdtemp(prefix="pgcp_ingest_txn_mm_")
     staging = None
     try:
-        write_snapshot(base, os.path.join(gdir, "fact"), keep=2)
         view0 = base.join(
             dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
         ).select(*VIEW_COLS)
-        write_snapshot(
-            view0, os.path.join(gdir, "view"), cluster_by=["o_custkey"], keep=2
+        batches = _cdc_batches(orders)
+
+        def _view_then_agg() -> None:
+            # agg stamp reads the committed view state — chained
+            write_snapshot(
+                view0, os.path.join(gdir, "view"), cluster_by=["o_custkey"], keep=2
+            )
+            write_snapshot(
+                build_minmax_over(view0, "c_mktsegment", "o_totalprice"),
+                os.path.join(gdir, "agg"),
+                keep=2,
+                meta={"applied_view_state": pending_state(os.path.join(gdir, "view"))},
+            )
+
+        def _stage() -> None:
+            nonlocal staging
+            staging = loop.stage_group_files(
+                batches, F.col("seq"), range(3), "pgcp_ingest_txn_mm_stream_"
+            )
+
+        overlap(  # independent setup segments (§2.6)
+            lambda: write_snapshot(base, os.path.join(gdir, "fact"), keep=2),
+            _view_then_agg,
+            _stage,
         )
-        write_snapshot(
-            build_minmax_over(view0, "c_mktsegment", "o_totalprice"),
-            os.path.join(gdir, "agg"),
-            keep=2,
-            meta={"applied_view_state": pending_state(os.path.join(gdir, "view"))},
-        )
+        # the group manifest needs all three member states — after the join
         commit_group(
             gdir, {n: table_state(gdir, n) for n in ("fact", "view", "agg")}
-        )
-        batches = _cdc_batches(orders)
-        staging = loop.stage_group_files(
-            batches, F.col("seq"), range(3), "pgcp_ingest_txn_mm_stream_"
         )
         loop.run_availablenow_stream(
             spark,
@@ -929,26 +992,40 @@ def run_ingest_distinct_view(
     agg_dir = tempfile.mkdtemp(prefix="pgcp_ingest_dst_agg_")
     staging = None
     try:
-        write_snapshot(base, fact_dir)
         view0 = base.join(
             dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
         ).select(*VIEW_COLS)
-        write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
-        state0 = pending_state(view_dir)
-        write_snapshot(
-            build_distinct_support(view0, "c_mktsegment", "c_name"),
-            sup_dir,
-            cluster_by=["c_mktsegment"],
-            meta={"applied_view_state": state0},
-        )
-        write_snapshot(
-            build_distinct_over(view0, "c_mktsegment", "c_name"),
-            agg_dir,
-            meta={"applied_view_state": state0},
-        )
         batches = _cdc_batches(orders)
-        staging = loop.stage_group_files(
-            batches, F.col("seq"), range(3), "pgcp_ingest_dst_stream_"
+
+        def _view_then_aggs() -> None:
+            # both stamps read the committed view state; support and agg
+            # are independent tables — view first, then the two overlapped
+            write_snapshot(view0, view_dir, cluster_by=["o_custkey"])
+            state0 = pending_state(view_dir)
+            overlap(
+                lambda: write_snapshot(
+                    build_distinct_support(view0, "c_mktsegment", "c_name"),
+                    sup_dir,
+                    cluster_by=["c_mktsegment"],
+                    meta={"applied_view_state": state0},
+                ),
+                lambda: write_snapshot(
+                    build_distinct_over(view0, "c_mktsegment", "c_name"),
+                    agg_dir,
+                    meta={"applied_view_state": state0},
+                ),
+            )
+
+        def _stage() -> None:
+            nonlocal staging
+            staging = loop.stage_group_files(
+                batches, F.col("seq"), range(3), "pgcp_ingest_dst_stream_"
+            )
+
+        overlap(  # independent setup segments (§2.6)
+            lambda: write_snapshot(base, fact_dir),
+            _view_then_aggs,
+            _stage,
         )
         loop.run_availablenow_stream(
             spark,
@@ -1106,26 +1183,36 @@ def run_ingest_distinct_view_txn(
     gdir = tempfile.mkdtemp(prefix="pgcp_ingest_txn_dst_")
     staging = None
     try:
-        write_snapshot(base, os.path.join(gdir, "fact"), keep=2)
         view0 = base.join(
             dim.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
         ).select(*VIEW_COLS)
-        write_snapshot(
-            view0, os.path.join(gdir, "view"), cluster_by=["o_custkey"], keep=2
-        )
-        state0 = pending_state(os.path.join(gdir, "view"))
-        write_snapshot(
-            build_distinct_support(view0, "c_mktsegment", "c_name"),
-            os.path.join(gdir, "support"),
-            cluster_by=["c_mktsegment"],
-            keep=2,
-            meta={"applied_view_state": state0},
-        )
-        write_snapshot(
-            build_distinct_over(view0, "c_mktsegment", "c_name"),
-            os.path.join(gdir, "agg"),
-            keep=2,
-            meta={"applied_view_state": state0},
+
+        def _view_then_aggs() -> None:
+            # both stamps read the committed view state; support and agg
+            # are independent tables — view first, then the two overlapped
+            write_snapshot(
+                view0, os.path.join(gdir, "view"), cluster_by=["o_custkey"], keep=2
+            )
+            state0 = pending_state(os.path.join(gdir, "view"))
+            overlap(
+                lambda: write_snapshot(
+                    build_distinct_support(view0, "c_mktsegment", "c_name"),
+                    os.path.join(gdir, "support"),
+                    cluster_by=["c_mktsegment"],
+                    keep=2,
+                    meta={"applied_view_state": state0},
+                ),
+                lambda: write_snapshot(
+                    build_distinct_over(view0, "c_mktsegment", "c_name"),
+                    os.path.join(gdir, "agg"),
+                    keep=2,
+                    meta={"applied_view_state": state0},
+                ),
+            )
+
+        overlap(  # independent setup segments (§2.6)
+            lambda: write_snapshot(base, os.path.join(gdir, "fact"), keep=2),
+            _view_then_aggs,
         )
         commit_group(
             gdir,
