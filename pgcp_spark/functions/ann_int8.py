@@ -324,14 +324,16 @@ def batch_vs_int8_index(
         )
     side = ensure_int8_sidecar(spark, index_dir)
     probes = materialize(_assign(batch, centroids, nprobe))
-    probed_lists = [r.list_id for r in probes.select("list_id").distinct().collect()]
 
     # stage 1 — candidate generation over the QUANTIZED lists only.
     # Query vectors quantize driver-side (a handful of rows); the corpus
     # side reads tinyint arrays (the 4× scan win) and the approximate
     # cosine is a JVM zip_with/aggregate over int-cast bytes — scales
     # cancel per vector, so no float payload crosses this stage at all.
+    # ONE probe collect feeds both the list set and the query rows
+    # (guide §1.2 — the separate distinct().collect() job is redundant).
     q_rows = probes.select("vec_id", "embedding", "list_id").collect()
+    probed_lists = sorted({r.list_id for r in q_rows})
     qmap = []
     for r in q_rows:
         v = np.asarray(r.embedding, dtype=np.float64)

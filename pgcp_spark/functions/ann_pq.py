@@ -216,16 +216,18 @@ def batch_vs_pq_index(
     }
     m = 1 + max((s for s, _ in books), default=0)
     probes = materialize(_assign(batch, centroids, nprobe))
-    probed_lists = [r.list_id for r in probes.select("list_id").distinct().collect()]
 
-    # per-query flat LUT (m × k entries of q_sub · centroid) — KB-sized
-    # driver state for a handful of query rows, broadcast-joined; the
-    # corpus-side ADC gather below is a pure JVM expression
+    # ONE probe collect feeds everything driver-side below: the probed
+    # list set, the (query, list) routing pairs, and the unique query
+    # vectors the LUTs derive from (guide §1.2 — the old code ran a
+    # separate distinct().collect() job for the list set and rebuilt the
+    # same 4096-entry LUT once per (query, list) row, nprobe× per query)
     q_rows = probes.select("vec_id", "embedding", "list_id").collect()
     if not q_rows or not books:
         return spark.createDataFrame(
             [], "vec_id long, neighbor_id long, rank long, cos_sim double"
         )
+    probed_lists = sorted({r.list_id for r in q_rows})
     kk = 1 + max(c for _, c in books)
     dim = len(q_rows[0].embedding)
     ds = dim // m
@@ -233,16 +235,32 @@ def batch_vs_pq_index(
     B = np.zeros((m, kk, ds))
     for (s, c), cent in books.items():
         B[s, c] = cent
-    qmap = []
+    # per-query flat LUT (m × k entries of q_sub · centroid), built ONCE
+    # per unique query in one vectorized einsum across all queries —
+    # KB-sized driver state, broadcast-joined; the corpus-side ADC
+    # gather below is a pure JVM expression. Splitting routing pairs
+    # from LUT payload keeps the broadcast at |queries| LUT rows instead
+    # of |queries|·nprobe (4× fewer bytes both driver- and JVM-side).
+    uniq: dict[int, object] = {}
+    pairs = []
     for r in q_rows:
-        v = np.asarray(r.embedding, dtype=np.float64)
-        # one vectorized batch of m (kk × ds) @ (ds,) products per query
-        lut = np.einsum("skd,sd->sk", B, v.reshape(m, ds)).ravel()
-        qn = float(np.sqrt((v * v).sum()))
-        qmap.append((int(r.vec_id), int(r.list_id), [float(x) for x in lut], qn))
-    qframe = spark.createDataFrame(
-        qmap, "q_id long, list_id int, lut array<double>, qnrm double"
+        pairs.append((int(r.vec_id), int(r.list_id)))
+        uniq.setdefault(int(r.vec_id), r.embedding)
+    q_ids = list(uniq)
+    Q = np.asarray([uniq[q] for q in q_ids], dtype=np.float64)
+    luts = np.einsum("skd,nsd->nsk", B, Q.reshape(len(q_ids), m, ds))
+    qnrms = np.sqrt((Q * Q).sum(axis=1))
+    qlut = spark.createDataFrame(
+        list(
+            zip(
+                q_ids,
+                luts.reshape(len(q_ids), m * kk).tolist(),
+                qnrms.tolist(),
+            )
+        ),
+        "q_id long, lut array<double>, qnrm double",
     )
+    qpairs = spark.createDataFrame(pairs, "q_id long, list_id int")
     stored = read_current(spark, os.path.join(side, "codes")).filter(
         F.col("list_id").isin(probed_lists)
     )
@@ -255,11 +273,12 @@ def batch_vs_pq_index(
         f"(acc, s) -> acc + element_at(lut, s * {kk} + element_at(codes, s + 1) + 1))"
     )
     approx = (
-        F.broadcast(qframe)
+        F.broadcast(qpairs)
         .join(
             stored,
-            (qframe.list_id == stored.list_id) & (F.col("q_id") != F.col("vec_id")),
+            (qpairs.list_id == stored.list_id) & (F.col("q_id") != F.col("vec_id")),
         )
+        .join(F.broadcast(qlut), "q_id")
         .select(
             "q_id",
             "vec_id",
@@ -273,7 +292,7 @@ def batch_vs_pq_index(
         .filter(F.col("crank") <= top_k * rescore_factor)
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
     )
-    ranked = attach_delta_live(ranked, qframe, delta_live)
+    ranked = attach_delta_live(ranked, qpairs, delta_live)
     cand = materialize(ranked)
     return exact_refine(spark, index_dir, probes, cand, probed_lists, top_k)
 
