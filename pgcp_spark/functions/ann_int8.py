@@ -197,9 +197,9 @@ def resolve_quantized_base(
     delta_live = None
     names = delta_names(vec_dir)
     if names:
-        from pgcp_spark.sources.lake import TOMBSTONE
+        from pgcp_spark.sources.lake import TOMBSTONE, read_parquet_dir
 
-        raw = [spark.read.parquet(os.path.join(vec_dir, n)) for n in names]
+        raw = [read_parquet_dir(spark, os.path.join(vec_dir, n)) for n in names]
         data_keys = None
         for p in raw:
             if TOMBSTONE in p.columns:

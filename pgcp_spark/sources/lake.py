@@ -240,7 +240,64 @@ def read_snapshot(spark: SparkSession, table_dir: str, snapshot: str) -> DataFra
     path = os.path.join(table_dir, snapshot)
     if not os.path.isdir(path):
         raise FileNotFoundError(f"snapshot {snapshot!r} not found in {table_dir}")
-    return spark.read.parquet(path)
+    return read_parquet_dir(spark, path)
+
+
+# Schema sidecar (r13 optimization, guide §1.5/§5): every fresh
+# ``spark.read.parquet`` runs a 1-task footer-inference job plus its
+# driver planning gap (~0.1-1 s cold, ~0.05-0.1 s warm) — and a fold
+# cycle performs dozens of lake reads, so inference alone accounted for a
+# visible slice of the cycle queries' driver-gap time. The writer already
+# KNOWS the schema, so each snapshot/delta dir gets a ``_schema.json``
+# staged before its commit (same atomicity: an uncommitted dir is
+# invisible, a committed dir always carries its sidecar) and readers pass
+# it explicitly — zero inference jobs. The stored schema is normalized to
+# EXACTLY what inference would return (recursively nullable, no field
+# metadata — Spark forces nullability on parquet file reads), so plans
+# and results are bit-identical to the inference path; dirs without a
+# sidecar (pre-r13 tables, foreign writers) fall back to inference.
+
+SCHEMA_SIDECAR = "_schema.json"
+
+
+def _as_read_schema(schema):
+    """Normalize a write-time schema to what parquet inference returns:
+    recursively nullable, field metadata dropped."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    def norm(dt):
+        if isinstance(dt, StructType):
+            return StructType(
+                [StructField(f.name, norm(f.dataType), True) for f in dt.fields]
+            )
+        if isinstance(dt, ArrayType):
+            return ArrayType(norm(dt.elementType), True)
+        if isinstance(dt, MapType):
+            return MapType(norm(dt.keyType), norm(dt.valueType), True)
+        return dt
+
+    return norm(schema)
+
+
+def _write_schema_sidecar(dir_path: str, df: DataFrame) -> None:
+    _atomic_write(
+        os.path.join(dir_path, SCHEMA_SIDECAR),
+        json.dumps(_as_read_schema(df.schema).jsonValue()),
+    )
+
+
+def read_parquet_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Read a lake-managed parquet dir, via the schema sidecar when the
+    commit staged one (skips the footer-inference job) and inference
+    otherwise."""
+    try:
+        with open(os.path.join(path, SCHEMA_SIDECAR)) as f:
+            stored = json.load(f)
+    except (FileNotFoundError, ValueError):
+        return spark.read.parquet(path)
+    from pyspark.sql.types import StructType
+
+    return spark.read.schema(StructType.fromJson(stored)).parquet(path)
 
 
 def snapshot_meta(table_dir: str, snapshot: str | None = None) -> dict:
@@ -461,6 +518,9 @@ def write_snapshot(
         # columns' footer stats, which interleaved locality keeps narrow)
         df = df.drop("_zkey")
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, snap))
+    # staged before the pointer swap, atomic with the data (sidecar note
+    # at SCHEMA_SIDECAR)
+    _write_schema_sidecar(os.path.join(table_dir, snap), df)
     if meta is not None:
         # staged INSIDE the snapshot dir: visible to readers only via the
         # pointer swap below, i.e. atomic with the data it describes
@@ -636,6 +696,9 @@ def append_delta(
     if skip_if_empty and _written_rows(path) == 0:
         shutil.rmtree(path, ignore_errors=True)
         return None
+    # staged before the log append, atomic with the data (sidecar note
+    # at SCHEMA_SIDECAR)
+    _write_schema_sidecar(path, df)
     # the log append is a read-modify-write: serialized under the commit
     # lock so two concurrent appends can't drop each other's entry (delta
     # appends COMMUTE — they serialize, they never conflict)
@@ -754,7 +817,7 @@ def read_current_with_deltas(
     if not names:
         return base
     raw = [
-        (i, spark.read.parquet(os.path.join(table_dir, n)))
+        (i, read_parquet_dir(spark, os.path.join(table_dir, n)))
         for i, n in enumerate(names)
     ]
     data = [(i, p) for i, p in raw if TOMBSTONE not in p.columns]
@@ -1234,7 +1297,7 @@ def compact(
     # join 23.8 → 87 s. Byte-targeting alone right-sizes scan-bound
     # tables; compute-bound consumers pass their parallelism here.
     n_files = max(min_files, -(-on_disk // max(1, target_file_bytes)))  # ceil
-    df = spark.read.parquet(snap_dir)
+    df = read_parquet_dir(spark, snap_dir)
     if zorder_by:
         # z-ordered table: same rebuild rule as cluster_by below, on the
         # recomputed Morton key (stats over the current snapshot)
@@ -1468,7 +1531,7 @@ def _touched_key_shapes(
     bound the diff at batch size."""
     by_shape: dict[tuple[str, ...], list[DataFrame]] = {}
     for n in names:
-        p = spark.read.parquet(os.path.join(table_dir, n))
+        p = read_parquet_dir(spark, os.path.join(table_dir, n))
         if TOMBSTONE in p.columns:
             shape = tuple(c for c in p.columns if c != TOMBSTONE)
         else:

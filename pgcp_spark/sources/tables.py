@@ -40,13 +40,28 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 
+# Per-process schema cache for the STATIC testdata tables (r13
+# optimization, guide §1.5): every fresh ``spark.read.parquet`` runs a
+# 1-task footer-inference job + its driver planning gap, and a bench
+# session loads the same immutable tables dozens of times across queries.
+# The cache holds SCHEMAS only (metadata, like Spark's own FileStatusCache
+# for listings — never data or results) and is populated by one real
+# inference per path, so every read resolves to exactly the schema
+# inference would have produced.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _load_events(spark, path)
-    return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
+    return spark.read.schema(schema).parquet(path)
 
 
 def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

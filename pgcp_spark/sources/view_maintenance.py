@@ -60,6 +60,7 @@ from pgcp_spark.sources.lake import (
     merge_cdc,
     read_current,
     read_current_with_deltas,
+    read_parquet_dir,
     table_changes,
     upsert,
     write_snapshot,
@@ -222,7 +223,7 @@ def fold_join_view(
             .distinct()
         )
         if rb_name is not None:
-            rb_written = spark.read.parquet(os.path.join(view_dir, rb_name))
+            rb_written = read_parquet_dir(spark, os.path.join(view_dir, rb_name))
             dead = touched.join(
                 rb_written.select(*view_key), on=view_key, how="left_anti"
             )

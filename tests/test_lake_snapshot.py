@@ -501,3 +501,58 @@ def test_warn_dead_keep_is_visible_by_default():
         assert w == []
         warn_dead_keep(5)
         assert len(w) == 1 and issubclass(w[0].category, FutureWarning)
+
+
+# --- schema sidecar (r13 optimization: reads skip the footer-inference job) ---
+
+
+def test_schema_sidecar_matches_inference_exactly(spark, tmp_path):
+    """The sidecar-provided read schema must be BIT-IDENTICAL to what
+    parquet footer inference returns — recursively nullable, no field
+    metadata — across the type surface the lake stores (decimals, nested
+    struct/array/map, non-nullable write-side columns)."""
+    table = str(tmp_path / "t")
+    df = spark.range(5).selectExpr(
+        "id",  # nullable=false on the write side
+        "cast(id as decimal(18,2)) as dec",
+        "array(id, id + 1) as arr",
+        "named_struct('a', id, 'b', cast(id as string)) as st",
+        "map(cast(id as string), id) as mp",
+    )
+    snap = lake.write_snapshot(df, table)
+    path = os.path.join(table, snap)
+    assert os.path.exists(os.path.join(path, lake.SCHEMA_SIDECAR))
+    via_sidecar = lake.read_parquet_dir(spark, path).schema
+    inferred = spark.read.parquet(path).schema
+    assert via_sidecar == inferred
+    # and the data round-trips identically
+    a = sorted(map(tuple, lake.read_parquet_dir(spark, path).collect()))
+    b = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert a == b
+
+
+def test_read_parquet_dir_falls_back_without_sidecar(spark, tmp_path):
+    """Pre-sidecar snapshots / foreign writers: a dir with no
+    _schema.json reads through plain inference."""
+    path = str(tmp_path / "plain")
+    _df(spark, [(1, "a", 1.0)]).write.parquet(path)
+    got = sorted(tuple(r) for r in lake.read_parquet_dir(spark, path).collect())
+    assert got == [(1, "a", 1.0)]
+
+
+def test_delta_dirs_carry_sidecar_and_mor_read_matches(spark, tmp_path):
+    """append_delta/delete_delta stage the sidecar too; the merge-on-read
+    resolution over sidecar-backed deltas equals the inference-era
+    semantics (newest delta wins, tombstones kill)."""
+    table = str(tmp_path / "t")
+    lake.write_snapshot(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), table)
+    name = lake.append_delta(_df(spark, [(2, "b2", 4.0)]), table)
+    assert os.path.exists(os.path.join(table, name, lake.SCHEMA_SIDECAR))
+    lake.delete_delta(
+        spark.createDataFrame([(1,)], "id long"), table, key=["id"]
+    )
+    got = sorted(
+        tuple(r)
+        for r in lake.read_current_with_deltas(spark, table, key=["id"]).collect()
+    )
+    assert got == [(2, "b2", 4.0)]
