@@ -230,10 +230,22 @@ def stage_group_files(
     staging = tempfile.mkdtemp(prefix=prefix)
     if materialize_input:
         df = materialize(df)  # one source scan feeds all the slice writes
-    for k, g in enumerate(groups):
+    # the per-group slice writes are independent jobs over the
+    # materialized input — run them CONCURRENTLY (guide §2.6); the
+    # mtime/rename bookkeeping that fixes delivery order stays
+    # sequential afterwards, so determinism is unchanged
+    from pgcp_spark.plans.overlap import overlap
+
+    def _write_slice(k: int, g) -> str:
         sub = df.filter(group_col == F.lit(g)).coalesce(1)
         tmp = os.path.join(staging, f"_tmp{k}")
         sub.write.mode("overwrite").parquet(tmp)
+        return tmp
+
+    tmps = overlap(
+        *[lambda k=k, g=g: _write_slice(k, g) for k, g in enumerate(groups)]
+    )
+    for k, tmp in enumerate(tmps):
         part = sorted(globmod.glob(os.path.join(tmp, "part-*.parquet")))[0]
         dst = os.path.join(staging, f"{file_stem}_{k}.parquet")
         os.rename(part, dst)

@@ -41,7 +41,6 @@ reference has no views; this extends its O15 materialize-query seam.
 
 from __future__ import annotations
 
-import os
 import shutil
 import tempfile
 
@@ -60,7 +59,6 @@ from pgcp_spark.sources.lake import (
     merge_cdc,
     read_current,
     read_current_with_deltas,
-    read_parquet_dir,
     table_changes,
     upsert,
     write_snapshot,
@@ -76,6 +74,20 @@ VIEW_DIM_PUSHDOWN_MAX = 1024
 _POST_TYPES = ("insert", "update_postimage")
 
 
+def _collected_keys(keys_df: DataFrame) -> list | None:
+    """Bounded driver-side key-list probe: ONE ``limit(n+1).collect()``
+    job both sizes the list and delivers it (guide §1.2 — this runs
+    inside every fold); the ≤1025 collected single-column rows dedup
+    driver-side, NULLs dropped (NULL never matches an IN list or a key
+    join). Returns the sorted values when they fit the bound, else None —
+    the caller then falls back to the distributed join path, so an
+    arbitrarily large delta never collects or counts fully."""
+    rows = keys_df.limit(VIEW_DIM_PUSHDOWN_MAX + 1).collect()
+    if len(rows) > VIEW_DIM_PUSHDOWN_MAX:
+        return None
+    return sorted({r[0] for r in rows} - {None})
+
+
 def _pruned_by_keys(df: DataFrame, col: str, keys_df: DataFrame) -> DataFrame:
     """Push ``col IN (keys)`` into ``df``'s scans when the key list is
     small (bounded ``limit(n+1)`` probe — never a full count or shuffle of
@@ -83,20 +95,9 @@ def _pruned_by_keys(df: DataFrame, col: str, keys_df: DataFrame) -> DataFrame:
     downstream join handle selection. The pushed IN reaches the parquet
     footers of the base AND any pending delta scans (plan-pinned in
     tests/test_view_maintenance.py), so a table laid out CLUSTER BY
-    ``col`` reads only affected files.
-
-    ONE probe job (r13 optimization, guide §1.2 — this runs inside every
-    fold): the bounded ``limit(n+1).collect()`` both sizes the key list
-    and delivers it, replacing the former count-then-distinct-collect
-    pair; the ≤1025 collected single-column rows dedup driver-side. Bail
-    condition unchanged (raw rows beyond the bound decline the pushdown
-    — the same rows the old count saw)."""
-    rows = keys_df.limit(VIEW_DIM_PUSHDOWN_MAX + 1).collect()
-    if len(rows) > VIEW_DIM_PUSHDOWN_MAX:
-        return df
-    # NULL never matches an IN list — dropping it here changes nothing
-    keys = sorted({r[0] for r in rows} - {None})
-    if not keys:
+    ``col`` reads only affected files."""
+    keys = _collected_keys(keys_df)
+    if not keys:  # unbounded (None) or empty — decline the pushdown
         return df
     return df.filter(F.col(col).isin(keys))
 
@@ -200,36 +201,40 @@ def fold_join_view(
         overlap(*arm_writes)
     if fact_feed is not None:
         fact_feed = materialize(fact_feed)  # consumed by both arms
+        dim_renamed = dim_current.withColumnRenamed(dim_join_col, fact_join_col)
         post = fact_feed.filter(F.col("_change_type").isin(*_POST_TYPES)).drop(
             "_change_type"
         )
-        rebuilt = post.join(
-            dim_current.withColumnRenamed(dim_join_col, fact_join_col),
-            on=fact_join_col,
-        ).select(*view_cols)
-        rb_name = append_delta(rebuilt, view_dir, skip_if_empty=True)
+        rebuilt = post.join(dim_renamed, on=fact_join_col).select(*view_cols)
         # Rows that must LEAVE the view: fact deletes, plus updates/inserts
         # whose post row found no dim partner (an update can re-point at a
         # missing key). Tombstoning every touched key would also kill the
-        # rebuilt rows just appended (tombstones kill all earlier writes),
-        # so tombstone exactly the touched keys ABSENT from the rebuilt
-        # arm — one batch-sized anti-join, read back from the JUST-WRITTEN
-        # rebuilt delta's files (zero recompute of the rebuild join).
-        touched = (
-            fact_feed.filter(
-                F.col("_change_type").isin("delete", "update_postimage", "insert")
-            )
-            .select(*view_key)
-            .distinct()
+        # rebuilt rows just appended (tombstones kill all earlier writes) —
+        # and the keyed feed carries each key as exactly one of insert /
+        # delete / update pre+post, so the dead set is DERIVABLE without
+        # reading the rebuilt delta back: delete keys ∪ post keys with NO
+        # dim partner (one batch-sized anti-join against the dim). That
+        # makes the two writes key-disjoint AND independent, so they run
+        # CONCURRENTLY (guide §2.6, the merge_cdc_delta argument: disjoint
+        # key sets through newest-wins make their log order immaterial) —
+        # replacing the r12 shape (rebuilt write → read it back → tombstone
+        # write, a 2-action serial chain) with one overlapped pair.
+        # NULL-join-key post rows land in `dead` (NULL matches nothing in
+        # the anti-join), exactly as the read-back left them; NULL view
+        # keys yield inert tombstones either way (NULL matches no row).
+        dels = fact_feed.filter(F.col("_change_type") == "delete").select(
+            *view_key
         )
-        if rb_name is not None:
-            rb_written = read_parquet_dir(spark, os.path.join(view_dir, rb_name))
-            dead = touched.join(
-                rb_written.select(*view_key), on=view_key, how="left_anti"
-            )
-        else:
-            dead = touched
-        delete_delta(dead, view_dir, key=view_key, skip_if_empty=True)
+        nomatch = post.join(
+            dim_renamed.select(fact_join_col), on=fact_join_col, how="left_anti"
+        ).select(*view_key)
+        dead = dels.unionByName(nomatch)
+        overlap(
+            lambda: append_delta(rebuilt, view_dir, skip_if_empty=True),
+            lambda: delete_delta(
+                dead, view_dir, key=view_key, skip_if_empty=True
+            ),
+        )
 
 
 _JOIN_VIEW_ORACLE = """
@@ -714,18 +719,22 @@ def fold_minmax_join_view(
     )
     folded = materialize(folded)  # consumed by the rescan probe + upsert
     rescan_keys = folded.filter(F.col("_rescan")).select(group_col)
-    if rescan_keys.isEmpty():
+    # ONE bounded probe job decides emptiness AND delivers the pushed-IN
+    # list (r13 wave 5, guide §1.2) — replacing the isEmpty job + the
+    # separate _pruned_by_keys collect the r12 shape paid
+    rescan_vals = _collected_keys(rescan_keys)
+    if rescan_vals is not None and not rescan_vals:
         out = folded.drop("_rescan")
     else:
         # the maintained view at exactly `state` (the single-maintenance-
         # owner invariant): pruned to the endangered groups — pushed-IN
-        # reaches the parquet footers when the list is small, and the
-        # semi-join keeps correctness when _pruned_by_keys declines
-        view_now = _pruned_by_keys(
-            read_current_with_deltas(spark, view_dir, key=view_key),
-            group_col,
-            rescan_keys,
-        ).join(rescan_keys, on=group_col, how="left_semi")
+        # reaches the parquet footers when the list is small; beyond the
+        # bound (rescan_vals None) the semi-join keeps correctness
+        view_mor = read_current_with_deltas(spark, view_dir, key=view_key)
+        if rescan_vals is not None:
+            view_now = view_mor.filter(F.col(group_col).isin(rescan_vals))
+        else:
+            view_now = view_mor.join(rescan_keys, on=group_col, how="left_semi")
         rescanned = build_minmax_over(view_now, group_col, value_col).select(
             group_col,
             F.col("min_dec").alias("r_min"),
@@ -1397,7 +1406,10 @@ def apply_distinct_feed(
         )
         .filter(F.col("d_distinct") != 0)
     )
-    d_distinct = materialize(d_distinct)
+    # d_distinct has exactly ONE consumer (the agg rollup's commit below)
+    # and derives from the checkpointed `touched`, so it needs no
+    # materialize of its own (r13 wave 5 — the checkpoint was a pure
+    # extra job)
     # commit 1: the support leads with the watermark (crash after this
     # point repairs by rebuilding the agg from it). One commit of grace
     # (keep >= 2) regardless of the caller's keep: the agg rollup below
@@ -1719,19 +1731,66 @@ def fold_topk_join_view(
         .select(group_col, key_col)
     )
     stored = read_current(spark, agg_dir)
-    rescan_keys = materialize(
-        topk_rescan_groups(stored, pre_rows, group_col, key_col)
-    )
-    touched_groups = materialize(
-        post_rows.select(group_col)
-        .distinct()
-        .unionByName(rescan_keys)
-        .distinct()
-    )
-    # non-rescan touched groups: merge-and-rerank, newest-wins on key
-    merge_groups = touched_groups.join(rescan_keys, [group_col], "left_anti")
-    stored_m = stored.join(merge_groups, [group_col], "left_semi")
-    post_m = post_rows.join(merge_groups, [group_col], "left_semi")
+    # TWO bounded probe jobs (r13 wave 5, guide §1.2) replace the r12
+    # shape's two materialize checkpoints + isEmpty + pushed-IN collect:
+    # the rescan / post group lists are group-cardinality-sized in any
+    # dashboard-shaped fold, so they ride the _collected_keys bound and
+    # every downstream selection becomes a literal IN (which also pushes
+    # into the view/store parquet scans); lists beyond the bound fall
+    # back to the distributed join path unchanged.
+    rescan_frame = topk_rescan_groups(stored, pre_rows, group_col, key_col)
+    rescan_vals = _collected_keys(rescan_frame)
+    post_groups = post_rows.select(group_col).distinct()
+    post_vals = _collected_keys(post_groups) if rescan_vals is not None else None
+    if rescan_vals is None or post_vals is None:
+        rescan_keys = materialize(rescan_frame)
+        touched_groups = materialize(
+            post_groups.unionByName(rescan_keys).distinct()
+        )
+        # non-rescan touched groups: merge-and-rerank, newest-wins on key
+        merge_groups = touched_groups.join(rescan_keys, [group_col], "left_anti")
+        stored_m = stored.join(merge_groups, [group_col], "left_semi")
+        post_m = post_rows.join(merge_groups, [group_col], "left_semi")
+        view_now = (
+            read_current_with_deltas(spark, view_dir, key=view_key).join(
+                rescan_keys, on=group_col, how="left_semi"
+            )
+            if not rescan_keys.isEmpty()
+            else None
+        )
+        kept = stored.join(touched_groups, [group_col], "left_anti")
+    else:
+        rescan_set = set(rescan_vals)
+        touched_vals = sorted(rescan_set | set(post_vals))
+        merge_vals = [g for g in touched_vals if g not in rescan_set]
+        stored_m = (
+            stored.filter(F.col(group_col).isin(merge_vals))
+            if merge_vals
+            else stored.limit(0)
+        )
+        post_m = (
+            post_rows.filter(F.col(group_col).isin(merge_vals))
+            if merge_vals
+            else post_rows.limit(0)
+        )
+        view_now = (
+            read_current_with_deltas(spark, view_dir, key=view_key).filter(
+                F.col(group_col).isin(rescan_vals)
+            )
+            if rescan_vals
+            else None
+        )
+        # stored group keys are non-NULL by construction (build_topk_over
+        # filters them), but keep NULL rows defensively — the anti-join
+        # this replaces never dropped them
+        kept = (
+            stored.filter(
+                F.col(group_col).isNull()
+                | ~F.col(group_col).isin(touched_vals)
+            )
+            if touched_vals
+            else stored
+        )
     base_m = stored_m.join(
         post_m.select(group_col, key_col), [group_col, key_col], "left_anti"
     )
@@ -1745,12 +1804,7 @@ def fold_topk_join_view(
         .drop("_rnk")
     )
     out = merged
-    if not rescan_keys.isEmpty():
-        view_now = _pruned_by_keys(
-            read_current_with_deltas(spark, view_dir, key=view_key),
-            group_col,
-            rescan_keys,
-        ).join(rescan_keys, on=group_col, how="left_semi")
+    if view_now is not None:
         rescanned = build_topk_over(view_now, group_col, key_col, value_col, k)
         out = merged.unionByName(rescanned)
     # per-group SET replacement as ONE explicit copy-on-write commit:
@@ -1763,7 +1817,6 @@ def fold_topk_join_view(
     # cannot. One commit of grace (keep >= 2): the replacement derives
     # from the pre-commit store (the plan-only/task-retry rule the
     # distinct fold's support commit established).
-    kept = stored.join(touched_groups, [group_col], "left_anti")
     write_snapshot(
         kept.unionByName(out),
         agg_dir,

@@ -122,8 +122,15 @@ def apply_cdc_batches(
     view fold → ``after_fold()`` (the downstream consumer's fold) →
     ``maybe_flatten`` → ``on_flatten()`` iff it fired (watermark
     re-anchoring) → ``after_batch()`` (the transactional variant's
-    group publish — it must see post-flatten states)."""
-    micro_batch = materialize(micro_batch)
+    group publish — it must see post-flatten states).
+
+    ``micro_batch`` must be DETERMINISTIC under re-evaluation (the
+    merge_cdc_delta contract): every caller passes either a file-stream
+    micro-batch (pinned to specific staged parquet files) or a
+    parquet-backed transform, so no checkpoint is taken here (r13
+    wave 5 — the former unconditional materialize was one extra job
+    per micro-batch; each seq's consumers re-scan the batch-sized
+    source instead, and the fold checkpoints its own feed)."""
     seqs = sorted(r[0] for r in micro_batch.select("seq").distinct().collect())
     for s in seqs:
         b = micro_batch.filter(F.col("seq") == s).drop("seq")
@@ -950,8 +957,12 @@ def fold_distinct_view_batch(
     )
 
     def _restamp() -> None:
-        stamp_applied_state(spark, sup_dir, view_dir)
-        stamp_applied_state(spark, agg_dir, view_dir)
+        # two independent tables re-anchoring to the same committed view
+        # state — overlapped (§2.6)
+        overlap(
+            lambda: stamp_applied_state(spark, sup_dir, view_dir),
+            lambda: stamp_applied_state(spark, agg_dir, view_dir),
+        )
 
     apply_cdc_batches(
         spark,
@@ -1134,8 +1145,12 @@ def fold_distinct_view_batch_txn(
     agg_dir = os.path.join(gdir, "agg")
 
     def _restamp() -> None:
-        stamp_applied_state(spark, sup_dir, view_dir, keep=3)
-        stamp_applied_state(spark, agg_dir, view_dir, keep=3)
+        # two independent tables re-anchoring to the same committed view
+        # state — overlapped (§2.6)
+        overlap(
+            lambda: stamp_applied_state(spark, sup_dir, view_dir, keep=3),
+            lambda: stamp_applied_state(spark, agg_dir, view_dir, keep=3),
+        )
 
     apply_cdc_batches(
         spark,
