@@ -149,11 +149,15 @@ def _write_tables(
     index_dir: str,
     postings: DataFrame,
     keep: int = 1,
+    stats_meta: dict | None = None,
 ) -> None:
     """Commit postings (CLUSTER BY tok), doclen, and stats from one
     postings-shaped frame. Stats derive from the COMMITTED doclen (read
     back, one tiny agg — the zero-recompute discipline every family
-    uses), so the three tables can never disagree."""
+    uses), so the three tables can never disagree. ``stats_meta`` rides
+    the stats commit — the CDC-driven callers stamp their consumed
+    documents state AT BUILD TIME here (r13 wave 6) instead of paying a
+    second stats commit (doclen re-read + re-write) just to attach it."""
     from pgcp_spark.plans.overlap import overlap
 
     postings = materialize(postings)
@@ -175,7 +179,7 @@ def _write_tables(
             cluster_by=["doc_id"],
         ),
     )
-    _write_stats_from_doclen(spark, index_dir, keep=keep)
+    _write_stats_from_doclen(spark, index_dir, keep=keep, meta=stats_meta)
 
 
 def _write_stats_from_doclen(
@@ -205,10 +209,14 @@ def _write_stats_from_doclen(
 
 
 def build_text_index_from(
-    spark: SparkSession, docs: DataFrame, index_dir: str
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    stats_meta: dict | None = None,
 ) -> None:
-    """Build + commit the inverted index from a documents-shaped frame."""
-    _write_tables(spark, index_dir, doc_terms(docs))
+    """Build + commit the inverted index from a documents-shaped frame.
+    ``stats_meta`` stamps the stats commit (see ``_write_tables``)."""
+    _write_tables(spark, index_dir, doc_terms(docs), stats_meta=stats_meta)
 
 
 def build_text_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
@@ -244,6 +252,7 @@ def update_text_index(
     index_dir: str,
     keep: int = 2,
     meta: dict | None = None,
+    write_stats: bool = True,
 ) -> None:
     """Fold a document batch into the stored index (the daily ingest
     step). Whole-document replacement semantics: a batch doc's ENTIRE
@@ -271,7 +280,17 @@ def update_text_index(
 
     Replay-idempotent: re-folding the same batch appends a delta whose
     rows shadow the previous delta's identical rows. Fold == rebuild on
-    effective content (module docstring; pinned in tests)."""
+    effective content (module docstring; pinned in tests).
+
+    ``write_stats=False`` skips the trailing stats commit — for a caller
+    that IMMEDIATELY performs another doclen-mutating step ending in its
+    own ``_write_stats_from_doclen`` (the CDC fold's upsert-then-remove
+    sequence, r13 wave 6): the intermediate stats commit was a full
+    doclen re-read + snapshot write that the very next step superseded.
+    The crash window this widens is the already-documented one — stats
+    (and its watermark) stay at their PRE-fold state until the final
+    commit, so an interrupted sequence replays the whole diff and
+    converges exactly as the at-least-once contract above argues."""
     batch_pt = materialize(doc_terms(batch_docs))
     ids = batch_pt.select("doc_id").distinct()
 
@@ -292,7 +311,8 @@ def update_text_index(
         keep=keep,
         cluster_by=["doc_id"],
     )
-    _write_stats_from_doclen(spark, index_dir, keep=keep, meta=meta)
+    if write_stats:
+        _write_stats_from_doclen(spark, index_dir, keep=keep, meta=meta)
 
 
 def remove_from_text_index(
@@ -785,17 +805,19 @@ def fold_text_index_from_docs_state(
         _write_stats_from_doclen(spark, index_dir, keep=keep, meta=meta)
         return False
     if have_ups:
-        # the INTERMEDIATE stats commit (both folds pending) carries the
-        # OLD watermark, never None: a metaless commit would CLEAR the
-        # watermark, and a crash between the two constituent folds would
-        # then refuse forever (forced rebuild). Re-stamping `applied`
-        # instead makes the crash window replay the whole diff — which
-        # the module comment's at-least-once argument covers: the
-        # re-folded upserts shadow their twins, the re-removed ids are
-        # no-ops, and the FINAL commit advances the watermark to `state`.
+        # With deletes still pending, the upsert fold SKIPS its stats
+        # commit entirely (write_stats=False, r13 wave 6): the remove
+        # step's own stats commit supersedes it moments later, and the
+        # crash window is SAFER than the old intermediate re-stamp —
+        # stats keeps the pre-fold values WITH the pre-fold watermark
+        # (`applied`), never None, so an interrupted sequence replays
+        # the whole diff and converges (the module comment's
+        # at-least-once argument: re-folded upserts shadow their twins,
+        # re-removed ids are no-ops, the FINAL commit advances the
+        # watermark to `state`).
         update_text_index(
-            spark, ups, index_dir, keep=keep,
-            meta={"applied_docs_state": applied} if have_dels else meta,
+            spark, ups, index_dir, keep=keep, meta=meta,
+            write_stats=not have_dels,
         )
     if have_dels:
         remove_from_text_index(spark, dels, index_dir, keep=keep, meta=meta)
@@ -854,10 +876,12 @@ def text_bm25_from_docs_change_feed(spark: SparkSession, sf_dir: str) -> DataFra
             docs.filter(F.col("doc_id") % 3 != 0), docs_dir, keep=2
         )
         lake_docs = read_current(spark, docs_dir)
-        build_text_index_from(spark, lake_docs, index_dir)
-        _write_stats_from_doclen(
-            spark, index_dir,
-            meta={"applied_docs_state": pending_state(docs_dir)},
+        # the watermark stamps AT build time (stats_meta) — the former
+        # separate re-stamp commit re-read doclen and re-wrote stats for
+        # nothing (r13 wave 6)
+        build_text_index_from(
+            spark, lake_docs, index_dir,
+            stats_meta={"applied_docs_state": pending_state(docs_dir)},
         )
         ups = (
             docs.filter(F.col("doc_id") % 5 == 0)
@@ -956,9 +980,10 @@ def text_bm25_group_commit_with_corpus(
     try:
         write_snapshot(docs.filter(F.col("doc_id") % 3 != 0), docs_dir, keep=2)
         lake_docs = read_current(spark, docs_dir)
-        build_text_index_from(spark, lake_docs, gdir)
-        _write_stats_from_doclen(
-            spark, gdir, meta={"applied_docs_state": pending_state(docs_dir)}
+        # watermark stamps at build time (stats_meta — see the CDC twin)
+        build_text_index_from(
+            spark, lake_docs, gdir,
+            stats_meta={"applied_docs_state": pending_state(docs_dir)},
         )
         commit_group(gdir, {n: table_state(gdir, n) for n in members})
         ups = (
