@@ -848,3 +848,94 @@ def test_group_commit_reader_never_sees_index_corpus_skew(spark, tmp_path):
         & (F.col("doc_id") % 3 != 0)
     ).count() == 0
     assert pinned["postings"].filter(F.col("tok") == "reindexed").count() > 0
+
+
+def test_cdc_fold_skips_intermediate_stats_and_crash_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Wave-6 pin: a both-sides CDC fold commits stats ONCE (the remove
+    step's) — the upsert step skips its stats write entirely — and a
+    crash between the two steps leaves stats at the PRE-fold values WITH
+    the pre-fold watermark (never None, never intermediate), so the
+    replayed fold re-walks the whole diff and converges bit-exactly with
+    an uninterrupted twin."""
+    from pgcp_spark.sources import lake
+    from pgcp_spark.sources.lake import (
+        merge_cdc_delta,
+        pending_state,
+        snapshot_meta,
+        write_snapshot,
+    )
+
+    def mk(root):
+        docs_dir, idx = str(root / "docs"), str(root / "idx")
+        write_snapshot(
+            _docs(spark, [(1, "alpha beta"), (2, "beta gamma"), (3, "gamma d")]),
+            docs_dir,
+            keep=2,
+        )
+        build_text_index_from(
+            spark,
+            lake.read_current(spark, docs_dir),
+            idx,
+            stats_meta={"applied_docs_state": pending_state(docs_dir)},
+        )
+        ups = _docs(spark, [(1, "alpha delta")]).withColumn(
+            "_op", F.lit("upsert")
+        )
+        dels = (
+            _docs(spark, [(2, "x")])
+            .select("doc_id", F.lit(None).cast("string").alias("text"))
+            .withColumn("_op", F.lit("delete"))
+        )
+        merge_cdc_delta(spark, docs_dir, ups.unionByName(dels), key=["doc_id"])
+        return docs_dir, idx
+
+    crash_docs, crash_idx = mk(tmp_path / "crash")
+    clean_docs, clean_idx = mk(tmp_path / "clean")
+    stats_dir = os.path.join(crash_idx, "stats")
+    pre_wm = snapshot_meta(stats_dir).get("applied_docs_state")
+    assert pre_wm is not None
+
+    real_remove = TI.remove_from_text_index
+
+    def exploding(*a, **kw):
+        raise RuntimeError("simulated crash before remove")
+
+    monkeypatch.setattr(TI, "remove_from_text_index", exploding)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        TI.fold_text_index_from_docs_state(spark, crash_docs, crash_idx)
+    monkeypatch.setattr(TI, "remove_from_text_index", real_remove)
+
+    # the upsert step committed NO stats: pre-fold values AND watermark
+    stale = {
+        r.metric: r.value for r in read_current(spark, stats_dir).collect()
+    }
+    assert stale == {"n_docs": 3, "total_tokens": 6}
+    assert snapshot_meta(stats_dir).get("applied_docs_state") == pre_wm
+
+    # the replayed fold converges bit-exactly with the uninterrupted twin
+    assert TI.fold_text_index_from_docs_state(spark, crash_docs, crash_idx) is True
+    assert TI.fold_text_index_from_docs_state(spark, clean_docs, clean_idx) is True
+    eff = lambda idx: sorted(
+        tuple(r) for r in TI.stored_postings(spark, idx).collect()
+    )
+    assert eff(crash_idx) == eff(clean_idx)
+    for t, order in (("doclen", ["doc_id"]), ("stats", ["metric"])):
+        got = [
+            tuple(r)
+            for r in read_current(spark, os.path.join(crash_idx, t))
+            .orderBy(*order)
+            .collect()
+        ]
+        want = [
+            tuple(r)
+            for r in read_current(spark, os.path.join(clean_idx, t))
+            .orderBy(*order)
+            .collect()
+        ]
+        assert got == want, t
+    # both watermarks advanced to their post-CDC state
+    assert snapshot_meta(stats_dir).get(
+        "applied_docs_state"
+    ) == pending_state(crash_docs)

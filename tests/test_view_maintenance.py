@@ -1090,3 +1090,72 @@ def test_topk_ties_group_to_zero_and_missing_watermark(spark):
     finally:
         shutil.rmtree(view_dir, ignore_errors=True)
         shutil.rmtree(agg_dir, ignore_errors=True)
+
+
+def test_topk_fallback_beyond_probe_bound_matches_bounded_path(
+    spark, monkeypatch
+):
+    """Wave-5 pin: the fold's bounded group-list probes (literal-IN fast
+    path) and the distributed join fallback (forced here by shrinking
+    the probe bound to 0) must produce the identical stored sets for the
+    same mixed batch — a member delete (rescan arm) plus an insert
+    promotion (merge arm) at once."""
+    import pgcp_spark.sources.view_maintenance as vm
+    from pgcp_spark.sources.lake import append_delta, delete_delta
+
+    view_a, agg_a = _tk_lake(spark, _TK_ROWS)
+    view_b, agg_b = _tk_lake(spark, _TK_ROWS)
+    try:
+        for vd in (view_a, view_b):
+            delete_delta(
+                spark.createDataFrame([(2,)], ["o_orderkey"]), vd,
+                key=["o_orderkey"],
+            )
+            append_delta(
+                spark.createDataFrame(
+                    [(6, 13, 45.0, "a"), (7, 22, 1.0, "b")],
+                    ["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"],
+                ),
+                vd,
+            )
+        assert _tk_fold(spark, agg_a, view_a) is True  # bounded fast path
+        monkeypatch.setattr(vm, "VIEW_DIM_PUSHDOWN_MAX", 0)
+        assert _tk_fold(spark, agg_b, view_b) is True  # forced fallback
+        monkeypatch.undo()
+        got_a, got_b = _tk_serve(spark, agg_a), _tk_serve(spark, agg_b)
+        assert got_a == got_b
+        assert got_a == _tk_recompute(spark, view_a)
+    finally:
+        for d in (view_a, agg_a, view_b, agg_b):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_minmax_fallback_beyond_probe_bound_matches_bounded_path(
+    spark, monkeypatch
+):
+    """Same pin for the MIN/MAX fold: the rescan arm's bounded pushed-IN
+    probe and the semi-join fallback (probe bound forced to 0) serve the
+    identical bounds after a minimum-raising delete."""
+    import pgcp_spark.sources.view_maintenance as vm
+    from pgcp_spark.sources.lake import delete_delta
+
+    rows = [(1, 10, 5.0, "a"), (2, 11, 10.0, "a"), (3, 12, 40.0, "a"),
+            (4, 20, 7.0, "b"), (5, 21, 9.0, "b")]
+    view_a, agg_a = _mm_lake(spark, rows)
+    view_b, agg_b = _mm_lake(spark, rows)
+    try:
+        for vd in (view_a, view_b):
+            delete_delta(
+                spark.createDataFrame([(1,)], ["o_orderkey"]), vd,
+                key=["o_orderkey"],
+            )
+        assert _mm_fold(spark, agg_a, view_a) is True  # bounded fast path
+        monkeypatch.setattr(vm, "VIEW_DIM_PUSHDOWN_MAX", 0)
+        assert _mm_fold(spark, agg_b, view_b) is True  # forced fallback
+        monkeypatch.undo()
+        got_a, got_b = _mm_serve(spark, agg_a), _mm_serve(spark, agg_b)
+        assert got_a == got_b
+        assert got_a == _mm_recompute(spark, view_a)
+    finally:
+        for d in (view_a, agg_a, view_b, agg_b):
+            shutil.rmtree(d, ignore_errors=True)
