@@ -364,6 +364,68 @@ def remove_from_text_index(
     _write_stats_from_doclen(spark, index_dir, keep=keep, meta=meta)
 
 
+def _apply_cdc_to_text_index(
+    spark: SparkSession,
+    ups: DataFrame,
+    del_ids: DataFrame,
+    index_dir: str,
+    keep: int = 2,
+    meta: dict | None = None,
+) -> None:
+    """One MIXED CDC batch (re-texted/inserted docs AND deleted ids)
+    applied to the stored index with the fold's commits FUSED (r14,
+    guide §1.2/§2.6 — VERDICT item 6): the r13 shape ran
+    ``update_text_index`` then ``remove_from_text_index``, paying TWO
+    doclen copy-on-write commits (the remove's superseding the update's
+    minutes-old one) and serializing four writes. The batch is key-unique
+    (the ``merge_cdc_delta`` contract), so the upserted and deleted doc
+    sets are DISJOINT and the three data writes commute:
+
+      - postings data delta (the batch docs' whole posting sets, newest
+        delta wins) ∥ postings tombstone (deleted ids kill every older
+        write) — disjoint ids make their log order immaterial, the
+        merge_cdc_delta argument verbatim;
+      - ONE fused doclen copy-on-write: (doclen ∖ (up_ids ∪ del_ids)) ∪
+        batch doclens — equal to the sequential pair because the two id
+        sets are disjoint;
+
+    then stats commits LAST as a pure function of the committed doclen,
+    carrying the watermark. CRASH WINDOW: identical to the r13
+    single-stats-commit contract — stats (and the watermark) stay at
+    their pre-fold state until the final commit, so an interrupted fold
+    replays the whole diff and converges (re-appended postings shadow
+    their twins, the tombstone re-kills, the fused doclen rewrite is a
+    pure function of pre-crash doclen + batch, stats derives from
+    committed doclen). A reader mid-fold sees the documented skew only
+    (new postings scored with old stats); doclen committing before the
+    postings delta is reader-invisible — no serve path reads doclen
+    (postings rows carry their own dl; stats is the doclen digest)."""
+    from pgcp_spark.plans.overlap import overlap
+    from pgcp_spark.sources.lake import delete_delta
+
+    batch_pt = materialize(doc_terms(ups))
+    del_ids = materialize(del_ids.select("doc_id").distinct())
+    postings_dir = os.path.join(index_dir, "postings")
+    doclen_dir = os.path.join(index_dir, "doclen")
+    touched = batch_pt.select("doc_id").distinct().unionByName(del_ids)
+    kept_dl = read_current(spark, doclen_dir).join(
+        F.broadcast(touched), "doc_id", "left_anti"
+    )
+    new_dl = kept_dl.unionByName(batch_pt.select("doc_id", "dl").distinct())
+    overlap(
+        lambda: append_delta(
+            batch_pt.select("tok", "doc_id", "n", "dl"),
+            postings_dir,
+            cluster_by=["tok"],
+        ),
+        lambda: delete_delta(del_ids, postings_dir, key=["doc_id"]),
+        lambda: write_snapshot(
+            new_dl, doclen_dir, keep=keep, cluster_by=["doc_id"]
+        ),
+    )
+    _write_stats_from_doclen(spark, index_dir, keep=keep, meta=meta)
+
+
 def compact_text_index(
     spark: SparkSession, index_dir: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> None:
@@ -794,32 +856,33 @@ def fold_text_index_from_docs_state(
         ) from exc
     feed = materialize(feed)
     meta = {"applied_docs_state": state}
+    # ONE change-type presence probe over the checkpointed feed (r14)
+    # replaces the two isEmpty jobs the r13 shape paid
+    present = {
+        r[0] for r in feed.select("_change_type").distinct().collect()
+    }
+    have_ups = bool(present & {"insert", "update_postimage"})
+    have_dels = "delete" in present
     ups = feed.filter(
         F.col("_change_type").isin("insert", "update_postimage")
     ).select("doc_id", "text")
     dels = feed.filter(F.col("_change_type") == "delete").select("doc_id")
-    have_ups, have_dels = not ups.isEmpty(), not dels.isEmpty()
     if not (have_ups or have_dels):
         # state moved without row changes (shadow deltas): stamp so the
         # next fold diffs from here instead of re-walking this window
         _write_stats_from_doclen(spark, index_dir, keep=keep, meta=meta)
         return False
-    if have_ups:
-        # With deletes still pending, the upsert fold SKIPS its stats
-        # commit entirely (write_stats=False, r13 wave 6): the remove
-        # step's own stats commit supersedes it moments later, and the
-        # crash window is SAFER than the old intermediate re-stamp —
-        # stats keeps the pre-fold values WITH the pre-fold watermark
-        # (`applied`), never None, so an interrupted sequence replays
-        # the whole diff and converges (the module comment's
-        # at-least-once argument: re-folded upserts shadow their twins,
-        # re-removed ids are no-ops, the FINAL commit advances the
-        # watermark to `state`).
-        update_text_index(
-            spark, ups, index_dir, keep=keep, meta=meta,
-            write_stats=not have_dels,
+    if have_ups and have_dels:
+        # mixed diff: the FUSED apply — one doclen commit, overlapped
+        # postings writes, stats last with the watermark; crash window
+        # argued at _apply_cdc_to_text_index (identical to the r13
+        # single-stats-commit contract)
+        _apply_cdc_to_text_index(
+            spark, ups, dels, index_dir, keep=keep, meta=meta
         )
-    if have_dels:
+    elif have_ups:
+        update_text_index(spark, ups, index_dir, keep=keep, meta=meta)
+    else:
         remove_from_text_index(spark, dels, index_dir, keep=keep, meta=meta)
     return True
 

@@ -651,18 +651,22 @@ def retired_delta_names(table_dir: str) -> list[str]:
     return _read_names(_delta_retired_path(table_dir))
 
 
-def _written_rows(delta_path: str) -> int:
-    """Row count of a just-written delta dir from its parquet FOOTERS —
+def _wrote_nothing(delta_path: str) -> bool:
+    """Emptiness of a just-written delta dir from its parquet FOOTERS —
     driver-side metadata reads, no Spark job. The write already computed
     the rows; the footers are the free byproduct that makes an emptiness
-    probe redundant (r13 optimization, guide §1.2)."""
+    probe redundant (r13 optimization, guide §1.2). The FIRST non-empty
+    footer short-circuits (r14, VERDICT item 8): at 100 TB a delta dir
+    can hold thousands of part files, and an unbounded footer walk per
+    commit is a driver stall and an object-store round-trip per file —
+    the common (non-empty) case now reads ~1 footer."""
     import pyarrow.parquet as pq
 
-    total = 0
     for entry in os.listdir(delta_path):
         if entry.startswith("part-") and entry.endswith(".parquet"):
-            total += pq.read_metadata(os.path.join(delta_path, entry)).num_rows
-    return total
+            if pq.read_metadata(os.path.join(delta_path, entry)).num_rows > 0:
+                return False
+    return True
 
 
 def append_delta(
@@ -693,7 +697,7 @@ def append_delta(
         df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
     path = os.path.join(table_dir, name)
     df.write.mode("errorifexists").parquet(path)
-    if skip_if_empty and _written_rows(path) == 0:
+    if skip_if_empty and _wrote_nothing(path):
         shutil.rmtree(path, ignore_errors=True)
         return None
     # staged before the log append, atomic with the data (sidecar note
@@ -735,6 +739,7 @@ def merge_cdc_delta(
     key: list[str],
     op_col: str = "_op",
     delete_op: str = "delete",
+    ops: set[str] | None = None,
 ) -> list[str]:
     """Apply one CDC batch MERGE-ON-READ (round 10): the non-delete rows
     land as an O(batch) data delta and the delete keys as an O(keys)
@@ -774,16 +779,33 @@ def merge_cdc_delta(
     contract above already makes their relative delta-log order
     immaterial (disjoint key sets through newest-wins resolution — the
     same fact that lets a one-sided batch commit alone). The returned
-    list stays data-first regardless of which commit wins the lock."""
+    list stays data-first regardless of which commit wins the lock.
+
+    ``ops`` (r14): the EXACT set of ``op_col`` values present in the
+    batch, when the caller already knows it (the streaming loop reads it
+    off the same distinct-collect that orders its sub-batches) — a
+    one-sided batch then skips the absent side's write job instead of
+    evaluating it to emptiness. None = unknown, both sides
+    write-then-decide as before."""
     from pgcp_spark.plans.overlap import overlap
 
-    ups = batch.filter(~F.col(op_col).eqNullSafe(F.lit(delete_op))).drop(op_col)
-    dels = batch.filter(F.col(op_col).eqNullSafe(F.lit(delete_op))).select(*key)
-    up_name, del_name = overlap(
-        lambda: append_delta(ups, table_dir, skip_if_empty=True),
-        lambda: delete_delta(dels, table_dir, key=key, skip_if_empty=True),
-    )
-    return [n for n in (up_name, del_name) if n is not None]
+    do_ups = ops is None or bool(ops - {delete_op})
+    do_dels = ops is None or delete_op in ops
+    thunks = []
+    if do_ups:
+        ups = batch.filter(~F.col(op_col).eqNullSafe(F.lit(delete_op))).drop(
+            op_col
+        )
+        thunks.append(lambda: append_delta(ups, table_dir, skip_if_empty=True))
+    if do_dels:
+        dels = batch.filter(F.col(op_col).eqNullSafe(F.lit(delete_op))).select(
+            *key
+        )
+        thunks.append(
+            lambda: delete_delta(dels, table_dir, key=key, skip_if_empty=True)
+        )
+    names = overlap(*thunks)
+    return [n for n in names if n is not None]
 
 
 def read_current_with_deltas(
@@ -820,6 +842,21 @@ def read_current_with_deltas(
         (i, read_parquet_dir(spark, os.path.join(table_dir, n)))
         for i, n in enumerate(names)
     ]
+    return _merge_deltas(base, raw, key)
+
+
+def _merge_deltas(
+    base: DataFrame, raw: list[tuple[int, DataFrame]], key: list[str]
+) -> DataFrame:
+    """The merge-on-read resolution core (newest-wins whole-key
+    replacement + tombstone application + additive schema evolution),
+    factored from ``read_current_with_deltas`` (r14) so ``state_changes``'
+    extends path can resolve just the FRESH deltas over the
+    already-resolved old state instead of re-resolving the whole delta
+    stack a second time. ``raw`` is [(log seq, frame)] in commit order;
+    ``base`` rows resolve at seq -1 — older than every delta, which is
+    exactly the contract when ``base`` is itself a resolved earlier state
+    (every old write predates every fresh delta)."""
     data = [(i, p) for i, p in raw if TOMBSTONE not in p.columns]
     tombs = [(i, p) for i, p in raw if TOMBSTONE in p.columns]
 
@@ -1485,53 +1522,93 @@ def state_changes(
     old = read_current_with_deltas(
         spark, table_dir, key, snapshot=f_snap, names=f_deltas
     )
-    new = read_current_with_deltas(
-        spark, table_dir, key, snapshot=t_snap, names=t_deltas
-    )
-    cols = list(new.columns) + [c for c in old.columns if c not in new.columns]
-    old_t, new_t = dict(old.dtypes), dict(new.dtypes)
-    for c in cols:  # additive evolution between the states: NULL fill
-        if c not in old.columns:
-            old = old.withColumn(c, F.lit(None).cast(new_t[c]))
-        if c not in new.columns:
-            new = new.withColumn(c, F.lit(None).cast(old_t[c]))
-    old, new = old.select(*cols), new.select(*cols)
     extends = f_snap == t_snap and t_deltas[: len(f_deltas)] == f_deltas
     if not extends:
-        return _keyed_diff(old, new, cols, key)
+        # non-extending pair (e.g. a flatten between the states): the
+        # full corpus-vs-corpus keyed diff — what table_changes always
+        # costs; the cascade avoids it by re-stamping after flattens
+        new = read_current_with_deltas(
+            spark, table_dir, key, snapshot=t_snap, names=t_deltas
+        )
+        cols = list(new.columns) + [c for c in old.columns if c not in new.columns]
+        old_t, new_t = dict(old.dtypes), dict(new.dtypes)
+        for c in cols:  # additive evolution between the states: NULL fill
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(new_t[c]))
+            if c not in new.columns:
+                new = new.withColumn(c, F.lit(None).cast(old_t[c]))
+        return _keyed_diff(old.select(*cols), new.select(*cols), cols, key)
     fresh = t_deltas[len(f_deltas):]
     if not fresh:
-        return _keyed_diff(old.limit(0), new.limit(0), cols, key)
-    shapes = _touched_key_shapes(spark, table_dir, fresh, key)
+        return _keyed_diff(old.limit(0), old.limit(0), old.columns, key)
+    # Extends path (r14 optimization, guide §2.4: remove a whole pass):
+    # the new state IS the old state plus the fresh deltas, so instead of
+    # re-resolving the full merge-on-read stack a second time (base scan,
+    # per-delta unions, newest-wins aggregate, tombstone joins — all
+    # doubled, and under AQE every extra exchange fans one more stage
+    # job), resolve the fresh deltas OVER the pruned old state:
+    #
+    #     new ⋉ touched  ==  resolve(old ⋉ touched, fresh)
+    #
+    # which holds exactly because every old write predates every fresh
+    # delta — the resolved old rows re-enter ``_merge_deltas`` at seq -1,
+    # below every fresh data delta and tombstone, preserving newest-wins
+    # and kill-if-older semantics bit-for-bit (the _merge_deltas
+    # docstring). Fresh data-delta keys are in the touched set by
+    # construction (their shape is the reader key), so pruning before the
+    # resolve loses nothing.
+    raw_fresh = [
+        (i, read_parquet_dir(spark, os.path.join(table_dir, n)))
+        for i, n in enumerate(fresh)
+    ]
+    # additive evolution: columns a fresh DATA delta introduces null-fill
+    # onto the old side (same rule the full resolution applies)
+    types = dict(old.dtypes)
+    cols = list(old.columns)
+    for _, p in raw_fresh:
+        if TOMBSTONE in p.columns:
+            continue
+        for c, t in p.dtypes:
+            if c not in types:
+                types[c] = t
+                cols.append(c)
+    for c in cols:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(types[c]))
+    old = old.select(*cols)
+    shapes = _shapes_of(raw_fresh, key)
     if any(not s or any(c not in cols for c in s) for s, _ in shapes):
-        return _keyed_diff(old, new, cols, key)
+        new = read_current_with_deltas(
+            spark, table_dir, key, snapshot=t_snap, names=t_deltas
+        )
+        for c in cols:
+            if c not in new.columns:
+                new = new.withColumn(c, F.lit(None).cast(types[c]))
+        return _keyed_diff(old, new.select(*cols), cols, key)
 
-    def pruned(df: DataFrame) -> DataFrame:
-        # a row is in play if ANY shape's touched set matches it (union,
-        # not intersection — a prefix tombstone and a full-key data delta
-        # each independently put rows in play); the table is key-unique
-        # (the keyed-diff contract), so the cross-shape dedup is exact
-        parts = [df.join(t, on=s, how="left_semi") for s, t in shapes]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.dropDuplicates(key) if len(parts) > 1 else out
+    # a row is in play if ANY shape's touched set matches it (union,
+    # not intersection — a prefix tombstone and a full-key data delta
+    # each independently put rows in play); the table is key-unique
+    # (the keyed-diff contract), so the cross-shape dedup is exact
+    parts = [old.join(t, on=s, how="left_semi") for s, t in shapes]
+    old_p = parts[0]
+    for p in parts[1:]:
+        old_p = old_p.unionByName(p)
+    if len(parts) > 1:
+        old_p = old_p.dropDuplicates(key)
+    new_p = _merge_deltas(old_p, raw_fresh, key)
+    return _keyed_diff(old_p, new_p, cols, key)
 
-    return _keyed_diff(pruned(old), pruned(new), cols, key)
 
-
-def _touched_key_shapes(
-    spark: SparkSession, table_dir: str, names: list[str], key: list[str]
-):
-    """[(pruning-column set, distinct touched values)] across the active
-    deltas. A data delta prunes on the reader ``key`` (all key columns
+def _shapes_of(raw: list[tuple[int, DataFrame]], key: list[str]):
+    """[(pruning-column set, distinct touched values)] across delta
+    frames. A data delta prunes on the reader ``key`` (all key columns
     are guaranteed present — the delta-key contract); a tombstone prunes
     on its own column set, which may be a key prefix OR disjoint
-    attribute columns (equality deletes). Used by ``pending_changes`` to
-    bound the diff at batch size."""
+    attribute columns (equality deletes). Used by ``state_changes`` to
+    bound the extends-path diff at batch size."""
     by_shape: dict[tuple[str, ...], list[DataFrame]] = {}
-    for n in names:
-        p = read_parquet_dir(spark, os.path.join(table_dir, n))
+    for _, p in raw:
         if TOMBSTONE in p.columns:
             shape = tuple(c for c in p.columns if c != TOMBSTONE)
         else:

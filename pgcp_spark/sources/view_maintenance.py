@@ -112,6 +112,7 @@ def fold_join_view(
     fact_join_col: str,
     dim_join_col: str,
     fact_current: DataFrame | None = None,
+    fact_feed_types: set[str] | None = None,
 ) -> None:
     """Fold one maintenance cycle of ``V = fact ⋈_{fact_join_col =
     dim_join_col} dim`` into the view at ``view_dir`` (keyed by
@@ -136,41 +137,54 @@ def fold_join_view(
     view_cols = read_current(spark, view_dir).columns
     if dim_feed is not None:
         dim_feed = materialize(dim_feed)  # consumed by 3 arms' probes + joins
-        dim_post = dim_feed.filter(
-            F.col("_change_type") == "update_postimage"
-        ).drop("_change_type")
-        view = _pruned_by_keys(
-            read_current_with_deltas(spark, view_dir, key=view_key),
-            fact_join_col,
-            dim_post.select(dim_join_col),
-        )
-        # WRITE-THEN-DECIDE on every arm (r13 optimization, guide §1.2):
-        # the delta write is the arm's ONLY evaluation — emptiness comes
-        # free from the written parquet footers (append_delta
-        # skip_if_empty), replacing the isEmpty probe that re-ran the
-        # arm's whole join pipeline before each write
-        refreshed = (
-            view.drop(*[c for c in dim_post.columns if c != dim_join_col])
-            .join(
-                dim_post.withColumnRenamed(dim_join_col, fact_join_col),
-                on=fact_join_col,
+        # ONE change-type presence probe over the checkpointed feed (r14,
+        # guide §1.2): replaces the dim_ins.isEmpty() job AND lets arms
+        # whose change type is ABSENT from the feed skip their delta-write
+        # job entirely (a feed of pure update pairs — the common dim shape
+        # — used to pay a tombstone write just to discover it was empty).
+        # Exactness: type-absent ⇒ that arm's frame is empty by
+        # construction; type-present arms keep write-then-decide, which
+        # covers the present-but-empty-after-join case.
+        present = {
+            r[0] for r in dim_feed.select("_change_type").distinct().collect()
+        }
+        arm_writes = []
+        if "update_postimage" in present:
+            dim_post = dim_feed.filter(
+                F.col("_change_type") == "update_postimage"
+            ).drop("_change_type")
+            view = _pruned_by_keys(
+                read_current_with_deltas(spark, view_dir, key=view_key),
+                fact_join_col,
+                dim_post.select(dim_join_col),
             )
-            .select(*view_cols)
-        )
-        arm_writes = [
-            lambda: append_delta(refreshed, view_dir, skip_if_empty=True)
-        ]
+            # WRITE-THEN-DECIDE on every arm (r13 optimization, guide
+            # §1.2): the delta write is the arm's ONLY evaluation —
+            # emptiness comes free from the written parquet footers
+            # (append_delta skip_if_empty), replacing the isEmpty probe
+            # that re-ran the arm's whole join pipeline before each write
+            refreshed = (
+                view.drop(*[c for c in dim_post.columns if c != dim_join_col])
+                .join(
+                    dim_post.withColumnRenamed(dim_join_col, fact_join_col),
+                    on=fact_join_col,
+                )
+                .select(*view_cols)
+            )
+            arm_writes.append(
+                lambda: append_delta(refreshed, view_dir, skip_if_empty=True)
+            )
         # inserted dim keys: their matching fact rows are NOT in the view —
         # pruned fact lookup (docstring), pushed-IN when the key list is small
-        dim_ins = dim_feed.filter(F.col("_change_type") == "insert").drop(
-            "_change_type"
-        )
-        if not dim_ins.isEmpty():
+        if "insert" in present:
             if fact_current is None:
                 raise ValueError(
                     "dim feed carries inserts: fold_join_view needs fact_current "
                     "to find their (view-invisible) fact matches"
                 )
+            dim_ins = dim_feed.filter(F.col("_change_type") == "insert").drop(
+                "_change_type"
+            )
             fact = _pruned_by_keys(
                 fact_current, fact_join_col, dim_ins.select(dim_join_col)
             )
@@ -182,14 +196,15 @@ def fold_join_view(
                 lambda: append_delta(matched, view_dir, skip_if_empty=True)
             )
         # dim deletes orphan their fact rows out of an INNER-join view
-        dim_dead = dim_feed.filter(F.col("_change_type") == "delete").select(
-            F.col(dim_join_col).alias(fact_join_col)
-        )
-        arm_writes.append(
-            lambda: delete_delta(
-                dim_dead, view_dir, key=[fact_join_col], skip_if_empty=True
+        if "delete" in present:
+            dim_dead = dim_feed.filter(F.col("_change_type") == "delete").select(
+                F.col(dim_join_col).alias(fact_join_col)
             )
-        )
+            arm_writes.append(
+                lambda: delete_delta(
+                    dim_dead, view_dir, key=[fact_join_col], skip_if_empty=True
+                )
+            )
         # The three dim-arm writes run CONCURRENTLY (guide §2.6): a change
         # feed carries each dim key exactly once, so the updated/inserted/
         # deleted key sets are disjoint and newest-wins MOR resolution is
@@ -200,6 +215,19 @@ def fold_join_view(
         # strictly after the whole dim arm (its rows must win shared keys).
         overlap(*arm_writes)
     if fact_feed is not None:
+        # ``fact_feed_types`` (r14): the EXACT set of ``_change_type``
+        # values present in the feed, when the caller already knows it —
+        # the streaming loop reads per-seq op presence off the same
+        # distinct-collect job that orders its sub-batches, so a
+        # one-sided batch (pure deletes, pure upserts) skips the absent
+        # arm's write job instead of evaluating it to emptiness. None =
+        # unknown: both arms evaluate, write-then-decide as before.
+        has_post = fact_feed_types is None or bool(
+            fact_feed_types & set(_POST_TYPES)
+        )
+        has_del = fact_feed_types is None or "delete" in fact_feed_types
+        if not (has_post or has_del):
+            return
         fact_feed = materialize(fact_feed)  # consumed by both arms
         dim_renamed = dim_current.withColumnRenamed(dim_join_col, fact_join_col)
         post = fact_feed.filter(F.col("_change_type").isin(*_POST_TYPES)).drop(
@@ -228,13 +256,26 @@ def fold_join_view(
         nomatch = post.join(
             dim_renamed.select(fact_join_col), on=fact_join_col, how="left_anti"
         ).select(*view_key)
-        dead = dels.unionByName(nomatch)
-        overlap(
-            lambda: append_delta(rebuilt, view_dir, skip_if_empty=True),
+        # presence-pruned dead set: a type the hint rules out contributes
+        # no rows by construction, so its branch drops from the plan —
+        # and a post-free feed skips the rebuilt write job entirely
+        if has_post and has_del:
+            dead = dels.unionByName(nomatch)
+        elif has_post:
+            dead = nomatch
+        else:
+            dead = dels
+        fact_writes = []
+        if has_post:
+            fact_writes.append(
+                lambda: append_delta(rebuilt, view_dir, skip_if_empty=True)
+            )
+        fact_writes.append(
             lambda: delete_delta(
                 dead, view_dir, key=view_key, skip_if_empty=True
-            ),
+            )
         )
+        overlap(*fact_writes)
 
 
 _JOIN_VIEW_ORACLE = """

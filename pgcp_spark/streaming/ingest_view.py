@@ -131,8 +131,15 @@ def apply_cdc_batches(
     wave 5 — the former unconditional materialize was one extra job
     per micro-batch; each seq's consumers re-scan the batch-sized
     source instead, and the fold checkpoints its own feed)."""
-    seqs = sorted(r[0] for r in micro_batch.select("seq").distinct().collect())
-    for s in seqs:
+    # the same ONE distinct-collect job that orders the sub-batches also
+    # reads each seq's op presence (r14) — fold_join_view's
+    # ``fact_feed_types`` hint then skips the absent arm's write job for
+    # one-sided batches (a pure-delete batch used to evaluate the whole
+    # rebuild join just to discover it wrote nothing)
+    ops_by_seq: dict[int, set[str]] = {}
+    for r in micro_batch.select("seq", "_op").distinct().collect():
+        ops_by_seq.setdefault(r[0], set()).add(r[1])
+    for s in sorted(ops_by_seq):
         b = micro_batch.filter(F.col("seq") == s).drop("seq")
         feed = b.withColumn(
             "_change_type",
@@ -140,13 +147,19 @@ def apply_cdc_batches(
                 F.lit("update_postimage")
             ),
         ).drop("_op")
+        feed_types = {
+            "delete" if op == "delete" else "update_postimage"
+            for op in ops_by_seq[s]
+        }
         # Fact landing and view fold run CONCURRENTLY (guide §2.6): both
         # consume the (checkpointed) batch `b`, write DISJOINT tables
         # (fact_dir / view_dir), and nothing downstream in this iteration
         # reads the fact table — the fold's feed IS the batch. overlap()
         # joins both before the next seq, preserving cross-batch order.
         overlap(
-            lambda: merge_cdc_delta(spark, fact_dir, b, key=["o_orderkey"]),
+            lambda: merge_cdc_delta(
+                spark, fact_dir, b, key=["o_orderkey"], ops=ops_by_seq[s]
+            ),
             lambda: fold_join_view(
                 spark,
                 view_dir,
@@ -156,6 +169,7 @@ def apply_cdc_batches(
                 dim_current=dim,
                 fact_join_col="o_custkey",
                 dim_join_col="c_custkey",
+                fact_feed_types=feed_types,
             ),
         )
         if after_fold is not None:

@@ -678,10 +678,12 @@ def test_cdc_fold_contracts(spark, tmp_path):
 
 
 def test_cdc_fold_crash_between_folds_keeps_watermark(spark, tmp_path, monkeypatch):
-    """Round-12 review fix: a mixed diff (upserts AND deletes) commits
-    stats twice; the INTERMEDIATE commit must carry the OLD watermark,
-    not clear it — a crash between the two constituent folds then
-    replays the whole diff (convergent) instead of refusing forever."""
+    """A mixed diff (upserts AND deletes) advances the watermark only at
+    the FINAL stats commit (r14: the fused apply — one doclen commit,
+    overlapped postings writes, stats last). A crash after the data
+    writes but before that commit must leave the OLD watermark standing
+    — the replay then folds the whole diff and converges, instead of
+    refusing forever (the r12 review fix, restated for the fused shape)."""
     import pgcp_spark.sources.lake as lake
     from pgcp_spark.functions.text_index import (
         bm25_from_index,
@@ -704,17 +706,17 @@ def test_cdc_fold_crash_between_folds_keeps_watermark(spark, tmp_path, monkeypat
     )
     lake.merge_cdc_delta(spark, docs_dir, batch, key=["doc_id"])
 
-    # crash between the folds: the delete arm raises after the update
-    # arm's stats commit landed
-    real_remove = TI.remove_from_text_index
+    # crash after the fused data writes, before the watermark-carrying
+    # stats commit
+    real_stats = TI._write_stats_from_doclen
 
     def boom(*a, **kw):
-        raise RuntimeError("simulated crash before the delete fold")
+        raise RuntimeError("simulated crash before the stats commit")
 
-    monkeypatch.setattr(TI, "remove_from_text_index", boom)
+    monkeypatch.setattr(TI, "_write_stats_from_doclen", boom)
     with pytest.raises(RuntimeError, match="simulated crash"):
         fold_text_index_from_docs_state(spark, docs_dir, index_dir)
-    monkeypatch.setattr(TI, "remove_from_text_index", real_remove)
+    monkeypatch.setattr(TI, "_write_stats_from_doclen", real_stats)
     # the watermark survived as the OLD state (not None, not the new one)
     wm = lake.snapshot_meta(os.path.join(index_dir, "stats")).get(
         "applied_docs_state"
@@ -853,12 +855,12 @@ def test_group_commit_reader_never_sees_index_corpus_skew(spark, tmp_path):
 def test_cdc_fold_skips_intermediate_stats_and_crash_converges(
     spark, tmp_path, monkeypatch
 ):
-    """Wave-6 pin: a both-sides CDC fold commits stats ONCE (the remove
-    step's) — the upsert step skips its stats write entirely — and a
-    crash between the two steps leaves stats at the PRE-fold values WITH
-    the pre-fold watermark (never None, never intermediate), so the
-    replayed fold re-walks the whole diff and converges bit-exactly with
-    an uninterrupted twin."""
+    """Single-stats-commit pin (r13 wave 6, restated for the r14 fused
+    apply): a both-sides CDC fold commits stats ONCE — LAST, carrying the
+    watermark — and a crash after the data writes but before it leaves
+    stats at the PRE-fold values WITH the pre-fold watermark (never None,
+    never intermediate), so the replayed fold re-walks the whole diff and
+    converges bit-exactly with an uninterrupted twin."""
     from pgcp_spark.sources import lake
     from pgcp_spark.sources.lake import (
         merge_cdc_delta,
@@ -897,17 +899,17 @@ def test_cdc_fold_skips_intermediate_stats_and_crash_converges(
     pre_wm = snapshot_meta(stats_dir).get("applied_docs_state")
     assert pre_wm is not None
 
-    real_remove = TI.remove_from_text_index
+    real_stats = TI._write_stats_from_doclen
 
     def exploding(*a, **kw):
-        raise RuntimeError("simulated crash before remove")
+        raise RuntimeError("simulated crash before the stats commit")
 
-    monkeypatch.setattr(TI, "remove_from_text_index", exploding)
+    monkeypatch.setattr(TI, "_write_stats_from_doclen", exploding)
     with pytest.raises(RuntimeError, match="simulated crash"):
         TI.fold_text_index_from_docs_state(spark, crash_docs, crash_idx)
-    monkeypatch.setattr(TI, "remove_from_text_index", real_remove)
+    monkeypatch.setattr(TI, "_write_stats_from_doclen", real_stats)
 
-    # the upsert step committed NO stats: pre-fold values AND watermark
+    # the fused data writes committed NO stats: pre-fold values AND watermark
     stale = {
         r.metric: r.value for r in read_current(spark, stats_dir).collect()
     }
