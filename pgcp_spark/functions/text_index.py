@@ -265,8 +265,9 @@ def update_text_index(
     — the same zero-recompute discipline as ``_write_tables``).
 
     CRASH CONSISTENCY (round-10 pin, tests/test_text_index.py): the
-    three commits are ordered postings-delta → doclen → stats, each
-    atomic alone. A crash between them leaves a documented
+    postings delta and doclen rewrite commit concurrently (r14 — each
+    atomic alone, order immaterial: no serve path reads doclen), stats
+    strictly last. A crash between commits leaves a documented
     reader-visible skew — new postings scored with the old
     n_docs/avgdl — never an error, and AT-LEAST-ONCE REPLAY of the
     batch converges bit-exactly with an uninterrupted fold: the
@@ -291,25 +292,36 @@ def update_text_index(
     (and its watermark) stay at their PRE-fold state until the final
     commit, so an interrupted sequence replays the whole diff and
     converges exactly as the at-least-once contract above argues."""
+    from pgcp_spark.plans.overlap import overlap
+
     batch_pt = materialize(doc_terms(batch_docs))
     ids = batch_pt.select("doc_id").distinct()
 
     doclen_dir = os.path.join(index_dir, "doclen")
-    # the O(batch) append — clustered on tok so footer pruning works
-    # inside the delta exactly as in the base
-    append_delta(
-        batch_pt.select("tok", "doc_id", "n", "dl"),
-        os.path.join(index_dir, "postings"),
-        cluster_by=["tok"],
-    )
     kept_dl = read_current(spark, doclen_dir).join(
         F.broadcast(ids), "doc_id", "left_anti"
     )
-    write_snapshot(
-        kept_dl.unionByName(batch_pt.select("doc_id", "dl").distinct()),
-        doclen_dir,
-        keep=keep,
-        cluster_by=["doc_id"],
+    # postings delta and doclen rewrite run CONCURRENTLY (r14, §2.6 —
+    # the same argument as the build path's _write_tables overlap): they
+    # are independent tables over the same checkpointed frame, no serve
+    # path reads doclen directly (postings rows carry their own dl;
+    # stats is the doclen digest and still commits strictly LAST), so
+    # the only reader-visible mid-fold state remains the documented skew
+    # — new postings scored with old stats — whichever write lands first.
+    overlap(
+        # the O(batch) append — clustered on tok so footer pruning works
+        # inside the delta exactly as in the base
+        lambda: append_delta(
+            batch_pt.select("tok", "doc_id", "n", "dl"),
+            os.path.join(index_dir, "postings"),
+            cluster_by=["tok"],
+        ),
+        lambda: write_snapshot(
+            kept_dl.unionByName(batch_pt.select("doc_id", "dl").distinct()),
+            doclen_dir,
+            keep=keep,
+            cluster_by=["doc_id"],
+        ),
     )
     if write_stats:
         _write_stats_from_doclen(spark, index_dir, keep=keep, meta=meta)
@@ -354,12 +366,21 @@ def remove_from_text_index(
     at-least-once replay converges."""
     from pgcp_spark.sources.lake import delete, delete_delta
 
+    from pgcp_spark.plans.overlap import overlap
+
     ids = materialize(ids.select("doc_id").distinct())
     doclen_dir = os.path.join(index_dir, "doclen")
-    delete_delta(ids, os.path.join(index_dir, "postings"), key=["doc_id"])
-    delete(
-        spark, doclen_dir, keys=ids, key=["doc_id"], keep=keep,
-        cluster_by=["doc_id"],
+    # tombstone and doclen delete run CONCURRENTLY (r14, §2.6 — the
+    # update_text_index argument: independent tables, doclen unread by
+    # serve paths, stats still strictly last with the watermark)
+    overlap(
+        lambda: delete_delta(
+            ids, os.path.join(index_dir, "postings"), key=["doc_id"]
+        ),
+        lambda: delete(
+            spark, doclen_dir, keys=ids, key=["doc_id"], keep=keep,
+            cluster_by=["doc_id"],
+        ),
     )
     _write_stats_from_doclen(spark, index_dir, keep=keep, meta=meta)
 

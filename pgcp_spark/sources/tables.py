@@ -49,19 +49,40 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 # inference per path, so every read resolves to exactly the schema
 # inference would have produced.
 _SCHEMA_CACHE: dict[str, object] = {}
+_NPART_CACHE: dict[tuple[str, int], int] = {}
+
+
+# Resolved-DataFrame cache for the STATIC testdata tables (r14, VERDICT
+# item 7): even with the schema cached, every load_table call built a
+# fresh reader — a py4j round trip plus a fresh InMemoryFileIndex listing
+# of the (immutable) path, paid dozens of times per bench session as part
+# of each query's driver-side planning gap. Caching the resolved
+# DataFrame per (session, path) reuses the analyzed relation — PLAN
+# reuse, never result caching: the frame is lazy and immutable, every
+# action still computes from the parquet files. Keyed by the session's
+# applicationId so a stopped session's (unusable) frames are never served
+# to a new one.
+_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    cache_key = (spark.sparkContext.applicationId, path)
+    df = _DF_CACHE.get(cache_key)
+    if df is not None:
+        return df
     if name == "events":
-        return _load_events(spark, path)
-    schema = _SCHEMA_CACHE.get(path)
-    if schema is None:
-        schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[path] = schema
-    return spark.read.schema(schema).parquet(path)
+        df = _load_events(spark, path)
+    else:
+        schema = _SCHEMA_CACHE.get(path)
+        if schema is None:
+            schema = spark.read.parquet(path).schema
+            _SCHEMA_CACHE[path] = schema
+        df = spark.read.schema(schema).parquet(path)
+    _DF_CACHE[cache_key] = df
+    return df
 
 
 def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -79,8 +100,17 @@ def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     want = spark.sparkContext.defaultParallelism
     # multi-file layouts (real lakes, tools/make_scale.py) already scan in
     # parallel — skip the shuffle when the scan supplies at least half the
-    # target parallelism
-    if df.rdd.getNumPartitions() * 2 >= want:
+    # target parallelism. The probe (df.rdd conversion → scan partition
+    # count) is driver-only but not free — it builds the whole RDD lineage
+    # through py4j — and the answer is a pure function of the immutable
+    # testdata path + session parallelism, so cache it per (path, want)
+    # like the schema above (r14; metadata only, never data).
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nparts = _NPART_CACHE.get((path, want))
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        _NPART_CACHE[(path, want)] = nparts
+    if nparts * 2 >= want:
         return df
     return df.repartition(want)
 

@@ -1406,22 +1406,26 @@ def apply_distinct_feed(
     if deltas.isEmpty():
         # the batch touched only NULLs or netted to zero per pair —
         # nothing can transition; advance both watermarks with a
-        # no-row-change commit each (cheap: both tables are small)
-        upsert(
-            spark, support_dir,
-            read_current_with_deltas(
-                spark, support_dir, key=[group_col, value_col]
-            ).limit(0),
-            key=[group_col, value_col],
-            keep=keep,
-            meta=meta,
-        )
-        upsert(
-            spark, agg_dir,
-            read_current(spark, agg_dir).limit(0),
-            key=[group_col],
-            keep=keep,
-            meta=meta,
+        # no-row-change commit each (cheap: both tables are small).
+        # Independent tables — overlapped (§2.6; crash-order argument at
+        # the data commits below applies a fortiori to no-op commits)
+        overlap(
+            lambda: upsert(
+                spark, support_dir,
+                read_current_with_deltas(
+                    spark, support_dir, key=[group_col, value_col]
+                ).limit(0),
+                key=[group_col, value_col],
+                keep=keep,
+                meta=meta,
+            ),
+            lambda: upsert(
+                spark, agg_dir,
+                read_current(spark, agg_dir).limit(0),
+                key=[group_col],
+                keep=keep,
+                meta=meta,
+            ),
         )
         return
     support = _pruned_by_keys(
@@ -1451,23 +1455,22 @@ def apply_distinct_feed(
     # and derives from the checkpointed `touched`, so it needs no
     # materialize of its own (r13 wave 5 — the checkpoint was a pure
     # extra job)
-    # commit 1: the support leads with the watermark (crash after this
-    # point repairs by rebuilding the agg from it). One commit of grace
-    # (keep >= 2) regardless of the caller's keep: the agg rollup below
+    # The two commits run CONCURRENTLY (r14, guide §2.6): both derive
+    # from the checkpointed `touched` plus their OWN stored table —
+    # neither reads the other's — so they are data-independent and only
+    # their crash order mattered. The r13 shape serialized support-first
+    # so a crash left agg-behind (repairable by rebuilding the agg from
+    # the support); overlapped, a crash can also leave agg-AHEAD, and
+    # the fold's existing mismatch branch already covers it: on ANY
+    # sup_applied != agg_applied the support stays authoritative — the
+    # agg is rebuilt from it at the support's watermark and the residual
+    # diff re-folds, which converges whether the agg was behind or ahead
+    # (the rebuild overwrites either). Support keeps one commit of grace
+    # (keep >= 2) regardless of the caller's keep: the agg rollup
     # derives from the PRE-upsert support, and under a non-checkpointing
     # materialization mode (plans.materialize.plan_only — the width
     # audit; mode 'none') or a task retry spanning this commit, its
     # lineage re-reads the old snapshot this commit would otherwise GC
-    upsert(
-        spark,
-        support_dir,
-        touched.drop("old_cnt"),
-        key=[group_col, value_col],
-        cluster_by=[group_col],
-        keep=max(keep, 2),
-        meta=meta,
-    )
-    # commit 2: the aggregate rollup, touched groups only
     stored_agg = read_current(spark, agg_dir)
     folded = stored_agg.join(d_distinct, group_col, "right_outer").select(
         group_col,
@@ -1475,13 +1478,24 @@ def apply_distinct_feed(
             "distinct_cnt"
         ),
     )
-    upsert(
-        spark,
-        agg_dir,
-        folded,
-        key=[group_col],
-        keep=keep,
-        meta=meta,
+    overlap(
+        lambda: upsert(
+            spark,
+            support_dir,
+            touched.drop("old_cnt"),
+            key=[group_col, value_col],
+            cluster_by=[group_col],
+            keep=max(keep, 2),
+            meta=meta,
+        ),
+        lambda: upsert(
+            spark,
+            agg_dir,
+            folded,
+            key=[group_col],
+            keep=keep,
+            meta=meta,
+        ),
     )
 
 

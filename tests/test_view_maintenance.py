@@ -853,6 +853,52 @@ def test_distinct_crash_then_redelivery_repairs_and_continues(spark, monkeypatch
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_distinct_crash_agg_ahead_repairs_from_support(spark, monkeypatch):
+    """The r14 overlap's new crash case: the two data commits run
+    concurrently, so a crash can now leave the AGG committed and the
+    SUPPORT lost (the reverse of the r13 support-first window). The
+    support stays authoritative either way — the retry must rebuild the
+    agg from the support at ITS watermark (rolling the ahead agg back)
+    and re-fold the residual diff, converging to the recompute."""
+    from pgcp_spark.sources import view_maintenance as vm
+    from pgcp_spark.sources.lake import delete_delta, pending_state, snapshot_meta
+
+    view_dir, sup_dir, agg_dir = _dst_lake(spark, _DST_ROWS)
+    try:
+        delete_delta(
+            spark.createDataFrame([(3,)], ["o_orderkey"]), view_dir,
+            key=["o_orderkey"],
+        )  # last P2 holder in a: a real transition
+        real_upsert = vm.upsert
+
+        def crashing_upsert(spark_, table_dir, *a, **kw):
+            if table_dir == sup_dir:
+                raise RuntimeError("simulated crash before the support commit")
+            return real_upsert(spark_, table_dir, *a, **kw)
+
+        monkeypatch.setattr(vm, "upsert", crashing_upsert)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            _dst_fold(spark, sup_dir, agg_dir, view_dir)
+        monkeypatch.setattr(vm, "upsert", real_upsert)
+        # the window under test: agg AHEAD, support behind
+        assert snapshot_meta(agg_dir)["applied_view_state"] == pending_state(
+            view_dir
+        )
+        assert snapshot_meta(sup_dir)["applied_view_state"] != pending_state(
+            view_dir
+        )
+        # recovery fold: agg rebuilt from the (behind) support, residual
+        # diff re-folded — both tables converge to the recompute
+        assert _dst_fold(spark, sup_dir, agg_dir, view_dir) is True
+        got = _dst_serve(spark, agg_dir)
+        assert got == [("a", 1), ("b", 1)]
+        assert got == _dst_recompute(spark, view_dir)
+        assert _dst_fold(spark, sup_dir, agg_dir, view_dir) is False
+    finally:
+        for d in (view_dir, sup_dir, agg_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_distinct_missing_watermark_refuses(spark):
     """A metaless commit on either stored table clears the watermark —
     the fold must refuse (the signed support fold double-counts on a
